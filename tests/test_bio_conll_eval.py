@@ -50,7 +50,7 @@ def test_classification_report_matches_sklearn_semantics():
     assert rep["I-PER"]["f1"] == 1.0
     # B-ORG: tp=1, pred=2, true=1
     assert rep["B-ORG"]["precision"] == 0.5 and rep["B-ORG"]["recall"] == 1.0
-    assert rep["micro avg"]["support"] == 5
+    assert rep["micro avg"]["support"] == 4  # true-label occurrences within the label set
 
 
 def test_triple_prf():
