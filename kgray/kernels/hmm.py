@@ -227,6 +227,49 @@ def viterbi_decode(words: list, model: HMMModel) -> list:
 
 
 def viterbi_batch(sentences: list, model: HMMModel) -> list:
-    """Decode many sentences (one actor batch).  Empty sentences pass
-    through as empty tag lists (hmm_ner.py:153-155)."""
-    return [viterbi_decode(s, model) for s in sentences]
+    """Decode a whole batch of sentences, vectorized across sentences.
+
+    Sentences are bucketed by length; each bucket runs one [N, T] DP so
+    per-step NumPy overhead amortizes over the batch (the scale path for
+    the actor-pool tagger).  Produces exactly the same tags as
+    :func:`viterbi_decode` per sentence (asserted in tests); empty
+    sentences pass through as empty tag lists (hmm_ner.py:153-155).
+    """
+    out: list = [None] * len(sentences)
+    by_len: dict = {}
+    for i, s in enumerate(sentences):
+        L = len(s)
+        if L == 0:
+            out[i] = []
+        else:
+            by_len.setdefault(L, []).append(i)
+
+    T = model.A.shape[0]
+    tags = model.idx_to_tag
+    w2i = model.word_to_idx
+    A = model.A
+    for L, idxs in by_len.items():
+        N = len(idxs)
+        # [N, L] word indices (-1 = unknown)
+        widx = np.array([[w2i.get(w, -1) for w in sentences[i]] for i in idxs],
+                        dtype=np.int64)
+        E = np.empty((N, L, T), dtype=np.float64)
+        known = widx >= 0
+        if known.any():
+            E[known] = model.B[:, widx[known]].T
+        if (~known).any():
+            E[~known] = model.unk_emission
+        bp = np.zeros((N, L, T), dtype=np.int32)
+        alpha = model.pi[None, :] + E[:, 0, :]
+        for t in range(1, L):
+            scores = alpha[:, :, None] + A[None, :, :]        # [N, prev, cur]
+            bp[:, t, :] = np.argmax(scores, axis=1)
+            alpha = np.take_along_axis(scores, bp[:, t, :][:, None, :].astype(np.int64),
+                                       axis=1)[:, 0, :] + E[:, t, :]
+        path = np.zeros((N, L), dtype=np.int64)
+        path[:, L - 1] = np.argmax(alpha, axis=1)
+        for t in range(L - 2, -1, -1):
+            path[:, t] = bp[np.arange(N), t + 1, path[:, t + 1]]
+        for row, i in enumerate(idxs):
+            out[i] = [tags[j] for j in path[row]]
+    return out

@@ -1,0 +1,278 @@
+"""The flagship pipeline: web pages → knowledge graph.
+
+Lifecycle (SURVEY.md §3.5):
+
+    read_parquet(pages shards)                      [stateless read tasks]
+      → map_batches(extract_text)                   [stateless]
+      → map_batches(split_sentences)                [stateless explode]
+      → map_batches(HMMTagger, concurrency=N)       [actor pool, NumPy params]
+      → map_batches(extract_triples)                [stateless pattern rules]
+      → map_batches(LinkerActor, concurrency=N)     [actor pool, broadcast aliases]
+      → write_parquet(out/triples/group=<gid>/)     [per-group sink]
+    …then over all group outputs:
+      canonical_graph (salted 2-stage groupby) → sort(subj) → graph parquet
+
+Each completed partition group appends a lineage record (counters,
+files, wall time) to the manifest; a rerun skips ``done`` groups
+(`resumable`).  Model artifacts are built once on the driver (training
+data is small — the reference trains serially too, hmm_ner.py:9-124;
+only inference scales out) and loaded per actor.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..kernels import conll, crf as crf_kernel, hmm as hmm_kernel
+from ..kernels.linking import EMB_DIM, link_surface
+from ..kernels.triples import extract_sentence_triples, sentence_mentions
+from ..sources.corpus import load_side_tables
+from ..stages.canonical import canonical_graph
+from ..stages.extract import extract_text, split_sentences, tokenize_line
+from ..stages.kg import LinkerActor, extract_triples
+from ..stages.tagger import CRFTagger, HMMTagger
+from ..state.counters import counting_passthrough, new_counter
+from ..state.manifest import Manifest
+
+__all__ = ["build_models", "kg_dataset", "run_kg", "serial_oracle_triples",
+           "page_files", "partition_groups"]
+
+
+# --------------------------------------------------------------------------- models
+
+
+def build_models(corpus_dir: str, model_dir: str, tagger: str = "hmm",
+                 crf_epochs: int = 3, crf_lr: float = 0.05,
+                 crf_max_sentences: int = 400) -> dict:
+    """Train tagging models from the corpus's CoNLL split (driver-side:
+    index assignment is insertion-ordered and inherently serial,
+    SURVEY.md §7.4) and save artifacts for actor `__init__` loading."""
+    os.makedirs(model_dir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(corpus_dir, "conll_train.parquet"))
+    sents_w = tbl["tokens"].to_pylist()
+    sents_t = tbl["tags"].to_pylist()
+    paths = {}
+    if tagger in ("hmm", "both"):
+        m = hmm_kernel.train_hmm(sents_w, sents_t)
+        p = os.path.join(model_dir, "hmm_en")
+        m.save(p)
+        paths["hmm"] = {"en": p + ".npz"}
+    if tagger in ("crf", "both"):
+        mc = crf_kernel.train_crf_sgd(sents_w[:crf_max_sentences],
+                                      sents_t[:crf_max_sentences],
+                                      epochs=crf_epochs, lr=crf_lr)
+        p = os.path.join(model_dir, "crf_en")
+        mc.save(p)
+        paths["crf"] = {"en": p + ".npz"}
+    with open(os.path.join(model_dir, "models.json"), "w") as f:
+        json.dump(paths, f)
+    return paths
+
+
+def _model_paths(model_dir: str, tagger: str) -> dict:
+    with open(os.path.join(model_dir, "models.json")) as f:
+        return json.load(f)[tagger]
+
+
+# --------------------------------------------------------------------------- dataset builder
+
+
+def page_files(corpus_dir: str) -> list:
+    return sorted(glob.glob(os.path.join(corpus_dir, "pages", "*.parquet")))
+
+
+def partition_groups(files: list, files_per_group: int = 2) -> list:
+    """[(group_id, [files])] — resume granularity."""
+    groups = []
+    for i in range(0, len(files), files_per_group):
+        chunk = files[i:i + files_per_group]
+        groups.append((f"g{i // files_per_group:05d}", chunk))
+    return groups
+
+
+def _auto_concurrency():
+    """Size the actor pools so stateless read/map/write tasks keep CPUs:
+    tagger ≈ half the CPUs, linker ≈ a quarter, ≥1 each (a pool that
+    reserves every CPU starves the other stages and serializes the
+    pipeline)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus // 2), max(1, cpus // 4)
+
+
+def kg_dataset(files, corpus_dir: str, model_dir: str, tagger: str = "hmm",
+               concurrency=None, batch_size: int = 1024, counter=None):
+    """Build the lazy Dataset pipeline pages → linked triples.
+
+    ``concurrency``: None → auto-size from cluster CPUs; an int n →
+    (tagger n, linker max(1, n//2)); a tuple → used for both pools.
+    """
+    if concurrency is None:
+        tagger_conc, linker_conc = _auto_concurrency()
+    elif isinstance(concurrency, int):
+        tagger_conc, linker_conc = concurrency, max(1, concurrency // 2)
+    else:
+        tagger_conc = linker_conc = concurrency
+    alias_idx, emb_map = load_side_tables(corpus_dir)
+    alias_ref = ray.put(alias_idx)      # broadcast once, not per task
+    emb_ref = ray.put(emb_map)
+    tagger_cls = HMMTagger if tagger == "hmm" else CRFTagger
+    model_paths = _model_paths(model_dir, tagger)
+
+    ds = rd.read_parquet(files, columns=["url", "html", "lang"])
+    if counter is not None:
+        ds = ds.map_batches(counting_passthrough(counter, "pages"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(split_sentences, batch_format="pyarrow", zero_copy_batch=True)
+    if counter is not None:
+        ds = ds.map_batches(counting_passthrough(counter, "sentences"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(tagger_cls, fn_constructor_kwargs={"model_paths": model_paths},
+                        batch_format="pyarrow", batch_size=batch_size,
+                        concurrency=tagger_conc, num_cpus=1)
+    ds = ds.map_batches(extract_triples, batch_format="pyarrow", zero_copy_batch=True)
+    if counter is not None:
+        ds = ds.map_batches(counting_passthrough(counter, "triples_raw"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(LinkerActor,
+                        fn_constructor_kwargs={"alias_ref": alias_ref, "emb_ref": emb_ref},
+                        batch_format="pyarrow", batch_size=4096,
+                        concurrency=linker_conc, num_cpus=1)
+    return ds
+
+
+# --------------------------------------------------------------------------- run loop (resume + lineage)
+
+
+def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
+           tagger: str = "hmm", files_per_group: int = 2,
+           concurrency=None, batch_size: int = 1024,
+           n_salts: int = 16, stop_after_groups: int | None = None) -> dict:
+    """Full driver loop: partition groups → triples parquet (+ manifest)
+    → salted canonicalization → sorted graph parquet.
+
+    ``stop_after_groups`` simulates a killed run for the resume test.
+    Returns run stats.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if model_dir is None:
+        model_dir = os.path.join(out_dir, "models")
+    if not os.path.exists(os.path.join(model_dir, "models.json")):
+        build_models(corpus_dir, model_dir, tagger=tagger)
+
+    manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
+    done = manifest.done_groups()
+    groups = partition_groups(page_files(corpus_dir), files_per_group)
+    triples_root = os.path.join(out_dir, "triples")
+
+    ran = []
+    for gid, files in groups:
+        if gid in done:
+            continue
+        if stop_after_groups is not None and len(ran) >= stop_after_groups:
+            break
+        counter = new_counter()
+        t0 = time.perf_counter()
+        group_dir = os.path.join(triples_root, f"group={gid}")
+        ds = kg_dataset(files, corpus_dir, model_dir, tagger=tagger,
+                        concurrency=concurrency, batch_size=batch_size,
+                        counter=counter)
+        ds = ds.map_batches(counting_passthrough(counter, "triples_linked"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        ds.write_parquet(group_dir)
+        counts = ray.get(counter.get.remote())
+        manifest.append({
+            "group_id": gid,
+            "input_files": [os.path.basename(f) for f in files],
+            "rows_in": counts.get("pages", 0),
+            "sentences": counts.get("sentences", 0),
+            "triples_raw": counts.get("triples_raw", 0),
+            "triples_out": counts.get("triples_linked", 0),
+            "output_dir": group_dir,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "status": "done",
+        })
+        ray.kill(counter)
+        ran.append(gid)
+
+    remaining = [g for g, _ in groups if g not in manifest.done_groups()]
+    stats = {"groups_run": ran, "groups_skipped": sorted(done),
+             "groups_remaining": remaining}
+    if remaining:
+        return stats                      # partial run (resume later)
+
+    # ---- global canonicalization + sorted graph materialization
+    t0 = time.perf_counter()
+    linked = rd.read_parquet(triples_root)
+    graph = canonical_graph(linked, n_salts=n_salts)
+    graph = graph.sort("subj")
+    graph_dir = os.path.join(out_dir, "graph")
+    graph.write_parquet(graph_dir)
+    stats["graph_dir"] = graph_dir
+    stats["graph_wall_sec"] = round(time.perf_counter() - t0, 3)
+    stats["n_graph_rows"] = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(graph_dir, "*.parquet")))
+    return stats
+
+
+# --------------------------------------------------------------------------- serial oracle (reference semantics)
+
+
+def serial_oracle_triples(corpus_dir: str, model_dir: str, tagger: str = "hmm",
+                          max_pages: int | None = None) -> dict:
+    """Single-process reference-semantics extractor: per-sentence Viterbi
+    (the strict hmm_ner.py:165-268-parity kernel), same mention/triple/
+    linking functions, plain Python loop — the parity target for the Ray
+    pipeline (north rule P/R ≥ 0.95 measures Ray vs THIS).
+
+    Returns {(subj, pred, obj): support}.
+    """
+    from ..functions.html_text import html_to_text
+
+    model_paths = _model_paths(model_dir, tagger)
+    if tagger == "hmm":
+        models = {lang: hmm_kernel.HMMModel.load(p) for lang, p in model_paths.items()}
+        decode = lambda toks, m: hmm_kernel.viterbi_decode(toks, m)
+    else:
+        models = {lang: crf_kernel.CRFModel.load(p) for lang, p in model_paths.items()}
+        decode = lambda toks, m: crf_kernel.viterbi_decode(toks, m)[0]
+    alias_idx, emb_map = load_side_tables(corpus_dir)
+
+    triples: dict = {}
+    n_seen = 0
+    for f in page_files(corpus_dir):
+        tbl = pq.read_table(f, columns=["url", "html", "lang"])
+        for url, html_b, lang in zip(tbl["url"].to_pylist(),
+                                     tbl["html"].to_pylist(),
+                                     tbl["lang"].to_pylist()):
+            if max_pages is not None and n_seen >= max_pages:
+                return triples
+            n_seen += 1
+            text = html_to_text(html_b)
+            for line in text.split("\n"):
+                toks = tokenize_line(line, lang)
+                if not toks:
+                    continue
+                model = models.get(lang)
+                tags = decode(toks, model) if model is not None else ["O"] * len(toks)
+                scheme = "bmes" if lang == "zh" else "bio"
+                mentions = sentence_mentions(toks, tags, scheme)
+                raw = extract_sentence_triples(toks, mentions)
+                if not raw:
+                    continue
+                ctx = [t.lower() for t in toks]
+                for s_surface, _, pred, o_surface, _ in raw:
+                    s_cid, _ = link_surface(s_surface, ctx, alias_idx, emb_map, EMB_DIM)
+                    o_cid, _ = link_surface(o_surface, ctx, alias_idx, emb_map, EMB_DIM)
+                    key = (s_cid, pred, o_cid)
+                    triples[key] = triples.get(key, 0) + 1
+    return triples

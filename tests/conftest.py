@@ -27,5 +27,5 @@ def tiny_corpus_dir(tmp_path_factory):
     from kgray.sources.corpus import generate_corpus
 
     out = tmp_path_factory.mktemp("corpus")
-    generate_corpus(str(out), n_pages=120, seed=7)
+    generate_corpus(str(out), n_pages=120, seed=7, pages_per_shard=30)
     return str(out)

@@ -1,0 +1,97 @@
+"""End-to-end KG pipeline: Ray pipeline triples vs the serial
+reference-semantics oracle (exact-match gate) and vs analytic gold
+triples (P/R ≥ 0.95, the north rule)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from kgray.kernels.evaluate import triple_prf
+from kgray.pipelines import kg
+
+
+@pytest.fixture(scope="module")
+def kg_run(ray_session, tiny_corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    model_dir = os.path.join(out, "models")
+    kg.build_models(tiny_corpus_dir, model_dir, tagger="hmm")
+    stats = kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir,
+                      concurrency=1, batch_size=256)
+    return tiny_corpus_dir, out, model_dir, stats
+
+
+def _read_graph(out_dir):
+    rows = {}
+    for f in glob.glob(os.path.join(out_dir, "graph", "*.parquet")):
+        t = pq.read_table(f)
+        for s, p, o, sup in zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                                t["obj"].to_pylist(), t["support"].to_pylist()):
+            rows[(s, p, o)] = sup
+    return rows
+
+
+def test_pipeline_matches_serial_oracle(kg_run):
+    corpus_dir, out, model_dir, stats = kg_run
+    assert not stats["groups_remaining"]
+    graph = _read_graph(out)
+    oracle = kg.serial_oracle_triples(corpus_dir, model_dir, tagger="hmm")
+    assert graph == oracle            # identical triples AND support counts
+    prf = triple_prf(set(graph), set(oracle))
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0
+
+
+def test_pipeline_vs_gold(kg_run):
+    corpus_dir, out, _, _ = kg_run
+    graph = _read_graph(out)
+    gt = pq.read_table(os.path.join(corpus_dir, "gold_triples.parquet"))
+    gold = {(s, p, o): sup for s, p, o, sup in zip(gt["subj"].to_pylist(),
+                                                   gt["pred"].to_pylist(),
+                                                   gt["obj"].to_pylist(),
+                                                   gt["support"].to_pylist())}
+    prf = triple_prf(set(graph), set(gold))
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+
+
+def test_graph_is_sorted_and_partitioned(kg_run):
+    _, out, _, _ = kg_run
+    files = sorted(glob.glob(os.path.join(out, "graph", "*.parquet")))
+    assert files
+    subjects = []
+    for f in files:
+        subjects.extend(pq.read_table(f, columns=["subj"])["subj"].to_pylist())
+    assert subjects == sorted(subjects)
+
+
+def test_manifest_lineage(kg_run):
+    corpus_dir, out, _, stats = kg_run
+    from kgray.state.manifest import Manifest
+    recs = Manifest(os.path.join(out, "manifest.jsonl")).records()
+    assert len(recs) == len(kg.partition_groups(kg.page_files(corpus_dir)))
+    for r in recs:
+        assert r["status"] == "done"
+        assert r["rows_in"] > 0 and r["sentences"] > 0
+        assert r["wall_sec"] >= 0
+        assert os.path.isdir(r["output_dir"])
+
+
+def test_resume_skips_done_groups(ray_session, tiny_corpus_dir, tmp_path):
+    out = str(tmp_path / "kg_resume")
+    model_dir = os.path.join(out, "models")
+    kg.build_models(tiny_corpus_dir, model_dir, tagger="hmm")
+    # "killed" run: only 1 group completes
+    s1 = kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir,
+                   concurrency=1, stop_after_groups=1)
+    assert len(s1["groups_run"]) == 1 and s1["groups_remaining"]
+    # resume: runs only the remaining groups
+    s2 = kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir, concurrency=1)
+    assert set(s1["groups_run"]).isdisjoint(s2["groups_run"])
+    assert not s2["groups_remaining"]
+    # final graph identical to a fresh uninterrupted run
+    out2 = str(tmp_path / "kg_fresh")
+    kg.build_models(tiny_corpus_dir, os.path.join(out2, "models"), tagger="hmm")
+    kg.run_kg(tiny_corpus_dir, out2, model_dir=os.path.join(out2, "models"),
+              concurrency=1)
+    assert _read_graph(out) == _read_graph(out2)
