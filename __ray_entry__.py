@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the kgray library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data-pipeline extras (dedup family, ANN,
+text analysis, multimodal plumbing).  ``oracle_sql()`` provides exact
+DuckDB equivalents where SQL can express the semantics; the KG/NER
+pipelines (Viterbi tagging, linking, LSH, IVF) are non-SQL-expressible
+and get the weaker rows-only check — their strong checks live in
+``tests/`` (brute-force parity, reference-subprocess parity, serial
+oracle equality).
 """
 
 from __future__ import annotations
@@ -18,27 +18,295 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOP_EN = "('the','a','of','and','to','in','is','for')"
+_STOP_DE = "('der','die','das','und','ist','ein','zu','mit')"
+_STOP_FR = "('le','la','les','et','est','un','une','pour')"
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on the sf0.001-derived pages corpus:
+    pages → extract → sentences → HMM Viterbi actors → triples →
+    linking → salted canonicalization (returns the graph Dataset)."""
+    return _kg_graph("/root/testdata/sf0.001")
+
+
+def _kg_graph(sf_dir: str):
+    from kgray.pipelines.kg import kg_dataset, page_files
+    from kgray.sources.derived import corpus_for_sf, models_for_corpus
+    from kgray.stages.canonical import canonical_graph
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    ds = kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm")
+    graph = canonical_graph(ds)
+    return graph.drop_columns(["sample_urls"]).sort("subj")
+
+
+def _kg_mentions(sf_dir: str):
+    from kgray.pipelines.kg import kg_dataset, page_files, _model_paths
+    from kgray.sources.derived import corpus_for_sf, models_for_corpus
+    from kgray.stages.extract import extract_text, split_sentences
+    from kgray.stages.kg import decode_mentions
+    from kgray.stages.tagger import HMMTagger
+    import ray.data as rd
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    ds = rd.read_parquet(page_files(corpus), columns=["url", "html", "lang"])
+    ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(split_sentences, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(HMMTagger,
+                        fn_constructor_kwargs={"model_paths": _model_paths(model_dir, "hmm")},
+                        batch_format="pyarrow", batch_size=1024,
+                        concurrency=2, num_cpus=1)
+    return ds.map_batches(decode_mentions, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hmm_tags_valid(sf_dir: str):
+    """Tag the CoNLL validation split through the actor pool; exploded
+    (sent_id, token_idx, token, tag) rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from kgray.pipelines.kg import _model_paths
+    from kgray.sources.derived import corpus_for_sf, models_for_corpus
+    from kgray.stages.tagger import HMMTagger
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    tbl = pq.read_table(f"{corpus}/conll_valid.parquet")
+    src = pa.table({
+        "url": pa.array([f"valid://{i}" for i in tbl["sent_id"].to_pylist()]),
+        "sent_id": tbl["sent_id"],
+        "tokens": tbl["tokens"],
+        "lang": pa.array(["en"] * tbl.num_rows),
+    })
+    ds = rd.from_arrow(src).map_batches(
+        HMMTagger, fn_constructor_kwargs={"model_paths": _model_paths(model_dir, "hmm")},
+        batch_format="pyarrow", batch_size=512, concurrency=2, num_cpus=1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sids, tidx, toks, tags = [], [], [], []
+        for sid, tk, tg in zip(batch.column("sent_id").to_pylist(),
+                               batch.column("tokens").to_pylist(),
+                               batch.column("tags").to_pylist()):
+            for i, (w, t) in enumerate(zip(tk, tg)):
+                sids.append(sid)
+                tidx.append(i)
+                toks.append(w)
+                tags.append(t)
+        return pa.table({"sent_id": pa.array(sids, type=pa.int32()),
+                         "token_idx": pa.array(tidx, type=pa.int32()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "tag": pa.array(tags, type=pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _extract_invariant(sf_dir: str):
+    """Byte-identical html→text check over the derived pages corpus:
+    one row (n_pages, n_ok); n_ok must equal n_pages."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.pipelines.kg import page_files
+    from kgray.sources.derived import corpus_for_sf
+    from kgray.stages.extract import check_extraction
+
+    corpus = corpus_for_sf(sf_dir)
+    ds = rd.read_parquet(page_files(corpus), columns=["url", "html", "text"])
+    ds = ds.map_batches(check_extraction, batch_format="pyarrow", zero_copy_batch=True)
+    n = ds.count()
+    n_ok = ds.filter(lambda row: row["ok"]).count()
+    return pa.table({"n_pages": pa.array([n], type=pa.int64()),
+                     "n_ok": pa.array([n_ok], type=pa.int64())})
+
+
+def _binary_features(sf_dir: str):
+    from kgray.pipelines.kg import page_files
+    from kgray.pipelines.multimodal import binary_features
+    from kgray.sources.derived import corpus_for_sf
+
+    corpus = corpus_for_sf(sf_dir)
+    return binary_features(page_files(corpus))
+
+
+# --------------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kgray.pipelines import ann, dedup, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction (non-SQL: Viterbi/linking; strong checks in tests/)
+        "kg_graph": _kg_graph,
+        "kg_mentions": _kg_mentions,
+        "hmm_tags_valid": _hmm_tags_valid,
+        "extract_invariant": _extract_invariant,
+        "binary_features": _binary_features,
+        # --- text analysis over documents (SQL-oracled)
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "lang_id": text.lang_id,
+        "fingerprints": text.fingerprints,
+        "token_topk": text.token_topk,
+        # --- dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_neardup": dedup.embedding_neardup_pairs,
+        # --- similarity search
+        "ann_topk": ann.ann_topk_bruteforce,
+        "ann_ivf_topk": ann.ann_ivf_topk,
+        # --- relational surface (SQL-oracled, integer-cents math)
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        "supplier_nation_counts": relational.supplier_nation_counts,
+        "distinct_segments": relational.distinct_segments,
+        "events_hourly": relational.events_hourly,
+        "part_type_stats": relational.part_type_stats,
+    }
+
+
+# --------------------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS n_tokens,
+                   len(text) AS n_chars
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN len(trim(text)) = 0
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE {_TOKS} END AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN {_STOP_EN})) AS n_stop,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, x -> x IN {_STOP_EN})) * 1.0 / len(toks)
+                   END AS stop_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                   END AS mean_token_len
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN len(trim(text)) = 0
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE {_TOKS} END AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(toks, x -> x IN {_STOP_EN})) AS en,
+                         len(list_filter(toks, x -> x IN {_STOP_DE})) AS de,
+                         len(list_filter(toks, x -> x IN {_STOP_FR})) AS fr
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN en >= de AND en >= fr THEN 'en'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM c
+        """,
+        "fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "token_topk": f"""
+            SELECT tok AS token, count(*) AS cnt
+            FROM documents, unnest({_TOKS}) AS u(tok)
+            WHERE len(trim(text)) > 0
+            GROUP BY tok
+            ORDER BY cnt DESC, tok
+            LIMIT 100
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 5)
+            SELECT qid AS query_id,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS BIGINT) AS rank,
+                   vec_id AS neighbor_id
+            FROM q JOIN e ON e.vec_id <> q.qid
+            QUALIFY rank <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents,
+                   SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS sum_revenue_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o_custkey AS c_custkey, c_name,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY o_custkey, c_name
+            ORDER BY total_cents DESC, c_custkey
+            LIMIT 10
+        """,
+        "supplier_nation_counts": """
+            SELECT n_name, r_name,
+                   COUNT(*) AS n_suppliers,
+                   SUM(CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_cents
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS epoch_hour,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   COUNT(*) AS n_parts,
+                   MIN(CAST(p_size AS BIGINT)) AS min_size,
+                   MAX(CAST(p_size AS BIGINT)) AS max_size,
+                   SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS price_cents
+            FROM part
+            GROUP BY p_type
+        """,
+    }

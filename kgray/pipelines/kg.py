@@ -72,7 +72,13 @@ def build_models(corpus_dir: str, model_dir: str, tagger: str = "hmm",
         p = os.path.join(model_dir, "crf_en")
         mc.save(p)
         paths["crf"] = {"en": p + ".npz"}
-    with open(os.path.join(model_dir, "models.json"), "w") as f:
+    marker = os.path.join(model_dir, "models.json")
+    if os.path.exists(marker):               # merge with previously-built taggers
+        with open(marker) as f:
+            merged = json.load(f)
+        merged.update(paths)
+        paths = merged
+    with open(marker, "w") as f:
         json.dump(paths, f)
     return paths
 

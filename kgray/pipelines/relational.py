@@ -1,0 +1,159 @@
+"""Relational operator demonstrations over the TPC-H-ish test tables.
+
+These exercise the engine's generic relational surface — vectorized
+filter/project, partial-aggregate + groupby, broadcast join, sort/top-k,
+distinct, windowed (bucketed) time aggregation — each with an exact
+DuckDB oracle.  Money is converted to integer cents *per element* before
+summing (one IEEE multiply + round per value, then exact integer sums),
+so Ray and DuckDB agree bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+__all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
+           "distinct_segments", "events_hourly", "part_type_stats"]
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """floor(x*100 + 0.5) — one IEEE multiply+add+floor per element,
+    mirrored literally in the SQL oracles, so both engines produce the
+    same integer regardless of rounding-mode conventions."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)),
+                                   pa.scalar(0.5))), pa.int64())
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavored: filter on ship date, derive revenue, partial
+    per-batch aggregation, groupby flags (cf. A1-A5 as relational ops)."""
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("l_shipdate"),
+                       pa.scalar(pd.Timestamp("1998-09-01")))
+        b = batch.filter(mask)
+        price = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+        revenue = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty": pc.cast(pc.floor(pc.add(b.column("l_quantity"), pa.scalar(0.5))), pa.int64()),
+            "price_cents": _cents(price),
+            "revenue_cents": pc.cast(pc.floor(pc.add(pc.multiply(revenue, pa.scalar(100.0)),
+                                               pa.scalar(0.5))), pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                     "l_extendedprice", "l_discount", "l_shipdate"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty", alias_name="sum_qty"),
+                       Sum("price_cents", alias_name="sum_price_cents"),
+                       Sum("revenue_cents", alias_name="sum_revenue_cents"),
+                       Count(alias_name="count_order")))
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Broadcast join orders→customer + groupby + deterministic top-k."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = ray.put(name_map)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        names = ray.get(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": batch.column("o_custkey"),
+            "c_name": pa.array([names.get(ck, "") for ck in keys], type=pa.string()),
+            "total_cents": _cents(batch.column("o_totalprice")),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    agg = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["c_custkey", "c_name"])
+           .aggregate(Sum("total_cents", alias_name="total_cents"),
+                      Count(alias_name="n_orders")))
+    return agg.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def supplier_nation_counts(sf_dir: str):
+    """Two-hop broadcast join supplier→nation→region, counts per nation."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n_map = {k: (n, r) for k, n, r in zip(nation["n_nationkey"].to_pylist(),
+                                          nation["n_name"].to_pylist(),
+                                          nation["n_regionkey"].to_pylist())}
+    r_map = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    ref = ray.put((n_map, r_map))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nm, rm = ray.get(ref)
+        nkeys = batch.column("s_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([nm[k][0] for k in nkeys], type=pa.string()),
+            "r_name": pa.array([rm[nm[k][1]] for k in nkeys], type=pa.string()),
+            "acctbal_cents": _cents(batch.column("s_acctbal")),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_nationkey", "s_acctbal"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["n_name", "r_name"])
+            .aggregate(Count(alias_name="n_suppliers"),
+                       Sum("acctbal_cents", alias_name="acctbal_cents")))
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct market segments (set op) as a one-column table."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event type: count + value cents sum.
+    The window key is the integer epoch-hour so engines agree exactly."""
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())       # µs since epoch
+        hour = pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "epoch_hour": pc.cast(hour, pa.int64()),
+            "value_cents": _cents(batch.column("value")),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "epoch_hour"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_cents", alias_name="value_cents")))
+
+
+def part_type_stats(sf_dir: str):
+    """Groupby with min/max/count over part: p_type size stats."""
+    return (rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_type", "p_size", "p_retailprice"])
+            .map_batches(lambda b: pa.table({
+                "p_type": b.column("p_type"),
+                "p_size": pc.cast(b.column("p_size"), pa.int64()),
+                "price_cents": _cents(b.column("p_retailprice"))}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("p_type")
+            .aggregate(Count(alias_name="n_parts"),
+                       Min("p_size", alias_name="min_size"),
+                       Max("p_size", alias_name="max_size"),
+                       Sum("price_cents", alias_name="price_cents")))

@@ -1,0 +1,130 @@
+"""Text-analysis operators over a ``documents``-shaped table
+(doc_id, text, ...): token stats, quality scoring, language-ID
+heuristic, fingerprinting, global token frequencies.
+
+All are stateless vectorized ``map_batches`` transforms with exact
+DuckDB-SQL oracles (integer or bit-reproducible float math only:
+ratios are single IEEE divisions of identical integers, so Ray and
+DuckDB agree bitwise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
+           "fingerprints", "token_topk", "STOPWORDS"]
+
+_WS = re.compile(r"\s+")
+
+# language → stopword list for the n-gram/stopword language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour"),
+}
+
+
+def read_documents(sf_dir: str, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _tokens(text: str) -> list:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def token_stats(sf_dir: str):
+    """doc_id, n_tokens, n_chars."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [_tokens(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array([len(t) for t in toks], type=pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def quality_scores(sf_dir: str):
+    """doc_id, n_tokens, n_stop, stop_ratio, mean_token_len — the
+    length/stopword quality heuristics of a pretraining-data filter."""
+    stop = set(STOPWORDS["en"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok, n_stop, ratio, mean_len = [], [], [], []
+        for t in texts:
+            toks = _tokens(t)
+            n = len(toks)
+            s = sum(1 for w in toks if w in stop)
+            n_tok.append(n)
+            n_stop.append(s)
+            ratio.append(s / n if n else 0.0)
+            mean_len.append(sum(len(w) for w in toks) / n if n else 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_stop": pa.array(n_stop, type=pa.int64()),
+            "stop_ratio": pa.array(ratio, type=pa.float64()),
+            "mean_token_len": pa.array(mean_len, type=pa.float64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def lang_id(sf_dir: str):
+    """doc_id, pred_lang — stopword-count language ID with a fixed
+    tie-break order (en ≥ de ≥ fr)."""
+    sets = {k: set(v) for k, v in STOPWORDS.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            c = {k: sum(1 for w in toks if w in s) for k, s in sets.items()}
+            if c["en"] >= c["de"] and c["en"] >= c["fr"]:
+                preds.append("en")
+            elif c["de"] >= c["fr"]:
+                preds.append("de")
+            else:
+                preds.append("fr")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pred_lang": pa.array(preds, type=pa.string())})
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def fingerprints(sf_dir: str):
+    """doc_id, md5 — content fingerprint (dedup key)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "md5": pa.array(h, type=pa.string())})
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def token_topk(sf_dir: str, k: int = 100):
+    """Global token frequency top-k: per-batch Counter partials →
+    small groupby sum → deterministic sort (cnt desc, token asc)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_tokens(t))
+        return pa.table({"token": pa.array(list(c.keys()), type=pa.string()),
+                         "cnt": pa.array(list(c.values()), type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+    ds = (read_documents(sf_dir, columns=("text",))
+          .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    return ds.sort(["cnt", "token"], descending=[True, False]).limit(k)

@@ -1,0 +1,118 @@
+"""Dedup family, ANN, text analysis, multimodal plumbing — over the
+driver-generated sf0.001 testdata (read-only) and unit-level checks."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_matches_bruteforce(ray_session):
+    """LSH candidates + exact verify must recover the brute-force pair
+    set at threshold 0.5 (planted near-dups have J≈0.99 → the 32-band
+    miss probability is ≈0)."""
+    from kgray.pipelines import dedup
+
+    brute = dedup.jaccard_pairs_bruteforce(SF, threshold=0.5)
+    lsh = dedup.minhash_lsh_pairs(SF, threshold=0.5)
+    bp = set(zip(brute["doc_a"].to_pylist(), brute["doc_b"].to_pylist()))
+    lp = set(zip(lsh["doc_a"].to_pylist(), lsh["doc_b"].to_pylist()))
+    assert len(bp) > 0
+    assert lp == bp
+
+
+def test_simhash_properties():
+    from kgray.pipelines.dedup import simhash64
+
+    a = "the quick brown fox jumps over the lazy dog".split()
+    assert simhash64(a) == simhash64(list(a))          # deterministic
+    assert simhash64([]) == 0
+    b = a[:-1] + ["cat"]
+    ham = bin(simhash64(a) ^ simhash64(b)).count("1")
+    assert ham < 32                                    # near-identical docs are close
+    c = "completely different words entirely unrelated content here".split()
+    ham2 = bin(simhash64(a) ^ simhash64(c)).count("1")
+    assert ham2 > ham
+
+
+def test_simhash_pairs_catch_near_dups(ray_session):
+    """Docs that are near-dups by Jaccard should also be simhash-close."""
+    from kgray.pipelines import dedup
+
+    brute = dedup.jaccard_pairs_bruteforce(SF, threshold=0.9)
+    near = set(zip(brute["doc_a"].to_pylist(), brute["doc_b"].to_pylist()))
+    sim = dedup.simhash_pairs(SF, max_hamming=10)
+    sp = set(zip(sim["doc_a"].to_pylist(), sim["doc_b"].to_pylist()))
+    assert near and near <= sp
+
+
+def test_exact_dedup_counts(ray_session):
+    from kgray.pipelines.dedup import exact_dedup
+    import pyarrow.parquet as pq
+
+    df = exact_dedup(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    n_distinct = len(set(docs["text"].to_pylist()))
+    assert len(df) == n_distinct
+    assert df["n_copies"].sum() == docs.num_rows
+
+
+def test_ann_ivf_recall(ray_session):
+    from kgray.pipelines import ann
+
+    brute = ann.ann_topk_bruteforce(SF, k=10, n_queries=5).to_pandas()
+    ivf = ann.ann_ivf_topk(SF, k=10, n_queries=5, n_clusters=16, n_probe=12).to_pandas()
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute.query_id == q]["neighbor_id"])
+        v = set(ivf[ivf.query_id == q]["neighbor_id"])
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ann_bruteforce_exact(ray_session):
+    """Distributed brute-force top-k equals a direct numpy computation."""
+    from kgray.pipelines import ann
+
+    ids, E = ann.load_embeddings(SF)
+    order = np.argsort(ids)
+    ids = ids[order]
+    En = E[order] / np.linalg.norm(E[order], axis=1, keepdims=True)
+    got = ann.ann_topk_bruteforce(SF, k=5, n_queries=3).to_pandas()
+    for qi in range(3):
+        scores = En[qi] @ En.T
+        cand = np.lexsort((ids, -scores))
+        expect = [int(ids[j]) for j in cand if ids[j] != ids[qi]][:5]
+        mine = got[got.query_id == ids[qi]].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expect
+
+
+def test_text_ops(ray_session):
+    from kgray.pipelines import text
+    import pyarrow.parquet as pq
+
+    stats = text.token_stats(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    for did, t in list(zip(docs["doc_id"], docs["text"]))[:20]:
+        toks = t.strip().split()
+        assert stats.loc[did, "n_tokens"] == len(toks)
+        assert stats.loc[did, "n_chars"] == len(t)
+    q = text.quality_scores(SF).to_pandas()
+    assert ((q["stop_ratio"] >= 0) & (q["stop_ratio"] <= 1)).all()
+    langs = text.lang_id(SF).to_pandas()
+    assert set(langs["pred_lang"]) <= {"en", "de", "fr"}
+
+
+def test_multimodal_stub(ray_session, tiny_corpus_dir):
+    from kgray.pipelines import multimodal
+    from kgray.pipelines.kg import page_files
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")
+    h = multimodal.byte_histogram(b"abc")
+    assert h.sum() == 3 and h.shape == (16,)
+    df = multimodal.binary_features(page_files(tiny_corpus_dir),
+                                    concurrency=1).to_pandas()
+    assert len(df) == 120
+    assert (df["n_bytes"] > 0).all()
+    assert all(sum(f) == n for f, n in zip(df["features"], df["n_bytes"]))
