@@ -1,0 +1,121 @@
+"""Command-line entry points: ``python -m kgray <command>``.
+
+Commands (the reference's train/predict CLI — hmm_ner.py:271-291,
+crf_ner.py:699-719 — generalized to the pipeline lifecycle):
+
+    gen-corpus   --out DIR [--pages N] [--seed S]      deterministic synthetic corpus
+    train        --corpus DIR --models DIR [--tagger hmm|crf|both]
+    run          --corpus DIR --out DIR [--models DIR] [--tagger hmm|crf]
+    resume       (same as run — the manifest makes rerun resume)
+    predict      --model PATH --input FILE --output FILE [--tagger hmm|crf]
+                 (reference-compatible CoNLL file predict)
+    eval         --gold FILE --pred FILE [--lang en|zh]  P/R/F1 report
+    bench        (same as python bench.py)
+
+Suitable for ``ray job submit -- python -m kgray run ...``; each command
+owns its Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        import os
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="kgray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("gen-corpus", help="generate the synthetic pages corpus")
+    p.add_argument("--out", required=True)
+    p.add_argument("--pages", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("train", help="train tagging models from a corpus's CoNLL split")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--models", required=True)
+    p.add_argument("--tagger", default="hmm", choices=["hmm", "crf", "both"])
+
+    for name in ("run", "resume"):
+        p = sub.add_parser(name, help="run (or resume) the KG pipeline")
+        p.add_argument("--corpus", required=True)
+        p.add_argument("--out", required=True)
+        p.add_argument("--models", default=None)
+        p.add_argument("--tagger", default="hmm", choices=["hmm", "crf"])
+        p.add_argument("--files-per-group", type=int, default=2)
+
+    p = sub.add_parser("predict", help="CoNLL-file prediction (reference-compatible)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tagger", default="hmm", choices=["hmm", "crf"])
+
+    p = sub.add_parser("eval", help="per-label P/R/F1 of a prediction file vs gold")
+    p.add_argument("--gold", required=True)
+    p.add_argument("--pred", required=True)
+    p.add_argument("--lang", default="en", choices=["en", "zh"])
+
+    args = parser.parse_args(argv)
+
+    if args.command == "gen-corpus":
+        from .sources.corpus import generate_corpus
+        meta = generate_corpus(args.out, n_pages=args.pages, seed=args.seed)
+        print(json.dumps(meta))
+
+    elif args.command == "train":
+        from .pipelines.kg import build_models
+        paths = build_models(args.corpus, args.models, tagger=args.tagger)
+        print(json.dumps(paths))
+
+    elif args.command in ("run", "resume"):
+        _ray_init()
+        from .pipelines.kg import run_kg
+        stats = run_kg(args.corpus, args.out, model_dir=args.models,
+                       tagger=args.tagger, files_per_group=args.files_per_group)
+        print(json.dumps(stats))
+
+    elif args.command == "predict":
+        from .kernels import conll
+        sentences = conll.read_words(args.input)
+        if args.tagger == "hmm":
+            from .kernels.hmm import HMMModel, viterbi_batch
+            model = HMMModel.load(args.model)
+            tags = viterbi_batch(sentences, model)
+        else:
+            from .kernels.crf import CRFModel, viterbi_batch
+            model = CRFModel.load(args.model)
+            tags = viterbi_batch(sentences, model)
+        conll.write_tagged(args.output, sentences, tags)
+        print(f"wrote {args.output}")
+
+    elif args.command == "eval":
+        from .constants import SORTED_LABELS_EN, SORTED_LABELS_ZH
+        from .kernels.evaluate import align_conll_files, classification_report
+        labels = (SORTED_LABELS_EN if args.lang == "en" else SORTED_LABELS_ZH)[1:]
+        y_true, y_pred = align_conll_files(args.gold, args.pred)
+        rep = classification_report(y_true, y_pred, labels)
+        for lab, m in rep.items():
+            print(f"{lab:>14}  P={m['precision']:.4f}  R={m['recall']:.4f}  "
+                  f"F1={m['f1']:.4f}  support={m['support']}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

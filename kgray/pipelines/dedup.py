@@ -64,12 +64,11 @@ def exact_dedup(sf_dir: str):
             "n_copies": pa.array([v[1] for v in acc.values()], type=pa.int64()),
         })
 
-    from ray.data.aggregate import Min, Sum
-    return (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("text_hash")
-            .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"),
-                       Sum("n_copies", alias_name="n_copies")))
+    from ..stages.aggregate import sorted_group_aggregate
+    combined = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+                .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    return sorted_group_aggregate(combined, "text_hash",
+                                  [("keep_doc_id", "min"), ("n_copies", "sum")])
 
 
 # --------------------------------------------------------------------------- shingles / jaccard
@@ -115,6 +114,45 @@ def jaccard_pairs_bruteforce(sf_dir: str, threshold: float = 0.5, k: int = 3):
                 out_b.append(ib)
     return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
                      "doc_b": pa.array(out_b, type=pa.int64())})
+
+
+def _bucket_candidates(ds, bucket_cols: list, id_col: str) -> set:
+    """Candidate id pairs from LSH-style buckets without per-group UDFs.
+
+    Almost every bucket is a singleton, so: (1) count bucket sizes with
+    the built-in vectorized Count aggregator, (2) broadcast the (tiny)
+    set of bucket keys with ≥ 2 members, (3) vectorized-filter the
+    bucket rows to those keys, (4) pair up ids per key on the driver —
+    the candidate set is small by construction.
+    """
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(bucket_cols).aggregate(Count(alias_name="n"))
+    multi = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("n"), 1)),
+        batch_format="pyarrow").take_all()
+    if not multi:
+        return set()
+    hot = {tuple(r[c] for c in bucket_cols) for r in multi}
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_keys = ray.get(hot_ref)
+        cols = [batch.column(c).to_pylist() for c in bucket_cols]
+        mask = [tuple(vals) in hot_keys for vals in zip(*cols)]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    rows = ds.map_batches(keep_hot, batch_format="pyarrow").take_all()
+    buckets: dict = {}
+    for r in rows:
+        buckets.setdefault(tuple(r[c] for c in bucket_cols), []).append(r[id_col])
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
 
 
 # --------------------------------------------------------------------------- minhash + lsh
@@ -170,35 +208,23 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                          "band_hash": pa.array(band_hashes, type=pa.int64()),
                          "doc_id": pa.array(dids, type=pa.int64())})
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pa_.append(ids[i])
-                pb_.append(ids[j])
-        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_})
-
     docs_ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = (docs_ds
-            .map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
-    cand_rows = cand.take_all()
+    # materialize: the (band, band_hash, doc_id) table is tiny relative to
+    # the corpus and _bucket_candidates consumes it twice
+    bands_ds = docs_ds.map_batches(to_bands, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    cand_rows = _bucket_candidates(bands_ds, ["band", "band_hash"], "doc_id")
     if not cand_rows:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
 
-    need = {r["doc_a"] for r in cand_rows} | {r["doc_b"] for r in cand_rows}
+    need = {a for a, _ in cand_rows} | {b for _, b in cand_rows}
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sh_map = {did: shingle_set(_tokens(t), k)
               for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
               if did in need}
     out_a, out_b = [], []
-    for r in sorted({(r["doc_a"], r["doc_b"]) for r in cand_rows}):
+    for r in sorted(cand_rows):
         sa, sb = sh_map.get(r[0]), sh_map.get(r[1])
         if not sa or not sb:
             continue
@@ -243,15 +269,17 @@ def simhash_signatures(sf_dir: str):
              .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 6):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs with Hamming distance ≤ d via the pigeonhole
     trick: split the 64-bit signature into d+1 chunks — any pair within
     distance ≤ d must share at least one chunk exactly — groupby chunk
     value yields candidates, then exact Hamming verify."""
     n_chunks = min(max_hamming + 1, 16)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    sig_tbl = simhash_signatures(sf_dir).take_all()
-    sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in sig_tbl}
+    # compute signatures ONCE (doc_id + int64 — tiny) and reuse for both
+    # the driver-side verify map and the chunk-bucket pipeline
+    sigs_ds = simhash_signatures(sf_dir).materialize()
+    sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in sigs_ds.take_all()}
 
     def chunks_of(batch: pa.Table) -> pa.Table:
         cidx, cval, dids = [], [], []
@@ -267,24 +295,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
                          "val": pa.array(cval, type=pa.int32()),
                          "doc_id": pa.array(dids, type=pa.int64())})
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    cand = (simhash_signatures(sf_dir)
-            .map_batches(chunks_of, batch_format="pyarrow")
-            .groupby(["chunk", "val"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
+    chunks_ds = sigs_ds.map_batches(chunks_of, batch_format="pyarrow").materialize()
+    cand_rows = _bucket_candidates(chunks_ds, ["chunk", "val"], "doc_id")
     out_a, out_b, dists = [], [], []
-    for r in sorted({(r["doc_a"], r["doc_b"]) for r in cand.take_all()}):
+    for r in sorted(cand_rows):
         d = int(bin(sig_map[r[0]] ^ sig_map[r[1]]).count("1"))
         if d <= max_hamming:
             out_a.append(r[0])

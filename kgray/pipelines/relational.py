@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.aggregate import sorted_group_aggregate
 
 __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "distinct_segments", "events_hourly", "part_type_stats"]
@@ -48,18 +49,19 @@ def pricing_summary(sf_dir: str):
             "price_cents": _cents(price),
             "revenue_cents": pc.cast(pc.floor(pc.add(pc.multiply(revenue, pa.scalar(100.0)),
                                                pa.scalar(0.5))), pa.int64()),
-            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "count_order": pa.array(np.ones(b.num_rows, dtype=np.int64)),
         })
 
-    return (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                            columns=["l_returnflag", "l_linestatus", "l_quantity",
-                                     "l_extendedprice", "l_discount", "l_shipdate"])
-            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("qty", alias_name="sum_qty"),
-                       Sum("price_cents", alias_name="sum_price_cents"),
-                       Sum("revenue_cents", alias_name="sum_revenue_cents"),
-                       Count(alias_name="count_order")))
+    prepped = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                        "l_extendedprice", "l_discount", "l_shipdate"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    out = sorted_group_aggregate(prepped, ["l_returnflag", "l_linestatus"],
+                                 [("qty", "sum"), ("price_cents", "sum"),
+                                  ("revenue_cents", "sum"), ("count_order", "sum")])
+    return out.map_batches(lambda b: b.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents",
+         "sum_revenue_cents", "count_order"]), batch_format="pyarrow")
 
 
 def top_customers(sf_dir: str, k: int = 10):
@@ -75,15 +77,14 @@ def top_customers(sf_dir: str, k: int = 10):
             "c_custkey": batch.column("o_custkey"),
             "c_name": pa.array([names.get(ck, "") for ck in keys], type=pa.string()),
             "total_cents": _cents(batch.column("o_totalprice")),
-            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
 
-    agg = (rd.read_parquet(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_totalprice"])
-           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["c_custkey", "c_name"])
-           .aggregate(Sum("total_cents", alias_name="total_cents"),
-                      Count(alias_name="n_orders")))
+    prepped = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    agg = sorted_group_aggregate(prepped, ["c_custkey", "c_name"],
+                                 [("total_cents", "sum"), ("n_orders", "sum")])
     return agg.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(k)
 
 
@@ -104,15 +105,15 @@ def supplier_nation_counts(sf_dir: str):
             "n_name": pa.array([nm[k][0] for k in nkeys], type=pa.string()),
             "r_name": pa.array([rm[nm[k][1]] for k in nkeys], type=pa.string()),
             "acctbal_cents": _cents(batch.column("s_acctbal")),
-            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_suppliers": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
 
-    return (rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                            columns=["s_nationkey", "s_acctbal"])
-            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["n_name", "r_name"])
-            .aggregate(Count(alias_name="n_suppliers"),
-                       Sum("acctbal_cents", alias_name="acctbal_cents")))
+    prepped = (rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_nationkey", "s_acctbal"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return sorted_group_aggregate(prepped, ["n_name", "r_name"],
+                                  [("n_suppliers", "sum"),
+                                   ("acctbal_cents", "sum")])
 
 
 def distinct_segments(sf_dir: str):
@@ -131,29 +132,28 @@ def events_hourly(sf_dir: str):
         return pa.table({
             "event_type": batch.column("event_type"),
             "epoch_hour": pc.cast(hour, pa.int64()),
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             "value_cents": _cents(batch.column("value")),
-            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
 
-    return (rd.read_parquet(f"{sf_dir}/events.parquet",
-                            columns=["ts", "event_type", "value"])
-            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["event_type", "epoch_hour"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value_cents", alias_name="value_cents")))
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return sorted_group_aggregate(prepped, ["event_type", "epoch_hour"],
+                                  [("n_events", "sum"), ("value_cents", "sum")])
 
 
 def part_type_stats(sf_dir: str):
     """Groupby with min/max/count over part: p_type size stats."""
-    return (rd.read_parquet(f"{sf_dir}/part.parquet",
-                            columns=["p_type", "p_size", "p_retailprice"])
-            .map_batches(lambda b: pa.table({
-                "p_type": b.column("p_type"),
-                "p_size": pc.cast(b.column("p_size"), pa.int64()),
-                "price_cents": _cents(b.column("p_retailprice"))}),
-                batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("p_type")
-            .aggregate(Count(alias_name="n_parts"),
-                       Min("p_size", alias_name="min_size"),
-                       Max("p_size", alias_name="max_size"),
-                       Sum("price_cents", alias_name="price_cents")))
+    prepped = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_type", "p_size", "p_retailprice"])
+               .map_batches(lambda b: pa.table({
+                   "p_type": b.column("p_type"),
+                   "n_parts": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                   "min_size": pc.cast(b.column("p_size"), pa.int64()),
+                   "max_size": pc.cast(b.column("p_size"), pa.int64()),
+                   "price_cents": _cents(b.column("p_retailprice"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return sorted_group_aggregate(prepped, "p_type",
+                                  [("n_parts", "sum"), ("min_size", "min"),
+                                   ("max_size", "max"), ("price_cents", "sum")])

@@ -123,8 +123,8 @@ def token_topk(sf_dir: str, k: int = 100):
         return pa.table({"token": pa.array(list(c.keys()), type=pa.string()),
                          "cnt": pa.array(list(c.values()), type=pa.int64())})
 
-    from ray.data.aggregate import Sum
-    ds = (read_documents(sf_dir, columns=("text",))
-          .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-          .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    from ..stages.aggregate import sorted_group_aggregate
+    combined = (read_documents(sf_dir, columns=("text",))
+                .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    ds = sorted_group_aggregate(combined, "token", [("cnt", "sum")])
     return ds.sort(["cnt", "token"], descending=[True, False]).limit(k)

@@ -40,6 +40,58 @@ def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/kgray_corpus") -> str:
     return out
 
 
+def replicate_corpus(corpus_dir: str, out_dir: str, replicas: int) -> str:
+    """Replicate a pages corpus R× with per-replica url prefixes.
+
+    Used by the scaling benchmark to get a compute-dominated workload
+    without R× the generation cost: content (and therefore per-page
+    compute) is identical; urls stay unique so salting/canonicalization
+    see R× the support.  Side tables are shared via the base corpus.
+    """
+    import glob
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("replicas") == replicas:
+                return out_dir
+    pages_dir = os.path.join(out_dir, "pages")
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    os.makedirs(pages_dir, exist_ok=True)
+    shard = 0
+    for f in sorted(glob.glob(os.path.join(corpus_dir, "pages", "*.parquet"))):
+        tbl = pq.read_table(f)
+        urls = tbl["url"].to_pylist()
+        for r in range(replicas):
+            new_urls = pa.array([u.replace("https://", f"https://r{r}.", 1)
+                                 for u in urls], type=pa.string())
+            out = tbl.set_column(tbl.schema.get_field_index("url"), "url", new_urls)
+            pq.write_table(out, os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
+            shard += 1
+    # share side tables + models with the base corpus
+    for name in ("aliases.parquet", "entity_embeddings.parquet",
+                 "conll_train.parquet", "conll_valid.parquet",
+                 "gold_triples.parquet"):
+        src = os.path.join(corpus_dir, name)
+        dst = os.path.join(out_dir, name)
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    with open(meta_path, "w") as f:
+        json.dump({"replicas": replicas, "base": corpus_dir, "n_shards": shard},
+                  f)
+    return out_dir
+
+
+def scaling_corpus(sf_dir: str, replicas: int = 15,
+                   cache_root: str = "/tmp/kgray_corpus") -> str:
+    base = corpus_for_sf(sf_dir, cache_root)
+    return replicate_corpus(base, os.path.join(cache_root, f"{_tag(sf_dir)}_x{replicas}"),
+                            replicas)
+
+
 def models_for_corpus(corpus_dir: str, tagger: str = "hmm") -> str:
     """Train-once-and-cache tagging models next to the corpus."""
     from ..pipelines.kg import build_models

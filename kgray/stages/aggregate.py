@@ -1,0 +1,104 @@
+"""Fast exact distributed group-aggregate for Ray Data.
+
+Ray's built-in ``groupby().aggregate()`` accumulates per group in
+Python (≈ 50-90× slower than Arrow's C++ hash aggregation on the same
+data — measured in this repo).  This operator keeps the same exact
+semantics on a vectorized path:
+
+1. range-partition **sort** on the key columns (Ray's native all-to-all;
+   equal keys become contiguous, possibly spanning adjacent blocks),
+2. per sorted block: ``pyarrow.Table.group_by`` (C++ hash aggregate).
+   Rows whose key equals the block's *first or last* key might continue
+   in a neighboring block, so their partials are flagged as **edge**
+   rows instead of being emitted as final,
+3. edge partials (≤ 2 keys × blocks — tiny by construction) are merged
+   in one driver-side Arrow aggregation and unioned back.
+
+Supported reducers: ``sum, min, max, count`` (count is pre-combined to
+``sum`` by callers).  All are associative/commutative, so combining
+partials with the same reducer is exact.
+
+Skew note: equal keys land in one sort partition — hot keys must be
+salted *before* this operator (see ``stages/canonical.py``), which is
+exactly the north rule's salted-key design.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["sorted_group_aggregate"]
+
+_MERGE_FN = {"sum": "sum", "min": "min", "max": "max"}
+
+
+def _arrow_agg(t: pa.Table, keys: list, aggs: list) -> pa.Table:
+    """C++ hash aggregate + restore original column names/order."""
+    g = t.group_by(keys, use_threads=False).aggregate([(c, f) for c, f in aggs])
+    cols = {}
+    for c, f in aggs:
+        cols[c] = g.column(f"{c}_{f}")
+    for k in keys:
+        cols[k] = g.column(k)
+    names = keys + [c for c, _ in aggs]
+    return pa.table({n: cols[n] for n in names})
+
+
+def sorted_group_aggregate(ds, keys, aggs):
+    """Group ``ds`` by ``keys`` applying ``aggs = [(col, fn), ...]``
+    with fn ∈ {sum, min, max}.  Returns a Dataset with columns
+    ``keys + [col for col, _ in aggs]`` (one row per distinct key).
+    """
+    import ray
+    import ray.data as rd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    aggs = [(c, _MERGE_FN[f]) for c, f in aggs]
+    out_names = keys + [c for c, _ in aggs]
+
+    def block_agg(batch: pa.Table) -> pa.Table:
+        batch = batch.select(out_names)
+        if batch.num_rows == 0:
+            return batch.append_column("__edge", pa.array([], type=pa.bool_()))
+        first_mask = None
+        last_mask = None
+        for k in keys:
+            col = batch.column(k)
+            fm = pc.equal(col, col[0])
+            lm = pc.equal(col, col[-1])
+            first_mask = fm if first_mask is None else pc.and_(first_mask, fm)
+            last_mask = lm if last_mask is None else pc.and_(last_mask, lm)
+        edge_mask = pc.or_(first_mask, last_mask)
+        parts = []
+        interior = batch.filter(pc.invert(edge_mask))
+        if interior.num_rows:
+            gi = _arrow_agg(interior, keys, aggs)
+            parts.append(gi.append_column(
+                "__edge", pa.array([False] * gi.num_rows, type=pa.bool_())))
+        edge = batch.filter(edge_mask)
+        if edge.num_rows:
+            ge = _arrow_agg(edge, keys, aggs)
+            parts.append(ge.append_column(
+                "__edge", pa.array([True] * ge.num_rows, type=pa.bool_())))
+        if not parts:
+            return batch.append_column("__edge", pa.array([], type=pa.bool_()))
+        return pa.concat_tables(parts)
+
+    blocks = (ds.sort(keys)
+              .map_batches(block_agg, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .materialize())                     # consumed twice below; tiny
+
+    interior = blocks.map_batches(
+        lambda b: b.filter(pc.invert(b.column("__edge"))).drop_columns(["__edge"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    edge_refs = blocks.map_batches(
+        lambda b: b.filter(b.column("__edge")).drop_columns(["__edge"]),
+        batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
+    if not edge_tables:
+        return interior
+    merged = _arrow_agg(pa.concat_tables(edge_tables), keys, aggs)
+    return interior.union(rd.from_arrow(merged))

@@ -5,24 +5,32 @@ The north rule demands explicit skew mitigation for head entities
 naive ``groupby((subj, pred, obj))`` sends every occurrence of a hot key
 to one reducer; here:
 
-1. **batch combine** — inside ``map_batches``, occurrences are
-   pre-aggregated per (key, salt) where ``salt = hash(url) % S`` — at
-   most S partial rows per key per batch leave the map side,
-2. **salted shuffle** — ``groupby([subj, pred, obj, salt])`` merges
-   partials; a hot key's load is spread over S reducers,
-3. **final shuffle** — ``groupby([subj, pred, obj])`` merges the ≤ S
-   partial rows per key into the graph row.
+1. **batch combine** — inside ``map_batches`` (large batches so the
+   combiner actually compresses), occurrences are pre-aggregated per
+   (key, salt) where ``salt = hash(url) % S`` — at most S partial rows
+   per key per batch leave the map side,
+2. **salted shuffle** — groupby on ``ks_hash`` (an int64 hash of
+   key+salt — int keys sort/shuffle an order of magnitude faster than
+   4-string composites); a hot key's load is spread over S reducers,
+3. **final shuffle** — groupby on ``k_hash`` (int64 hash of the triple)
+   merges the ≤ S partials per key.
 
-``support`` (occurrence count) is exact; ``sample_urls`` keeps up to K
-lexicographically-smallest supporting urls (deterministic).
+All merging uses built-in vectorized aggregators (Sum/Min) — no
+per-group Python.  ``support`` is exact; ``sample_urls`` keeps up to K
+supporting urls as the lexicographically-smallest pipe-joined bundle
+(``Min``) — a deterministic sample.  The subj/pred/obj strings ride
+along via ``Min`` (constant within a hash group).
+
+64-bit key hashing assumes no collisions: fine to ~10^9 distinct
+triples (birthday bound); widen to 2×64 bits beyond that.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import salt_of
+from ..functions.hashing import salt_of, stable_hash64
 
 __all__ = ["combine_triples_batch", "canonical_graph", "GRAPH_SCHEMA",
            "entity_stats"]
@@ -35,8 +43,14 @@ GRAPH_SCHEMA = pa.schema([
     ("sample_urls", pa.list_(pa.string())),
 ])
 
+_I64 = (1 << 63)
 
-def combine_triples_batch(batch: pa.Table, n_salts: int = 16, k_urls: int = 5) -> pa.Table:
+
+def _h64(s: str) -> int:
+    return stable_hash64(s) - _I64          # signed int64 range
+
+
+def combine_triples_batch(batch: pa.Table, n_salts: int = 8, k_urls: int = 5) -> pa.Table:
     """Map-side combiner: one partial row per (triple, salt) per batch."""
     acc: dict = {}
     for url, s, p, o in zip(batch.column("url").to_pylist(),
@@ -51,40 +65,51 @@ def combine_triples_batch(batch: pa.Table, n_salts: int = 16, k_urls: int = 5) -
             hit[0] += 1
             if len(hit[1]) < k_urls:
                 hit[1].add(url)
+    keys = list(acc.keys())
+    k_hash = np.fromiter((_h64(f"{k[0]}\x00{k[1]}\x00{k[2]}") for k in keys),
+                         dtype=np.int64, count=len(keys))
+    ks_hash = k_hash * np.int64(31) + np.fromiter((k[3] for k in keys),
+                                                  dtype=np.int64, count=len(keys))
     return pa.table({
-        "subj": pa.array([k[0] for k in acc], type=pa.string()),
-        "pred": pa.array([k[1] for k in acc], type=pa.string()),
-        "obj": pa.array([k[2] for k in acc], type=pa.string()),
-        "salt": pa.array([k[3] for k in acc], type=pa.int32()),
+        "ks_hash": pa.array(ks_hash, type=pa.int64()),
+        "k_hash": pa.array(k_hash, type=pa.int64()),
+        "subj": pa.array([k[0] for k in keys], type=pa.string()),
+        "pred": pa.array([k[1] for k in keys], type=pa.string()),
+        "obj": pa.array([k[2] for k in keys], type=pa.string()),
         "support": pa.array([v[0] for v in acc.values()], type=pa.int64()),
-        "sample_urls": pa.array([sorted(v[1]) for v in acc.values()],
-                                type=pa.list_(pa.string())),
+        "url_bundle": pa.array(["|".join(sorted(v[1])) for v in acc.values()],
+                               type=pa.string()),
     })
 
 
-def _merge_partials(df: pd.DataFrame, k_urls: int = 5) -> pd.DataFrame:
-    urls = sorted({u for lst in df["sample_urls"] for u in lst})[:k_urls]
-    return pd.DataFrame({
-        "subj": [df["subj"].iloc[0]],
-        "pred": [df["pred"].iloc[0]],
-        "obj": [df["obj"].iloc[0]],
-        "support": [int(df["support"].sum())],
-        "sample_urls": [urls],
+def _bundle_to_list(batch: pa.Table, k_urls: int) -> pa.Table:
+    urls = [b.split("|")[:k_urls] if b else []
+            for b in batch.column("url_bundle").to_pylist()]
+    return pa.table({
+        "subj": batch.column("subj"),
+        "pred": batch.column("pred"),
+        "obj": batch.column("obj"),
+        "support": batch.column("support"),
+        "sample_urls": pa.array(urls, type=pa.list_(pa.string())),
     })
 
 
-def canonical_graph(linked_ds, n_salts: int = 16, k_urls: int = 5):
+def canonical_graph(linked_ds, n_salts: int = 8, k_urls: int = 5,
+                    combine_batch_size: int = 65536):
     """linked triples Dataset → deduped graph Dataset (unsorted)."""
+    from .aggregate import sorted_group_aggregate
+
     partial = linked_ds.map_batches(
         lambda b: combine_triples_batch(b, n_salts, k_urls),
-        batch_format="pyarrow")
-    stage1 = partial.groupby(["subj", "pred", "obj", "salt"]).map_groups(
-        lambda df: _merge_partials(df, k_urls), batch_format="pandas")
-    # _merge_partials drops the salt column, so stage1 rows are ≤ S
-    # partials per triple; the final groupby merges them.
-    final = stage1.groupby(["subj", "pred", "obj"]).map_groups(
-        lambda df: _merge_partials(df, k_urls), batch_format="pandas")
-    return final
+        batch_format="pyarrow", batch_size=combine_batch_size)
+    stage1 = sorted_group_aggregate(partial, "ks_hash", [
+        ("support", "sum"), ("url_bundle", "min"), ("k_hash", "min"),
+        ("subj", "min"), ("pred", "min"), ("obj", "min")])
+    final = sorted_group_aggregate(stage1, "k_hash", [
+        ("support", "sum"), ("url_bundle", "min"),
+        ("subj", "min"), ("pred", "min"), ("obj", "min")])
+    return final.map_batches(lambda b: _bundle_to_list(b, k_urls),
+                             batch_format="pyarrow")
 
 
 def entity_stats(linked_ds, n_salts: int = 16):
@@ -103,8 +128,8 @@ def entity_stats(linked_ds, n_salts: int = 16):
             "as_obj": pa.array([v[1] for v in acc.values()], type=pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
-    return (linked_ds.map_batches(combine, batch_format="pyarrow")
-            .groupby("canonical_id")
-            .aggregate(Sum("as_subj", alias_name="as_subj"),
-                       Sum("as_obj", alias_name="as_obj")))
+    from .aggregate import sorted_group_aggregate
+    combined = linked_ds.map_batches(combine, batch_format="pyarrow",
+                                     batch_size=65536)
+    return sorted_group_aggregate(combined, "canonical_id",
+                                  [("as_subj", "sum"), ("as_obj", "sum")])

@@ -1,0 +1,50 @@
+"""sorted_group_aggregate: exactness vs pandas reference, edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _check(df, keys, aggs, ray_session, n_blocks=7):
+    import ray.data as rd
+    from kgray.stages.aggregate import sorted_group_aggregate
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(n_blocks)
+    got = sorted_group_aggregate(ds, keys, aggs).to_pandas()
+    got = got.sort_values(keys, ignore_index=True)
+
+    gb = df.groupby(keys, as_index=False).agg({c: f for c, f in aggs})
+    exp = gb.sort_values(keys, ignore_index=True)[list(got.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_matches_pandas_int_keys(ray_session):
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 2000),
+                       "v": rng.integers(0, 100, 2000),
+                       "s": [f"s{int(i)}" for i in rng.integers(0, 30, 2000)]})
+    _check(df, ["k"], [("v", "sum"), ("s", "min")], ray_session)
+
+
+def test_matches_pandas_multi_key(ray_session):
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"a": rng.integers(0, 10, 3000),
+                       "b": [f"b{int(i)}" for i in rng.integers(0, 7, 3000)],
+                       "v": rng.integers(-50, 50, 3000),
+                       "w": rng.integers(0, 1000, 3000)})
+    _check(df, ["a", "b"], [("v", "sum"), ("w", "max")], ray_session)
+
+
+def test_hot_key_spanning_blocks(ray_session):
+    """One key holds 90% of rows — spans many sorted blocks; support
+    must still be exact."""
+    rng = np.random.default_rng(2)
+    k = np.where(rng.random(5000) < 0.9, 7, rng.integers(0, 20, 5000))
+    df = pd.DataFrame({"k": k, "v": np.ones(5000, dtype=np.int64)})
+    _check(df, ["k"], [("v", "sum")], ray_session, n_blocks=16)
+
+
+def test_single_key_single_block(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 1], "v": [1, 2, 3]})
+    _check(df, ["k"], [("v", "sum")], ray_session, n_blocks=1)
