@@ -58,6 +58,14 @@ PREDICATE_LEXICON: list[tuple[tuple[str, ...], str, frozenset[str] | None, froze
     (("acquired",), "acquired", frozenset({"ORG"}), frozenset({"ORG"})),
     (("visited",), "visited", frozenset({"PER"}), frozenset({"LOC"})),
     (("partnered", "with"), "partnered_with", frozenset({"ORG"}), frozenset({"ORG"})),
+    # Chinese (char-level) phrases — gap tokens are single characters
+    # (BMES/char tokenization, cf. /root/reference/Chinese/train.txt)
+    (("就", "职", "于"), "works_for", frozenset({"PER"}), frozenset({"ORG"})),
+    (("位", "于"), "located_in", frozenset({"ORG"}), frozenset({"LOC"})),
+    (("出", "生", "于"), "born_in", frozenset({"PER"}), frozenset({"LOC"})),
+    (("访", "问", "了"), "visited", frozenset({"PER"}), frozenset({"LOC"})),
+    (("收", "购", "了"), "acquired", frozenset({"ORG"}), frozenset({"ORG"})),
+    (("创", "办", "了"), "founded", frozenset({"PER"}), frozenset({"ORG"})),
 ]
 
 PREDICATES = sorted({p[1] for p in PREDICATE_LEXICON})

@@ -59,12 +59,23 @@ def build_models(corpus_dir: str, model_dir: str, tagger: str = "hmm",
     tbl = pq.read_table(os.path.join(corpus_dir, "conll_train.parquet"))
     sents_w = tbl["tokens"].to_pylist()
     sents_t = tbl["tags"].to_pylist()
+    zh_path = os.path.join(corpus_dir, "conll_train_zh.parquet")
+    zh_w, zh_t = [], []
+    if os.path.exists(zh_path):
+        zh_tbl = pq.read_table(zh_path)
+        zh_w = zh_tbl["tokens"].to_pylist()
+        zh_t = zh_tbl["tags"].to_pylist()
     paths = {}
     if tagger in ("hmm", "both"):
         m = hmm_kernel.train_hmm(sents_w, sents_t)
         p = os.path.join(model_dir, "hmm_en")
         m.save(p)
         paths["hmm"] = {"en": p + ".npz"}
+        if zh_w:
+            mz = hmm_kernel.train_hmm(zh_w, zh_t)
+            pz = os.path.join(model_dir, "hmm_zh")
+            mz.save(pz)
+            paths["hmm"]["zh"] = pz + ".npz"
     if tagger in ("crf", "both"):
         mc = crf_kernel.train_crf_sgd(sents_w[:crf_max_sentences],
                                       sents_t[:crf_max_sentences],
@@ -72,6 +83,13 @@ def build_models(corpus_dir: str, model_dir: str, tagger: str = "hmm",
         p = os.path.join(model_dir, "crf_en")
         mc.save(p)
         paths["crf"] = {"en": p + ".npz"}
+        if zh_w:
+            mcz = crf_kernel.train_crf_sgd(zh_w[:crf_max_sentences],
+                                           zh_t[:crf_max_sentences],
+                                           epochs=crf_epochs, lr=crf_lr)
+            pz = os.path.join(model_dir, "crf_zh")
+            mcz.save(pz)
+            paths["crf"]["zh"] = pz + ".npz"
     marker = os.path.join(model_dir, "models.json")
     if os.path.exists(marker):               # merge with previously-built taggers
         with open(marker) as f:

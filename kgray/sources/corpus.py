@@ -41,7 +41,10 @@ from ..functions.hashing import hash_embedding
 from ..kernels.linking import EMB_DIM, build_alias_index, link_surface
 from ..kernels import conll
 
-__all__ = ["generate_corpus", "load_side_tables"]
+__all__ = ["generate_corpus", "load_side_tables", "GENERATOR_VERSION"]
+
+# bump when generated content changes so cached derived corpora rebuild
+GENERATOR_VERSION = 2
 
 # --------------------------------------------------------------------------- entity inventory
 
@@ -123,6 +126,24 @@ _TITLE_WORDS = ["daily", "news", "report", "bulletin", "herald", "journal",
 _ZH_SENTS = ["今天天气晴朗适合出行", "市场行情整体平稳", "研究人员发表了新的成果",
              "委员会推迟了本周的投票", "志愿者在河边种植了树木"]
 
+# Chinese entity inventory (char-level surfaces; BMES tagging)
+_ZH_PER = ["王伟", "李娜", "张强", "刘洋", "陈静", "杨磊", "赵敏", "黄涛", "周杰", "吴芳"]
+_ZH_ORG = [("华信集团", []), ("天宇科技", []), ("蓝海银行", []), ("金桥贸易", []),
+           ("东方航空", ["东航"]), ("绿洲能源", []), ("星辰传媒", []), ("远大建设", [])]
+_ZH_LOC = [("中国", []),            # zh head entity (skew)
+           ("北京", ["北京市"]), ("上海", []), ("广州", []), ("深圳", []),
+           ("杭州", []), ("成都", []), ("日本", []), ("东京", [])]
+
+# (phrase chars, predicate, subj type, obj type)
+_ZH_FACT_TEMPLATES = [
+    ("就职于", "works_for", "PER", "ORG"),
+    ("位于", "located_in", "ORG", "LOC"),
+    ("出生于", "born_in", "PER", "LOC"),
+    ("访问了", "visited", "PER", "LOC"),
+    ("收购了", "acquired", "ORG", "ORG"),
+    ("创办了", "founded", "PER", "ORG"),
+]
+
 # (phrase tokens, predicate, subj type, obj type)
 _FACT_TEMPLATES = [
     (("works", "for"), "works_for", "PER", "ORG"),
@@ -170,9 +191,32 @@ class _Inventory:
             self.aliases.append((primary, cid, 1.0))
             self.aliases.append((shared, cid, prior))
 
+        # Chinese entities (char-level surfaces)
+        self.zh_by_type = {"PER": [], "ORG": [], "LOC": []}
+        for i, name in enumerate(_ZH_PER):
+            cid = f"Q:zh_per_{i}"
+            self.entities.append((cid, "PER", name))
+            self.aliases.append((name, cid, 1.0))
+            self.zh_by_type["PER"].append((cid, name))
+        for i, (name, alts) in enumerate(_ZH_ORG):
+            cid = f"Q:zh_org_{i}"
+            self.entities.append((cid, "ORG", name))
+            self.aliases.append((name, cid, 1.0))
+            for a in alts:
+                self.aliases.append((a, cid, 0.9))
+            self.zh_by_type["ORG"].append((cid, name))
+        for i, (name, alts) in enumerate(_ZH_LOC):
+            cid = f"Q:zh_loc_{i}"
+            self.entities.append((cid, "LOC", name))
+            self.aliases.append((name, cid, 1.0))
+            for a in alts:
+                self.aliases.append((a, cid, 0.9))
+            self.zh_by_type["LOC"].append((cid, name))
+
         self.by_type = {"PER": [], "ORG": [], "LOC": []}
         for cid, etype, surface in self.entities:
-            self.by_type[etype].append((cid, surface))
+            if not cid.startswith("Q:zh_"):
+                self.by_type[etype].append((cid, surface))
         # surfaces usable to MENTION an entity (primary + aliases)
         self.mention_surfaces = {}    # cid -> [surface, ...]
         for surface, cid, _ in self.aliases:
@@ -229,6 +273,40 @@ def _make_noise_sentence(rng: random.Random):
     return toks, ["O"] * len(toks), None
 
 
+def _zh_tags(surface: str, etype: str) -> list:
+    """BMES char tags: S- for single chars, B/M/E otherwise."""
+    n = len(surface)
+    if n == 1:
+        return [f"S-{etype}"]
+    return [f"B-{etype}"] + [f"M-{etype}"] * (n - 2) + [f"E-{etype}"]
+
+
+def _zh_pick(rng, inv, etype, head_bias=False):
+    pool = inv.zh_by_type[etype]
+    if etype == "LOC" and head_bias and rng.random() < 0.35:
+        return pool[0]                        # 中国
+    return pool[rng.randrange(len(pool))]
+
+
+def _make_zh_fact_sentence(rng: random.Random, inv: _Inventory):
+    """One factual zh sentence as (chars, tags, triple)."""
+    phrase, pred, s_type, o_type = _ZH_FACT_TEMPLATES[rng.randrange(len(_ZH_FACT_TEMPLATES))]
+    s_cid, s_surface = _zh_pick(rng, inv, s_type)
+    o_cid, o_surface = _zh_pick(rng, inv, o_type, head_bias=pred in ("located_in", "born_in", "visited"))
+    if s_cid == o_cid:
+        o_cid, o_surface = inv.zh_by_type[o_type][1]
+    # occasional alias surface for mention
+    s_mention = inv.surface_for(rng, s_cid, s_surface)
+    o_mention = inv.surface_for(rng, o_cid, o_surface)
+    chars = list(s_mention) + list(phrase) + list(o_mention) + ["。"]
+    tags = (_zh_tags(s_mention, s_type) + ["O"] * len(phrase)
+            + _zh_tags(o_mention, o_type) + ["O"])
+    ctx = [c.lower() for c in chars]
+    gs, _ = link_surface(s_mention, ctx, inv.alias_idx, inv.emb_map)
+    go, _ = link_surface(o_mention, ctx, inv.alias_idx, inv.emb_map)
+    return chars, tags, (gs, pred, go)
+
+
 def _render_html(rng: random.Random, title: str, body_lines: list) -> bytes:
     """Wrap text lines in boilerplate HTML that html_to_text must strip."""
     nav = "<nav><ul><li>home</li><li>archive</li><li>about</li></ul></nav>"
@@ -258,12 +336,18 @@ def _make_page(rng: random.Random, inv: _Inventory, i: int, zh_fraction: float):
     url = f"https://example.org/site{i % 97}/page{i}"
     ts = datetime(2024, 1, 1) + timedelta(seconds=i * 37)
     if rng.random() < zh_fraction:
-        lines = [_ZH_SENTS[rng.randrange(len(_ZH_SENTS))]
-                 for _ in range(rng.randint(2, 4))]
+        lines, triples = [], []
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.6:
+                chars, _, triple = _make_zh_fact_sentence(rng, inv)
+                triples.append(triple)
+                lines.append("".join(chars))
+            else:
+                lines.append(_ZH_SENTS[rng.randrange(len(_ZH_SENTS))])
         title = "每日新闻 " + str(i % 50)
         html_b = _render_html(rng, title, lines)
         text = "\n".join([title] + lines)
-        return dict(url=url, warc_ts=ts, html=html_b, text=text, lang="zh"), []
+        return dict(url=url, warc_ts=ts, html=html_b, text=text, lang="zh"), triples
     title = " ".join(rng.sample(_TITLE_WORDS, 3))
     n_sent = rng.randint(3, 9)
     lines, triples = [], []
@@ -310,6 +394,32 @@ def _make_conll_split(rng: random.Random, inv: _Inventory, n_random: int,
         else:
             toks, tags, _ = _make_noise_sentence(rng)
         sw.append(toks)
+        st.append(tags)
+    return sw, st
+
+
+def _make_zh_conll_split(rng: random.Random, inv: _Inventory, n_random: int,
+                         cover_all: bool):
+    sw, st = [], []
+    if cover_all:
+        zh_cids = {c for c, _, _ in inv.entities if c.startswith("Q:zh_")}
+        for surface, cid, _ in inv.aliases:
+            if cid not in zh_cids:
+                continue
+            etype = next(t for c, t, _ in inv.entities if c == cid)
+            phrase, pred, s_type, o_type = _ZH_FACT_TEMPLATES[rng.randrange(len(_ZH_FACT_TEMPLATES))]
+            o_cid, o_surface = _zh_pick(rng, inv, o_type)
+            chars = list(surface) + list(phrase) + list(o_surface) + ["。"]
+            sw.append(chars)
+            st.append(_zh_tags(surface, etype) + ["O"] * len(phrase)
+                      + _zh_tags(o_surface, o_type) + ["O"])
+    for _ in range(n_random):
+        if rng.random() < 0.7:
+            chars, tags, _ = _make_zh_fact_sentence(rng, inv)
+        else:
+            chars = list(_ZH_SENTS[rng.randrange(len(_ZH_SENTS))])
+            tags = ["O"] * len(chars)
+        sw.append(chars)
         st.append(tags)
     return sw, st
 
@@ -380,8 +490,12 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, seed: int = 42,
     # CoNLL splits (parquet + reference-format text mirrors)
     train_w, train_t = _make_conll_split(rng, inv, n_train, cover_all_surfaces=True)
     valid_w, valid_t = _make_conll_split(rng, inv, n_valid, cover_all_surfaces=False)
+    zh_train = _make_zh_conll_split(rng, inv, max(100, n_train // 4), cover_all=True)
+    zh_valid = _make_zh_conll_split(rng, inv, max(30, n_valid // 4), cover_all=False)
     for name, (sw, st) in (("conll_train", (train_w, train_t)),
-                           ("conll_valid", (valid_w, valid_t))):
+                           ("conll_valid", (valid_w, valid_t)),
+                           ("conll_train_zh", zh_train),
+                           ("conll_valid_zh", zh_valid)):
         tbl = pa.Table.from_pylist(
             [{"sent_id": i, "tokens": w, "tags": t}
              for i, (w, t) in enumerate(zip(sw, st))],
@@ -391,7 +505,8 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, seed: int = 42,
         pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
         conll.write_tagged(os.path.join(out_dir, f"{name}.txt"), sw, st)
 
-    meta = {"n_pages": n_pages, "seed": seed, "pages_per_shard": pages_per_shard,
+    meta = {"version": GENERATOR_VERSION,
+            "n_pages": n_pages, "seed": seed, "pages_per_shard": pages_per_shard,
             "zh_fraction": zh_fraction, "n_gold_triples": len(gold),
             "n_train": len(train_w), "n_valid": len(valid_w),
             "n_shards": shard_id}

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import os
 
-from .corpus import generate_corpus
+from .corpus import GENERATOR_VERSION, generate_corpus
 
 __all__ = ["corpus_for_sf", "models_for_corpus"]
 
@@ -33,7 +33,8 @@ def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/kgray_corpus") -> str:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("n_pages") == n_pages and meta.get("seed") == _SEED:
+        if (meta.get("n_pages") == n_pages and meta.get("seed") == _SEED
+                and meta.get("version") == GENERATOR_VERSION):
             return out
     generate_corpus(out, n_pages=n_pages, seed=_SEED,
                     pages_per_shard=max(100, n_pages // 8))
@@ -53,10 +54,17 @@ def replicate_corpus(corpus_dir: str, out_dir: str, replicas: int) -> str:
     import pyarrow.parquet as pq
     import shutil
 
+    base_meta = {}
+    base_meta_path = os.path.join(corpus_dir, "meta.json")
+    if os.path.exists(base_meta_path):
+        with open(base_meta_path) as f:
+            base_meta = json.load(f)
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            if json.load(f).get("replicas") == replicas:
+            m = json.load(f)
+            if (m.get("replicas") == replicas
+                    and m.get("base_version") == base_meta.get("version")):
                 return out_dir
     pages_dir = os.path.join(out_dir, "pages")
     shutil.rmtree(pages_dir, ignore_errors=True)
@@ -74,14 +82,15 @@ def replicate_corpus(corpus_dir: str, out_dir: str, replicas: int) -> str:
     # share side tables + models with the base corpus
     for name in ("aliases.parquet", "entity_embeddings.parquet",
                  "conll_train.parquet", "conll_valid.parquet",
+                 "conll_train_zh.parquet", "conll_valid_zh.parquet",
                  "gold_triples.parquet"):
         src = os.path.join(corpus_dir, name)
         dst = os.path.join(out_dir, name)
-        if os.path.exists(src) and not os.path.exists(dst):
+        if os.path.exists(src):
             shutil.copyfile(src, dst)
     with open(meta_path, "w") as f:
-        json.dump({"replicas": replicas, "base": corpus_dir, "n_shards": shard},
-                  f)
+        json.dump({"replicas": replicas, "base": corpus_dir, "n_shards": shard,
+                   "base_version": base_meta.get("version")}, f)
     return out_dir
 
 
@@ -101,7 +110,12 @@ def models_for_corpus(corpus_dir: str, tagger: str = "hmm") -> str:
     need = True
     if os.path.exists(marker):
         with open(marker) as f:
-            need = tagger not in json.load(f)
+            m = json.load(f)
+        need = tagger not in m or m.get("_version") != GENERATOR_VERSION
     if need:
-        build_models(corpus_dir, model_dir, tagger="both" if tagger == "both" else tagger)
+        paths = build_models(corpus_dir, model_dir,
+                             tagger="both" if tagger == "both" else tagger)
+        paths["_version"] = GENERATOR_VERSION
+        with open(marker, "w") as f:
+            json.dump(paths, f)
     return model_dir
