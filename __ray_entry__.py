@@ -139,7 +139,7 @@ def _binary_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from kgray.pipelines import ann, dedup, relational, text
+    from kgray.pipelines import ann, dedup, relational, streaming, text
 
     return {
         # --- KG construction (non-SQL: Viterbi/linking; strong checks in tests/)
@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "events_hourly": relational.events_hourly,
         "part_type_stats": relational.part_type_stats,
+        "order_priority_revenue": relational.order_priority_revenue,
+        # --- stream-shaped: session windows over the events log
+        "user_sessions": streaming.user_sessions,
     }
 
 
@@ -299,6 +302,26 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
             FROM events
             GROUP BY 1, 2
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "user_sessions": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions
+            FROM d GROUP BY user_id
         """,
         "part_type_stats": """
             SELECT p_type,

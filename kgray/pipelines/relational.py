@@ -21,7 +21,8 @@ import ray.data as rd
 from ..stages.aggregate import sorted_group_aggregate
 
 __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
-           "distinct_segments", "events_hourly", "part_type_stats"]
+           "distinct_segments", "events_hourly", "part_type_stats",
+           "order_priority_revenue"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -157,3 +158,33 @@ def part_type_stats(sf_dir: str):
     return sorted_group_aggregate(prepped, "p_type",
                                   [("n_parts", "sum"), ("min_size", "min"),
                                    ("max_size", "max"), ("price_cents", "sum")])
+
+
+def order_priority_revenue(sf_dir: str):
+    """Large×large join demo: lineitem ⋈ orders on the order key via the
+    distributed sorted-merge join (no broadcast), then revenue per
+    order priority."""
+    from ..stages.join import sorted_merge_join
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        revenue = pc.multiply(b.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({
+            "orderkey": b.column("l_orderkey"),
+            "revenue_cents": pc.cast(pc.floor(pc.add(pc.multiply(revenue, pa.scalar(100.0)),
+                                              pa.scalar(0.5))), pa.int64()),
+            "n_items": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda b: pa.table({
+                  "orderkey": b.column("o_orderkey"),
+                  "o_orderpriority": b.column("o_orderpriority")}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    joined = sorted_merge_join(li, orders, on="orderkey")
+    return sorted_group_aggregate(joined, "o_orderpriority",
+                                  [("revenue_cents", "sum"), ("n_items", "sum")])

@@ -1,0 +1,66 @@
+"""sorted_merge_join and user_sessions: exactness vs pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_join_matches_pandas(ray_session):
+    import ray.data as rd
+    from kgray.stages.join import sorted_merge_join
+
+    rng = np.random.default_rng(0)
+    left = pd.DataFrame({"k": rng.integers(0, 200, 3000),
+                         "lv": rng.integers(0, 1000, 3000)})
+    right = pd.DataFrame({"k": rng.integers(0, 200, 150),
+                          "rv": [f"r{i}" for i in range(150)]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(7)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    got = sorted_merge_join(lds, rds, on="k").to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got = got[key].sort_values(key, ignore_index=True)
+    exp = exp[key].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_join_hot_key(ray_session):
+    """A key with most of the left rows (spans sorted blocks)."""
+    import ray.data as rd
+    from kgray.stages.join import sorted_merge_join
+
+    rng = np.random.default_rng(1)
+    k = np.where(rng.random(4000) < 0.8, 5, rng.integers(0, 50, 4000))
+    left = pd.DataFrame({"k": k, "lv": np.arange(4000)})
+    right = pd.DataFrame({"k": np.arange(50), "rv": np.arange(50) * 10})
+    got = sorted_merge_join(rd.from_arrow(pa.Table.from_pandas(left)).repartition(10),
+                            rd.from_arrow(pa.Table.from_pandas(right)).repartition(2),
+                            on="k").to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    assert len(got) == len(exp)
+    assert got["lv"].sum() == exp["lv"].sum()
+    assert got["rv"].sum() == exp["rv"].sum()
+
+
+def test_user_sessions_matches_pandas(ray_session):
+    import duckdb
+    from kgray.pipelines.streaming import user_sessions
+
+    got = user_sessions(SF).to_pandas().sort_values("user_id", ignore_index=True)
+    exp = duckdb.sql(f"""
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM read_parquet('{SF}/events.parquet')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(new_s) AS BIGINT) AS n_sessions
+        FROM d GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
