@@ -117,13 +117,19 @@ def _extract_invariant(sf_dir: str):
     from kgray.sources.derived import corpus_for_sf
     from kgray.stages.extract import check_extraction
 
+    import pyarrow.compute as pc
+
     corpus = corpus_for_sf(sf_dir)
     ds = rd.read_parquet(page_files(corpus), columns=["url", "html", "text"])
-    ds = ds.map_batches(check_extraction, batch_format="pyarrow", zero_copy_batch=True)
-    n = ds.count()
-    n_ok = ds.filter(lambda row: row["ok"]).count()
-    return pa.table({"n_pages": pa.array([n], type=pa.int64()),
-                     "n_ok": pa.array([n_ok], type=pa.int64())})
+    counts = ds.map_batches(check_extraction, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .map_batches(lambda b: pa.table({
+                   "n_pages": pa.array([b.num_rows], type=pa.int64()),
+                   "n_ok": pa.array([pc.sum(pc.cast(b.column("ok"), pa.int64())).as_py() or 0],
+                                    type=pa.int64())}),
+                   batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pa.table({"n_pages": pa.array([int(counts["n_pages"].sum())], type=pa.int64()),
+                     "n_ok": pa.array([int(counts["n_ok"].sum())], type=pa.int64())})
 
 
 def _binary_features(sf_dir: str):

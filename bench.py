@@ -97,6 +97,9 @@ def run_bench() -> dict:
     timed("quality_scores", lambda: text.quality_scores(sf_dir))
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir))
     timed("events_hourly", lambda: relational.events_hourly(sf_dir))
+    from kgray.pipelines import streaming
+    timed("order_priority_revenue", lambda: relational.order_priority_revenue(sf_dir))
+    timed("user_sessions", lambda: streaming.user_sessions(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

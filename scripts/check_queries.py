@@ -83,7 +83,7 @@ def main():
             status = f"ROWCOUNT MISMATCH got={len(got)} exp={len(exp)}"
         else:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
             except AssertionError as e:
                 status = "VALUE MISMATCH: " + str(e).split("\n")[0]
         tag = "ok" if status == "OK" else "FAIL"
