@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
         "token_topk": text.token_topk,
+        "subword_token_counts": text.subword_token_counts,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
@@ -229,6 +231,11 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "subword_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword
+            FROM documents
+        """,
         "token_topk": f"""
             SELECT tok AS token, count(*) AS cnt
             FROM documents, unnest({_TOKS}) AS u(tok)

@@ -18,7 +18,8 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
-           "fingerprints", "token_topk", "STOPWORDS"]
+           "fingerprints", "token_topk", "subword_token_counts",
+           "winnowing_fingerprints", "STOPWORDS"]
 
 _WS = re.compile(r"\s+")
 
@@ -128,3 +129,51 @@ def token_topk(sf_dir: str, k: int = 100):
                 .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     ds = sorted_group_aggregate(combined, "token", [("cnt", "sum")])
     return ds.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+_SUBWORD = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def subword_token_counts(sf_dir: str):
+    """doc_id, n_subword — regex pre-tokenizer count (the BPE-style
+    budget estimate a training-data pipeline runs per document)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = [len(_SUBWORD.findall(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_subword": pa.array(n, type=pa.int64())})
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def winnowing_fingerprints(sf_dir: str, k: int = 8, window: int = 5):
+    """doc_id, n_grams, n_fingerprints, min_fp — winnowing document
+    fingerprinting (Schleimer et al., SIGMOD 2003): rolling char k-gram
+    hashes, keep each window's minimum; the selected set is a robust
+    content fingerprint for near-dup/plagiarism detection."""
+    from ..functions.hashing import stable_hash64
+
+    def fingerprint(text: str):
+        n = len(text)
+        if n < k:
+            return 0, 0, 0
+        hashes = [stable_hash64(text[i:i + k]) & 0x7FFFFFFFFFFFFFFF
+                  for i in range(n - k + 1)]
+        if len(hashes) <= window:
+            sel = {min(hashes)}
+        else:
+            sel = set()
+            for i in range(len(hashes) - window + 1):
+                sel.add(min(hashes[i:i + window]))
+        return len(hashes), len(sel), min(sel)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = [fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array([s[0] for s in stats], type=pa.int64()),
+            "n_fingerprints": pa.array([s[1] for s in stats], type=pa.int64()),
+            "min_fp": pa.array([s[2] for s in stats], type=pa.int64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)

@@ -44,7 +44,7 @@ from ..kernels import conll
 __all__ = ["generate_corpus", "load_side_tables", "GENERATOR_VERSION"]
 
 # bump when generated content changes so cached derived corpora rebuild
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 # --------------------------------------------------------------------------- entity inventory
 
@@ -378,7 +378,10 @@ def _make_conll_split(rng: random.Random, inv: _Inventory, n_random: int,
     the HMM's emission table knows all mention words."""
     sw, st = [], []
     if cover_all_surfaces:
+        en_cids = {c for c, _, _ in inv.entities if not c.startswith("Q:zh_")}
         for surface, cid, _ in inv.aliases:
+            if cid not in en_cids:
+                continue
             etype = next(t for c, t, _ in inv.entities if c == cid)
             toks = surface.split(" ")
             phrase, pred, s_type, o_type = _FACT_TEMPLATES[rng.randrange(len(_FACT_TEMPLATES))]
@@ -407,12 +410,19 @@ def _make_zh_conll_split(rng: random.Random, inv: _Inventory, n_random: int,
             if cid not in zh_cids:
                 continue
             etype = next(t for c, t, _ in inv.entities if c == cid)
-            phrase, pred, s_type, o_type = _ZH_FACT_TEMPLATES[rng.randrange(len(_ZH_FACT_TEMPLATES))]
-            o_cid, o_surface = _zh_pick(rng, inv, o_type)
-            chars = list(surface) + list(phrase) + list(o_surface) + ["。"]
-            sw.append(chars)
-            st.append(_zh_tags(surface, etype) + ["O"] * len(phrase)
-                      + _zh_tags(o_surface, o_type) + ["O"])
+            for _rep in range(2):             # two draws per position
+                phrase, pred, s_type, o_type = _ZH_FACT_TEMPLATES[rng.randrange(len(_ZH_FACT_TEMPLATES))]
+                o_cid, o_surface = _zh_pick(rng, inv, o_type)
+                chars = list(surface) + list(phrase) + list(o_surface) + ["。"]
+                sw.append(chars)
+                st.append(_zh_tags(surface, etype) + ["O"] * len(phrase)
+                          + _zh_tags(o_surface, o_type) + ["O"])
+                phrase2, _, s_type2, _ = _ZH_FACT_TEMPLATES[rng.randrange(len(_ZH_FACT_TEMPLATES))]
+                s_cid2, s_surface2 = _zh_pick(rng, inv, s_type2)
+                chars2 = list(s_surface2) + list(phrase2) + list(surface) + ["。"]
+                sw.append(chars2)
+                st.append(_zh_tags(s_surface2, s_type2) + ["O"] * len(phrase2)
+                          + _zh_tags(surface, etype) + ["O"])
     for _ in range(n_random):
         if rng.random() < 0.7:
             chars, tags, _ = _make_zh_fact_sentence(rng, inv)
@@ -490,7 +500,7 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, seed: int = 42,
     # CoNLL splits (parquet + reference-format text mirrors)
     train_w, train_t = _make_conll_split(rng, inv, n_train, cover_all_surfaces=True)
     valid_w, valid_t = _make_conll_split(rng, inv, n_valid, cover_all_surfaces=False)
-    zh_train = _make_zh_conll_split(rng, inv, max(100, n_train // 4), cover_all=True)
+    zh_train = _make_zh_conll_split(rng, inv, max(200, n_train // 2), cover_all=True)
     zh_valid = _make_zh_conll_split(rng, inv, max(30, n_valid // 4), cover_all=False)
     for name, (sw, st) in (("conll_train", (train_w, train_t)),
                            ("conll_valid", (valid_w, valid_t)),
