@@ -132,6 +132,19 @@ def _extract_invariant(sf_dir: str):
                      "n_ok": pa.array([int(counts["n_ok"].sum())], type=pa.int64())})
 
 
+def _kg_entities(sf_dir: str):
+    """Canonical-entity mention stats (the 'entities' logical table,
+    SURVEY.md §1.2) via map-side combine + groupby."""
+    from kgray.pipelines.kg import kg_dataset, page_files
+    from kgray.sources.derived import corpus_for_sf, models_for_corpus
+    from kgray.stages.canonical import entity_stats
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    ds = kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm")
+    return entity_stats(ds)
+
+
 def _binary_features(sf_dir: str):
     from kgray.pipelines.kg import page_files
     from kgray.pipelines.multimodal import binary_features
@@ -153,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _kg_mentions,
         "hmm_tags_valid": _hmm_tags_valid,
         "extract_invariant": _extract_invariant,
+        "kg_entities": _kg_entities,
         "binary_features": _binary_features,
         # --- text analysis over documents (SQL-oracled)
         "token_stats": text.token_stats,
