@@ -30,6 +30,7 @@ _DROP = re.compile(
     r"<(script|style|nav|header|footer|aside)\b[^>]*>.*?</\1\s*>",
     re.S | re.I,
 )
+_UNCLOSED_DROP = re.compile(r"<(?:script|style)\b[^>]*>.*$", re.S | re.I)
 _BLOCK = re.compile(
     r"</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|title|head|body|html|"
     r"section|article|main|blockquote|pre|figure|figcaption|dl|dt|dd|hr)\b[^>]*/?>",
@@ -44,6 +45,7 @@ def html_to_text(raw: bytes | str) -> str:
     s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
     s = _COMMENT.sub("", s)
     s = _DROP.sub("", s)
+    s = _UNCLOSED_DROP.sub("", s)       # unclosed script/style runs to EOF
     s = _BLOCK.sub("\n", s)
     s = _ANY_TAG.sub("", s)
     s = _html.unescape(s)

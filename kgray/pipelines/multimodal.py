@@ -67,9 +67,16 @@ class BinaryFeaturizer:
         })
 
 
-def binary_features(pages_files, concurrency: int = 2, batch_size: int = 256):
-    """pages(html binary) → per-url feature rows via the featurizer pool."""
-    return (rd.read_parquet(pages_files, columns=["url", "html"])
-            .map_batches(BinaryFeaturizer, fn_constructor_kwargs={"column": "html"},
-                         batch_format="pyarrow", batch_size=batch_size,
-                         concurrency=concurrency, num_cpus=1))
+def binary_features(pages, concurrency: int = 2, batch_size: int = 256,
+                    column: str = "html"):
+    """binary-column rows → per-url feature rows via the featurizer pool.
+
+    ``pages``: parquet path(s) or an existing Dataset.  Size
+    ``batch_size`` to the payloads: batch_size × payload × concurrency
+    must fit the workers' heap (e.g. 16 for 10 MB images).
+    """
+    ds = pages if hasattr(pages, "map_batches") else \
+        rd.read_parquet(pages, columns=["url", column])
+    return ds.map_batches(BinaryFeaturizer, fn_constructor_kwargs={"column": column},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

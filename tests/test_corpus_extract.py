@@ -61,3 +61,23 @@ def test_gold_triples_exist(tiny_corpus_dir):
     for o, s in zip(objs["obj"], objs["support"]):
         support_by_obj[o] += s
     assert support_by_obj.most_common(1)[0][0] == "Q:united_states"
+
+
+def test_html_to_text_robustness():
+    """Adversarial inputs: deterministic, no crashes, boilerplate gone."""
+    cases = {
+        b"<p>unclosed <b>bold": "unclosed bold",
+        b"<script>while(1){if(a<b){}}": "",              # unclosed script dropped
+        b"<SCRIPT SRC='x'>x</SCRIPT><P>Hi</P>": "Hi",     # case-insensitive
+        b"<div>a<div>b<div>c": "a\nb\nc",
+        b"<p>a &lt; b &amp;&amp; c &gt; d</p>": "a < b && c > d",
+        b"<nav><p>menu item</p></nav><p>real</p>": "real",
+        b"<!-- <p>commented out</p> --><p>kept</p>": "kept",
+        "<p>émojis \U0001f389 und ümlauts</p>".encode(): "émojis \U0001f389 und ümlauts",
+    }
+    for raw, expected in cases.items():
+        assert html_to_text(raw) == expected, raw
+    # invalid utf-8 must not crash and must be deterministic
+    got = html_to_text(b"\xff\xfe<p>ok</p>")
+    assert got == html_to_text(b"\xff\xfe<p>ok</p>")
+    assert "ok" in got

@@ -116,3 +116,22 @@ def test_multimodal_stub(ray_session, tiny_corpus_dir):
     assert len(df) == 120
     assert (df["n_bytes"] > 0).all()
     assert all(sum(f) == n for f, n in zip(df["features"], df["n_bytes"]))
+
+
+def test_multimodal_large_payloads(ray_session):
+    """Fat binary rows (1 MB each) stream through the featurizer pool
+    with a small batch_size — the memory-aware sizing path for
+    image/audio payloads."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.pipelines.multimodal import binary_features
+
+    payloads = [bytes([i % 256]) * 1_000_000 for i in range(48)]
+    src = rd.from_arrow(pa.table({
+        "url": [f"blob://{i}" for i in range(48)],
+        "html": payloads,
+    })).repartition(6)
+    df = binary_features(src, concurrency=1, batch_size=8).to_pandas()
+    assert len(df) == 48
+    assert (df["n_bytes"] == 1_000_000).all()
+    assert all(sum(f) == 1_000_000 for f in df["features"])
