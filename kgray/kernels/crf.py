@@ -275,7 +275,32 @@ def build_features(sents_words, sents_tags, rules=None) -> tuple:
 # --------------------------------------------------------------------------- potentials (compiled, inference path)
 
 
-def _potentials(words, model: CRFModel):
+def _window_scores(words, i, c, cache):
+    """(u_vec[Ta+2], b_mat[Ta+2,Ta+2]) for position i — fully determined
+    by the 5-token context window, so batch decoding memoizes on it
+    (``cache``: window tuple → arrays; fresh per batch)."""
+    L = len(words)
+    if cache is not None:
+        key = tuple(_word_at(words, i, off, L) for off in (-2, -1, 0, 1, 2))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    v = np.zeros(c["Ta"] + 2, dtype=np.float64)
+    for r in c["u_rules"]:
+        u = c["u"].get((r.prefix, _obs(words, i, r, L)))
+        if u is not None:
+            v += u
+    m = np.zeros((c["Ta"] + 2, c["Ta"] + 2), dtype=np.float64)
+    for r in c["b_rules"]:
+        b = c["b"].get((r.prefix, _obs(words, i, r, L)))
+        if b is not None:
+            m += b
+    if cache is not None:
+        cache[key] = (v, m)
+    return v, m
+
+
+def _potentials(words, model: CRFModel, cache=None):
     """Assemble per-position potentials from compiled tables.
 
     Returns (e0[Ta], steps, stop[Ta]) where steps[i-1] = pot[k, j] for
@@ -285,34 +310,16 @@ def _potentials(words, model: CRFModel):
     c = model.compiled()
     Ta, S, P = c["Ta"], c["START"], c["STOP"]
     L = len(words)
-
-    def u_vec(i):
-        v = np.zeros(Ta + 2, dtype=np.float64)
-        for r in c["u_rules"]:
-            hit = c["u"].get((r.prefix, _obs(words, i, r, L)))
-            if hit is not None:
-                v += hit
-        return v
-
-    def b_mat(i):
-        m = np.zeros((Ta + 2, Ta + 2), dtype=np.float64)
-        for r in c["b_rules"]:
-            hit = c["b"].get((r.prefix, _obs(words, i, r, L)))
-            if hit is not None:
-                m += hit
-        return m
-
     pure = c["pure"] if c["has_pure"] else np.zeros((Ta + 2, Ta + 2))
 
-    b0 = b_mat(0)
-    e0 = u_vec(0)[:Ta] + b0[S, :Ta] + pure[S, :Ta]          # crf_ner.py:396-424
+    u0, b0 = _window_scores(words, 0, c, cache)
+    e0 = u0[:Ta] + b0[S, :Ta] + pure[S, :Ta]                # crf_ner.py:396-424
     steps = []
     for i in range(1, L):
-        bi = b_mat(i)
-        pot = bi[:Ta, :Ta] + pure[:Ta, :Ta] + u_vec(i)[None, :Ta]
+        ui, bi = _window_scores(words, i, c, cache)
+        pot = bi[:Ta, :Ta] + pure[:Ta, :Ta] + ui[None, :Ta]
         steps.append(pot)
-    bL = b_mat(L)
-    uL = u_vec(L)
+    uL, bL = _window_scores(words, L, c, cache)
     stop = bL[:Ta, P] + pure[:Ta, P] + uL[P]                # crf_ner.py:469-497
     return e0, steps, stop
 
@@ -335,14 +342,17 @@ def empty_sentence_score(model: CRFModel) -> float:
     return float(score)
 
 
-def viterbi_decode(words, model: CRFModel):
-    """Best tag sequence + score (semantics of crf_ner.py:371-512)."""
+def viterbi_decode(words, model: CRFModel, cache=None):
+    """Best tag sequence + score (semantics of crf_ner.py:371-512).
+
+    ``cache``: optional per-batch window-score memo (see _window_scores).
+    """
     Ta = len(model.actual_tags)
     if Ta == 0:
         return [], float("-inf")
     if len(words) == 0:
         return [], empty_sentence_score(model)
-    e0, steps, stop = _potentials(words, model)
+    e0, steps, stop = _potentials(words, model, cache)
     L = len(words)
     bp = np.zeros((L, Ta), dtype=np.int64)
     alpha = e0
@@ -360,7 +370,8 @@ def viterbi_decode(words, model: CRFModel):
 
 
 def viterbi_batch(sentences, model: CRFModel):
-    return [viterbi_decode(s, model)[0] for s in sentences]
+    cache: dict = {}
+    return [viterbi_decode(s, model, cache)[0] for s in sentences]
 
 
 def _logsumexp(a, axis=None):

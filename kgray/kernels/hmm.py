@@ -27,7 +27,6 @@ the reference's single-pass loop (``hmm_ner.py:44-55``).
 
 from __future__ import annotations
 
-import json
 import math
 from collections import Counter, defaultdict
 from dataclasses import dataclass, field

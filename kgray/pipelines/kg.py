@@ -26,12 +26,11 @@ import json
 import os
 import time
 
-import numpy as np
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..kernels import conll, crf as crf_kernel, hmm as hmm_kernel
+from ..kernels import crf as crf_kernel, hmm as hmm_kernel
 from ..kernels.linking import EMB_DIM, link_surface
 from ..kernels.triples import extract_sentence_triples, sentence_mentions
 from ..sources.corpus import load_side_tables

@@ -11,7 +11,6 @@ block.  Exact, with a DuckDB window-function oracle.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -94,7 +94,7 @@ def replicate_corpus(corpus_dir: str, out_dir: str, replicas: int) -> str:
     return out_dir
 
 
-def scaling_corpus(sf_dir: str, replicas: int = 15,
+def scaling_corpus(sf_dir: str, replicas: int = 40,
                    cache_root: str = "/tmp/kgray_corpus") -> str:
     base = corpus_for_sf(sf_dir, cache_root)
     return replicate_corpus(base, os.path.join(cache_root, f"{_tag(sf_dir)}_x{replicas}"),

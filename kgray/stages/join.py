@@ -18,7 +18,6 @@ For dimension-sized sides prefer the broadcast pattern
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

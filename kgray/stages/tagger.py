@@ -82,10 +82,12 @@ class CRFTagger:
         tokens = batch.column("tokens").to_pylist()
         langs = batch.column("lang").to_pylist()
         tags: list = [None] * len(tokens)
+        caches: dict = {}                 # per-batch window-score memo per lang
         for i, (toks, lang) in enumerate(zip(tokens, langs)):
             model = self.models.get(lang)
             if model is None:
                 tags[i] = ["O"] * len(toks)
             else:
-                tags[i] = crf_kernel.viterbi_decode(toks, model)[0]
+                tags[i] = crf_kernel.viterbi_decode(
+                    toks, model, caches.setdefault(lang, {}))[0]
         return _attach_tags(batch, tags)
