@@ -67,7 +67,7 @@ def _kg_mentions(sf_dir: str):
     return ds.map_batches(decode_mentions, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _hmm_tags_valid(sf_dir: str):
+def _tags_valid(sf_dir: str, tagger: str):
     """Tag the CoNLL validation split through the actor pool; exploded
     (sent_id, token_idx, token, tag) rows."""
     import pyarrow as pa
@@ -75,10 +75,10 @@ def _hmm_tags_valid(sf_dir: str):
     import ray.data as rd
     from kgray.pipelines.kg import _model_paths
     from kgray.sources.derived import corpus_for_sf, models_for_corpus
-    from kgray.stages.tagger import HMMTagger
+    from kgray.stages.tagger import CRFTagger, HMMTagger
 
     corpus = corpus_for_sf(sf_dir)
-    model_dir = models_for_corpus(corpus, tagger="hmm")
+    model_dir = models_for_corpus(corpus, tagger=tagger)
     tbl = pq.read_table(f"{corpus}/conll_valid.parquet")
     src = pa.table({
         "url": pa.array([f"valid://{i}" for i in tbl["sent_id"].to_pylist()]),
@@ -86,8 +86,9 @@ def _hmm_tags_valid(sf_dir: str):
         "tokens": tbl["tokens"],
         "lang": pa.array(["en"] * tbl.num_rows),
     })
+    cls = HMMTagger if tagger == "hmm" else CRFTagger
     ds = rd.from_arrow(src).map_batches(
-        HMMTagger, fn_constructor_kwargs={"model_paths": _model_paths(model_dir, "hmm")},
+        cls, fn_constructor_kwargs={"model_paths": _model_paths(model_dir, tagger)},
         batch_format="pyarrow", batch_size=512, concurrency=2, num_cpus=1)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -106,6 +107,16 @@ def _hmm_tags_valid(sf_dir: str):
                          "tag": pa.array(tags, type=pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hmm_tags_valid(sf_dir: str):
+    return _tags_valid(sf_dir, "hmm")
+
+
+def _crf_tags_valid(sf_dir: str):
+    """Same as _hmm_tags_valid through the CRF actor pool (compiled
+    grouped weight tables + window-memoized decode)."""
+    return _tags_valid(sf_dir, "crf")
 
 
 def _extract_invariant(sf_dir: str):
@@ -146,12 +157,21 @@ def _kg_entities(sf_dir: str):
 
 
 def _binary_features(sf_dir: str):
+    import pyarrow as pa
     from kgray.pipelines.kg import page_files
     from kgray.pipelines.multimodal import binary_features
     from kgray.sources.derived import corpus_for_sf
 
     corpus = corpus_for_sf(sf_dir)
-    return binary_features(page_files(corpus))
+    ds = binary_features(page_files(corpus))
+    # flatten the list column for the driver's value-hash comparison
+    return ds.map_batches(lambda b: pa.table({
+        "url": b.column("url"),
+        "n_bytes": b.column("n_bytes"),
+        "features_csv": pa.array([",".join(map(str, f))
+                                  for f in b.column("features").to_pylist()],
+                                 type=pa.string()),
+    }), batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------- queries
@@ -165,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph": _kg_graph,
         "kg_mentions": _kg_mentions,
         "hmm_tags_valid": _hmm_tags_valid,
+        "crf_tags_valid": _crf_tags_valid,
         "extract_invariant": _extract_invariant,
         "kg_entities": _kg_entities,
         "binary_features": _binary_features,
