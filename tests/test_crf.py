@@ -155,3 +155,21 @@ def test_model_save_load_roundtrip(tmp_path):
     words = ["the", "Alice", "UNSEEN"]
     assert crf.viterbi_decode(words, model)[0] == crf.viterbi_decode(words, m2)[0]
     assert abs(crf.log_forward(words, model) - crf.log_forward(words, m2)) < 1e-9
+
+
+def test_window_cache_identical_decode():
+    """The per-batch window-score memo must not change any prediction."""
+    model, sw, _ = _tiny_model(11, n_sent=20)
+    rng = random.Random(12)
+    sentences = []
+    for _ in range(60):
+        L = rng.randint(1, 6)
+        sentences.append([rng.choice(["the", "cat", "Alice", "Paris", "sat", "NEW"])
+                          for _ in range(L)])
+    cache = {}
+    with_cache = [crf.viterbi_decode(s, model, cache) for s in sentences]
+    without = [crf.viterbi_decode(s, model) for s in sentences]
+    assert with_cache == without
+    assert len(cache) > 0
+    # batch API uses the cache internally
+    assert crf.viterbi_batch(sentences, model) == [p for p, _ in without]
