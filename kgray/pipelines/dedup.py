@@ -98,21 +98,37 @@ def jaccard_pairs_bruteforce(sf_dir: str, threshold: float = 0.5, k: int = 3):
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "shingles": pa.array(sh, type=pa.list_(pa.string()))})
 
-    rows = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-            .map_batches(to_shingles, batch_format="pyarrow", zero_copy_batch=True)
-            .take_all())
-    docs = sorted((r["doc_id"], set(r["shingles"])) for r in rows)
-    out_a, out_b = [], []
-    for i in range(len(docs)):
-        ia, sa = docs[i]
-        for j in range(i + 1, len(docs)):
-            ib, sb = docs[j]
-            inter = len(sa & sb)
-            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
-                out_a.append(ia)
-                out_b.append(ib)
-    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                     "doc_b": pa.array(out_b, type=pa.int64())})
+    shingles_ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+                   .map_batches(to_shingles, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .materialize())
+    # broadcast the full shingle table once; each task pairs its batch's
+    # docs against every doc with a greater id (each pair computed once)
+    all_rows = sorted((r["doc_id"], frozenset(r["shingles"]))
+                      for r in shingles_ds.take_all())
+    all_ref = ray.put(all_rows)
+
+    def pair_batch(batch: pa.Table) -> pa.Table:
+        docs = ray.get(all_ref)
+        by_id = dict(docs)
+        out_a, out_b = [], []
+        for did in batch.column("doc_id").to_pylist():
+            sa = by_id[did]
+            for ib, sb in docs:
+                if ib <= did:
+                    continue
+                inter = len(sa & sb)
+                if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                    out_a.append(did)
+                    out_b.append(ib)
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64())})
+
+    pairs = shingles_ds.map_batches(pair_batch, batch_format="pyarrow").take_all()
+    pairs = sorted((r["doc_a"], r["doc_b"]) for r in pairs)
+    return pa.table({"doc_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+                     "doc_b": pa.array([b for _, b in pairs], type=pa.int64())})
 
 
 def _bucket_candidates(ds, bucket_cols: list, id_col: str) -> set:
