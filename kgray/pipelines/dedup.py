@@ -234,10 +234,26 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                          "doc_b": pa.array([], type=pa.int64())})
 
     need = {a for a, _ in cand_rows} | {b for _, b in cand_rows}
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh_map = {did: shingle_set(_tokens(t), k)
-              for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-              if did in need}
+    need_ref = ray.put(need)
+
+    def candidate_shingles(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids, sh = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if did in wanted:
+                ids.append(did)
+                sh.append(sorted(shingle_set(_tokens(t), k)))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "shingles": pa.array(sh, type=pa.list_(pa.string()))})
+
+    # only candidate docs' shingles reach the driver (candidates are
+    # small by construction; at extreme scale swap for a hash join)
+    sh_map = {r["doc_id"]: set(r["shingles"])
+              for r in rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"])
+                        .map_batches(candidate_shingles, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all()}
     out_a, out_b = [], []
     for r in sorted(cand_rows):
         sa, sb = sh_map.get(r[0]), sh_map.get(r[1])
@@ -291,10 +307,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     value yields candidates, then exact Hamming verify."""
     n_chunks = min(max_hamming + 1, 16)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    # compute signatures ONCE (doc_id + int64 — tiny) and reuse for both
-    # the driver-side verify map and the chunk-bucket pipeline
+    # compute signatures ONCE (doc_id + int64) and reuse for the
+    # chunk-bucket pipeline; only *candidate* signatures are collected
+    # to the driver after bucketing
     sigs_ds = simhash_signatures(sf_dir).materialize()
-    sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in sigs_ds.take_all()}
 
     def chunks_of(batch: pa.Table) -> pa.Table:
         cidx, cval, dids = [], [], []
@@ -312,6 +328,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     chunks_ds = sigs_ds.map_batches(chunks_of, batch_format="pyarrow").materialize()
     cand_rows = _bucket_candidates(chunks_ds, ["chunk", "val"], "doc_id")
+    need = {a for a, _ in cand_rows} | {b for _, b in cand_rows}
+    need_ref = ray.put(need)
+
+    def candidate_sigs(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = [d in wanted for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+               for r in sigs_ds.map_batches(candidate_sigs, batch_format="pyarrow",
+                                            zero_copy_batch=True).take_all()}
     out_a, out_b, dists = [], [], []
     for r in sorted(cand_rows):
         d = int(bin(sig_map[r[0]] ^ sig_map[r[1]]).count("1"))
