@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup_pairs,
+        "embedding_lsh_pairs": lambda sf: dedup.embedding_lsh_pairs(
+            sf, threshold=0.45, n_bits=192, band_bits=6),
         # --- similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,

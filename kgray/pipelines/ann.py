@@ -22,6 +22,13 @@ import ray.data as rd
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk"]
 
 
+# Scale notes: the sf_dir-based query selection below reads the
+# embedding table on the driver for convenience at test scale; in
+# production the query matrix is an input (it is broadcast via ray.put
+# either way).  Likewise the brute-force scorer broadcasts the *query*
+# matrix, never the corpus — corpus rows stream through map_batches.
+
+
 def load_embeddings(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)

@@ -29,7 +29,8 @@ from ..functions.hashing import stable_hash64
 
 __all__ = ["exact_dedup", "shingle_set", "jaccard_pairs_bruteforce",
            "minhash_signatures", "minhash_lsh_pairs", "simhash64",
-           "simhash_signatures", "simhash_pairs", "embedding_neardup_pairs"]
+           "simhash_signatures", "simhash_pairs", "embedding_neardup_pairs",
+           "embedding_lsh_pairs"]
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -386,3 +387,82 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]) \
              .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------- embedding LSH (random hyperplanes)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 99) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+
+def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
+                        n_bits: int = 128, band_bits: int = 8,
+                        dim: int | None = None):
+    """Random-hyperplane LSH near-dup pairs over an embedding column —
+    the cosine analogue of MinHash-LSH (the scale path next to the
+    brute-force matmul of :func:`embedding_neardup_pairs`).
+
+    sign(v·H) gives an n_bits signature whose per-bit agreement
+    probability is 1 − θ/π; banding (band_bits per band) buckets
+    candidates, which are then verified with exact cosine (only
+    candidate vectors are fetched).  Tuned for tight thresholds
+    (cos ≥ 0.9) — the regime where "near-duplicate" is meaningful.
+    """
+    if isinstance(embeddings_ds_or_sf, str):
+        ds = rd.read_parquet(f"{embeddings_ds_or_sf}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).materialize()
+    else:
+        ds = embeddings_ds_or_sf.materialize()
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first["embedding"])
+    H = _hyperplanes(dim, n_bits)
+    H_ref = ray.put(H)
+    n_bands = n_bits // band_bits
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        Hm = ray.get(H_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bits = (E @ Hm) > 0                                   # [n, n_bits]
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        band_ids, vals, dids = [], [], []
+        for bi in range(n_bands):
+            chunk = bits[:, bi * band_bits:(bi + 1) * band_bits]
+            v = chunk @ weights                               # [n]
+            band_ids.extend([bi] * len(ids))
+            vals.extend(int(x) for x in v)
+            dids.extend(int(i) for i in ids)
+        return pa.table({"band": pa.array(band_ids, type=pa.int32()),
+                         "val": pa.array(vals, type=pa.int64()),
+                         "vec_id": pa.array(dids, type=pa.int64())})
+
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    cand = _bucket_candidates(bands_ds, ["band", "val"], "vec_id")
+    if not cand:
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+    need = {a for a, _ in cand} | {b for _, b in cand}
+    need_ref = ray.put(need)
+
+    def candidate_vecs(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = [v in wanted for v in batch.column("vec_id").to_pylist()]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    rows = ds.map_batches(candidate_vecs, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    vec = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        vec[r["vec_id"]] = v / n if n > 0 else v
+    out_a, out_b = [], []
+    for a, b in sorted(cand):
+        if float(vec[a] @ vec[b]) >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table({"vec_a": pa.array(out_a, type=pa.int64()),
+                     "vec_b": pa.array(out_b, type=pa.int64())})

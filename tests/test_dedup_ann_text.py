@@ -135,3 +135,36 @@ def test_multimodal_large_payloads(ray_session):
     assert len(df) == 48
     assert (df["n_bytes"] == 1_000_000).all()
     assert all(sum(f) == 1_000_000 for f in df["features"])
+
+
+def test_embedding_lsh_finds_planted_neardups(ray_session):
+    """Random-hyperplane LSH recovers planted cos≈0.98 pairs and agrees
+    with exact cosine verification."""
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.pipelines.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 32))
+    rows_id, rows_emb = [], []
+    expected = set()
+    for i in range(60):
+        rows_id.append(i)
+        rows_emb.append(base[i].tolist())
+    for j in range(10):                       # planted near-dups of vectors 0..9
+        nid = 100 + j
+        noisy = base[j] + 0.05 * rng.standard_normal(32)
+        rows_id.append(nid)
+        rows_emb.append(noisy.tolist())
+        expected.add((j, nid))
+    ds = rd.from_arrow(pa.table({"vec_id": rows_id,
+                                 "embedding": rows_emb})).repartition(4)
+    got = embedding_lsh_pairs(ds, threshold=0.95, n_bits=128, band_bits=8, dim=32)
+    pairs = set(zip(got["vec_a"].to_pylist(), got["vec_b"].to_pylist()))
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.9, (recall, pairs)
+    # precision: every returned pair really has cosine >= threshold
+    import numpy as _np
+    emb = {i: _np.asarray(e) / _np.linalg.norm(e) for i, e in zip(rows_id, rows_emb)}
+    for a, b in pairs:
+        assert float(emb[a] @ emb[b]) >= 0.95
