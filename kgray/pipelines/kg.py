@@ -233,17 +233,30 @@ def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
         return stats                      # partial run (resume later)
 
     # ---- global canonicalization + sorted graph materialization
+    # (checkpointed too: a rerun over an unchanged triple set skips it)
+    graph_dir = os.path.join(out_dir, "graph")
+    group_ids = sorted(g for g, _ in groups)
+    graph_done = [r for r in manifest.records()
+                  if r.get("group_id") == "__graph__"
+                  and r.get("input_groups") == group_ids]
+    if graph_done and os.path.isdir(graph_dir):
+        stats["graph_dir"] = graph_dir
+        stats["graph_skipped"] = True
+        stats["n_graph_rows"] = graph_done[-1]["n_graph_rows"]
+        return stats
     t0 = time.perf_counter()
     linked = rd.read_parquet(triples_root)
     graph = canonical_graph(linked, n_salts=n_salts)
     graph = graph.sort("subj")
-    graph_dir = os.path.join(out_dir, "graph")
     graph.write_parquet(graph_dir)
     stats["graph_dir"] = graph_dir
     stats["graph_wall_sec"] = round(time.perf_counter() - t0, 3)
     stats["n_graph_rows"] = sum(
         pq.read_metadata(f).num_rows
         for f in glob.glob(os.path.join(graph_dir, "*.parquet")))
+    manifest.append({"group_id": "__graph__", "input_groups": group_ids,
+                     "n_graph_rows": stats["n_graph_rows"],
+                     "wall_sec": stats["graph_wall_sec"], "status": "done"})
     return stats
 
 

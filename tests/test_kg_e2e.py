@@ -69,12 +69,15 @@ def test_manifest_lineage(kg_run):
     corpus_dir, out, _, stats = kg_run
     from kgray.state.manifest import Manifest
     recs = Manifest(os.path.join(out, "manifest.jsonl")).records()
-    assert len(recs) == len(kg.partition_groups(kg.page_files(corpus_dir)))
-    for r in recs:
+    group_recs = [r for r in recs if r["group_id"] != "__graph__"]
+    assert len(group_recs) == len(kg.partition_groups(kg.page_files(corpus_dir)))
+    for r in group_recs:
         assert r["status"] == "done"
         assert r["rows_in"] > 0 and r["sentences"] > 0
         assert r["wall_sec"] >= 0
         assert os.path.isdir(r["output_dir"])
+    graph_recs = [r for r in recs if r["group_id"] == "__graph__"]
+    assert len(graph_recs) == 1 and graph_recs[0]["n_graph_rows"] > 0
 
 
 def test_resume_skips_done_groups(ray_session, tiny_corpus_dir, tmp_path):
@@ -89,6 +92,9 @@ def test_resume_skips_done_groups(ray_session, tiny_corpus_dir, tmp_path):
     s2 = kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir, concurrency=1)
     assert set(s1["groups_run"]).isdisjoint(s2["groups_run"])
     assert not s2["groups_remaining"]
+    # a third run recomputes nothing — extraction groups AND the graph step
+    s3 = kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir, concurrency=1)
+    assert not s3["groups_run"] and s3.get("graph_skipped") is True
     # final graph identical to a fresh uninterrupted run
     out2 = str(tmp_path / "kg_fresh")
     kg.build_models(tiny_corpus_dir, os.path.join(out2, "models"), tagger="hmm")
