@@ -105,8 +105,11 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
 
 
 def _pd_join(t: pa.Table, on: str, l_cols, r_cols, how: str) -> pa.Table:
-    df = t.to_pandas()
-    ldf = df[df["__side"] == 0][l_cols]
-    rdf = df[df["__side"] == 1][[on] + r_cols]
+    # split sides in Arrow BEFORE pandas so the null padding of the
+    # other side never touches a column (ints would degrade to float64
+    # and lose exactness past 2^53)
+    side = t.column("__side")
+    ldf = t.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+    rdf = t.filter(pc.equal(side, 1)).select([on] + r_cols).to_pandas()
     out = ldf.merge(rdf, on=on, how=how)
     return pa.Table.from_pandas(out[l_cols + r_cols], preserve_index=False)

@@ -20,6 +20,7 @@ def test_join_matches_pandas(ray_session):
     lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(7)
     rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(3)
     got = sorted_merge_join(lds, rds, on="k").to_pandas()
+    assert str(got["lv"].dtype) == "int64"        # no float degradation
     exp = left.merge(right, on="k", how="inner")
     key = ["k", "lv", "rv"]
     got = got[key].sort_values(key, ignore_index=True)
