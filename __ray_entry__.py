@@ -318,9 +318,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents,
-                   SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS sum_revenue_cents,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -328,7 +328,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             SELECT o_custkey AS c_custkey, c_name,
-                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY o_custkey, c_name
@@ -338,7 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_counts": """
             SELECT n_name, r_name,
                    COUNT(*) AS n_suppliers,
-                   SUM(CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_cents
+                   CAST(SUM(CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
             FROM supplier
             JOIN nation ON n_nationkey = s_nationkey
             JOIN region ON r_regionkey = n_regionkey
@@ -349,13 +349,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS epoch_hour,
                    COUNT(*) AS n_events,
-                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY 1, 2
         """,
         "order_priority_revenue": """
             SELECT o_orderpriority,
-                   SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
@@ -378,7 +378,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_parts,
                    MIN(CAST(p_size AS BIGINT)) AS min_size,
                    MAX(CAST(p_size AS BIGINT)) AS max_size,
-                   SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS price_cents
+                   CAST(SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
             FROM part
             GROUP BY p_type
         """,

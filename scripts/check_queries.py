@@ -83,7 +83,10 @@ def main():
             status = f"ROWCOUNT MISMATCH got={len(got)} exp={len(exp)}"
         else:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+                # dtype-strict: the driver's value hash is sensitive to
+                # int64 vs float64 rendering (506627 vs 506627.0), so a
+                # dtype mismatch is a real failure even when values agree.
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 status = "VALUE MISMATCH: " + str(e).split("\n")[0]
         tag = "ok" if status == "OK" else "FAIL"
