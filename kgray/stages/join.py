@@ -7,6 +7,18 @@ merge.  Keys equal to a block's first/last key may continue in a
 neighboring block, so their rows are routed to one small driver-side
 merge instead (edge rows ≤ 2 keys × blocks).
 
+Scale note: the **sorted input** is materialized (it is pinned by the
+sort's all-to-all barrier anyway, and bounded by |L|+|R|), never the
+join *output* — a many-to-many fact×fact output can be far larger than
+its inputs and must stream straight into downstream consumers.  The
+materialized sorted blocks are consumed twice zero-copy: once by a
+cheap edge-row extraction (key column only decides the mask) and once
+by the streaming interior join.
+
+Null join keys never match (SQL semantics): null-key right rows are
+dropped; null-key left rows are dropped for ``how='inner'`` and
+emitted with null right columns for ``how='left'``.
+
 Skew: all rows of one key land in one sort partition — salt hot keys
 upstream if a single key's rows exceed a block (same rule as the salted
 canonicalization).
@@ -18,6 +30,7 @@ For dimension-sized sides prefer the broadcast pattern
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -60,56 +73,85 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
             return pa.table(cols)
         return fn
 
-    import ray as _ray
-    n_part = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     unioned = (left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
                .union(right.map_batches(tag(1), batch_format="pyarrow",
                                         zero_copy_batch=True))
                .repartition(n_part))     # bound sort-partition fixed costs
 
-    def block_join(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty(batch)
+    # Input-sized pin; the join output below streams.
+    sorted_ds = unioned.sort(on).materialize()
+
+    def _edge_mask(batch: pa.Table):
+        """Rows whose key touches the block boundary (may continue in a
+        neighbor).  Null comparisons are filled False — null keys are
+        routed explicitly, never through the merge."""
         key = batch.column(on)
-        edge = pc.or_(pc.equal(key, key[0]), pc.equal(key, key[-1]))
-        interior = batch.filter(pc.invert(edge))
-        joined = _pd_join(interior, on, l_cols, r_cols, how)
-        joined = joined.append_column("__edge",
-                                      pa.array([False] * joined.num_rows, type=pa.bool_()))
-        edges = batch.filter(edge).append_column(
-            "__edge", pa.array([True] * batch.filter(edge).num_rows, type=pa.bool_()))
-        # carry raw edge rows through (they still have __side)
-        return pa.concat_tables([joined, edges], promote_options="permissive")
+        m = pc.or_kleene(pc.equal(key, key[0]), pc.equal(key, key[-1]))
+        return pc.fill_null(m, False)
 
-    def _empty(batch):
-        return batch.append_column("__edge", pa.array([], type=pa.bool_()))
+    # Pass 1 (cheap, collects only boundary + null-key rows — ≤ 2 keys
+    # per block by construction, independent of data size).
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = pc.or_(_edge_mask(batch), pc.is_null(batch.column(on)))
+        return batch.filter(mask)
 
-    blocks = (unioned.sort(on)
-              .map_batches(block_join, batch_format="pyarrow")
-              .materialize())
-
-    interior = blocks.map_batches(
-        lambda b: b.filter(pc.invert(b.column("__edge")))
-                   .select(out_cols),
-        batch_format="pyarrow")
-
-    edge_refs = blocks.map_batches(
-        lambda b: b.filter(b.column("__edge")),
-        batch_format="pyarrow").to_arrow_refs()
+    edge_refs = sorted_ds.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
     edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
+
+    # Pass 2 (streaming): join interior rows per block; output is never
+    # materialized here.
+    def join_interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_out(out_cols, types)
+        keep = pc.and_(pc.invert(_edge_mask(batch)),
+                       pc.invert(pc.is_null(batch.column(on))))
+        interior = batch.filter(keep)
+        if interior.num_rows == 0:
+            return _empty_out(out_cols, types)
+        return _pd_join(interior, on, l_cols, r_cols, types, how)
+
+    interior = sorted_ds.map_batches(join_interior, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
     if not edge_tables:
         return interior
     edge_all = pa.concat_tables(edge_tables, promote_options="permissive")
-    merged = _pd_join(edge_all, on, l_cols, r_cols, how)
+    null_key = pc.is_null(edge_all.column(on))
+    nonnull = edge_all.filter(pc.invert(null_key))
+    parts = []
+    if nonnull.num_rows:
+        parts.append(_pd_join(nonnull, on, l_cols, r_cols, types, how))
+    if how == "left":
+        # left rows with a null key survive a SQL left join unmatched
+        null_left = edge_all.filter(
+            pc.and_(null_key, pc.equal(edge_all.column("__side"), 0)))
+        if null_left.num_rows:
+            parts.append(null_left.select(out_cols))
+    if not parts:
+        return interior
+    merged = pa.concat_tables(parts, promote_options="permissive")
     return interior.union(rd.from_arrow(merged.select(out_cols)))
 
 
-def _pd_join(t: pa.Table, on: str, l_cols, r_cols, how: str) -> pa.Table:
+def _empty_out(out_cols, types) -> pa.Table:
+    return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+
+
+def _pd_join(t: pa.Table, on: str, l_cols, r_cols, types, how: str) -> pa.Table:
     # split sides in Arrow BEFORE pandas so the null padding of the
     # other side never touches a column (ints would degrade to float64
-    # and lose exactness past 2^53)
+    # and lose exactness past 2^53); after a left merge, unmatched
+    # right columns are NaN-filled by pandas, degrading ints to
+    # float64 — rebuild every column at its declared Arrow type
+    # (from_pandas=True maps NaN back to null)
     side = t.column("__side")
     ldf = t.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
     rdf = t.filter(pc.equal(side, 1)).select([on] + r_cols).to_pandas()
     out = ldf.merge(rdf, on=on, how=how)
-    return pa.Table.from_pandas(out[l_cols + r_cols], preserve_index=False)
+    cols = l_cols + r_cols
+    return pa.table({c: pa.array(out[c], type=types[c], from_pandas=True)
+                     for c in cols})

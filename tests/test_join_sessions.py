@@ -65,3 +65,56 @@ def test_user_sessions_matches_pandas(ray_session):
         FROM d GROUP BY user_id ORDER BY user_id
     """).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_join_left_preserves_int_dtypes_and_unmatched(ray_session):
+    """how='left': unmatched right ints stay int64 (null-filled), not float64."""
+    import ray.data as rd
+    from kgray.stages.join import sorted_merge_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "lv": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"k": [2, 4], "rv": [200, 400]})
+    got = sorted_merge_join(rd.from_arrow(pa.Table.from_pandas(left)).repartition(3),
+                            rd.from_arrow(pa.Table.from_pandas(right)),
+                            on="k", how="left")
+    assert got.schema().base_schema.field("rv").type == pa.int64()
+    df = got.to_pandas().sort_values("k", ignore_index=True)
+    assert len(df) == 5
+    assert df.loc[df.k == 2, "rv"].iloc[0] == 200
+    assert df.loc[df.k == 1, "rv"].isna().all()
+
+
+def test_join_null_keys(ray_session):
+    """Null keys never match; left join keeps null-key left rows."""
+    import ray.data as rd
+    from kgray.stages.join import sorted_merge_join
+
+    left = pa.table({"k": pa.array([1, None, 2, None], type=pa.int64()),
+                     "lv": pa.array([10, 11, 12, 13], type=pa.int64())})
+    right = pa.table({"k": pa.array([1, 2, None], type=pa.int64()),
+                      "rv": pa.array([100, 200, 999], type=pa.int64())})
+    inner = sorted_merge_join(rd.from_arrow(left), rd.from_arrow(right),
+                              on="k", how="inner").to_pandas()
+    assert sorted(inner["lv"]) == [10, 12]          # null keys dropped
+    lj = sorted_merge_join(rd.from_arrow(left), rd.from_arrow(right),
+                           on="k", how="left").to_pandas()
+    assert len(lj) == 4                              # null-key left rows kept
+    assert lj.loc[lj["lv"].isin([11, 13]), "rv"].isna().all()
+
+
+def test_join_many_to_many_output_streams(ray_session):
+    """k² fan-out per key: output (40k rows) >> input (600 rows) stays exact.
+    The operator materializes only the sorted *input*; the joined output
+    streams (kgray/stages/join.py scale note)."""
+    import ray.data as rd
+    from kgray.stages.join import sorted_merge_join
+
+    k = np.repeat(np.arange(10), 20)                # 10 keys × 20 rows each side
+    left = pd.DataFrame({"k": k, "lv": np.arange(200)})
+    right = pd.DataFrame({"k": k, "rv": np.arange(200) * 3})
+    got = sorted_merge_join(rd.from_arrow(pa.Table.from_pandas(left)).repartition(5),
+                            rd.from_arrow(pa.Table.from_pandas(right)).repartition(4),
+                            on="k").to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    assert len(got) == len(exp) == 10 * 20 * 20
+    assert got["lv"].sum() == exp["lv"].sum() and got["rv"].sum() == exp["rv"].sum()
