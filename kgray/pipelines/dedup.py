@@ -132,43 +132,222 @@ def jaccard_pairs_bruteforce(sf_dir: str, threshold: float = 0.5, k: int = 3):
                      "doc_b": pa.array([b for _, b in pairs], type=pa.int64())})
 
 
-def _bucket_candidates(ds, bucket_cols: list, id_col: str) -> set:
-    """Candidate id pairs from LSH-style buckets without per-group UDFs.
+def _mixed_key(batch: pa.Table, bucket_cols: list) -> np.ndarray:
+    """Mix the bucket-key columns into one uint64 per row (vectorized);
+    used only for set-membership filters, where a (astronomically rare)
+    64-bit collision merely admits extra rows that downstream exact
+    verification discards."""
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in bucket_cols:
+        v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+        acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xBF58476D1CE4E5B9))
+    return acc
 
-    Almost every bucket is a singleton, so: (1) count bucket sizes with
-    the built-in vectorized Count aggregator, (2) broadcast the (tiny)
-    set of bucket keys with ≥ 2 members, (3) vectorized-filter the
-    bucket rows to those keys, (4) pair up ids per key on the driver —
-    the candidate set is small by construction.
+
+def _bucket_pairs(ds, bucket_cols: list, id_col: str, max_bucket: int = 512):
+    """Distributed candidate id pairs from LSH-style buckets.
+
+    Returns a Dataset ``{id_a, id_b}`` of DISTINCT pairs (id_a < id_b).
+    No bucket's member rows are ever paired on the driver:
+
+    1. bucket sizes via per-block Arrow combine + ``sorted_group_aggregate``,
+    2. bucket keys with 2..max_bucket members are broadcast (tiny) and
+       their rows vectorized-filtered, co-located with a sort on the
+       bucket key, and paired per contiguous run inside each block —
+       runs touching a block boundary go through one small driver-side
+       pass (≤ 2 buckets × max_bucket rows per block, size-independent),
+    3. **degenerate buckets** (> max_bucket members — boilerplate-heavy
+       web corpora) emit a min-id *star* (anchor—member edges, O(n) not
+       O(n²)): cluster connectivity for downstream connected-components
+       dedup is preserved while bounding the candidate count.  Exact
+       pair semantics below the cap are unchanged.
+    4. distinct across bands via ``sorted_group_aggregate``.
     """
-    from ray.data.aggregate import Count
+    import pyarrow.compute as pc
 
-    counts = ds.groupby(bucket_cols).aggregate(Count(alias_name="n"))
-    multi = counts.map_batches(
-        lambda b: b.filter(pa.compute.greater(b.column("n"), 1)),
+    from ..stages.aggregate import sorted_group_aggregate
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{c: batch.column(c) for c in bucket_cols},
+                             "n": pa.array([], type=pa.int64())})
+        t = batch.select(bucket_cols).append_column(
+            "n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        g = t.group_by(bucket_cols, use_threads=False).aggregate([("n", "sum")])
+        return pa.table({**{c: g.column(c) for c in bucket_cols},
+                         "n": g.column("n_sum")})
+
+    sizes = sorted_group_aggregate(
+        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+          .repartition(n_part),
+        bucket_cols, [("n", "sum")])
+    multi = sizes.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 1)),
         batch_format="pyarrow").take_all()
+
+    empty = rd.from_arrow(pa.table({"id_a": pa.array([], type=pa.int64()),
+                                    "id_b": pa.array([], type=pa.int64())}))
     if not multi:
-        return set()
-    hot = {tuple(r[c] for c in bucket_cols) for r in multi}
-    hot_ref = ray.put(hot)
+        return empty
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hot_keys = ray.get(hot_ref)
-        cols = [batch.column(c).to_pylist() for c in bucket_cols]
-        mask = [tuple(vals) in hot_keys for vals in zip(*cols)]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+    def key_of(row):
+        # scalar twin of _mixed_key (1-element arrays: silent uint64 wrap)
+        acc = np.zeros(1, dtype=np.uint64)
+        for c in bucket_cols:
+            v = np.array([row[c]], dtype=np.int64).astype(np.uint64)
+            acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ (v * np.uint64(0xBF58476D1CE4E5B9))
+        return int(acc[0])
 
-    rows = ds.map_batches(keep_hot, batch_format="pyarrow").take_all()
-    buckets: dict = {}
-    for r in rows:
-        buckets.setdefault(tuple(r[c] for c in bucket_cols), []).append(r[id_col])
-    pairs = set()
-    for ids in buckets.values():
-        ids = sorted(set(ids))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    return pairs
+    hot_keys = np.array([key_of(r) for r in multi if r["n"] <= max_bucket],
+                        dtype=np.uint64)
+    over_keys = np.array([key_of(r) for r in multi if r["n"] > max_bucket],
+                         dtype=np.uint64)
+    hot_ref = ray.put(hot_keys)
+    parts = []
+
+    # --- normal buckets (2..max_bucket): sort-co-locate + per-block pairing
+    if hot_keys.size:
+        def keep_hot(batch: pa.Table) -> pa.Table:
+            mask = np.isin(_mixed_key(batch, bucket_cols), ray.get(hot_ref))
+            return batch.filter(pa.array(mask))
+
+        srt = (ds.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
+               .repartition(n_part).sort(bucket_cols).materialize())
+
+        def _run_bounds(batch: pa.Table):
+            """Start indices of contiguous equal-key runs (sorted input)."""
+            change = np.zeros(batch.num_rows, dtype=bool)
+            for c in bucket_cols:
+                v = batch.column(c).to_numpy(zero_copy_only=False)
+                change[1:] |= v[1:] != v[:-1]
+            change[0] = True
+            return np.flatnonzero(change)
+
+        def _pairs_of(ids: np.ndarray):
+            ids = np.unique(ids)
+            if ids.size < 2:
+                return None
+            ia, ib = np.triu_indices(ids.size, k=1)
+            return ids[ia], ids[ib]
+
+        def interior_pairs(batch: pa.Table) -> pa.Table:
+            out_a, out_b = [], []
+            if batch.num_rows:
+                starts = _run_bounds(batch)
+                ends = np.append(starts[1:], batch.num_rows)
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                for s, e in zip(starts, ends):
+                    if s == 0 or e == batch.num_rows:
+                        continue                      # boundary run → edge pass
+                    p = _pairs_of(ids[s:e])
+                    if p is not None:
+                        out_a.append(p[0])
+                        out_b.append(p[1])
+            a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+            b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+            return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                             "id_b": pa.array(b, type=pa.int64())})
+
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            starts = _run_bounds(batch)
+            ends = np.append(starts[1:], batch.num_rows)
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            for s, e in zip(starts, ends):
+                if s == 0 or e == batch.num_rows:
+                    mask[s:e] = True
+            return batch.filter(pa.array(mask))
+
+        edge_tables = [t for t in ray.get(
+            srt.map_batches(edge_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+        parts.append(srt.map_batches(interior_pairs, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+        if edge_tables:
+            et = pa.concat_tables(edge_tables)
+            idx = pa.compute.sort_indices(
+                et, sort_keys=[(c, "ascending") for c in bucket_cols])
+            et = et.take(idx)
+            pe = interior_pairs_driver(et, bucket_cols, id_col, _run_bounds, _pairs_of)
+            if pe.num_rows:
+                parts.append(rd.from_arrow(pe))
+
+    # --- degenerate buckets: min-id star per bucket, fully distributed
+    if over_keys.size:
+        over_ref = ray.put(over_keys)
+
+        def keep_over(batch: pa.Table) -> pa.Table:
+            mask = np.isin(_mixed_key(batch, bucket_cols), ray.get(over_ref))
+            return batch.filter(pa.array(mask))
+
+        over_ds = ds.map_batches(keep_over, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+        anchors = sorted_group_aggregate(
+            over_ds.map_batches(
+                lambda b: b.select(bucket_cols + [id_col])
+                           .rename_columns(bucket_cols + ["anchor"]),
+                batch_format="pyarrow"),
+            bucket_cols, [("anchor", "min")]).take_all()
+        amap = {key_of(r): r["anchor"] for r in anchors}
+        amap_ref = ray.put(amap)
+
+        def star(batch: pa.Table) -> pa.Table:
+            am = ray.get(amap_ref)
+            keys = _mixed_key(batch, bucket_cols)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            anchor = np.array([am[int(k)] for k in keys], dtype=np.int64)
+            keep = ids != anchor
+            lo = np.minimum(ids[keep], anchor[keep])
+            hi = np.maximum(ids[keep], anchor[keep])
+            return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                             "id_b": pa.array(hi, type=pa.int64())})
+
+        parts.append(over_ds.map_batches(star, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+    if not parts:
+        return empty
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.union(p)
+    # distinct across bands/chunks
+    distinct = sorted_group_aggregate(
+        pairs.map_batches(
+            lambda b: b.append_column("__one",
+                                      pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["id_a", "id_b"], [("__one", "sum")])
+    return distinct.map_batches(lambda b: b.drop_columns(["__one"]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interior_pairs_driver(et: pa.Table, bucket_cols, id_col, run_bounds, pairs_of):
+    """Pair the (small) boundary-run rows after a global key sort."""
+    starts = run_bounds(et)
+    ends = np.append(starts[1:], et.num_rows)
+    ids = et.column(id_col).to_numpy(zero_copy_only=False)
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        p = pairs_of(ids[s:e])
+        if p is not None:
+            out_a.append(p[0])
+            out_b.append(p[1])
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                     "id_b": pa.array(b, type=pa.int64())})
+
+
+def _collect_pairs(pairs_ds) -> set:
+    """Small-result helper: candidate pairs Dataset → driver set."""
+    tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    out = set()
+    for t in tables:
+        out.update(zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()))
+    return out
 
 
 # --------------------------------------------------------------------------- minhash + lsh
@@ -195,7 +374,8 @@ def minhash_signatures(tokens_shingles: set, a: np.ndarray, b: np.ndarray) -> np
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
-                      num_perm: int = 128, bands: int = 32):
+                      num_perm: int = 128, bands: int = 32,
+                      max_bucket: int = 512):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     Pipeline: signatures per batch → explode (band, band_hash, doc_id)
@@ -229,7 +409,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     # the corpus and _bucket_candidates consumes it twice
     bands_ds = docs_ds.map_batches(to_bands, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
-    cand_rows = _bucket_candidates(bands_ds, ["band", "band_hash"], "doc_id")
+    cand_rows = _collect_pairs(_bucket_pairs(bands_ds, ["band", "band_hash"],
+                                             "doc_id", max_bucket=max_bucket))
     if not cand_rows:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
@@ -301,7 +482,7 @@ def simhash_signatures(sf_dir: str):
              .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512):
     """Near-dup pairs with Hamming distance ≤ d via the pigeonhole
     trick: split the 64-bit signature into d+1 chunks — any pair within
     distance ≤ d must share at least one chunk exactly — groupby chunk
@@ -323,12 +504,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                 cidx.append(ci)
                 cval.append((u >> lo) & ((1 << (hi - lo)) - 1))
                 dids.append(did)
+        # int64: for max_hamming <= 1 a chunk is >= 32 bits wide and its
+        # values overflow int32 (ADVICE round 1)
         return pa.table({"chunk": pa.array(cidx, type=pa.int32()),
-                         "val": pa.array(cval, type=pa.int32()),
+                         "val": pa.array(cval, type=pa.int64()),
                          "doc_id": pa.array(dids, type=pa.int64())})
 
     chunks_ds = sigs_ds.map_batches(chunks_of, batch_format="pyarrow").materialize()
-    cand_rows = _bucket_candidates(chunks_ds, ["chunk", "val"], "doc_id")
+    cand_rows = _collect_pairs(_bucket_pairs(chunks_ds, ["chunk", "val"],
+                                             "doc_id", max_bucket=max_bucket))
     need = {a for a, _ in cand_rows} | {b for _, b in cand_rows}
     need_ref = ray.put(need)
 
@@ -398,7 +582,7 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 99) -> np.ndarray:
 
 def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
                         n_bits: int = 128, band_bits: int = 8,
-                        dim: int | None = None):
+                        dim: int | None = None, max_bucket: int = 512):
     """Random-hyperplane LSH near-dup pairs over an embedding column —
     the cosine analogue of MinHash-LSH (the scale path next to the
     brute-force matmul of :func:`embedding_neardup_pairs`).
@@ -440,7 +624,8 @@ def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    cand = _bucket_candidates(bands_ds, ["band", "val"], "vec_id")
+    cand = _collect_pairs(_bucket_pairs(bands_ds, ["band", "val"],
+                                        "vec_id", max_bucket=max_bucket))
     if not cand:
         return pa.table({"vec_a": pa.array([], type=pa.int64()),
                          "vec_b": pa.array([], type=pa.int64())})

@@ -168,3 +168,44 @@ def test_embedding_lsh_finds_planted_neardups(ray_session):
     emb = {i: _np.asarray(e) / _np.linalg.norm(e) for i, e in zip(rows_id, rows_emb)}
     for a, b in pairs:
         assert float(emb[a] @ emb[b]) >= 0.95
+
+
+def test_minhash_degenerate_bucket_star(ray_session, tmp_path):
+    """1,000 identical docs (boilerplate cluster): the over-cap bucket
+    emits a min-id star (O(n) pairs, generated distributed), never an
+    O(n²) driver pair loop; connectivity for clustering is preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kgray.pipelines import dedup
+
+    boiler = "cookie policy accept all cookies to continue reading this site"
+    texts = [boiler] * 1000 + [f"unique document number {i} with words {i*7} {i*13}"
+                               for i in range(50)]
+    pq.write_table(pa.table({"doc_id": pa.array(range(1050), type=pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    got = dedup.minhash_lsh_pairs(str(tmp_path), threshold=0.5)
+    pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    star = {(0, i) for i in range(1, 1000)}
+    assert pairs == star                     # anchor=0 star, all verified J=1
+
+
+def test_bucket_pairs_cap_boundary(ray_session):
+    """Buckets at or below max_bucket keep exact pair semantics (sorted
+    co-location path incl. block-boundary runs); above it → star."""
+    import itertools
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.pipelines.dedup import _bucket_pairs, _collect_pairs
+
+    # one 5-member bucket (<= cap: full pairing), one 30-member (> cap: star)
+    rows_b = [0] * 5 + [1] * 30 + list(range(2, 40))
+    rows_id = list(range(100, 105)) + list(range(200, 230)) + list(range(300, 338))
+    ds = rd.from_arrow(pa.table({"band": pa.array([0] * len(rows_b), type=pa.int32()),
+                                 "val": pa.array(rows_b, type=pa.int64()),
+                                 "vec_id": pa.array(rows_id, type=pa.int64())})
+                       ).repartition(6)
+    got = _collect_pairs(_bucket_pairs(ds, ["band", "val"], "vec_id", max_bucket=8))
+    full = set(itertools.combinations(range(100, 105), 2))
+    star = {(200, i) for i in range(201, 230)}
+    assert got == full | star
