@@ -48,7 +48,8 @@ def _kg_graph(sf_dir: str):
 
 
 def _kg_mentions(sf_dir: str):
-    from kgray.pipelines.kg import kg_dataset, page_files, _model_paths
+    from kgray.pipelines.kg import (_auto_concurrency, _model_paths,
+                                    kg_dataset, page_files)
     from kgray.sources.derived import corpus_for_sf, models_for_corpus
     from kgray.stages.extract import extract_text, split_sentences
     from kgray.stages.kg import decode_mentions
@@ -63,7 +64,7 @@ def _kg_mentions(sf_dir: str):
     ds = ds.map_batches(HMMTagger,
                         fn_constructor_kwargs={"model_paths": _model_paths(model_dir, "hmm")},
                         batch_format="pyarrow", batch_size=1024,
-                        concurrency=2, num_cpus=1)
+                        concurrency=_auto_concurrency()[0], num_cpus=1)
     return ds.map_batches(decode_mentions, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -73,7 +74,7 @@ def _tags_valid(sf_dir: str, tagger: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
-    from kgray.pipelines.kg import _model_paths
+    from kgray.pipelines.kg import _auto_concurrency, _model_paths
     from kgray.sources.derived import corpus_for_sf, models_for_corpus
     from kgray.stages.tagger import CRFTagger, HMMTagger
 
@@ -87,9 +88,12 @@ def _tags_valid(sf_dir: str, tagger: str):
         "lang": pa.array(["en"] * tbl.num_rows),
     })
     cls = HMMTagger if tagger == "hmm" else CRFTagger
-    ds = rd.from_arrow(src).map_batches(
+    # from_arrow yields ONE block; split it or the actor pool idles
+    n_blocks = max(1, min(_auto_concurrency()[0], src.num_rows // 256))
+    ds = rd.from_arrow(src).repartition(n_blocks).map_batches(
         cls, fn_constructor_kwargs={"model_paths": _model_paths(model_dir, tagger)},
-        batch_format="pyarrow", batch_size=512, concurrency=2, num_cpus=1)
+        batch_format="pyarrow", batch_size=512,
+        concurrency=_auto_concurrency()[0], num_cpus=1)
 
     def explode(batch: pa.Table) -> pa.Table:
         sids, tidx, toks, tags = [], [], [], []

@@ -185,7 +185,11 @@ class CRFModel:
                           "Ta": Ta, "START": Ta, "STOP": Ta + 1,
                           "u_rules": [r for r in self.rules if r.kind == "U"],
                           "b_rules": [r for r in self.rules if r.kind == "B_obs"],
-                          "has_pure": any(r.kind == "B_pure" for r in self.rules)}
+                          "has_pure": any(r.kind == "B_pure" for r in self.rules),
+                          # memo window must cover every rule offset —
+                          # user templates may exceed the default -2..2
+                          "win": max((abs(o) for r in self.rules
+                                      for o in r.offsets), default=2)}
         return self._compiled
 
     # ---------------------------------------------------------------- io
@@ -277,11 +281,13 @@ def build_features(sents_words, sents_tags, rules=None) -> tuple:
 
 def _window_scores(words, i, c, cache):
     """(u_vec[Ta+2], b_mat[Ta+2,Ta+2]) for position i — fully determined
-    by the 5-token context window, so batch decoding memoizes on it
-    (``cache``: window tuple → arrays; fresh per batch)."""
+    by the token context window spanning every rule offset (±c['win'],
+    derived from the model's templates), so batch decoding memoizes on
+    it (``cache``: window tuple → arrays; fresh per batch)."""
     L = len(words)
     if cache is not None:
-        key = tuple(_word_at(words, i, off, L) for off in (-2, -1, 0, 1, 2))
+        w = c["win"]
+        key = tuple(_word_at(words, i, off, L) for off in range(-w, w + 1))
         hit = cache.get(key)
         if hit is not None:
             return hit

@@ -19,7 +19,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-__all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk"]
+__all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
+           "build_ivf_index", "ivf_probe_plan"]
 
 
 # Scale notes: the sf_dir-based query selection below reads the
@@ -106,35 +107,112 @@ def _kmeans(E: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 7):
     return C
 
 
-def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
-                 n_clusters: int = 16, n_probe: int = 4):
-    """IVF top-k: search only the ``n_probe`` nearest coarse partitions.
+def _sample_embeddings(sf_dir: str, limit: int = 100_000):
+    """First ``limit`` rows without loading the whole table (centroid
+    training sample; deterministic)."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    got_ids, got_E, n = [], [], 0
+    for rb in pf.iter_batches(batch_size=8192, columns=["vec_id", "embedding"]):
+        got_ids.append(np.asarray(rb.column("vec_id"), dtype=np.int64))
+        got_E.append(np.array(rb.column("embedding").to_pylist(), dtype=np.float64))
+        n += rb.num_rows
+        if n >= limit:
+            break
+    return np.concatenate(got_ids)[:limit], np.concatenate(got_E)[:limit]
 
-    The partition step is the 100 TB design: rows carry a ``cluster``
-    column (one matmul per batch against broadcast centroids), queries
-    touch only matching partitions — here expressed as a filter inside
-    the same scan to stay single-pass.
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 16,
+                    seed: int = 7, sample: int = 100_000) -> np.ndarray:
+    """Write the corpus as ``cluster=<c>/`` partitioned parquet.
+
+    Centroids are trained driver-side on a deterministic row sample;
+    assignment is one matmul per batch against the broadcast centroid
+    matrix.  The layout is the 100 TB point of IVF: a probe reads ONLY
+    its ``n_probe`` partition directories — non-probed partitions never
+    leave storage.  A ``cl`` copy of the partition value stays in the
+    files (hive reads of a bare subdir don't re-attach the key).
+    Returns the centroid matrix (also saved to ``centroids.npy``).
     """
-    ids, E = load_embeddings(sf_dir)
-    C = _kmeans(E, n_clusters)
+    import os
+
+    _, S = _sample_embeddings(sf_dir, sample)
+    C = _kmeans(S, n_clusters, seed=seed)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        B = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        a = np.argmax(B @ Cm.T, axis=1).astype(np.int64)
+        return (batch.append_column("cluster", pa.array(a))
+                     .append_column("cl", pa.array(a)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+       .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(index_dir, partition_cols=["cluster"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    with open(os.path.join(index_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return C
+
+
+def _ivf_index_dir(sf_dir: str, n_clusters: int) -> str:
+    import hashlib as _hl
+    import os
+    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{n_clusters}".encode()).hexdigest()[:12]
+    return f"/tmp/kgray_ivf/{tag}"
+
+
+def ivf_probe_plan(sf_dir: str, index_dir: str, C: np.ndarray,
+                   n_queries: int, n_probe: int):
+    """(query ids, normalized queries, probed partition paths,
+    cluster → query-row map) — the paths are the I/O-pruned scan set."""
+    import os
     q_ids, Q = _query_matrix(sf_dir, n_queries)
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]          # [nq, n_probe]
-    wanted = {}                                                    # cluster -> [query rows]
+    wanted: dict = {}                                              # cluster -> [query rows]
     for qi in range(len(q_ids)):
         for c in probes[qi]:
             wanted.setdefault(int(c), []).append(qi)
-    ref = ray.put((q_ids, Q, C, wanted))
+    import glob as _glob
+    # file-level paths: ray read_parquet accepts one dir but not a list
+    # of dirs, and file paths keep the scan set explicit
+    paths = [f for c in sorted(wanted)
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"cluster={c}", "*.parquet")))]
+    return q_ids, Q, wanted, paths
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+                 n_clusters: int = 16, n_probe: int = 4,
+                 index_dir: str | None = None):
+    """IVF top-k over the cluster-partitioned layout: queries read ONLY
+    their ``n_probe`` nearest partitions (pruned at the parquet paths,
+    not filtered post-read).  The index is built once per (sf_dir,
+    n_clusters) and cached under /tmp."""
+    import os
+
+    if index_dir is None:
+        index_dir = _ivf_index_dir(sf_dir, n_clusters)
+    if os.path.exists(os.path.join(index_dir, "_DONE")):
+        C = np.load(os.path.join(index_dir, "centroids.npy"))
+    else:
+        C = build_ivf_index(sf_dir, index_dir, n_clusters)
+    q_ids, Q, wanted, paths = ivf_probe_plan(sf_dir, index_dir, C,
+                                             n_queries, n_probe)
+    ref = ray.put((q_ids, Q, wanted))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qids, Qm, Cm, want = ray.get(ref)
+        qids, Qm, want = ray.get(ref)
         bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         B = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-        assign = np.argmax(B @ Cm.T, axis=1)
+        assign = np.asarray(batch.column("cl").to_pylist(), dtype=np.int64)
         out_q, out_n, out_c = [], [], []
-        for c, q_rows in want.items():
-            mask = assign == c
-            if not mask.any():
+        for c in np.unique(assign):
+            q_rows = want.get(int(c))
+            if not q_rows:
                 continue
+            mask = assign == c
             sub_ids = bids[mask]
             sub = B[mask]
             scores = Qm[q_rows] @ sub.T                            # [nq_sub, m]
@@ -158,8 +236,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                              "rank": np.arange(1, len(df) + 1, dtype=np.int64),
                              "neighbor_id": df["neighbor_id"]})
 
-    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"])
+    return (rd.read_parquet(paths, columns=["vec_id", "embedding", "cl"])
             .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 
 import pyarrow.parquet as pq
@@ -205,6 +206,10 @@ def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
         counter = new_counter()
         t0 = time.perf_counter()
         group_dir = os.path.join(triples_root, f"group={gid}")
+        # a run killed mid-group leaves partial parquet with no manifest
+        # record; write_parquet ACCUMULATES files, so clear the stale
+        # partials or the rerun double-counts triples
+        shutil.rmtree(group_dir, ignore_errors=True)
         ds = kg_dataset(files, corpus_dir, model_dir, tagger=tagger,
                         concurrency=concurrency, batch_size=batch_size,
                         counter=counter)
@@ -245,6 +250,9 @@ def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
         stats["n_graph_rows"] = graph_done[-1]["n_graph_rows"]
         return stats
     t0 = time.perf_counter()
+    # same stale-partial hazard if a previous run died between graph
+    # write and manifest append
+    shutil.rmtree(graph_dir, ignore_errors=True)
     linked = rd.read_parquet(triples_root)
     graph = canonical_graph(linked, n_salts=n_salts)
     graph = graph.sort("subj")

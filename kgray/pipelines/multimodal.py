@@ -67,7 +67,7 @@ class BinaryFeaturizer:
         })
 
 
-def binary_features(pages, concurrency: int = 2, batch_size: int = 256,
+def binary_features(pages, concurrency: int | None = None, batch_size: int = 256,
                     column: str = "html"):
     """binary-column rows → per-url feature rows via the featurizer pool.
 
@@ -75,6 +75,9 @@ def binary_features(pages, concurrency: int = 2, batch_size: int = 256,
     ``batch_size`` to the payloads: batch_size × payload × concurrency
     must fit the workers' heap (e.g. 16 for 10 MB images).
     """
+    if concurrency is None:
+        from .kg import _auto_concurrency
+        concurrency = _auto_concurrency()[0]        # ≈ half the CPUs
     ds = pages if hasattr(pages, "map_batches") else \
         rd.read_parquet(pages, columns=["url", column])
     return ds.map_batches(BinaryFeaturizer, fn_constructor_kwargs={"column": column},

@@ -37,8 +37,15 @@ def new_counter():
 
 def counting_passthrough(counter, key: str):
     """A zero-copy map_batches stage that counts rows and passes the
-    Arrow batch through unchanged."""
+    Arrow batch through unchanged.
+
+    The increment is ray.get-waited before the batch is returned: Ray
+    gives no cross-caller ordering, so a fire-and-forget add could
+    still be in flight when the driver (after write_parquet) reads the
+    totals — under-reporting lineage counts.  The wait makes pipeline
+    completion imply all adds are applied (one ~µs actor call per
+    batch, not per row)."""
     def fn(batch):
-        counter.add.remote(key, batch.num_rows)
+        ray.get(counter.add.remote(key, batch.num_rows))
         return batch
     return fn

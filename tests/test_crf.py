@@ -173,3 +173,29 @@ def test_window_cache_identical_decode():
     assert len(cache) > 0
     # batch API uses the cache internally
     assert crf.viterbi_batch(sentences, model) == [p for p, _ in without]
+
+
+def test_window_cache_wide_offset_rules():
+    """A model with |offset| > 2 template rules (the advertised extension
+    surface) must not take false memo hits between positions that share
+    a 5-token window but differ at ±3 — the memo window is derived from
+    max rule offset (kgray/kernels/crf.py compiled()['win'])."""
+    rules = crf.parse_template_file(
+        "U00:%x[0,0]\nU01:%x[-3,0]\nU02:%x[3,0]\nB00:%x[0,0]\nB\n")
+    rng = random.Random(21)
+    vocab = ["a", "b", "c", "d", "e", "x", "y"]
+    tags = ["O", "B-PER"]
+    sw = [[rng.choice(vocab) for _ in range(rng.randint(1, 9))] for _ in range(15)]
+    st = [[rng.choice(tags) for _ in range(len(s))] for s in sw]
+    f2i, t2i, i2t = crf.build_features(sw, st, rules=rules)
+    model = crf.CRFModel(weights=np.random.default_rng(7).normal(0, 1.0, len(f2i)),
+                         feature_to_idx=f2i, tag_to_idx=t2i, idx_to_tag=i2t,
+                         rules=rules)
+    assert model.compiled()["win"] == 3
+    # positions 2 and 8 share the ±2 window (a b c d e) but differ at -3
+    probe = ["a", "b", "c", "d", "e", "x", "a", "b", "c", "d", "e", "y"]
+    sentences = [probe] + sw
+    cache = {}
+    with_cache = [crf.viterbi_decode(s, model, cache) for s in sentences]
+    without = [crf.viterbi_decode(s, model) for s in sentences]
+    assert with_cache == without

@@ -209,3 +209,24 @@ def test_bucket_pairs_cap_boundary(ray_session):
     full = set(itertools.combinations(range(100, 105), 2))
     star = {(200, i) for i in range(201, 230)}
     assert got == full | star
+
+
+def test_ivf_partition_pruning(ray_session, tmp_path):
+    """The IVF index is cluster-partitioned parquet; a probe's scan set
+    is only its n_probe partition dirs — non-probed partitions are
+    never read (pruned at the paths, not filtered post-read)."""
+    import glob
+    import pyarrow.parquet as pq
+    from kgray.pipelines import ann
+
+    idx = str(tmp_path / "ivf")
+    C = ann.build_ivf_index(SF, idx, n_clusters=16)
+    _, _, wanted, paths = ann.ivf_probe_plan(SF, idx, C, n_queries=3, n_probe=2)
+    probed_dirs = {f.split("/cluster=")[1].split("/")[0] for f in paths}
+    assert 1 <= len(probed_dirs) <= 3 * 2 < 16
+    total = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    probed_rows = sum(pq.read_metadata(f).num_rows for f in paths)
+    assert 0 < probed_rows < total
+    got = ann.ann_ivf_topk(SF, k=5, n_queries=3, n_clusters=16, n_probe=2,
+                           index_dir=idx).to_pandas()
+    assert set(got["query_id"].unique()) and (got["rank"] >= 1).all()

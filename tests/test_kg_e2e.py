@@ -101,3 +101,37 @@ def test_resume_skips_done_groups(ray_session, tiny_corpus_dir, tmp_path):
     kg.run_kg(tiny_corpus_dir, out2, model_dir=os.path.join(out2, "models"),
               concurrency=1)
     assert _read_graph(out) == _read_graph(out2)
+
+
+def test_resume_after_midgroup_crash(ray_session, tiny_corpus_dir, tmp_path):
+    """A run killed MID-group leaves partial parquet under the group dir
+    with no manifest record; the rerun must clear it, not accumulate
+    alongside it (write_parquet adds files) — else triples double-count.
+    Same hazard for a graph dir written but not manifest-recorded."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "kg_crash")
+    model_dir = os.path.join(out, "models")
+    kg.build_models(tiny_corpus_dir, model_dir, tagger="hmm")
+    # simulate the mid-group kill: stale partial output, no manifest line
+    stale = os.path.join(out, "triples", "group=g00000")
+    os.makedirs(stale)
+    pq.write_table(pa.table({"subj": ["STALE"], "pred": ["x"], "obj": ["y"],
+                             "url": ["u"], "sent_id": pa.array([0], type=pa.int32()),
+                             "score": pa.array([1.0], type=pa.float32())}),
+                   os.path.join(stale, "partial.parquet"))
+    # and a stale graph dir with no __graph__ manifest record
+    stale_graph = os.path.join(out, "graph")
+    os.makedirs(stale_graph)
+    pq.write_table(pa.table({"subj": ["STALE"], "pred": ["x"], "obj": ["y"],
+                             "support": pa.array([99], type=pa.int64())}),
+                   os.path.join(stale_graph, "old.parquet"))
+    kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir, concurrency=1)
+    graph = _read_graph(out)
+    assert ("STALE", "x", "y") not in graph
+    # identical to a clean run
+    out2 = str(tmp_path / "kg_clean")
+    kg.build_models(tiny_corpus_dir, os.path.join(out2, "models"), tagger="hmm")
+    kg.run_kg(tiny_corpus_dir, out2, model_dir=os.path.join(out2, "models"),
+              concurrency=1)
+    assert graph == _read_graph(out2)
