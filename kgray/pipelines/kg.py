@@ -179,10 +179,15 @@ def kg_dataset(files, corpus_dir: str, model_dir: str, tagger: str = "hmm",
 def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
            tagger: str = "hmm", files_per_group: int = 2,
            concurrency=None, batch_size: int = 1024,
-           n_salts: int = 16, stop_after_groups: int | None = None) -> dict:
+           n_salts: int = 16, stop_after_groups: int | None = None,
+           graph_buckets: int = 16) -> dict:
     """Full driver loop: partition groups → triples parquet (+ manifest)
-    → salted canonicalization → sorted graph parquet.
+    → salted canonicalization → bucketed sorted graph parquet.
 
+    The graph sink is ``graph/subj_bucket=<b>/`` hash-bucketed on the
+    subject (``stable_hash64(subj) % graph_buckets``), subj-sorted
+    within each bucket: a consumer looking up one subject reads exactly
+    one partition directory, and a failed write reruns per bucket.
     ``stop_after_groups`` simulates a killed run for the resume test.
     Returns run stats.
     """
@@ -255,13 +260,24 @@ def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
     shutil.rmtree(graph_dir, ignore_errors=True)
     linked = rd.read_parquet(triples_root)
     graph = canonical_graph(linked, n_salts=n_salts)
-    graph = graph.sort("subj")
-    graph.write_parquet(graph_dir)
+
+    def add_bucket(batch):
+        import pyarrow as pa
+        from ..functions.hashing import stable_hash64
+        b = [stable_hash64(s) % graph_buckets
+             for s in batch.column("subj").to_pylist()]
+        return batch.append_column("subj_bucket", pa.array(b, type=pa.int32()))
+
+    graph = (graph.map_batches(add_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .sort(["subj_bucket", "subj"]))
+    graph.write_parquet(graph_dir, partition_cols=["subj_bucket"])
     stats["graph_dir"] = graph_dir
     stats["graph_wall_sec"] = round(time.perf_counter() - t0, 3)
     stats["n_graph_rows"] = sum(
         pq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(graph_dir, "*.parquet")))
+        for f in glob.glob(os.path.join(graph_dir, "**", "*.parquet"),
+                           recursive=True))
     manifest.append({"group_id": "__graph__", "input_groups": group_ids,
                      "n_graph_rows": stats["n_graph_rows"],
                      "wall_sec": stats["graph_wall_sec"], "status": "done"})

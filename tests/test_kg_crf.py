@@ -18,7 +18,8 @@ def test_crf_pipeline_matches_serial_oracle(ray_session, tiny_corpus_dir, tmp_pa
                       concurrency=1, batch_size=256)
     assert not stats["groups_remaining"]
     graph = {}
-    for f in glob.glob(os.path.join(out, "graph", "*.parquet")):
+    for f in glob.glob(os.path.join(out, "graph", "**", "*.parquet"),
+                       recursive=True):
         t = pq.read_table(f)
         for s, p, o, sup in zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
                                 t["obj"].to_pylist(), t["support"].to_pylist()):

@@ -24,7 +24,8 @@ def kg_run(ray_session, tiny_corpus_dir, tmp_path_factory):
 
 def _read_graph(out_dir):
     rows = {}
-    for f in glob.glob(os.path.join(out_dir, "graph", "*.parquet")):
+    for f in glob.glob(os.path.join(out_dir, "graph", "**", "*.parquet"),
+                       recursive=True):
         t = pq.read_table(f)
         for s, p, o, sup in zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
                                 t["obj"].to_pylist(), t["support"].to_pylist()):
@@ -56,13 +57,28 @@ def test_pipeline_vs_gold(kg_run):
 
 
 def test_graph_is_sorted_and_partitioned(kg_run):
+    """subj_bucket=<b>/ hash-bucketed layout, subj-sorted within each
+    bucket; a single-subject consumer reads exactly one partition dir."""
+    from kgray.functions.hashing import stable_hash64
+
     _, out, _, _ = kg_run
-    files = sorted(glob.glob(os.path.join(out, "graph", "*.parquet")))
-    assert files
-    subjects = []
-    for f in files:
-        subjects.extend(pq.read_table(f, columns=["subj"])["subj"].to_pylist())
-    assert subjects == sorted(subjects)
+    bucket_dirs = sorted(glob.glob(os.path.join(out, "graph", "subj_bucket=*")))
+    assert bucket_dirs
+    all_subjects = []
+    for d in bucket_dirs:
+        b = int(d.rsplit("=", 1)[1])
+        subjects = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            subjects.extend(pq.read_table(f, columns=["subj"])["subj"].to_pylist())
+        assert subjects == sorted(subjects)           # subj-sorted per bucket
+        assert all(stable_hash64(s) % 16 == b for s in set(subjects))
+        all_subjects.extend(subjects)
+    # prune-read: one subject's rows live entirely in its hash bucket
+    probe = all_subjects[0]
+    d = os.path.join(out, "graph", f"subj_bucket={stable_hash64(probe) % 16}")
+    got = [s for f in glob.glob(os.path.join(d, "*.parquet"))
+           for s in pq.read_table(f, columns=["subj"])["subj"].to_pylist()]
+    assert probe in got
 
 
 def test_manifest_lineage(kg_run):
