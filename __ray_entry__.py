@@ -182,7 +182,7 @@ def _binary_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from kgray.pipelines import ann, dedup, relational, streaming, text
+    from kgray.pipelines import ann, cluster, dedup, relational, streaming, text
 
     return {
         # --- KG construction (non-SQL: Viterbi/linking; strong checks in tests/)
@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup_pairs,
         "embedding_lsh_pairs": lambda sf: dedup.embedding_lsh_pairs(
             sf, threshold=0.45, n_bits=192, band_bits=6),
+        "neardup_clusters": cluster.neardup_clusters,
         # --- similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,

@@ -1,0 +1,129 @@
+"""Near-dup cluster resolution: pair lists → connected components →
+keep-one decision.
+
+The dedup family (``pipelines/dedup.py``) stops at verified pair
+lists; a training-data pipeline must then pick ONE document per
+near-dup cluster.  This module closes that gap with a distributed
+connected-components operator (iterated min-label propagation —
+the classic Pregel-style formulation) built from this repo's own
+exchange primitives:
+
+* labels live in a ``(node, label)`` Dataset (never broadcast — the
+  node set is corpus-sized at 100 TB),
+* edges are expanded once into a bidirectional adjacency, so each
+  iteration is ONE ``sorted_merge_join`` (neighbor labels delivered to
+  every endpoint) plus one ``sorted_group_aggregate(min)`` fold with
+  the previous labels — two exchanges per round,
+* labels only decrease, so the total label sum strictly decreases
+  until the fixpoint — convergence is detected by an unchanged sum
+  (summed in Python: no overflow), reached in ≤ diameter iterations
+  (near-dup clusters are shallow: stars from degenerate buckets have
+  diameter 2).
+
+The cluster id is the component's minimum node id, which doubles as
+the canonical ``keep_doc_id``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..stages.aggregate import sorted_group_aggregate
+from ..stages.join import sorted_merge_join
+
+__all__ = ["connected_components", "neardup_clusters"]
+
+
+def _as_dataset(pairs):
+    return rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+
+
+def _label_sum(labels) -> int:
+    """Exact total of the label column (Python ints — no overflow)."""
+    parts = labels.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b.column("label")).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return sum(r["s"] for r in parts)
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iters: int = 50):
+    """(node, cluster_id) for every node appearing in ``pairs``;
+    cluster_id = min node id of the connected component."""
+    pairs = _as_dataset(pairs)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(b.column(id_a), pa.int64()),
+                         "b": pc.cast(b.column(id_b), pa.int64())})
+
+    def to_adj(b: pa.Table) -> pa.Table:
+        """Each undirected edge becomes two directed rows — one join on
+        ``src`` then delivers neighbor labels to every endpoint."""
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, bb]), type=pa.int64()),
+                         "dst": pa.array(np.concatenate([bb, a]), type=pa.int64())})
+
+    adj = (pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(to_adj, batch_format="pyarrow").materialize())
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("src"), "label": b.column("src")})
+
+    labels = sorted_group_aggregate(
+        adj.map_batches(to_nodes, batch_format="pyarrow"),
+        "node", [("label", "min")]).materialize()
+    if labels.count() == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], type=pa.int64()),
+                                       "cluster_id": pa.array([], type=pa.int64())}))
+    prev_sum = _label_sum(labels)
+
+    for _ in range(max_iters):
+        joined = sorted_merge_join(
+            adj,
+            labels.map_batches(lambda b: pa.table({"src": b.column("node"),
+                                                   "lsrc": b.column("label")}),
+                               batch_format="pyarrow"),
+            on="src")
+
+        def messages(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column("dst"), "label": b.column("lsrc")})
+
+        labels = sorted_group_aggregate(
+            joined.map_batches(messages, batch_format="pyarrow")
+                  .union(labels),
+            "node", [("label", "min")]).materialize()
+        cur = _label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "cluster_id": b.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def neardup_clusters(sf_dir: str, threshold: float = 0.5):
+    """MinHash-LSH verified pairs → connected components → keep-one.
+
+    One row per document that has at least one near-duplicate:
+    ``(doc_id, cluster_id, keep_doc_id)`` with keep_doc_id =
+    cluster_id = min doc_id of the cluster (the kept representative).
+    """
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    cc = connected_components(
+        rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs,
+        id_a="doc_a", id_b="doc_b")
+    return cc.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "cluster_id": b.column("cluster_id"),
+                            "keep_doc_id": b.column("cluster_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
