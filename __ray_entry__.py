@@ -76,7 +76,7 @@ def _tags_valid(sf_dir: str, tagger: str):
     import ray.data as rd
     from kgray.pipelines.kg import _auto_concurrency, _model_paths
     from kgray.sources.derived import corpus_for_sf, models_for_corpus
-    from kgray.stages.tagger import CRFTagger, HMMTagger
+    from kgray.stages.tagger import CRFTagger, HMMTagger, TransformerTagger
 
     corpus = corpus_for_sf(sf_dir)
     model_dir = models_for_corpus(corpus, tagger=tagger)
@@ -87,7 +87,8 @@ def _tags_valid(sf_dir: str, tagger: str):
         "tokens": tbl["tokens"],
         "lang": pa.array(["en"] * tbl.num_rows),
     })
-    cls = HMMTagger if tagger == "hmm" else CRFTagger
+    cls = {"hmm": HMMTagger, "crf": CRFTagger,
+           "transformer": TransformerTagger}[tagger]
     # from_arrow yields ONE block; split it or the actor pool idles
     n_blocks = max(1, min(_auto_concurrency()[0], src.num_rows // 256))
     ds = rd.from_arrow(src).repartition(n_blocks).map_batches(
@@ -121,6 +122,13 @@ def _crf_tags_valid(sf_dir: str):
     """Same as _hmm_tags_valid through the CRF actor pool (compiled
     grouped weight tables + window-memoized decode)."""
     return _tags_valid(sf_dir, "crf")
+
+
+def _transformer_tags_valid(sf_dir: str):
+    """Same through the Transformer-CRF NumPy inference actor pool
+    (reference T5 eval semantics; deterministic seeded weights — no
+    torch in env, see kgray/kernels/transformer.py)."""
+    return _tags_valid(sf_dir, "transformer")
 
 
 def _extract_invariant(sf_dir: str):
@@ -190,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _kg_mentions,
         "hmm_tags_valid": _hmm_tags_valid,
         "crf_tags_valid": _crf_tags_valid,
+        "transformer_tags_valid": _transformer_tags_valid,
         "extract_invariant": _extract_invariant,
         "kg_entities": _kg_entities,
         "binary_features": _binary_features,
@@ -250,7 +259,8 @@ def oracle_sql() -> dict[str, str]:
     fixture_oracles = {
         name: _fx(name)
         for name in ("kg_graph", "kg_mentions", "hmm_tags_valid",
-                     "crf_tags_valid", "extract_invariant", "kg_entities",
+                     "crf_tags_valid", "transformer_tags_valid",
+                     "extract_invariant", "kg_entities",
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",

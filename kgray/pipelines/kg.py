@@ -38,7 +38,7 @@ from ..sources.corpus import load_side_tables
 from ..stages.canonical import canonical_graph
 from ..stages.extract import extract_text, split_sentences, tokenize_line
 from ..stages.kg import LinkerActor, extract_triples
-from ..stages.tagger import CRFTagger, HMMTagger
+from ..stages.tagger import CRFTagger, HMMTagger, TransformerTagger
 from ..state.counters import counting_passthrough, new_counter
 from ..state.manifest import Manifest
 
@@ -76,6 +76,15 @@ def build_models(corpus_dir: str, model_dir: str, tagger: str = "hmm",
             pz = os.path.join(model_dir, "hmm_zh")
             mz.save(pz)
             paths["hmm"]["zh"] = pz + ".npz"
+    if tagger == "transformer":
+        from ..kernels import transformer as tfm
+        for lang, (sw, st) in {"en": (sents_w, sents_t),
+                               **({"zh": (zh_w, zh_t)} if zh_w else {})}.items():
+            w2i, t2i = tfm.build_vocab(sw, st)
+            m = tfm.init_random(w2i, t2i, max_seq_len=tfm.max_len_pow2(sw))
+            p = os.path.join(model_dir, f"transformer_{lang}")
+            m.save(p)
+            paths.setdefault("transformer", {})[lang] = p + ".npz"
     if tagger in ("crf", "both"):
         mc = crf_kernel.train_crf_sgd(sents_w[:crf_max_sentences],
                                       sents_t[:crf_max_sentences],
@@ -147,7 +156,8 @@ def kg_dataset(files, corpus_dir: str, model_dir: str, tagger: str = "hmm",
     alias_idx, emb_map = load_side_tables(corpus_dir)
     alias_ref = ray.put(alias_idx)      # broadcast once, not per task
     emb_ref = ray.put(emb_map)
-    tagger_cls = HMMTagger if tagger == "hmm" else CRFTagger
+    tagger_cls = {"hmm": HMMTagger, "crf": CRFTagger,
+                  "transformer": TransformerTagger}[tagger]
     model_paths = _model_paths(model_dir, tagger)
 
     ds = rd.read_parquet(files, columns=["url", "html", "lang"])

@@ -15,7 +15,7 @@ from .corpus import GENERATOR_VERSION, generate_corpus
 
 __all__ = ["corpus_for_sf", "models_for_corpus"]
 
-_N_PAGES = {"sf0.001": 240, "sf0.01": 1200, "sf0.1": 12000}
+_N_PAGES = {"sf0.001": 240, "sf0.01": 1200, "sf0.1": 48000}
 _SEED = 42
 
 
@@ -44,10 +44,9 @@ def corpus_for_sf(sf_dir: str, cache_root: str = "/tmp/kgray_corpus") -> str:
 def replicate_corpus(corpus_dir: str, out_dir: str, replicas: int) -> str:
     """Replicate a pages corpus R× with per-replica url prefixes.
 
-    Used by the scaling benchmark to get a compute-dominated workload
-    without R× the generation cost: content (and therefore per-page
-    compute) is identical; urls stay unique so salting/canonicalization
-    see R× the support.  Side tables are shared via the base corpus.
+    Round-1 scaling shortcut, superseded by the unique
+    :func:`scaling_corpus` (replicated content keeps per-page compute
+    real but not content diversity); retained for ad-hoc stress runs.
     """
     import glob
     import pyarrow as pa
@@ -94,11 +93,28 @@ def replicate_corpus(corpus_dir: str, out_dir: str, replicas: int) -> str:
     return out_dir
 
 
-def scaling_corpus(sf_dir: str, replicas: int = 40,
+def scaling_corpus(sf_dir: str, n_pages: int = 480_000, seed: int = 77,
                    cache_root: str = "/tmp/kgray_corpus") -> str:
-    base = corpus_for_sf(sf_dir, cache_root)
-    return replicate_corpus(base, os.path.join(cache_root, f"{_tag(sf_dir)}_x{replicas}"),
-                            replicas)
+    """Unique compute-dominated corpus for the scaling benchmark.
+
+    480k pages of UNIQUE generated content (~85 s to generate once,
+    cached) — round 1 replicated a 12k-page corpus 40×, which kept
+    per-page compute real but not content diversity; the north-rule
+    efficiency number should come from a corpus whose canonicalization
+    keys and vocab scale with the data.  ``sf_dir`` is accepted for
+    interface symmetry; the corpus is independent of the sf tables.
+    """
+    out = os.path.join(cache_root, f"scale_u{n_pages}")
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("n_pages") == n_pages and meta.get("seed") == seed
+                and meta.get("version") == GENERATOR_VERSION):
+            return out
+    generate_corpus(out, n_pages=n_pages, seed=seed,
+                    pages_per_shard=max(500, n_pages // 64))
+    return out
 
 
 def models_for_corpus(corpus_dir: str, tagger: str = "hmm") -> str:

@@ -17,8 +17,9 @@ import pyarrow as pa
 
 from ..kernels import crf as crf_kernel
 from ..kernels import hmm as hmm_kernel
+from ..kernels import transformer as tfm_kernel
 
-__all__ = ["HMMTagger", "CRFTagger", "TAGGED_SCHEMA"]
+__all__ = ["HMMTagger", "CRFTagger", "TransformerTagger", "TAGGED_SCHEMA"]
 
 TAGGED_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -62,6 +63,35 @@ class HMMTagger:
                     tags[i] = ["O"] * len(tokens[i])
             else:
                 decoded = hmm_kernel.viterbi_batch([tokens[i] for i in idxs], model)
+                for i, d in zip(idxs, decoded):
+                    tags[i] = d
+        return _attach_tags(batch, tags)
+
+
+class TransformerTagger:
+    """Actor: Transformer-CRF NumPy inference (eval semantics of
+    transformer_ner.py:105-274; truncate/pad + PAD→O rewrite of
+    :580-588/:617-626).  Weights load once per actor."""
+
+    def __init__(self, model_paths: dict):
+        self.models = {lang: tfm_kernel.TransformerCRFModel.load(p)
+                       for lang, p in model_paths.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        tags: list = [None] * len(tokens)
+        by_lang: dict = {}
+        for i, lang in enumerate(langs):
+            by_lang.setdefault(lang, []).append(i)
+        for lang, idxs in by_lang.items():
+            model = self.models.get(lang)
+            if model is None:
+                for i in idxs:
+                    tags[i] = ["O"] * len(tokens[i])
+            else:
+                decoded = tfm_kernel.predict_sentences(
+                    model, [tokens[i] for i in idxs])
                 for i, d in zip(idxs, decoded):
                     tags[i] = d
         return _attach_tags(batch, tags)

@@ -35,6 +35,7 @@ FIXDIR = os.path.join(REPO, "tests", "fixtures", "sf0.01")
 
 FIXTURE_QUERIES = [
     "kg_graph", "kg_mentions", "hmm_tags_valid", "crf_tags_valid",
+    "transformer_tags_valid",
     "extract_invariant", "kg_entities", "binary_features",
     "winnowing_fingerprints", "minhash_lsh_pairs", "simhash_pairs",
     "embedding_lsh_pairs", "ann_ivf_topk", "neardup_clusters",
