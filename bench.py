@@ -34,6 +34,10 @@ def _num_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _scaling_pages() -> int:
+    return int(os.environ.get("GRAFT_SCALING_PAGES", "480000"))
+
+
 def _quiet():
     import logging
     from ray.data import DataContext
@@ -136,7 +140,7 @@ def run_scaling_worker() -> dict:
     from kgray.sources.derived import models_for_corpus, scaling_corpus
     from kgray.stages.canonical import canonical_graph
 
-    corpus = scaling_corpus(_sf_dir())
+    corpus = scaling_corpus(_sf_dir(), n_pages=_scaling_pages())
     model_dir = models_for_corpus(corpus, tagger="crf")
     files = page_files(corpus)
     for f in files:                                   # warm OS page cache
@@ -174,7 +178,7 @@ def run_scaling() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     _quiet()
     from kgray.sources.derived import models_for_corpus, scaling_corpus
-    corpus = scaling_corpus(_sf_dir())
+    corpus = scaling_corpus(_sf_dir(), n_pages=_scaling_pages())
     models_for_corpus(corpus, tagger="crf")
     ray.shutdown()
 
@@ -186,20 +190,33 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # The sandbox is a shared machine: single runs swing ±15% (mostly
+    # on the long low-CPU side).  Interleave repeats and take the best
+    # per level — best-of measures engine capability, the per-run list
+    # documents the noise.
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    t_lo = min(r["value"] for r in runs_lo)
+    t_hi = min(r["value"] for r in runs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
+    all_eff = sorted(round((a["value"] / b["value"]) / (hi / lo), 3)
+                     for a in runs_lo for b in runs_hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
-        "pages": r_hi["pages"],
-        "pages_per_sec_lo": r_lo["pages_per_sec"],
-        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
+        "efficiency_cross_range": [all_eff[0], all_eff[-1]],
+        "pages": runs_hi[0]["pages"],
+        "pages_per_sec_lo": round(runs_hi[0]["pages"] / t_lo, 1),
+        "pages_per_sec_hi": round(runs_hi[0]["pages"] / t_hi, 1),
         "tagger": "crf",
         "sf": os.path.basename(os.path.normpath(_sf_dir())),
     }

@@ -4,10 +4,10 @@ Commands (the reference's train/predict CLI — hmm_ner.py:271-291,
 crf_ner.py:699-719 — generalized to the pipeline lifecycle):
 
     gen-corpus   --out DIR [--pages N] [--seed S]      deterministic synthetic corpus
-    train        --corpus DIR --models DIR [--tagger hmm|crf|both]
-    run          --corpus DIR --out DIR [--models DIR] [--tagger hmm|crf]
+    train        --corpus DIR --models DIR [--tagger hmm|crf|both|transformer]
+    run          --corpus DIR --out DIR [--models DIR] [--tagger hmm|crf|transformer]
     resume       (same as run — the manifest makes rerun resume)
-    predict      --model PATH --input FILE --output FILE [--tagger hmm|crf]
+    predict      --model PATH --input FILE --output FILE [--tagger hmm|crf|transformer]
                  (reference-compatible CoNLL file predict)
     eval         --gold FILE --pred FILE [--lang en|zh]  P/R/F1 report
     bench        (same as python bench.py)
@@ -50,21 +50,24 @@ def main(argv=None):
     p = sub.add_parser("train", help="train tagging models from a corpus's CoNLL split")
     p.add_argument("--corpus", required=True)
     p.add_argument("--models", required=True)
-    p.add_argument("--tagger", default="hmm", choices=["hmm", "crf", "both"])
+    p.add_argument("--tagger", default="hmm",
+                   choices=["hmm", "crf", "both", "transformer"])
 
     for name in ("run", "resume"):
         p = sub.add_parser(name, help="run (or resume) the KG pipeline")
         p.add_argument("--corpus", required=True)
         p.add_argument("--out", required=True)
         p.add_argument("--models", default=None)
-        p.add_argument("--tagger", default="hmm", choices=["hmm", "crf"])
+        p.add_argument("--tagger", default="hmm",
+                       choices=["hmm", "crf", "transformer"])
         p.add_argument("--files-per-group", type=int, default=2)
 
     p = sub.add_parser("predict", help="CoNLL-file prediction (reference-compatible)")
     p.add_argument("--model", required=True)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--tagger", default="hmm", choices=["hmm", "crf"])
+    p.add_argument("--tagger", default="hmm",
+                   choices=["hmm", "crf", "transformer"])
 
     p = sub.add_parser("eval", help="per-label P/R/F1 of a prediction file vs gold")
     p.add_argument("--gold", required=True)
@@ -97,6 +100,10 @@ def main(argv=None):
             from .kernels.hmm import HMMModel, viterbi_batch
             model = HMMModel.load(args.model)
             tags = viterbi_batch(sentences, model)
+        elif args.tagger == "transformer":
+            from .kernels.transformer import TransformerCRFModel, predict_sentences
+            model = TransformerCRFModel.load(args.model)
+            tags = predict_sentences(model, sentences)
         else:
             from .kernels.crf import CRFModel, viterbi_batch
             model = CRFModel.load(args.model)

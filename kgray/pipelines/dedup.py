@@ -5,13 +5,20 @@ Scale notes (the 100 TB story):
 * exact dedup: map-side partial per content hash, then one small
   groupby — rows leaving the map side ≈ distinct hashes per batch.
 * MinHash-LSH: signatures per batch (vectorized universal hashing) →
-  explode to (band, band_hash) rows → ``groupby`` buckets → candidate
-  pairs → exact-Jaccard verify.  Only bucketed candidates are verified;
-  the all-pairs verify exists separately as the small-scale oracle path.
+  explode to (band, band_hash) rows → distributed bucket pairing
+  (:func:`_bucket_pairs` — per-run pairing below the bucket-size cap,
+  min-id star above it) → exact-Jaccard verify.  Only bucketed
+  candidates are verified; the all-pairs verify exists separately as
+  the small-scale oracle path.
 * SimHash: 64-bit signature per doc; Hamming-≤d candidates via the
-  pigeonhole chunk trick (d+1 chunks, groupby on chunk value).
+  pigeonhole chunk trick (d+1 chunks, same bucket pairing).
 * embedding near-dup: block-wise cosine against a broadcast normalized
-  matrix (numpy matmul per batch, no pairwise shuffle).
+  matrix (numpy matmul per batch, no pairwise shuffle); hyperplane-LSH
+  twin for the scale path.
+* pair VERIFICATION currently broadcasts the candidate feature maps
+  and loops pairs on the driver — fine while candidates ≪ corpus (the
+  star cap bounds pair counts); the true 100 TB path is a hash join of
+  candidates against the feature table.
 """
 
 from __future__ import annotations
@@ -405,8 +412,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                          "doc_id": pa.array(dids, type=pa.int64())})
 
     docs_ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # materialize: the (band, band_hash, doc_id) table is tiny relative to
-    # the corpus and _bucket_candidates consumes it twice
+    # materialize: the (band, band_hash, doc_id) table is small relative
+    # to the corpus and _bucket_pairs consumes it several times
     bands_ds = docs_ds.map_batches(to_bands, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
     cand_rows = _collect_pairs(_bucket_pairs(bands_ds, ["band", "band_hash"],
