@@ -15,10 +15,12 @@ Scale notes (the 100 TB story):
 * embedding near-dup: block-wise cosine against a broadcast normalized
   matrix (numpy matmul per batch, no pairwise shuffle); hyperplane-LSH
   twin for the scale path.
-* pair VERIFICATION currently broadcasts the candidate feature maps
-  and loops pairs on the driver — fine while candidates ≪ corpus (the
-  star cap bounds pair counts); the true 100 TB path is a hash join of
-  candidates against the feature table.
+* pair VERIFICATION is a distributed hash join (:func:`_verify_join`):
+  the candidate id set (small — the star cap bounds it) is broadcast to
+  semi-join-filter the feature table, then candidate pairs join the
+  filtered features on both sides (``sorted_merge_join``) and the
+  metric is computed vectorized per joined batch.  No per-doc feature
+  ever reaches the driver; only the final verified pair list does.
 """
 
 from __future__ import annotations
@@ -357,6 +359,47 @@ def _collect_pairs(pairs_ds) -> set:
     return out
 
 
+def _distinct_ids(pairs_ds) -> np.ndarray:
+    """Distinct ids appearing in a {id_a, id_b} pairs Dataset (sorted
+    int64 array — ids only, never features; used as the broadcast
+    semi-join filter)."""
+    tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(
+        [t.column("id_a").to_numpy(zero_copy_only=False) for t in tables]
+        + [t.column("id_b").to_numpy(zero_copy_only=False) for t in tables]))
+
+
+def _verify_join(pairs_ds, feat_ds, id_col: str, feat_col: str):
+    """Candidate pairs ⋈ per-id features on BOTH sides — the hash-join
+    verification path (no driver-side feature map).
+
+    ``pairs_ds``: ``{id_a, id_b}``; ``feat_ds``: ``{id_col, feat_col}``.
+    Returns a Dataset ``{id_a, id_b, <feat_col>_a, <feat_col>_b}``
+    (inner join: pairs whose member has no feature row are dropped,
+    matching the map-lookup semantics this replaces).
+    """
+    from ..stages.join import sorted_merge_join
+
+    def rename(key_name, suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, feat_col]).rename_columns(
+                [key_name, f"{feat_col}_{suffix}"])
+        return fn
+
+    j1 = sorted_merge_join(
+        pairs_ds,
+        feat_ds.map_batches(rename("id_a", "a"), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "id_a")
+    return sorted_merge_join(
+        j1,
+        feat_ds.map_batches(rename("id_b", "b"), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "id_b")
+
+
 # --------------------------------------------------------------------------- minhash + lsh
 
 
@@ -387,9 +430,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
 
     Pipeline: signatures per batch → explode (band, band_hash, doc_id)
     → groupby bucket → candidate pairs per bucket → dedup pairs →
-    exact verify.  Verification fetches shingle sets from a broadcast
-    map (fine while distinct candidate docs ≪ corpus; at true scale this
-    becomes a hash join of candidates against the shingle table).
+    exact verify via :func:`_verify_join` (candidate ids broadcast to
+    semi-join-filter the shingle table, then pairs hash-join both
+    sides' shingles and Jaccard is computed per joined batch).
     """
     a, b = _perm_params(num_perm)
     rows_per_band = num_perm // bands
@@ -416,44 +459,47 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     # to the corpus and _bucket_pairs consumes it several times
     bands_ds = docs_ds.map_batches(to_bands, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
-    cand_rows = _collect_pairs(_bucket_pairs(bands_ds, ["band", "band_hash"],
-                                             "doc_id", max_bucket=max_bucket))
-    if not cand_rows:
+    pairs_ds = _bucket_pairs(bands_ds, ["band", "band_hash"],
+                             "doc_id", max_bucket=max_bucket).materialize()
+    need = _distinct_ids(pairs_ds)
+    if not need.size:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
-
-    need = {a for a, _ in cand_rows} | {b for _, b in cand_rows}
     need_ref = ray.put(need)
 
     def candidate_shingles(batch: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
+        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hit = batch.filter(pa.array(np.isin(ids_np, wanted)))
         ids, sh = [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            if did in wanted:
-                ids.append(did)
-                sh.append(sorted(shingle_set(_tokens(t), k)))
+        for did, t in zip(hit.column("doc_id").to_pylist(),
+                          hit.column("text").to_pylist()):
+            ids.append(did)
+            sh.append(sorted(shingle_set(_tokens(t), k)))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "shingles": pa.array(sh, type=pa.list_(pa.string()))})
 
-    # only candidate docs' shingles reach the driver (candidates are
-    # small by construction; at extreme scale swap for a hash join)
-    sh_map = {r["doc_id"]: set(r["shingles"])
-              for r in rd.read_parquet(f"{sf_dir}/documents.parquet",
-                                       columns=["doc_id", "text"])
-                        .map_batches(candidate_shingles, batch_format="pyarrow",
-                                     zero_copy_batch=True).take_all()}
-    out_a, out_b = [], []
-    for r in sorted(cand_rows):
-        sa, sb = sh_map.get(r[0]), sh_map.get(r[1])
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
-            out_a.append(r[0])
-            out_b.append(r[1])
-    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                     "doc_b": pa.array(out_b, type=pa.int64())})
+    cand_sh = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]) \
+                .map_batches(candidate_shingles, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = []
+        for sa, sb in zip(batch.column("shingles_a").to_pylist(),
+                          batch.column("shingles_b").to_pylist()):
+            A, B = set(sa), set(sb)
+            inter = len(A & B)
+            keep.append(bool(A and B and inter
+                             and inter / (len(A) + len(B) - inter) >= threshold))
+        return batch.select(["id_a", "id_b"]).filter(
+            pa.array(keep, type=pa.bool_()))
+
+    verified = _verify_join(pairs_ds, cand_sh, "doc_id", "shingles") \
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted((r["id_a"], r["id_b"]) for r in verified.take_all())
+    return pa.table({"doc_a": pa.array([a for a, _ in rows], type=pa.int64()),
+                     "doc_b": pa.array([b for _, b in rows], type=pa.int64())})
 
 
 # --------------------------------------------------------------------------- simhash
@@ -518,29 +564,43 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512):
                          "doc_id": pa.array(dids, type=pa.int64())})
 
     chunks_ds = sigs_ds.map_batches(chunks_of, batch_format="pyarrow").materialize()
-    cand_rows = _collect_pairs(_bucket_pairs(chunks_ds, ["chunk", "val"],
-                                             "doc_id", max_bucket=max_bucket))
-    need = {a for a, _ in cand_rows} | {b for _, b in cand_rows}
+    pairs_ds = _bucket_pairs(chunks_ds, ["chunk", "val"],
+                             "doc_id", max_bucket=max_bucket).materialize()
+    need = _distinct_ids(pairs_ds)
+    if not need.size:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
     need_ref = ray.put(need)
 
     def candidate_sigs(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = [d in wanted for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids_np, ray.get(need_ref))))
 
-    sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
-               for r in sigs_ds.map_batches(candidate_sigs, batch_format="pyarrow",
-                                            zero_copy_batch=True).take_all()}
-    out_a, out_b, dists = [], [], []
-    for r in sorted(cand_rows):
-        d = int(bin(sig_map[r[0]] ^ sig_map[r[1]]).count("1"))
-        if d <= max_hamming:
-            out_a.append(r[0])
-            out_b.append(r[1])
-            dists.append(d)
-    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                     "doc_b": pa.array(out_b, type=pa.int64()),
-                     "hamming": pa.array(dists, type=pa.int64())})
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("simhash_a").to_numpy(zero_copy_only=False) \
+                 .astype(np.int64).view(np.uint64)
+        b = batch.column("simhash_b").to_numpy(zero_copy_only=False) \
+                 .astype(np.int64).view(np.uint64)
+        x = np.bitwise_xor(a, b)
+        # vectorized popcount: 8 bytes per uint64 → bit expansion → row sum
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+              .sum(axis=1).astype(np.int64)
+        keep = d <= max_hamming
+        out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column("hamming", pa.array(d[keep], type=pa.int64()))
+
+    verified = _verify_join(pairs_ds,
+                            sigs_ds.map_batches(candidate_sigs,
+                                                batch_format="pyarrow",
+                                                zero_copy_batch=True),
+                            "doc_id", "simhash") \
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted((r["id_a"], r["id_b"], r["hamming"])
+                  for r in verified.take_all())
+    return pa.table({"doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+                     "hamming": pa.array([r[2] for r in rows], type=pa.int64())})
 
 
 # --------------------------------------------------------------------------- embedding cosine near-dup
@@ -631,30 +691,37 @@ def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    cand = _collect_pairs(_bucket_pairs(bands_ds, ["band", "val"],
-                                        "vec_id", max_bucket=max_bucket))
-    if not cand:
+    pairs_ds = _bucket_pairs(bands_ds, ["band", "val"],
+                             "vec_id", max_bucket=max_bucket).materialize()
+    need = _distinct_ids(pairs_ds)
+    if not need.size:
         return pa.table({"vec_a": pa.array([], type=pa.int64()),
                          "vec_b": pa.array([], type=pa.int64())})
-    need = {a for a, _ in cand} | {b for _, b in cand}
     need_ref = ray.put(need)
 
     def candidate_vecs(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = [v in wanted for v in batch.column("vec_id").to_pylist()]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        ids_np = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids_np, ray.get(need_ref))))
 
-    rows = ds.map_batches(candidate_vecs, batch_format="pyarrow",
-                          zero_copy_batch=True).take_all()
-    vec = {}
-    for r in rows:
-        v = np.asarray(r["embedding"], dtype=np.float64)
-        n = np.linalg.norm(v)
-        vec[r["vec_id"]] = v / n if n > 0 else v
-    out_a, out_b = [], []
-    for a, b in sorted(cand):
-        if float(vec[a] @ vec[b]) >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-    return pa.table({"vec_a": pa.array(out_a, type=pa.int64()),
-                     "vec_b": pa.array(out_b, type=pa.int64())})
+    def verify(batch: pa.Table) -> pa.Table:
+        A = np.array(batch.column("embedding_a").to_pylist(), dtype=np.float64)
+        B = np.array(batch.column("embedding_b").to_pylist(), dtype=np.float64)
+        if A.size == 0:
+            return batch.select(["id_a", "id_b"])
+        na = np.linalg.norm(A, axis=1, keepdims=True)
+        nb = np.linalg.norm(B, axis=1, keepdims=True)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", A / na, B / nb)
+        return batch.select(["id_a", "id_b"]).filter(
+            pa.array(cos >= threshold))
+
+    verified = _verify_join(pairs_ds,
+                            ds.map_batches(candidate_vecs,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                            "vec_id", "embedding") \
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted((r["id_a"], r["id_b"]) for r in verified.take_all())
+    return pa.table({"vec_a": pa.array([a for a, _ in rows], type=pa.int64()),
+                     "vec_b": pa.array([b for _, b in rows], type=pa.int64())})
