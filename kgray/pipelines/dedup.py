@@ -15,12 +15,17 @@ Scale notes (the 100 TB story):
 * embedding near-dup: block-wise cosine against a broadcast normalized
   matrix (numpy matmul per batch, no pairwise shuffle); hyperplane-LSH
   twin for the scale path.
-* pair VERIFICATION is a distributed hash join (:func:`_verify_join`):
-  the candidate id set (small — the star cap bounds it) is broadcast to
-  semi-join-filter the feature table, then candidate pairs join the
-  filtered features on both sides (``sorted_merge_join``) and the
-  metric is computed vectorized per joined batch.  No per-doc feature
-  ever reaches the driver; only the final verified pair list does.
+* pair VERIFICATION picks its plan by candidate-set size, the same
+  rule as broadcast-vs-shuffle join selection: below
+  ``_DRIVER_VERIFY_MAX`` candidate ids the per-id features are small
+  enough to collect into one map and the pairs are verified on the
+  driver (no join fixed costs); above it, verification is a
+  distributed hash join (:func:`_verify_join`) — candidate ids (ids
+  only) broadcast to semi-join-filter the feature table, pairs join
+  the filtered features on both sides (``sorted_merge_join``), metric
+  computed vectorized per joined batch.  Force either plan with
+  ``verify='driver'`` / ``verify='join'``; both are exact and
+  pair-for-pair identical (pinned by tests).
 """
 
 from __future__ import annotations
@@ -43,6 +48,18 @@ __all__ = ["exact_dedup", "shingle_set", "jaccard_pairs_bruteforce",
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
+
+# verification plan switch: at or below this many candidate ids the
+# feature map fits comfortably on the driver and the join fixed costs
+# (~2 sorts per side) dominate — verify driver-side; above, hash join.
+_DRIVER_VERIFY_MAX = 50_000
+
+
+def _use_join_verify(verify: str, n_candidates: int) -> bool:
+    assert verify in ("auto", "driver", "join")
+    if verify != "auto":
+        return verify == "join"
+    return n_candidates > _DRIVER_VERIFY_MAX
 
 
 def _tokens(text: str) -> list:
@@ -425,14 +442,14 @@ def minhash_signatures(tokens_shingles: set, a: np.ndarray, b: np.ndarray) -> np
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                       num_perm: int = 128, bands: int = 32,
-                      max_bucket: int = 512):
+                      max_bucket: int = 512, verify: str = "auto"):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     Pipeline: signatures per batch → explode (band, band_hash, doc_id)
     → groupby bucket → candidate pairs per bucket → dedup pairs →
-    exact verify via :func:`_verify_join` (candidate ids broadcast to
-    semi-join-filter the shingle table, then pairs hash-join both
-    sides' shingles and Jaccard is computed per joined batch).
+    exact verify (size-selected plan, see module docstring: driver
+    map below ``_DRIVER_VERIFY_MAX`` candidates, else
+    :func:`_verify_join` hash join).
     """
     a, b = _perm_params(num_perm)
     rows_per_band = num_perm // bands
@@ -484,20 +501,26 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                 .map_batches(candidate_shingles, batch_format="pyarrow",
                              zero_copy_batch=True)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        keep = []
-        for sa, sb in zip(batch.column("shingles_a").to_pylist(),
-                          batch.column("shingles_b").to_pylist()):
-            A, B = set(sa), set(sb)
-            inter = len(A & B)
-            keep.append(bool(A and B and inter
-                             and inter / (len(A) + len(B) - inter) >= threshold))
-        return batch.select(["id_a", "id_b"]).filter(
-            pa.array(keep, type=pa.bool_()))
+    def _jaccard_ok(A: set, B: set) -> bool:
+        inter = len(A & B)
+        return bool(A and B and inter
+                    and inter / (len(A) + len(B) - inter) >= threshold)
 
-    verified = _verify_join(pairs_ds, cand_sh, "doc_id", "shingles") \
-        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    rows = sorted((r["id_a"], r["id_b"]) for r in verified.take_all())
+    if _use_join_verify(verify, need.size):
+        def check(batch: pa.Table) -> pa.Table:
+            keep = [_jaccard_ok(set(sa), set(sb))
+                    for sa, sb in zip(batch.column("shingles_a").to_pylist(),
+                                      batch.column("shingles_b").to_pylist())]
+            return batch.select(["id_a", "id_b"]).filter(
+                pa.array(keep, type=pa.bool_()))
+
+        verified = _verify_join(pairs_ds, cand_sh, "doc_id", "shingles") \
+            .map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        rows = sorted((r["id_a"], r["id_b"]) for r in verified.take_all())
+    else:
+        sh_map = {r["doc_id"]: set(r["shingles"]) for r in cand_sh.take_all()}
+        rows = [(a, b) for a, b in sorted(_collect_pairs(pairs_ds))
+                if _jaccard_ok(sh_map.get(a, set()), sh_map.get(b, set()))]
     return pa.table({"doc_a": pa.array([a for a, _ in rows], type=pa.int64()),
                      "doc_b": pa.array([b for _, b in rows], type=pa.int64())})
 
@@ -535,7 +558,8 @@ def simhash_signatures(sf_dir: str):
              .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512,
+                  verify: str = "auto"):
     """Near-dup pairs with Hamming distance ≤ d via the pigeonhole
     trick: split the 64-bit signature into d+1 chunks — any pair within
     distance ≤ d must share at least one chunk exactly — groupby chunk
@@ -577,27 +601,36 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512):
         ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(ids_np, ray.get(need_ref))))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("simhash_a").to_numpy(zero_copy_only=False) \
-                 .astype(np.int64).view(np.uint64)
-        b = batch.column("simhash_b").to_numpy(zero_copy_only=False) \
-                 .astype(np.int64).view(np.uint64)
-        x = np.bitwise_xor(a, b)
-        # vectorized popcount: 8 bytes per uint64 → bit expansion → row sum
-        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
-              .sum(axis=1).astype(np.int64)
-        keep = d <= max_hamming
-        out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
-        return out.append_column("hamming", pa.array(d[keep], type=pa.int64()))
+    cand_sigs = sigs_ds.map_batches(candidate_sigs, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
-    verified = _verify_join(pairs_ds,
-                            sigs_ds.map_batches(candidate_sigs,
-                                                batch_format="pyarrow",
-                                                zero_copy_batch=True),
-                            "doc_id", "simhash") \
-        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    rows = sorted((r["id_a"], r["id_b"], r["hamming"])
-                  for r in verified.take_all())
+    if _use_join_verify(verify, need.size):
+        def check(batch: pa.Table) -> pa.Table:
+            a = batch.column("simhash_a").to_numpy(zero_copy_only=False) \
+                     .astype(np.int64).view(np.uint64)
+            b = batch.column("simhash_b").to_numpy(zero_copy_only=False) \
+                     .astype(np.int64).view(np.uint64)
+            x = np.bitwise_xor(a, b)
+            # vectorized popcount: 8 bytes per uint64 → bits → row sum
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+                  .sum(axis=1).astype(np.int64)
+            keep = d <= max_hamming
+            out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+            return out.append_column("hamming",
+                                     pa.array(d[keep], type=pa.int64()))
+
+        verified = _verify_join(pairs_ds, cand_sigs, "doc_id", "simhash") \
+            .map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        rows = sorted((r["id_a"], r["id_b"], r["hamming"])
+                      for r in verified.take_all())
+    else:
+        sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+                   for r in cand_sigs.take_all()}
+        rows = []
+        for a, b in sorted(_collect_pairs(pairs_ds)):
+            d = int(bin(sig_map[a] ^ sig_map[b]).count("1"))
+            if d <= max_hamming:
+                rows.append((a, b, d))
     return pa.table({"doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
                      "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
                      "hamming": pa.array([r[2] for r in rows], type=pa.int64())})
@@ -649,7 +682,8 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 99) -> np.ndarray:
 
 def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
                         n_bits: int = 128, band_bits: int = 8,
-                        dim: int | None = None, max_bucket: int = 512):
+                        dim: int | None = None, max_bucket: int = 512,
+                        verify: str = "auto"):
     """Random-hyperplane LSH near-dup pairs over an embedding column —
     the cosine analogue of MinHash-LSH (the scale path next to the
     brute-force matmul of :func:`embedding_neardup_pairs`).
@@ -703,25 +737,35 @@ def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
         ids_np = batch.column("vec_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(ids_np, ray.get(need_ref))))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        A = np.array(batch.column("embedding_a").to_pylist(), dtype=np.float64)
-        B = np.array(batch.column("embedding_b").to_pylist(), dtype=np.float64)
-        if A.size == 0:
-            return batch.select(["id_a", "id_b"])
-        na = np.linalg.norm(A, axis=1, keepdims=True)
-        nb = np.linalg.norm(B, axis=1, keepdims=True)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        cos = np.einsum("ij,ij->i", A / na, B / nb)
-        return batch.select(["id_a", "id_b"]).filter(
-            pa.array(cos >= threshold))
+    cand_vecs = ds.map_batches(candidate_vecs, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
-    verified = _verify_join(pairs_ds,
-                            ds.map_batches(candidate_vecs,
-                                           batch_format="pyarrow",
-                                           zero_copy_batch=True),
-                            "vec_id", "embedding") \
-        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    rows = sorted((r["id_a"], r["id_b"]) for r in verified.take_all())
+    if _use_join_verify(verify, need.size):
+        def check(batch: pa.Table) -> pa.Table:
+            A = np.array(batch.column("embedding_a").to_pylist(),
+                         dtype=np.float64)
+            B = np.array(batch.column("embedding_b").to_pylist(),
+                         dtype=np.float64)
+            if A.size == 0:
+                return batch.select(["id_a", "id_b"])
+            na = np.linalg.norm(A, axis=1, keepdims=True)
+            nb = np.linalg.norm(B, axis=1, keepdims=True)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = np.einsum("ij,ij->i", A / na, B / nb)
+            return batch.select(["id_a", "id_b"]).filter(
+                pa.array(cos >= threshold))
+
+        verified = _verify_join(pairs_ds, cand_vecs, "vec_id", "embedding") \
+            .map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        rows = sorted((r["id_a"], r["id_b"]) for r in verified.take_all())
+    else:
+        vec = {}
+        for r in cand_vecs.take_all():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            vec[r["vec_id"]] = v / n if n > 0 else v
+        rows = [(a, b) for a, b in sorted(_collect_pairs(pairs_ds))
+                if float(vec[a] @ vec[b]) >= threshold]
     return pa.table({"vec_a": pa.array([a for a, _ in rows], type=pa.int64()),
                      "vec_b": pa.array([b for _, b in rows], type=pa.int64())})

@@ -9,14 +9,24 @@ semantics on a vectorized path:
    equal keys become contiguous, possibly spanning adjacent blocks),
 2. per sorted block: ``pyarrow.Table.group_by`` (C++ hash aggregate).
    Rows whose key equals the block's *first or last* key might continue
-   in a neighboring block, so their partials are flagged as **edge**
-   rows instead of being emitted as final,
-3. edge partials (≤ 2 keys × blocks — tiny by construction) are merged
-   in one driver-side Arrow aggregation and unioned back.
+   in a neighboring block, so their partials go through a separate
+   edge pass,
+3. edge partials (≤ 2 keys × blocks — tiny by construction, aggregated
+   per block before collection) are merged in one driver-side Arrow
+   aggregation and unioned back.
 
 Supported reducers: ``sum, min, max, count`` (count is pre-combined to
 ``sum`` by callers).  All are associative/commutative, so combining
 partials with the same reducer is exact.
+
+Scale note (same pattern as ``stages/join.py``): the **sorted input**
+is materialized — it is pinned by the sort's all-to-all barrier anyway
+and bounded by the input size — never the aggregate *output*.  For a
+mostly-unique key column (exact dedup of a mostly-unique corpus) the
+output ≈ the input, so it must stream straight into downstream
+consumers.  The materialized sorted blocks are consumed twice
+zero-copy: a cheap edge pass that collects ≤ 2 aggregated rows per
+block, and the streaming interior aggregation.
 
 Skew note: equal keys land in one sort partition — hot keys must be
 salted *before* this operator (see ``stages/canonical.py``), which is
@@ -57,10 +67,9 @@ def sorted_group_aggregate(ds, keys, aggs):
     aggs = [(c, _MERGE_FN[f]) for c, f in aggs]
     out_names = keys + [c for c, _ in aggs]
 
-    def block_agg(batch: pa.Table) -> pa.Table:
-        batch = batch.select(out_names)
-        if batch.num_rows == 0:
-            return batch.append_column("__edge", pa.array([], type=pa.bool_()))
+    def _edge_mask(batch: pa.Table):
+        """Rows whose key equals the block's first or last key (they may
+        continue in a neighboring block)."""
         first_mask = None
         last_mask = None
         for k in keys:
@@ -69,35 +78,37 @@ def sorted_group_aggregate(ds, keys, aggs):
             lm = pc.equal(col, col[-1])
             first_mask = fm if first_mask is None else pc.and_(first_mask, fm)
             last_mask = lm if last_mask is None else pc.and_(last_mask, lm)
-        edge_mask = pc.or_(first_mask, last_mask)
-        parts = []
-        interior = batch.filter(pc.invert(edge_mask))
-        if interior.num_rows:
-            gi = _arrow_agg(interior, keys, aggs)
-            parts.append(gi.append_column(
-                "__edge", pa.array([False] * gi.num_rows, type=pa.bool_())))
-        edge = batch.filter(edge_mask)
-        if edge.num_rows:
-            ge = _arrow_agg(edge, keys, aggs)
-            parts.append(ge.append_column(
-                "__edge", pa.array([True] * ge.num_rows, type=pa.bool_())))
-        if not parts:
-            return batch.append_column("__edge", pa.array([], type=pa.bool_()))
-        return pa.concat_tables(parts)
+        return pc.or_(first_mask, last_mask)
 
-    blocks = (ds.sort(keys)
-              .map_batches(block_agg, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .materialize())                     # consumed twice below; tiny
+    # Input-sized pin (held by the sort's all-to-all anyway); the
+    # aggregate output below streams.
+    srt = ds.sort(keys).materialize()
 
-    interior = blocks.map_batches(
-        lambda b: b.filter(pc.invert(b.column("__edge"))).drop_columns(["__edge"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # Pass 1 (cheap): ≤ 2 aggregated edge rows per block to the driver.
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.select(out_names)
+        if batch.num_rows == 0:
+            return batch
+        edge = batch.filter(_edge_mask(batch))
+        if edge.num_rows == 0:
+            return batch.slice(0, 0)
+        return _arrow_agg(edge, keys, aggs)
 
-    edge_refs = blocks.map_batches(
-        lambda b: b.filter(b.column("__edge")).drop_columns(["__edge"]),
-        batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    # Pass 2 (streaming): interior aggregation; never materialized here.
+    def interior_agg(batch: pa.Table) -> pa.Table:
+        batch = batch.select(out_names)
+        if batch.num_rows == 0:
+            return batch
+        interior = batch.filter(pc.invert(_edge_mask(batch)))
+        if interior.num_rows == 0:
+            return batch.slice(0, 0)
+        return _arrow_agg(interior, keys, aggs)
+
+    edge_refs = srt.map_batches(edge_partials, batch_format="pyarrow",
+                                zero_copy_batch=True).to_arrow_refs()
     edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
+    interior = srt.map_batches(interior_agg, batch_format="pyarrow",
+                               zero_copy_batch=True)
     if not edge_tables:
         return interior
     merged = _arrow_agg(pa.concat_tables(edge_tables), keys, aggs)

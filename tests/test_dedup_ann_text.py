@@ -230,3 +230,19 @@ def test_ivf_partition_pruning(ray_session, tmp_path):
     got = ann.ann_ivf_topk(SF, k=5, n_queries=3, n_clusters=16, n_probe=2,
                            index_dir=idx).to_pandas()
     assert set(got["query_id"].unique()) and (got["rank"] >= 1).all()
+
+
+def test_verify_plans_identical(ray_session):
+    """The size-selected verification plans (driver broadcast map vs
+    distributed hash join) must be pair-for-pair identical — the plan
+    switch may change runtime, never results."""
+    from kgray.pipelines import dedup
+
+    for fn in (dedup.minhash_lsh_pairs, dedup.simhash_pairs):
+        d = fn(SF, verify="driver")
+        j = fn(SF, verify="join")
+        assert d.num_rows > 0
+        assert d.equals(j)
+    d = dedup.embedding_lsh_pairs(SF, threshold=0.5, verify="driver")
+    j = dedup.embedding_lsh_pairs(SF, threshold=0.5, verify="join")
+    assert d.equals(j)
