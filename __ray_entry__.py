@@ -228,8 +228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_counts": relational.supplier_nation_counts,
         "distinct_segments": relational.distinct_segments,
         "events_hourly": relational.events_hourly,
+        "events_hopping": relational.events_hopping,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
+        "events_asof_orders": relational.events_asof_orders,
+        "priority_top_orders": relational.priority_top_orders,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -396,6 +399,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) - off AS window_hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events CROSS JOIN (VALUES (0), (1), (2)) AS t(off)
+            GROUP BY 1, 2
+        """,
+        "events_asof_orders": """
+            WITH o1 AS (SELECT o_custkey AS user_id,
+                               CAST(epoch_us(o_orderdate) AS BIGINT) AS ord_us,
+                               MAX(o_orderkey) AS o_orderkey
+                        FROM orders GROUP BY 1, 2)
+            SELECT e.user_id, e.event_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS ev_us,
+                   o1.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o1
+              ON e.user_id = o1.user_id
+             AND CAST(epoch_us(e.ts) AS BIGINT) >= o1.ord_us
+        """,
+        "priority_top_orders": """
+            SELECT o_orderpriority, o_orderkey, total_cents, "rank" FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+                       CAST(ROW_NUMBER() OVER (
+                            PARTITION BY o_orderpriority
+                            ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                                     o_orderkey) AS BIGINT) AS "rank"
+                FROM orders)
+            WHERE "rank" <= 3
         """,
         "order_priority_revenue": """
             SELECT o_orderpriority,

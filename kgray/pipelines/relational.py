@@ -21,8 +21,9 @@ import ray.data as rd
 from ..stages.aggregate import sorted_group_aggregate
 
 __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
-           "distinct_segments", "events_hourly", "part_type_stats",
-           "order_priority_revenue"]
+           "distinct_segments", "events_hourly", "events_hopping",
+           "part_type_stats", "order_priority_revenue",
+           "events_asof_orders", "priority_top_orders"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -142,6 +143,95 @@ def events_hourly(sf_dir: str):
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return sorted_group_aggregate(prepped, ["event_type", "epoch_hour"],
                                   [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def events_hopping(sf_dir: str, window_hours: int = 3):
+    """Hopping-window aggregate (window = ``window_hours`` h, hop = 1 h):
+    each event contributes to every hourly-anchored window covering it
+    (``window_hour`` = the window's start hour; an event at hour h
+    falls in windows starting h-L+1 .. h).  Vectorized explode (Arrow
+    ``take`` with a repeated index — no row loop), then the same
+    partial-aggregate + groupby as the tumbling path; rows leaving each
+    map task ≈ distinct (type, window) per batch, not ×window_hours."""
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        hour = pc.cast(pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64())),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        n = len(hour)
+        idx = np.repeat(np.arange(n, dtype=np.int64), window_hours)
+        off = np.tile(np.arange(window_hours, dtype=np.int64), n)
+        exploded = pa.table({
+            "event_type": batch.column("event_type").take(pa.array(idx)),
+            "window_hour": pa.array(hour[idx] - off, type=pa.int64()),
+            "n_events": pa.array(np.ones(n * window_hours, dtype=np.int64)),
+            "value_cents": pa.array(cents[idx], type=pa.int64()),
+        })
+        # map-side combine before the shuffle
+        g = exploded.group_by(["event_type", "window_hour"],
+                              use_threads=False).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "window_hour": g.column("window_hour"),
+                         "n_events": g.column("n_events_sum"),
+                         "value_cents": g.column("value_cents_sum")})
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return sorted_group_aggregate(prepped, ["event_type", "window_hour"],
+                                  [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def events_asof_orders(sf_dir: str):
+    """Distributed backward as-of join: each event matched to the most
+    recent order of the same customer (user_id = o_custkey) at or
+    before the event time — ``stages/asof.py`` (sort-co-located
+    per-run ``searchsorted``, edge keys through a driver pass).
+
+    The right side is pre-reduced to one row per (custkey, orderdate)
+    keeping the max orderkey, so ties at the matched time are
+    deterministic in both engines (the SQL oracle mirrors this)."""
+    from ..stages.asof import asof_join
+
+    events = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts", "user_id"])
+              .map_batches(lambda b: pa.table({
+                  "user_id": b.column("user_id"),
+                  "event_id": b.column("event_id"),
+                  "ev_us": pc.cast(b.column("ts"), pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(lambda b: pa.table({
+                  "user_id": b.column("o_custkey"),
+                  "ord_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                  "o_orderkey": b.column("o_orderkey")}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    orders_1 = sorted_group_aggregate(orders, ["user_id", "ord_us"],
+                                      [("o_orderkey", "max")])
+    return asof_join(events, orders_1, key="user_id",
+                     left_t="ev_us", right_t="ord_us")
+
+
+def priority_top_orders(sf_dir: str, k: int = 3):
+    """Per-group top-k (the ROW_NUMBER window pattern): the k highest-
+    value orders per order priority, rank included — ``stages/topk.py``.
+    Money in integer cents; ties broken by orderkey ascending, so the
+    ranking is total and matches the SQL oracle bit-for-bit."""
+    from ..stages.topk import grouped_topk
+
+    prepped = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderpriority",
+                                        "o_totalprice"])
+               .map_batches(lambda b: pa.table({
+                   "o_orderpriority": b.column("o_orderpriority"),
+                   "o_orderkey": b.column("o_orderkey"),
+                   "total_cents": _cents(b.column("o_totalprice"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return grouped_topk(prepped, group="o_orderpriority",
+                        order_col="total_cents", tiebreak="o_orderkey",
+                        k=k, descending=True)
 
 
 def part_type_stats(sf_dir: str):

@@ -1,0 +1,98 @@
+"""Distributed per-group top-k (the ``ROW_NUMBER() OVER (PARTITION BY
+g ORDER BY v DESC, tiebreak) ≤ k`` window pattern — Ray Data has no
+window functions).
+
+Same discipline as the other exchange stages: range-partition sort on
+``(group, order_col desc, tiebreak asc)`` makes each group's rows a
+contiguous run already in rank order; per sorted block every interior
+run emits its first k rows with their rank; boundary-key runs (may
+continue in a neighboring block) route through one small driver-side
+pass.  The sorted input is materialized (pinned by the sort barrier
+anyway); the top-k output streams.
+
+Determinism: ``tiebreak`` must be a key unique within its group, so
+ranks are total and reproducible (mirrors the SQL oracle's ORDER BY).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["grouped_topk"]
+
+
+def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
+                 descending: bool = True):
+    """Top-k rows per ``group`` by ``order_col`` (ties broken by
+    ``tiebreak`` ascending), with a 1-based ``rank`` column appended.
+    Returns a Dataset with the input columns plus ``rank``.
+    """
+    import ray
+    import ray.data as rd
+
+    schema = ds.schema()
+    out_cols = list(schema.names) + ["rank"]
+    types = dict(zip(schema.names, schema.types))
+    types["rank"] = pa.int64()
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (ds.repartition(n_part)
+           .sort([group, order_col, tiebreak],
+                 descending=[False, descending, False])
+           .materialize())
+
+    def _edge_mask(batch: pa.Table):
+        g = batch.column(group)
+        return pc.or_(pc.equal(g, g[0]), pc.equal(g, g[-1]))
+
+    def _heads(t: pa.Table) -> pa.Table:
+        """First k rows (+rank) of each complete group run; rows are
+        already in rank order within runs."""
+        if t.num_rows == 0:
+            return _empty(out_cols, types)
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.append(starts[1:], len(g))
+        take, ranks = [], []
+        for s, e in zip(starts, ends):
+            n = min(k, e - s)
+            take.append(np.arange(s, s + n))
+            ranks.append(np.arange(1, n + 1))
+        idx = np.concatenate(take)
+        out = t.take(pa.array(idx, type=pa.int64()))
+        return out.append_column(
+            "rank", pa.array(np.concatenate(ranks), type=pa.int64()))
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(_edge_mask(batch))
+
+    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).to_arrow_refs()
+    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(out_cols, types)
+        return _heads(batch.filter(pc.invert(_edge_mask(batch))))
+
+    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    if not edge_tables:
+        return interior_ds
+    et = pa.concat_tables(edge_tables, promote_options="permissive")
+    idx = pc.sort_indices(et, sort_keys=[
+        (group, "ascending"),
+        (order_col, "descending" if descending else "ascending"),
+        (tiebreak, "ascending")])
+    heads = _heads(et.take(idx))
+    if heads.num_rows == 0:
+        return interior_ds
+    return interior_ds.union(rd.from_arrow(heads))
+
+
+def _empty(out_cols, types) -> pa.Table:
+    return pa.table({c: pa.array([], type=types[c]) for c in out_cols})

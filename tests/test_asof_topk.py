@@ -1,0 +1,107 @@
+"""asof_join and grouped_topk stages: brute-force equality including
+key runs that span sorted-block boundaries, unmatched lefts, ties."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _brute_asof(left_df, right_df):
+    """Per-row reference: greatest right t ≤ left t within the key."""
+    out = []
+    for _, r in left_df.iterrows():
+        cand = right_df[(right_df["k"] == r["k"]) & (right_df["rt"] <= r["lt"])]
+        if len(cand):
+            best = cand.sort_values(["rt", "payload"]).iloc[-1]
+            out.append(best["payload"])
+        else:
+            out.append(None)
+    return out
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    from kgray.stages.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 4000, 1500
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 40, n_l).astype(np.int64),
+        "lt": rng.integers(0, 10_000, n_l).astype(np.int64),
+        "lid": np.arange(n_l, dtype=np.int64),
+    })
+    right_df = pd.DataFrame({
+        "k": rng.integers(0, 40, n_r).astype(np.int64),
+        "rt": rng.integers(0, 10_000, n_r).astype(np.int64),
+    })
+    # determinism contract: one right row per (k, t) — keep max payload
+    right_df["payload"] = np.arange(n_r, dtype=np.int64)
+    right_df = (right_df.groupby(["k", "rt"], as_index=False)
+                .agg(payload=("payload", "max")))
+
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(9)
+    right = rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(5)
+    got = asof_join(left, right, key="k", left_t="lt", right_t="rt") \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+
+    expect = _brute_asof(left_df, right_df)
+    exp_series = pd.Series(expect, dtype="object")
+    got_sorted = got.set_index("lid").loc[left_df["lid"]]["payload"]
+    assert len(got) == n_l
+    for g, e in zip(got_sorted.tolist(), exp_series.tolist()):
+        if e is None:
+            assert pd.isna(g)
+        else:
+            assert g == e
+
+
+def test_asof_join_equal_times_and_all_unmatched(ray_session):
+    from kgray.stages.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "lt": pa.array([5, 4, 9], type=pa.int64()),
+        "lid": pa.array([0, 1, 2], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "rt": pa.array([5, 3], type=pa.int64()),
+        "payload": pa.array([100, 50], type=pa.int64())}))
+    got = asof_join(left, right, key="k", left_t="lt", right_t="rt") \
+        .to_pandas().set_index("lid")
+    assert got.loc[0, "payload"] == 100     # rt == lt matches
+    assert got.loc[1, "payload"] == 50      # backward to 3
+    assert pd.isna(got.loc[2, "payload"])   # key 2 has no right rows
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from kgray.stages.topk import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 25, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),   # many ties
+        "tb": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(11)
+    got = grouped_topk(ds, group="g", order_col="v", tiebreak="tb", k=4) \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+
+    df2 = df.sort_values(["g", "v", "tb"], ascending=[True, False, True])
+    df2["rank"] = df2.groupby("g").cumcount() + 1
+    exp = df2[df2["rank"] <= 4].sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "tb", "rank"]],
+                                  exp[["g", "v", "tb", "rank"]])
+
+
+def test_grouped_topk_small_groups(ray_session):
+    from kgray.stages.topk import grouped_topk
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([1, 1, 2], type=pa.int64()),
+        "v": pa.array([10, 20, 5], type=pa.int64()),
+        "tb": pa.array([0, 1, 2], type=pa.int64())}))
+    got = grouped_topk(ds, group="g", order_col="v", tiebreak="tb", k=5) \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    assert got["rank"].tolist() == [1, 2, 1]
+    assert got["v"].tolist() == [20, 10, 5]
