@@ -104,6 +104,9 @@ def run_bench() -> dict:
     from kgray.pipelines import streaming
     timed("order_priority_revenue", lambda: relational.order_priority_revenue(sf_dir))
     timed("user_sessions", lambda: streaming.user_sessions(sf_dir))
+    timed("events_asof_orders", lambda: relational.events_asof_orders(sf_dir))
+    timed("priority_top_orders", lambda: relational.priority_top_orders(sf_dir))
+    timed("events_hopping", lambda: relational.events_hopping(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -74,6 +74,10 @@ def main(argv=None):
     p.add_argument("--pred", required=True)
     p.add_argument("--lang", default="en", choices=["en", "zh"])
 
+    p = sub.add_parser("bench", help="headline benchmark (same as python bench.py)")
+    p.add_argument("--scaling", action="store_true",
+                   help="8-vs-32-CPU fresh-process scaling efficiency")
+
     args = parser.parse_args(argv)
 
     if args.command == "gen-corpus":
@@ -110,6 +114,17 @@ def main(argv=None):
             tags = viterbi_batch(sentences, model)
         conll.write_tagged(args.output, sentences, tags)
         print(f"wrote {args.output}")
+
+    elif args.command == "bench":
+        # bench.py lives at the repo root, next to the package
+        import os
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        import bench
+        if args.scaling:
+            print(json.dumps(bench.run_scaling()))
+        else:
+            print(json.dumps(bench.run_bench()))
 
     elif args.command == "eval":
         from .constants import SORTED_LABELS_EN, SORTED_LABELS_ZH
