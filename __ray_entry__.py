@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
+        "events_value_quantiles": relational.events_value_quantiles,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -420,6 +421,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN o1
               ON e.user_id = o1.user_id
              AND CAST(epoch_us(e.ts) AS BIGINT) >= o1.ord_us
+        """,
+        "events_value_quantiles": """
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_disc(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0.5) AS p50_cents,
+                   quantile_disc(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0.95) AS p95_cents
+            FROM events
+            GROUP BY 1
         """,
         "priority_top_orders": """
             SELECT o_orderpriority, o_orderkey, total_cents, "rank" FROM (

@@ -153,11 +153,13 @@ def run_scaling_worker() -> dict:
     kg_dataset(files[:2], corpus, model_dir, tagger="crf").count()
 
     out_dir = tempfile.mkdtemp(prefix="kgray_scaling_")
+    load_before = _loadavg1()
     t0 = time.perf_counter()
     ds = kg_dataset(files, corpus, model_dir, tagger="crf")
     graph = canonical_graph(ds)
     graph.write_parquet(os.path.join(out_dir, "graph"))
     sec = time.perf_counter() - t0
+    load_after = _loadavg1()
 
     import glob as _glob
     import pyarrow.parquet as pq
@@ -168,7 +170,19 @@ def run_scaling_worker() -> dict:
     ray.shutdown()
     return {"value": round(sec, 3), "num_cpus": num_cpus, "pages": n_pages,
             "graph_rows": n_triples,
-            "pages_per_sec": round(n_pages / sec, 1)}
+            "pages_per_sec": round(n_pages / sec, 1),
+            # 1-min loadavg around the run: co-tenant pollution context —
+            # on this shared sandbox a loadavg ≫ our own CPU count means
+            # the wall time is not the engine's
+            "loadavg": [load_before, load_after]}
+
+
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
 
 
 def run_scaling() -> dict:
@@ -216,6 +230,8 @@ def run_scaling() -> dict:
         "sec_lo": t_lo, "sec_hi": t_hi,
         "sec_lo_runs": [r["value"] for r in runs_lo],
         "sec_hi_runs": [r["value"] for r in runs_hi],
+        "loadavg_lo_runs": [r.get("loadavg") for r in runs_lo],
+        "loadavg_hi_runs": [r.get("loadavg") for r in runs_hi],
         "efficiency_cross_range": [all_eff[0], all_eff[-1]],
         "pages": runs_hi[0]["pages"],
         "pages_per_sec_lo": round(runs_hi[0]["pages"] / t_lo, 1),

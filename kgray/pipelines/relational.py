@@ -23,7 +23,8 @@ from ..stages.aggregate import sorted_group_aggregate
 __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "distinct_segments", "events_hourly", "events_hopping",
            "part_type_stats", "order_priority_revenue",
-           "events_asof_orders", "priority_top_orders"]
+           "events_asof_orders", "priority_top_orders",
+           "events_value_quantiles"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -232,6 +233,23 @@ def priority_top_orders(sf_dir: str, k: int = 3):
     return grouped_topk(prepped, group="o_orderpriority",
                         order_col="total_cents", tiebreak="o_orderkey",
                         k=k, descending=True)
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group p50/p95 (``stages/quantile.py``): the latency-
+    percentile query shape, computed exactly (no sketch) with DuckDB
+    ``quantile_disc`` semantics so the oracle matches bit-for-bit."""
+    from ..stages.quantile import grouped_quantiles
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+               .map_batches(lambda b: pa.table({
+                   "event_type": b.column("event_type"),
+                   "value_cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return grouped_quantiles(prepped, group="event_type",
+                             value_col="value_cents", qs=[0.5, 0.95],
+                             out_names=["p50_cents", "p95_cents"])
 
 
 def part_type_stats(sf_dir: str):

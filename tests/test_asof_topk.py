@@ -105,3 +105,35 @@ def test_grouped_topk_small_groups(ray_session):
         .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
     assert got["rank"].tolist() == [1, 2, 1]
     assert got["v"].tolist() == [20, 10, 5]
+
+
+def test_grouped_quantiles_matches_duckdb_rule(ray_session):
+    """Exact per-group quantile_disc semantics: index ceil(q*n)-1 of
+    the ascending run — checked against a direct per-group computation
+    with heavy duplication and groups spanning sorted blocks."""
+    import math
+
+    from kgray.stages.quantile import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 13, n).astype(np.int64),
+        "v": rng.integers(0, 30, n).astype(np.int64),   # heavy ties
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(10)
+    got = grouped_quantiles(ds, group="g", value_col="v",
+                            qs=[0.5, 0.95], out_names=["p50", "p95"]) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+
+    exp_rows = []
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        m = len(vals)
+        row = {"g": g, "n": m}
+        for q, nm in ((0.5, "p50"), (0.95, "p95")):
+            row[nm] = vals[max(0, math.ceil(q * m) - 1)]
+        exp_rows.append(row)
+    exp = pd.DataFrame(exp_rows).sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "n", "p50", "p95"]],
+                                  exp[["g", "n", "p50", "p95"]])
