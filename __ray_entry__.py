@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
+        "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -421,6 +422,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN o1
               ON e.user_id = o1.user_id
              AND CAST(epoch_us(e.ts) AS BIGINT) >= o1.ord_us
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
         """,
         "events_value_quantiles": """
             SELECT event_type, COUNT(*) AS n,

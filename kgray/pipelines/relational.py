@@ -24,7 +24,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "distinct_segments", "events_hourly", "events_hopping",
            "part_type_stats", "order_priority_revenue",
            "events_asof_orders", "priority_top_orders",
-           "events_value_quantiles"]
+           "events_value_quantiles", "customers_no_urgent_orders"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -233,6 +233,24 @@ def priority_top_orders(sf_dir: str, k: int = 3):
     return grouped_topk(prepped, group="o_orderpriority",
                         order_col="total_cents", tiebreak="o_orderkey",
                         k=k, descending=True)
+
+
+def customers_no_urgent_orders(sf_dir: str):
+    """Distributed anti-join (SQL NOT EXISTS) via ``stages/semijoin.py``:
+    customers with no '1-URGENT' order — large×large shape, right side
+    shuffled as distinct keys only."""
+    from ..stages.semijoin import semi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderpriority"])
+              .map_batches(lambda b: pa.table({
+                  "c_custkey": b.filter(
+                      pc.equal(b.column("o_orderpriority"),
+                               pa.scalar("1-URGENT"))).column("o_custkey")}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    return semi_join(cust, urgent, on="c_custkey", anti=True)
 
 
 def events_value_quantiles(sf_dir: str):

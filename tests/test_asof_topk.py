@@ -137,3 +137,35 @@ def test_grouped_quantiles_matches_duckdb_rule(ray_session):
     exp = pd.DataFrame(exp_rows).sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "n", "p50", "p95"]],
                                   exp[["g", "n", "p50", "p95"]])
+
+
+def test_semi_and_anti_join(ray_session):
+    """semi/anti keep exactly the EXISTS / NOT-EXISTS left rows; null
+    keys match nothing (kept by anti, dropped by semi); keys span
+    sorted-block boundaries."""
+    from kgray.stages.semijoin import semi_join
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    k = rng.integers(0, 60, n).astype(np.float64)
+    k[rng.random(n) < 0.02] = np.nan                    # some null keys
+    left_df = pd.DataFrame({"k": pd.array([None if np.isnan(x) else int(x) for x in k],
+                                          dtype="Int64"),
+                            "lid": np.arange(n, dtype=np.int64)})
+    right_keys = np.unique(rng.integers(0, 60, 40)).astype(np.int64)
+    right_df = pd.DataFrame({"k": np.repeat(right_keys, 3),   # dup right rows
+                             "junk": np.arange(len(right_keys) * 3)})
+
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(7)
+    right = rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(3)
+
+    in_right = left_df["k"].isin(right_keys)
+    exp_semi = set(left_df.loc[in_right.fillna(False), "lid"])
+    exp_anti = set(left_df["lid"]) - exp_semi           # null keys → anti
+
+    got_semi = set(semi_join(left, right.select_columns(["k"]), on="k")
+                   .to_pandas()["lid"])
+    got_anti = set(semi_join(left, right.select_columns(["k"]), on="k",
+                             anti=True).to_pandas()["lid"])
+    assert got_semi == exp_semi
+    assert got_anti == exp_anti
