@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
+        "events_recent_orders": relational.events_recent_orders,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -422,6 +423,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN o1
               ON e.user_id = o1.user_id
              AND CAST(epoch_us(e.ts) AS BIGINT) >= o1.ord_us
+        """,
+        "events_recent_orders": """
+            SELECT e.user_id, e.event_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS ev_us,
+                   CAST(COUNT(o.o_custkey) AS BIGINT) AS n_recent_orders
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                 BETWEEN CAST(epoch_us(e.ts) AS BIGINT) - 2592000000000
+                     AND CAST(epoch_us(e.ts) AS BIGINT)
+            GROUP BY 1, 2, 3
         """,
         "customers_no_urgent_orders": """
             SELECT c_custkey, c_name, c_mktsegment

@@ -24,7 +24,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "distinct_segments", "events_hourly", "events_hopping",
            "part_type_stats", "order_priority_revenue",
            "events_asof_orders", "priority_top_orders",
-           "events_value_quantiles", "customers_no_urgent_orders"]
+           "events_value_quantiles", "customers_no_urgent_orders",
+           "events_recent_orders"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -233,6 +234,34 @@ def priority_top_orders(sf_dir: str, k: int = 3):
     return grouped_topk(prepped, group="o_orderpriority",
                         order_col="total_cents", tiebreak="o_orderkey",
                         k=k, descending=True)
+
+
+def events_recent_orders(sf_dir: str, days: int = 30):
+    """Trailing-window interval join (``stages/asof.py:
+    windowed_count_join``): per event, how many orders the same
+    customer placed in the preceding ``days`` (inclusive) — the
+    attribution-window shape, aggregated in the operator so the output
+    stays one row per event."""
+    from ..stages.asof import windowed_count_join
+
+    events = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts", "user_id"])
+              .map_batches(lambda b: pa.table({
+                  "user_id": b.column("user_id"),
+                  "event_id": b.column("event_id"),
+                  "ev_us": pc.cast(b.column("ts"), pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+              .map_batches(lambda b: pa.table({
+                  "user_id": b.column("o_custkey"),
+                  "ord_us": pc.cast(b.column("o_orderdate"), pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    window_us = days * 86_400 * 1_000_000
+    return windowed_count_join(events, orders, key="user_id",
+                               left_t="ev_us", right_t="ord_us",
+                               window=window_us,
+                               count_name="n_recent_orders")
 
 
 def customers_no_urgent_orders(sf_dir: str):

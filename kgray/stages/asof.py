@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "windowed_count_join"]
 
 
 def asof_join(left, right, key: str, left_t: str, right_t: str):
@@ -165,3 +165,117 @@ def asof_join(left, right, key: str, left_t: str, right_t: str):
 
 def _empty(out_cols, types) -> pa.Table:
     return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+
+
+def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
+                        window: int, count_name: str = "n_in_window"):
+    """Trailing-window interval join, aggregated: for every left row,
+    the COUNT of same-key right rows with ``t ∈ [left_t − window,
+    left_t]`` (the attribution-window / "recent activity" shape —
+    ``LEFT JOIN ... BETWEEN`` + ``GROUP BY`` in SQL).
+
+    Emitting the count instead of the matched pairs keeps the output
+    exactly one row per left row — a raw interval join's output is
+    |matches| and can explode; aggregate in the operator, not after.
+
+    Same plan as :func:`asof_join` (one sort, per-run vectorized
+    resolution, edge keys through the driver): counts come from two
+    ``searchsorted`` calls per run — no pairwise work at all.
+    """
+    import ray
+    import ray.data as rd
+
+    l_schema = left.schema()
+    l_cols = list(l_schema.names)
+    assert count_name not in l_cols
+    out_cols = l_cols + [count_name]
+    types = dict(zip(l_schema.names, l_schema.types))
+    types[count_name] = pa.int64()
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key),
+                "__t": pc.cast(batch.column(left_t), pa.int64())}
+        for c in l_cols:
+            if c != key:
+                cols[c] = batch.column(c)
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key),
+                "__t": pc.cast(batch.column(right_t), pa.int64())}
+        for c in l_cols:
+            if c != key:
+                cols[c] = pa.nulls(batch.num_rows, type=types[c])
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+               .repartition(n_part))
+    srt = unioned.sort([key, "__t"]).materialize()
+
+    def _edge_mask(batch: pa.Table):
+        k = batch.column(key)
+        return pc.or_(pc.equal(k, k[0]), pc.equal(k, k[-1]))
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(out_cols, types)
+        keys_np = t.column(key).to_numpy(zero_copy_only=False)
+        times = t.column("__t").to_numpy(zero_copy_only=False)
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        ends = np.append(starts[1:], len(keys_np))
+        l_all, c_all = [], []
+        for s, e in zip(starts, ends):
+            ls = side[s:e] == 1
+            l_pos = np.flatnonzero(ls) + s
+            if l_pos.size == 0:
+                continue
+            r_t = times[np.flatnonzero(~ls) + s]
+            lt = times[l_pos]
+            if r_t.size == 0:
+                cnt = np.zeros(l_pos.size, dtype=np.int64)
+            else:
+                hi = np.searchsorted(r_t, lt, side="right")
+                lo = np.searchsorted(r_t, lt - window, side="left")
+                cnt = (hi - lo).astype(np.int64)
+            l_all.append(l_pos)
+            c_all.append(cnt)
+        if not l_all:
+            return _empty(out_cols, types)
+        l_idx = np.concatenate(l_all)
+        lt_tbl = t.take(pa.array(l_idx))
+        cols = {c: lt_tbl.column(c) for c in l_cols}
+        cols[count_name] = pa.array(np.concatenate(c_all), type=pa.int64())
+        return pa.table({c: cols[c] for c in out_cols})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(_edge_mask(batch))
+
+    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).to_arrow_refs()
+    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(out_cols, types)
+        return _resolve(batch.filter(pc.invert(_edge_mask(batch))))
+
+    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    if not edge_tables:
+        return interior_ds
+    et = pa.concat_tables(edge_tables, promote_options="permissive")
+    idx = pc.sort_indices(et, sort_keys=[(key, "ascending"),
+                                         ("__t", "ascending")])
+    resolved = _resolve(et.take(idx))
+    if resolved.num_rows == 0:
+        return interior_ds
+    return interior_ds.union(rd.from_arrow(resolved))

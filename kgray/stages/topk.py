@@ -66,9 +66,22 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
             "rank", pa.array(np.concatenate(ranks), type=pa.int64()))
 
     def edge_rows(batch: pa.Table) -> pa.Table:
+        """Boundary-run rows, capped at k per run per block: blocks are
+        in global rank order, so the global first-k of a multi-block run
+        is contained in the union of each block's first-k of that run —
+        a hot group never ships more than 2k rows per block to the
+        driver."""
         if batch.num_rows == 0:
             return batch
-        return batch.filter(_edge_mask(batch))
+        edge = batch.filter(_edge_mask(batch))
+        if edge.num_rows == 0:
+            return edge
+        g = edge.column(group).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.append(starts[1:], len(g))
+        take = np.concatenate([np.arange(s, min(s + k, e))
+                               for s, e in zip(starts, ends)])
+        return edge.take(pa.array(take, type=pa.int64()))
 
     edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
                                 zero_copy_batch=True).to_arrow_refs()

@@ -169,3 +169,54 @@ def test_semi_and_anti_join(ray_session):
                              anti=True).to_pandas()["lid"])
     assert got_semi == exp_semi
     assert got_anti == exp_anti
+
+
+def test_grouped_topk_hot_group(ray_session):
+    """A group holding most rows (spanning many sorted blocks) must
+    still rank exactly — the edge pass caps its driver shipment at k
+    rows per block, which is provably a superset of the global top-k."""
+    from kgray.stages.topk import grouped_topk
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    g = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 5, n)).astype(np.int64)
+    df = pd.DataFrame({"g": g,
+                       "v": rng.integers(0, 10_000, n).astype(np.int64),
+                       "tb": np.arange(n, dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(16)
+    got = grouped_topk(ds, group="g", order_col="v", tiebreak="tb", k=3) \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+
+    df2 = df.sort_values(["g", "v", "tb"], ascending=[True, False, True])
+    df2["rank"] = df2.groupby("g").cumcount() + 1
+    exp = df2[df2["rank"] <= 3].sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "tb", "rank"]],
+                                  exp[["g", "v", "tb", "rank"]])
+
+
+def test_windowed_count_join_matches_bruteforce(ray_session):
+    """Per-left trailing-window counts (inclusive bounds) vs a direct
+    per-row computation, with key runs spanning sorted blocks."""
+    from kgray.stages.asof import windowed_count_join
+
+    rng = np.random.default_rng(17)
+    n_l, n_r, w = 3000, 2000, 50
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 30, n_l).astype(np.int64),
+        "lt": rng.integers(0, 2000, n_l).astype(np.int64),
+        "lid": np.arange(n_l, dtype=np.int64)})
+    right_df = pd.DataFrame({
+        "k": rng.integers(0, 30, n_r).astype(np.int64),
+        "rt": rng.integers(0, 2000, n_r).astype(np.int64)})
+
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(8)
+    right = rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(4)
+    got = windowed_count_join(left, right, key="k", left_t="lt",
+                              right_t="rt", window=w, count_name="cnt") \
+        .to_pandas().set_index("lid").loc[left_df["lid"], "cnt"].to_numpy()
+
+    exp = np.array([((right_df["k"] == r["k"])
+                     & (right_df["rt"] >= r["lt"] - w)
+                     & (right_df["rt"] <= r["lt"])).sum()
+                    for _, r in left_df.iterrows()], dtype=np.int64)
+    assert (got == exp).all()
