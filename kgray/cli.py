@@ -116,11 +116,18 @@ def main(argv=None):
         print(f"wrote {args.output}")
 
     elif args.command == "bench":
-        # bench.py lives at the repo root, next to the package
+        # bench.py lives at the repo root, next to the package — only
+        # available from a repo checkout, not an installed package
         import os
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         sys.path.insert(0, root)
-        import bench
+        try:
+            import bench
+        except ImportError:
+            print("bench.py not found next to the kgray package — "
+                  "run `python bench.py` from the repo root instead",
+                  file=sys.stderr)
+            return 1
         if args.scaling:
             print(json.dumps(bench.run_scaling()))
         else:

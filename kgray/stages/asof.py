@@ -15,16 +15,21 @@ Same co-location discipline as ``stages/aggregate.py`` /
    locally and vectorized: ``np.searchsorted(right_times, left_times,
    'right') - 1`` (both sides of the run are already time-sorted),
 3. rows whose key equals a block's first/last key may continue in a
-   neighboring block, so they route through one small driver-side
-   resolve (≤ 2 keys × blocks, size-independent).
+   neighboring block, so they route through one driver-side resolve.
+   The shipment is ≤ 2 *keys* per block, but all ROWS of those keys —
+   a single hot key spanning many blocks ships its whole run to the
+   driver.  Hot keys must be bounded upstream (salt/split, or
+   pre-aggregate the right side), the same contract as fitting a key
+   into one sort partition.
+
+Null join keys follow SQL semantics: a null key matches nothing —
+null-key left rows are emitted unmatched (null right columns /
+zero count), null-key right rows are dropped.
 
 The sorted input is materialized (pinned by the sort's all-to-all
 anyway); the join output streams.  Determinism: callers must ensure at
 most one right row per ``(key, t)`` (pre-reduce duplicates) or ties at
 the matched time are arbitrary.
-
-Skew: one key's rows share a sort partition — salt/split hot keys
-upstream if a single key outgrows a block.
 """
 
 from __future__ import annotations
@@ -32,6 +37,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ._runs import edge_mask as _null_safe_edge_mask
 
 __all__ = ["asof_join", "windowed_count_join"]
 
@@ -91,14 +98,32 @@ def asof_join(left, right, key: str, left_t: str, right_t: str):
     srt = unioned.sort([key, "__t"]).materialize()
 
     def _edge_mask(batch: pa.Table):
-        k = batch.column(key)
-        return pc.or_(pc.equal(k, k[0]), pc.equal(k, k[-1]))
+        # null-safe, and null keys are always routed to the driver pass
+        # (the sort clusters them at one end; never let a null poison a
+        # filter mask)
+        return pc.or_(_null_safe_edge_mask(batch.column(key)),
+                      pc.is_null(batch.column(key)))
 
     def _resolve(t: pa.Table) -> pa.Table:
         """As-of-resolve complete key runs (rows of each key sorted by
         __t; both sides interleaved).  Vectorized per run."""
         if t.num_rows == 0:
             return _empty(out_cols, types)
+        nulls = pc.is_null(t.column(key))
+        unmatched = None
+        if pc.any(nulls).as_py():
+            # SQL: null keys match nothing — null-key lefts emit
+            # unmatched, null-key rights drop
+            nl = t.filter(pc.and_(nulls, pc.equal(t.column("__side"), 1)))
+            if nl.num_rows:
+                cols = {c: nl.column(c) for c in l_cols}
+                for c in r_payload:
+                    cols[c] = pa.nulls(nl.num_rows, type=types[c])
+                unmatched = pa.table({c: cols[c] for c in out_cols})
+            t = t.filter(pc.invert(nulls))
+            if t.num_rows == 0:
+                return unmatched if unmatched is not None \
+                    else _empty(out_cols, types)
         keys_np = t.column(key).to_numpy(zero_copy_only=False)
         times = t.column("__t").to_numpy(zero_copy_only=False)
         side = t.column("__side").to_numpy(zero_copy_only=False)
@@ -120,7 +145,8 @@ def asof_join(left, right, key: str, left_t: str, right_t: str):
             left_idx_all.append(l_pos)
             match_idx_all.append(np.where(m >= 0, r_pos[np.clip(m, 0, None)], -1))
         if not left_idx_all:
-            return _empty(out_cols, types)
+            return unmatched if unmatched is not None \
+                else _empty(out_cols, types)
         l_idx = np.concatenate(left_idx_all)
         m_idx = np.concatenate(match_idx_all)
         lt = t.take(pa.array(l_idx))
@@ -132,7 +158,11 @@ def asof_join(left, right, key: str, left_t: str, right_t: str):
             v = t.column(c).take(take_r)
             cols[c] = pc.if_else(null_mask, pa.scalar(None, type=types[c]),
                                  pc.cast(v, types[c]))
-        return pa.table({c: cols[c] for c in out_cols})
+        out = pa.table({c: cols[c] for c in out_cols})
+        if unmatched is not None:
+            out = pa.concat_tables([out, unmatched],
+                                   promote_options="permissive")
+        return out
 
     # Pass 1 (cheap): boundary-key rows to the driver — complete runs.
     def edge_rows(batch: pa.Table) -> pa.Table:
@@ -219,12 +249,27 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
     srt = unioned.sort([key, "__t"]).materialize()
 
     def _edge_mask(batch: pa.Table):
-        k = batch.column(key)
-        return pc.or_(pc.equal(k, k[0]), pc.equal(k, k[-1]))
+        return pc.or_(_null_safe_edge_mask(batch.column(key)),
+                      pc.is_null(batch.column(key)))
 
     def _resolve(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _empty(out_cols, types)
+        nulls = pc.is_null(t.column(key))
+        zero_part = None
+        if pc.any(nulls).as_py():
+            # SQL: null keys match nothing — null-key lefts count 0,
+            # null-key rights drop
+            nl = t.filter(pc.and_(nulls, pc.equal(t.column("__side"), 1)))
+            if nl.num_rows:
+                cols = {c: nl.column(c) for c in l_cols}
+                cols[count_name] = pa.array(
+                    np.zeros(nl.num_rows, dtype=np.int64))
+                zero_part = pa.table({c: cols[c] for c in out_cols})
+            t = t.filter(pc.invert(nulls))
+            if t.num_rows == 0:
+                return zero_part if zero_part is not None \
+                    else _empty(out_cols, types)
         keys_np = t.column(key).to_numpy(zero_copy_only=False)
         times = t.column("__t").to_numpy(zero_copy_only=False)
         side = t.column("__side").to_numpy(zero_copy_only=False)
@@ -247,12 +292,17 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
             l_all.append(l_pos)
             c_all.append(cnt)
         if not l_all:
-            return _empty(out_cols, types)
+            return zero_part if zero_part is not None \
+                else _empty(out_cols, types)
         l_idx = np.concatenate(l_all)
         lt_tbl = t.take(pa.array(l_idx))
         cols = {c: lt_tbl.column(c) for c in l_cols}
         cols[count_name] = pa.array(np.concatenate(c_all), type=pa.int64())
-        return pa.table({c: cols[c] for c in out_cols})
+        out = pa.table({c: cols[c] for c in out_cols})
+        if zero_part is not None:
+            out = pa.concat_tables([out, zero_part],
+                                   promote_options="permissive")
+        return out
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

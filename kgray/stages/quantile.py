@@ -9,9 +9,13 @@ identically).  Exact — no sketch, no interpolation.
 Same discipline as the other exchange stages: range-partition sort on
 ``(group, value)`` makes each group a contiguous ascending run; per
 sorted block every interior run indexes its quantiles directly;
-boundary-key runs route through one small driver pass.  The sorted
-input is materialized (pinned by the sort barrier anyway); the one-row
--per-group output streams.
+boundary-group rows are reduced per block to ``(group, value, count)``
+partials before the driver merge — exact for discrete quantiles, and
+the driver shipment is bounded by distinct values per block, not by
+the boundary groups' row counts (low-cardinality groupings make MOST
+groups boundary groups).  The sorted input is materialized (pinned by
+the sort barrier anyway); the one-row-per-group output streams.
+Null group keys form one group (SQL GROUP BY semantics).
 
 At true scale a single hot group's rows must fit one sort partition
 (same contract as every sorted-run stage here); for sketch-tolerant
@@ -24,6 +28,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ._runs import edge_mask as _null_safe_edge_mask
+from ._runs import run_starts
 
 __all__ = ["grouped_quantiles"]
 
@@ -53,16 +60,14 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
     srt = (ds.repartition(n_part).sort([group, value_col]).materialize())
 
     def _edge_mask(batch: pa.Table):
-        g = batch.column(group)
-        return pc.or_(pc.equal(g, g[0]), pc.equal(g, g[-1]))
+        return _null_safe_edge_mask(batch.column(group))
 
     def _quants(t: pa.Table) -> pa.Table:
         """Quantile rows for complete, value-ascending group runs."""
         if t.num_rows == 0:
             return _empty(out_cols, out_types)
-        g = t.column(group).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        ends = np.append(starts[1:], len(g))
+        starts = run_starts(t.column(group))
+        ends = np.append(starts[1:], t.num_rows)
         counts = ends - starts
         # per (q, run): 0-based index ceil(q*n)-1 into the run
         take_cols = []
@@ -76,12 +81,54 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
             cols[nm] = t.column(value_col).take(pa.array(idx, type=pa.int64()))
         return pa.table({c: cols[c] for c in out_cols})
 
-    def edge_rows(batch: pa.Table) -> pa.Table:
+    # Edge pass ships (group, value, count) partials, NOT raw rows: a
+    # boundary group spanning many blocks (low-cardinality groups make
+    # MOST groups boundary groups) is reduced per block to its distinct
+    # values — exact for discrete quantiles, and the driver shipment is
+    # bounded by distinct (group, value) pairs per block, not row count.
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({group: pa.array([], type=out_types[group]),
+                          value_col: pa.array([], type=vt),
+                          "__cnt": pa.array([], type=pa.int64())})
         if batch.num_rows == 0:
-            return batch
-        return batch.filter(_edge_mask(batch))
+            return empty
+        edge = batch.filter(_edge_mask(batch))
+        if edge.num_rows == 0:
+            return empty
+        t = edge.select([group, value_col]).append_column(
+            "__cnt", pa.array(np.ones(edge.num_rows, dtype=np.int64)))
+        g = t.group_by([group, value_col], use_threads=False) \
+             .aggregate([("__cnt", "sum")])
+        return pa.table({group: g.column(group),
+                         value_col: g.column(value_col),
+                         "__cnt": g.column("__cnt_sum")})
 
-    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
+    def _quants_from_partials(et: pa.Table) -> pa.Table:
+        """Exact quantiles from merged (group, value, count) partials."""
+        idx = pc.sort_indices(et, sort_keys=[(group, "ascending"),
+                                             (value_col, "ascending")])
+        et = et.take(idx)
+        starts = run_starts(et.column(group))
+        ends = np.append(starts[1:], et.num_rows)
+        cnt = et.column("__cnt").to_numpy(zero_copy_only=False)
+        g_rows, n_rows, q_rows = [], [], [[] for _ in qs]
+        for s, e in zip(starts, ends):
+            c = cnt[s:e]
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            g_rows.append(s)
+            n_rows.append(n)
+            for qi, q in enumerate(qs):
+                pos = max(0, int(np.ceil(q * n)) - 1)
+                q_rows[qi].append(s + int(np.searchsorted(cum, pos,
+                                                          side="right")))
+        cols = {group: et.column(group).take(pa.array(g_rows, type=pa.int64())),
+                "n": pa.array(n_rows, type=pa.int64())}
+        for nm, rows in zip(out_names, q_rows):
+            cols[nm] = et.column(value_col).take(pa.array(rows, type=pa.int64()))
+        return pa.table({c: cols[c] for c in out_cols})
+
+    edge_refs = srt.map_batches(edge_partials, batch_format="pyarrow",
                                 zero_copy_batch=True).to_arrow_refs()
     edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
 
@@ -94,10 +141,8 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
                                   zero_copy_batch=True)
     if not edge_tables:
         return interior_ds
-    et = pa.concat_tables(edge_tables, promote_options="permissive")
-    idx = pc.sort_indices(et, sort_keys=[(group, "ascending"),
-                                         (value_col, "ascending")])
-    quants = _quants(et.take(idx))
+    merged = pa.concat_tables(edge_tables, promote_options="permissive")
+    quants = _quants_from_partials(merged)
     if quants.num_rows == 0:
         return interior_ds
     return interior_ds.union(rd.from_arrow(quants))

@@ -12,6 +12,8 @@ anyway); the top-k output streams.
 
 Determinism: ``tiebreak`` must be a key unique within its group, so
 ranks are total and reproducible (mirrors the SQL oracle's ORDER BY).
+Null group keys form ONE group of their own (SQL ``PARTITION BY``
+semantics), handled null-safely by the shared run helpers.
 """
 
 from __future__ import annotations
@@ -19,6 +21,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ._runs import edge_mask as _null_safe_edge_mask
+from ._runs import run_starts
 
 __all__ = ["grouped_topk"]
 
@@ -44,17 +49,15 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
            .materialize())
 
     def _edge_mask(batch: pa.Table):
-        g = batch.column(group)
-        return pc.or_(pc.equal(g, g[0]), pc.equal(g, g[-1]))
+        return _null_safe_edge_mask(batch.column(group))
 
     def _heads(t: pa.Table) -> pa.Table:
         """First k rows (+rank) of each complete group run; rows are
         already in rank order within runs."""
         if t.num_rows == 0:
             return _empty(out_cols, types)
-        g = t.column(group).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        ends = np.append(starts[1:], len(g))
+        starts = run_starts(t.column(group))
+        ends = np.append(starts[1:], t.num_rows)
         take, ranks = [], []
         for s, e in zip(starts, ends):
             n = min(k, e - s)
@@ -76,9 +79,8 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
         edge = batch.filter(_edge_mask(batch))
         if edge.num_rows == 0:
             return edge
-        g = edge.column(group).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        ends = np.append(starts[1:], len(g))
+        starts = run_starts(edge.column(group))
+        ends = np.append(starts[1:], edge.num_rows)
         take = np.concatenate([np.arange(s, min(s + k, e))
                                for s, e in zip(starts, ends)])
         return edge.take(pa.array(take, type=pa.int64()))

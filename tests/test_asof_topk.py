@@ -220,3 +220,75 @@ def test_windowed_count_join_matches_bruteforce(ray_session):
                      & (right_df["rt"] <= r["lt"])).sum()
                     for _, r in left_df.iterrows()], dtype=np.int64)
     assert (got == exp).all()
+
+
+def test_null_keys_sql_semantics(ray_session):
+    """Null keys must not poison filter masks (the silent-row-loss bug
+    class): asof/windowed emit null-key lefts unmatched (SQL: null
+    matches nothing); topk/quantile treat null as one real group (SQL
+    PARTITION BY / GROUP BY)."""
+    from kgray.stages.asof import asof_join, windowed_count_join
+    from kgray.stages.quantile import grouped_quantiles
+    from kgray.stages.topk import grouped_topk
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 2], type=pa.int64()),
+        "lt": pa.array([5, 5, 5], type=pa.int64()),
+        "lid": pa.array([0, 1, 2], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], type=pa.int64()),
+        "rt": pa.array([4, 9, 1], type=pa.int64()),
+        "payload": pa.array([10, 20, 30], type=pa.int64())}))
+
+    aj = asof_join(left, right, key="k", left_t="lt", right_t="rt") \
+        .to_pandas().set_index("lid").sort_index()
+    assert len(aj) == 3                       # no row loss
+    assert aj.loc[0, "payload"] == 10
+    assert pd.isna(aj.loc[1, "payload"])      # null key matches nothing
+    assert pd.isna(aj.loc[2, "payload"])      # right rt=9 > lt=5
+
+    wj = windowed_count_join(left, right, key="k", left_t="lt",
+                             right_t="rt", window=10, count_name="cnt") \
+        .to_pandas().set_index("lid").sort_index()
+    assert wj["cnt"].tolist() == [1, 0, 0]
+
+    gds = rd.from_arrow(pa.table({
+        "g": pa.array([1, None, None, 2], type=pa.int64()),
+        "v": pa.array([10, 5, 7, 3], type=pa.int64()),
+        "tb": pa.array([0, 1, 2, 3], type=pa.int64())}))
+    tk = grouped_topk(gds, group="g", order_col="v", tiebreak="tb", k=5) \
+        .to_pandas()
+    assert len(tk) == 4                       # null group ranked, not lost
+    null_rows = tk[tk["g"].isna()].sort_values("rank")
+    assert null_rows["v"].tolist() == [7, 5]
+    assert null_rows["rank"].tolist() == [1, 2]
+
+    qt = grouped_quantiles(gds, group="g", value_col="v", qs=[0.5],
+                           out_names=["p50"]).to_pandas()
+    assert len(qt) == 3                       # 1, 2, and the null group
+    assert qt[qt["g"].isna()]["p50"].tolist() == [5]
+    assert qt[qt["g"].isna()]["n"].tolist() == [2]
+
+
+def test_grouped_quantiles_low_cardinality(ray_session):
+    """Few groups over many partitions: every group is a boundary group
+    and the edge pass must still produce exact quantiles (shipping
+    (group, value, count) partials, not raw rows)."""
+    from kgray.stages.quantile import grouped_quantiles
+
+    rng = np.random.default_rng(29)
+    n = 8000
+    df = pd.DataFrame({"g": rng.integers(0, 3, n).astype(np.int64),
+                       "v": rng.integers(0, 500, n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(16)
+    got = grouped_quantiles(ds, group="g", value_col="v", qs=[0.5, 0.95],
+                            out_names=["p50", "p95"]) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert len(got) == 3
+
+    import math
+    for _, r in got.iterrows():
+        vals = np.sort(df[df["g"] == r["g"]]["v"].to_numpy())
+        assert r["n"] == len(vals)
+        assert r["p50"] == vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
+        assert r["p95"] == vals[max(0, math.ceil(0.95 * len(vals)) - 1)]
