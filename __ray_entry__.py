@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": relational.events_value_quantiles,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "events_recent_orders": relational.events_recent_orders,
+        "events_recent_order_value": relational.events_recent_order_value,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -428,6 +429,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.event_id,
                    CAST(epoch_us(e.ts) AS BIGINT) AS ev_us,
                    CAST(COUNT(o.o_custkey) AS BIGINT) AS n_recent_orders
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                 BETWEEN CAST(epoch_us(e.ts) AS BIGINT) - 2592000000000
+                     AND CAST(epoch_us(e.ts) AS BIGINT)
+            GROUP BY 1, 2, 3
+        """,
+        "events_recent_order_value": """
+            SELECT e.user_id, e.event_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS ev_us,
+                   CAST(COUNT(o.o_custkey) AS BIGINT) AS n_recent_orders,
+                   CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS recent_cents
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id
              AND CAST(epoch_us(o.o_orderdate) AS BIGINT)

@@ -25,7 +25,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "part_type_stats", "order_priority_revenue",
            "events_asof_orders", "priority_top_orders",
            "events_value_quantiles", "customers_no_urgent_orders",
-           "events_recent_orders"]
+           "events_recent_orders", "events_recent_order_value"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -262,6 +262,38 @@ def events_recent_orders(sf_dir: str, days: int = 30):
                                left_t="ev_us", right_t="ord_us",
                                window=window_us,
                                count_name="n_recent_orders")
+
+
+def events_recent_order_value(sf_dir: str, days: int = 30):
+    """Trailing-window interval join with a windowed SUM: per event,
+    the count AND total value (integer cents) of the same customer's
+    orders in the preceding ``days`` — the windowed-aggregate shape
+    (``COALESCE(SUM(...), 0)`` over a BETWEEN join in SQL), computed
+    with per-run prefix sums instead of pair materialization."""
+    from ..stages.asof import windowed_count_join
+
+    events = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts", "user_id"])
+              .map_batches(lambda b: pa.table({
+                  "user_id": b.column("user_id"),
+                  "event_id": b.column("event_id"),
+                  "ev_us": pc.cast(b.column("ts"), pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate",
+                                       "o_totalprice"])
+              .map_batches(lambda b: pa.table({
+                  "user_id": b.column("o_custkey"),
+                  "ord_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                  "total_cents": _cents(b.column("o_totalprice"))}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    window_us = days * 86_400 * 1_000_000
+    return windowed_count_join(events, orders, key="user_id",
+                               left_t="ev_us", right_t="ord_us",
+                               window=window_us,
+                               count_name="n_recent_orders",
+                               value_col="total_cents",
+                               sum_name="recent_cents")
 
 
 def customers_no_urgent_orders(sf_dir: str):

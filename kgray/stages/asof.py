@@ -198,19 +198,25 @@ def _empty(out_cols, types) -> pa.Table:
 
 
 def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
-                        window: int, count_name: str = "n_in_window"):
+                        window: int, count_name: str = "n_in_window",
+                        value_col: str | None = None,
+                        sum_name: str | None = None):
     """Trailing-window interval join, aggregated: for every left row,
     the COUNT of same-key right rows with ``t ∈ [left_t − window,
     left_t]`` (the attribution-window / "recent activity" shape —
-    ``LEFT JOIN ... BETWEEN`` + ``GROUP BY`` in SQL).
+    ``LEFT JOIN ... BETWEEN`` + ``GROUP BY`` in SQL), and optionally
+    the SUM of a right-side int64 ``value_col`` over the same window
+    (``sum_name`` column; 0 when no right rows match, matching
+    ``COALESCE(SUM(...), 0)``).
 
-    Emitting the count instead of the matched pairs keeps the output
-    exactly one row per left row — a raw interval join's output is
-    |matches| and can explode; aggregate in the operator, not after.
+    Emitting the aggregates instead of the matched pairs keeps the
+    output exactly one row per left row — a raw interval join's output
+    is |matches| and can explode; aggregate in the operator, not after.
 
     Same plan as :func:`asof_join` (one sort, per-run vectorized
     resolution, edge keys through the driver): counts come from two
-    ``searchsorted`` calls per run — no pairwise work at all.
+    ``searchsorted`` calls per run and sums from a per-run prefix sum —
+    no pairwise work at all.
     """
     import ray
     import ray.data as rd
@@ -218,9 +224,15 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
     l_schema = left.schema()
     l_cols = list(l_schema.names)
     assert count_name not in l_cols
-    out_cols = l_cols + [count_name]
+    want_sum = value_col is not None
+    if want_sum and sum_name is None:
+        sum_name = f"sum_{value_col}"
+    out_cols = l_cols + [count_name] + ([sum_name] if want_sum else [])
     types = dict(zip(l_schema.names, l_schema.types))
     types[count_name] = pa.int64()
+    if want_sum:
+        assert sum_name not in l_cols
+        types[sum_name] = pa.int64()
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key),
@@ -228,6 +240,8 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
         for c in l_cols:
             if c != key:
                 cols[c] = batch.column(c)
+        if want_sum:
+            cols["__v"] = pa.nulls(batch.num_rows, type=pa.int64())
         cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
         return pa.table(cols)
 
@@ -237,6 +251,8 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
         for c in l_cols:
             if c != key:
                 cols[c] = pa.nulls(batch.num_rows, type=types[c])
+        if want_sum:
+            cols["__v"] = pc.cast(batch.column(value_col), pa.int64())
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         return pa.table(cols)
 
@@ -265,6 +281,9 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
                 cols = {c: nl.column(c) for c in l_cols}
                 cols[count_name] = pa.array(
                     np.zeros(nl.num_rows, dtype=np.int64))
+                if want_sum:
+                    cols[sum_name] = pa.array(
+                        np.zeros(nl.num_rows, dtype=np.int64))
                 zero_part = pa.table({c: cols[c] for c in out_cols})
             t = t.filter(pc.invert(nulls))
             if t.num_rows == 0:
@@ -273,22 +292,33 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
         keys_np = t.column(key).to_numpy(zero_copy_only=False)
         times = t.column("__t").to_numpy(zero_copy_only=False)
         side = t.column("__side").to_numpy(zero_copy_only=False)
+        vals = (t.column("__v").to_numpy(zero_copy_only=False)
+                if want_sum else None)
         starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
         ends = np.append(starts[1:], len(keys_np))
-        l_all, c_all = [], []
+        l_all, c_all, s_all = [], [], []
         for s, e in zip(starts, ends):
             ls = side[s:e] == 1
             l_pos = np.flatnonzero(ls) + s
             if l_pos.size == 0:
                 continue
-            r_t = times[np.flatnonzero(~ls) + s]
+            r_pos = np.flatnonzero(~ls) + s
+            r_t = times[r_pos]
             lt = times[l_pos]
             if r_t.size == 0:
                 cnt = np.zeros(l_pos.size, dtype=np.int64)
+                if want_sum:
+                    s_all.append(np.zeros(l_pos.size, dtype=np.int64))
             else:
                 hi = np.searchsorted(r_t, lt, side="right")
                 lo = np.searchsorted(r_t, lt - window, side="left")
                 cnt = (hi - lo).astype(np.int64)
+                if want_sum:
+                    # prefix sum over the run's time-sorted right values:
+                    # windowed sum = cs[hi] - cs[lo] (exact int64)
+                    cs = np.zeros(r_t.size + 1, dtype=np.int64)
+                    np.cumsum(vals[r_pos].astype(np.int64), out=cs[1:])
+                    s_all.append(cs[hi] - cs[lo])
             l_all.append(l_pos)
             c_all.append(cnt)
         if not l_all:
@@ -298,6 +328,8 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
         lt_tbl = t.take(pa.array(l_idx))
         cols = {c: lt_tbl.column(c) for c in l_cols}
         cols[count_name] = pa.array(np.concatenate(c_all), type=pa.int64())
+        if want_sum:
+            cols[sum_name] = pa.array(np.concatenate(s_all), type=pa.int64())
         out = pa.table({c: cols[c] for c in out_cols})
         if zero_part is not None:
             out = pa.concat_tables([out, zero_part],

@@ -222,6 +222,39 @@ def test_windowed_count_join_matches_bruteforce(ray_session):
     assert (got == exp).all()
 
 
+def test_windowed_sum_join_matches_bruteforce(ray_session):
+    """Windowed SUM of a right value column (per-run prefix sums) vs a
+    direct per-row computation; zero-fill where no right rows match."""
+    from kgray.stages.asof import windowed_count_join
+
+    rng = np.random.default_rng(19)
+    n_l, n_r, w = 2500, 1800, 40
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 25, n_l).astype(np.int64),
+        "lt": rng.integers(0, 1500, n_l).astype(np.int64),
+        "lid": np.arange(n_l, dtype=np.int64)})
+    right_df = pd.DataFrame({
+        "k": rng.integers(0, 25, n_r).astype(np.int64),
+        "rt": rng.integers(0, 1500, n_r).astype(np.int64),
+        "val": rng.integers(-100, 1000, n_r).astype(np.int64)})
+
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(8)
+    right = rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(4)
+    got = windowed_count_join(left, right, key="k", left_t="lt",
+                              right_t="rt", window=w, count_name="cnt",
+                              value_col="val", sum_name="vsum") \
+        .to_pandas().set_index("lid").loc[left_df["lid"]]
+
+    for (_, r), cnt, vsum in zip(left_df.iterrows(),
+                                 got["cnt"].to_numpy(),
+                                 got["vsum"].to_numpy()):
+        m = ((right_df["k"] == r["k"])
+             & (right_df["rt"] >= r["lt"] - w)
+             & (right_df["rt"] <= r["lt"]))
+        assert cnt == m.sum()
+        assert vsum == right_df.loc[m, "val"].sum()
+
+
 def test_null_keys_sql_semantics(ray_session):
     """Null keys must not poison filter masks (the silent-row-loss bug
     class): asof/windowed emit null-key lefts unmatched (SQL: null
