@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
+        "events_value_quantiles_cont": relational.events_value_quantiles_cont,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "events_recent_orders": relational.events_recent_orders,
         "events_recent_order_value": relational.events_recent_order_value,
@@ -459,6 +460,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    quantile_disc(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0.5) AS p50_cents,
                    quantile_disc(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0.95) AS p95_cents
+            FROM events
+            GROUP BY 1
+        """,
+        "events_value_quantiles_cont": """
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_cont(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0.5) AS p50_cents,
+                   quantile_cont(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0.9) AS p90_cents
             FROM events
             GROUP BY 1
         """,

@@ -25,7 +25,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "part_type_stats", "order_priority_revenue",
            "events_asof_orders", "priority_top_orders",
            "events_value_quantiles", "customers_no_urgent_orders",
-           "events_recent_orders", "events_recent_order_value"]
+           "events_recent_orders", "events_recent_order_value",
+           "events_value_quantiles_cont"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -329,6 +330,25 @@ def events_value_quantiles(sf_dir: str):
     return grouped_quantiles(prepped, group="event_type",
                              value_col="value_cents", qs=[0.5, 0.95],
                              out_names=["p50_cents", "p95_cents"])
+
+
+def events_value_quantiles_cont(sf_dir: str):
+    """Interpolated per-group quantiles (``method="cont"``): the same
+    shape as :func:`events_value_quantiles` but with DuckDB
+    ``quantile_cont`` linear-interpolation semantics — float64 output,
+    bit-for-bit (the engine evaluates the identical IEEE expression)."""
+    from ..stages.quantile import grouped_quantiles
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+               .map_batches(lambda b: pa.table({
+                   "event_type": b.column("event_type"),
+                   "value_cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return grouped_quantiles(prepped, group="event_type",
+                             value_col="value_cents", qs=[0.5, 0.9],
+                             out_names=["p50_cents", "p90_cents"],
+                             method="cont")
 
 
 def part_type_stats(sf_dir: str):

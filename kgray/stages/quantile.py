@@ -36,22 +36,35 @@ __all__ = ["grouped_quantiles"]
 
 
 def grouped_quantiles(ds, group: str, value_col: str, qs: list,
-                      out_names: list | None = None):
+                      out_names: list | None = None,
+                      method: str = "disc"):
     """One row per ``group``: ``n`` (count) plus one column per quantile
     in ``qs`` (named ``out_names`` or ``q50``-style from the fraction).
-    Values must be numeric; output quantile columns keep the value
-    column's Arrow type.
+    Values must be numeric.
+
+    ``method="disc"`` (default): discrete — element at 0-based index
+    ``max(0, ceil(q·n) − 1)``; output keeps the value column's type.
+    ``method="cont"``: continuous — linear interpolation at position
+    ``p = q·(n−1)``: ``v[⌊p⌋]·(1−frac) + v[⌈p⌉]·frac`` with
+    ``frac = p − ⌊p⌋``, the exact IEEE expression DuckDB's
+    ``quantile_cont`` evaluates (verified operand-for-operand), so the
+    float64 output matches bit-for-bit.  Both methods are exact over
+    the (value, count) edge partials — a histogram loses nothing for
+    order statistics.
     """
     import ray
     import ray.data as rd
 
+    assert method in ("disc", "cont")
+    cont = method == "cont"
     if out_names is None:
         out_names = [f"q{int(round(q * 100)):02d}" for q in qs]
     assert len(out_names) == len(qs)
 
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
-    vt = types[value_col]
+    in_vt = types[value_col]
+    vt = pa.float64() if cont else types[value_col]
     out_cols = [group, "n"] + list(out_names)
     out_types = {group: types[group], "n": pa.int64(),
                  **{nm: vt for nm in out_names}}
@@ -69,16 +82,27 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
         starts = run_starts(t.column(group))
         ends = np.append(starts[1:], t.num_rows)
         counts = ends - starts
-        # per (q, run): 0-based index ceil(q*n)-1 into the run
-        take_cols = []
-        for q in qs:
-            idx = starts + np.maximum(
-                0, np.ceil(q * counts.astype(np.float64)).astype(np.int64) - 1)
-            take_cols.append(idx)
         gcol = t.column(group).take(pa.array(starts, type=pa.int64()))
         cols = {group: gcol, "n": pa.array(counts, type=pa.int64())}
-        for nm, idx in zip(out_names, take_cols):
-            cols[nm] = t.column(value_col).take(pa.array(idx, type=pa.int64()))
+        if cont:
+            vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            for nm, q in zip(out_names, qs):
+                # p = q*(n-1); v_lo*(1-frac) + v_hi*frac (DuckDB's IEEE
+                # expression, bit-for-bit)
+                p = q * (counts - 1).astype(np.float64)
+                lo = np.floor(p)
+                frac = p - lo
+                v_lo = vals[starts + lo.astype(np.int64)]
+                v_hi = vals[starts + np.ceil(p).astype(np.int64)]
+                cols[nm] = pa.array(v_lo * (1.0 - frac) + v_hi * frac,
+                                    type=pa.float64())
+        else:
+            for nm, q in zip(out_names, qs):
+                # per (q, run): 0-based index ceil(q*n)-1 into the run
+                idx = starts + np.maximum(
+                    0, np.ceil(q * counts.astype(np.float64)).astype(np.int64) - 1)
+                cols[nm] = t.column(value_col).take(pa.array(idx, type=pa.int64()))
         return pa.table({c: cols[c] for c in out_cols})
 
     # Edge pass ships (group, value, count) partials, NOT raw rows: a
@@ -88,7 +112,7 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
     # bounded by distinct (group, value) pairs per block, not row count.
     def edge_partials(batch: pa.Table) -> pa.Table:
         empty = pa.table({group: pa.array([], type=out_types[group]),
-                          value_col: pa.array([], type=vt),
+                          value_col: pa.array([], type=in_vt),
                           "__cnt": pa.array([], type=pa.int64())})
         if batch.num_rows == 0:
             return empty
@@ -111,6 +135,8 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
         starts = run_starts(et.column(group))
         ends = np.append(starts[1:], et.num_rows)
         cnt = et.column("__cnt").to_numpy(zero_copy_only=False)
+        vals = (et.column(value_col).to_numpy(zero_copy_only=False)
+                .astype(np.float64) if cont else None)
         g_rows, n_rows, q_rows = [], [], [[] for _ in qs]
         for s, e in zip(starts, ends):
             c = cnt[s:e]
@@ -119,13 +145,27 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
             g_rows.append(s)
             n_rows.append(n)
             for qi, q in enumerate(qs):
-                pos = max(0, int(np.ceil(q * n)) - 1)
-                q_rows[qi].append(s + int(np.searchsorted(cum, pos,
-                                                          side="right")))
+                if cont:
+                    p = q * float(n - 1)
+                    lo = np.floor(p)
+                    frac = p - lo
+                    v_lo = vals[s + int(np.searchsorted(cum, int(lo),
+                                                        side="right"))]
+                    v_hi = vals[s + int(np.searchsorted(cum, int(np.ceil(p)),
+                                                        side="right"))]
+                    q_rows[qi].append(v_lo * (1.0 - frac) + v_hi * frac)
+                else:
+                    pos = max(0, int(np.ceil(q * n)) - 1)
+                    q_rows[qi].append(s + int(np.searchsorted(cum, pos,
+                                                              side="right")))
         cols = {group: et.column(group).take(pa.array(g_rows, type=pa.int64())),
                 "n": pa.array(n_rows, type=pa.int64())}
         for nm, rows in zip(out_names, q_rows):
-            cols[nm] = et.column(value_col).take(pa.array(rows, type=pa.int64()))
+            if cont:
+                cols[nm] = pa.array(rows, type=pa.float64())
+            else:
+                cols[nm] = et.column(value_col).take(
+                    pa.array(rows, type=pa.int64()))
         return pa.table({c: cols[c] for c in out_cols})
 
     edge_refs = srt.map_batches(edge_partials, batch_format="pyarrow",

@@ -303,6 +303,35 @@ def test_null_keys_sql_semantics(ray_session):
     assert qt[qt["g"].isna()]["n"].tolist() == [2]
 
 
+def test_grouped_quantiles_cont_matches_duckdb(ray_session):
+    """Interpolated quantiles must equal DuckDB quantile_cont
+    bit-for-bit, both through the interior path and the low-cardinality
+    (every-group-a-boundary-group) histogram path."""
+    import duckdb
+
+    from kgray.stages.quantile import grouped_quantiles
+
+    rng = np.random.default_rng(31)
+    for n_groups, n in ((17, 6000), (3, 8000)):
+        df = pd.DataFrame({
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "v": rng.integers(0, 400, n).astype(np.int64)})
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(12)
+        got = grouped_quantiles(ds, group="g", value_col="v",
+                                qs=[0.5, 0.9], out_names=["p50", "p90"],
+                                method="cont") \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT g, COUNT(*) AS n, quantile_cont(v, 0.5) AS p50, "
+            "quantile_cont(v, 0.9) AS p90 FROM df GROUP BY g ORDER BY g"
+        ).df()
+        assert got["g"].tolist() == exp["g"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        # bitwise: no tolerance
+        assert got["p50"].tolist() == exp["p50"].tolist()
+        assert got["p90"].tolist() == exp["p90"].tolist()
+
+
 def test_grouped_quantiles_low_cardinality(ray_session):
     """Few groups over many partitions: every group is a boundary group
     and the edge pass must still produce exact quantiles (shipping
