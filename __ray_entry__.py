@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "supplier_nation_counts": relational.supplier_nation_counts,
         "distinct_segments": relational.distinct_segments,
+        "users_both_active": relational.users_both_active,
+        "buyers_never_active": relational.buyers_never_active,
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
         "part_type_stats": relational.part_type_stats,
@@ -397,6 +399,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name, r_name
         """,
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "users_both_active": """
+            SELECT user_id FROM events
+            INTERSECT
+            SELECT o_custkey FROM orders
+        """,
+        "buyers_never_active": """
+            SELECT o_custkey AS user_id FROM orders
+            EXCEPT
+            SELECT user_id FROM events
+        """,
         "events_hourly": """
             SELECT event_type,
                    CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS epoch_hour,

@@ -26,7 +26,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_asof_orders", "priority_top_orders",
            "events_value_quantiles", "customers_no_urgent_orders",
            "events_recent_orders", "events_recent_order_value",
-           "events_value_quantiles_cont"]
+           "events_value_quantiles_cont", "users_both_active",
+           "buyers_never_active"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -330,6 +331,30 @@ def events_value_quantiles(sf_dir: str):
     return grouped_quantiles(prepped, group="event_type",
                              value_col="value_cents", qs=[0.5, 0.95],
                              out_names=["p50_cents", "p95_cents"])
+
+
+def users_both_active(sf_dir: str):
+    """Distributed INTERSECT (distinct): user ids appearing in BOTH the
+    events stream and the orders table — ``stages/setops.py``."""
+    from ..stages.setops import set_op
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    od = (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+          .map_batches(lambda b: pa.table({"user_id": b.column("o_custkey")}),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    return set_op(ev, od, "intersect")
+
+
+def buyers_never_active(sf_dir: str):
+    """Distributed EXCEPT (distinct): customer ids with orders but no
+    event activity — ``stages/setops.py``."""
+    from ..stages.setops import set_op
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    od = (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+          .map_batches(lambda b: pa.table({"user_id": b.column("o_custkey")}),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    return set_op(od, ev, "except")
 
 
 def events_value_quantiles_cont(sf_dir: str):

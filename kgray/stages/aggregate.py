@@ -67,6 +67,14 @@ def sorted_group_aggregate(ds, keys, aggs):
     aggs = [(c, _MERGE_FN[f]) for c, f in aggs]
     out_names = keys + [c for c, _ in aggs]
 
+    def _ns_eq(col, scalar):
+        # null-safe equality: null == null (one null group, SQL GROUP BY
+        # semantics); never returns a null mask (which filter() would
+        # silently drop — the null-poisoning bug class, see stages/_runs.py)
+        if not scalar.is_valid:
+            return pc.is_null(col)
+        return pc.fill_null(pc.equal(col, scalar), False)
+
     def _edge_mask(batch: pa.Table):
         """Rows whose key equals the block's first or last key (they may
         continue in a neighboring block)."""
@@ -74,8 +82,8 @@ def sorted_group_aggregate(ds, keys, aggs):
         last_mask = None
         for k in keys:
             col = batch.column(k)
-            fm = pc.equal(col, col[0])
-            lm = pc.equal(col, col[-1])
+            fm = _ns_eq(col, col[0])
+            lm = _ns_eq(col, col[-1])
             first_mask = fm if first_mask is None else pc.and_(first_mask, fm)
             last_mask = lm if last_mask is None else pc.and_(last_mask, lm)
         return pc.or_(first_mask, last_mask)
