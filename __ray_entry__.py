@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buyers_never_active": relational.buyers_never_active,
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
+        "events_rollup": relational.events_rollup,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -448,6 +449,14 @@ def oracle_sql() -> dict[str, str]:
                  BETWEEN CAST(epoch_us(e.ts) AS BIGINT) - 2592000000000
                      AND CAST(epoch_us(e.ts) AS BIGINT)
             GROUP BY 1, 2, 3
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS epoch_day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY ROLLUP(1, 2)
         """,
         "events_recent_order_value": """
             SELECT e.user_id, e.event_id,

@@ -27,7 +27,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_value_quantiles", "customers_no_urgent_orders",
            "events_recent_orders", "events_recent_order_value",
            "events_value_quantiles_cont", "users_both_active",
-           "buyers_never_active"]
+           "buyers_never_active", "events_rollup"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -331,6 +331,30 @@ def events_value_quantiles(sf_dir: str):
     return grouped_quantiles(prepped, group="event_type",
                              value_col="value_cents", qs=[0.5, 0.95],
                              out_names=["p50_cents", "p95_cents"])
+
+
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, epoch_day): subtotals at every key
+    prefix plus the grand total — ``stages/aggregate.py:
+    rollup_aggregate`` (finest level distributed, coarser levels
+    re-aggregate the reduced output)."""
+    from ..stages.aggregate import rollup_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        day = pc.divide(ts, pa.scalar(86_400_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "epoch_day": pc.cast(day, pa.int64()),
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "value_cents": _cents(batch.column("value")),
+        })
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return rollup_aggregate(prepped, ["event_type", "epoch_day"],
+                            [("n_events", "sum"), ("value_cents", "sum")])
 
 
 def users_both_active(sf_dir: str):

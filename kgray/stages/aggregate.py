@@ -38,7 +38,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sorted_group_aggregate"]
+__all__ = ["sorted_group_aggregate", "rollup_aggregate"]
 
 _MERGE_FN = {"sum": "sum", "min": "min", "max": "max"}
 
@@ -121,3 +121,69 @@ def sorted_group_aggregate(ds, keys, aggs):
         return interior
     merged = _arrow_agg(pa.concat_tables(edge_tables), keys, aggs)
     return interior.union(rd.from_arrow(merged))
+
+
+def rollup_aggregate(ds, keys, aggs):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the union of aggregates at every
+    key prefix — ``(k1, k2, ...)``, ``(k1, ..., NULL)``, …, grand total
+    (all NULL).  Rolled-up key columns are NULL, matching SQL's output
+    (no ``GROUPING()`` disambiguator — callers whose real data contains
+    NULL keys can't tell the two apart, same caveat as plain SQL).
+
+    Scale shape: only the FINEST level sees the input — one distributed
+    ``sorted_group_aggregate`` over the raw rows.  Every coarser level
+    re-aggregates the previous level's already-reduced output (sums of
+    sums / min of mins are exact), so each extra level costs a shuffle
+    of at most |distinct finer keys| rows, not another pass over the
+    input.  The grand total folds on the driver (|distinct k1| rows).
+    """
+    import ray
+    import ray.data as rd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    finest = sorted_group_aggregate(ds, keys, aggs).materialize()
+    levels = [finest]
+    prev = finest
+    for i in range(len(keys) - 1, 0, -1):
+        nulled = keys[i:]
+        prev = sorted_group_aggregate(
+            prev.map_batches(lambda b, _n=tuple(nulled): pa.table(
+                {name: b.column(name) for name in b.schema.names
+                 if name not in _n}), batch_format="pyarrow"),
+            keys[:i], aggs).materialize()
+        schema = finest.schema()
+        types = dict(zip(schema.names, schema.types))
+
+        def pad(batch: pa.Table, _nulled=tuple(nulled), _types=types) -> pa.Table:
+            cols = {}
+            for name in schema.names:
+                cols[name] = (pa.nulls(batch.num_rows, type=_types[name])
+                              if name in _nulled else batch.column(name))
+            return pa.table(cols)
+
+        levels.append(prev.map_batches(pad, batch_format="pyarrow"))
+
+    # grand total: fold the coarsest level's rows on the driver (tiny)
+    tables = [t for t in ray.get(prev.to_arrow_refs()) if t.num_rows]
+    schema = finest.schema()
+    types = dict(zip(schema.names, schema.types))
+    if tables:
+        allt = pa.concat_tables(tables, promote_options="permissive")
+        total_cols = {}
+        for name in schema.names:
+            if name in keys:
+                total_cols[name] = pa.nulls(1, type=types[name])
+        for c, f in aggs:
+            col = allt.column(c)
+            total_cols[c] = pa.array(
+                [getattr(pc, {"sum": "sum", "min": "min",
+                              "max": "max"}[_MERGE_FN[f]])(col).as_py()],
+                type=types[c])
+        levels.append(rd.from_arrow(
+            pa.table({n: total_cols[n] for n in schema.names})))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
