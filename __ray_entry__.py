@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
         "events_rollup": relational.events_rollup,
+        "priority_status_pivot": relational.priority_status_pivot,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -457,6 +458,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY ROLLUP(1, 2)
+        """,
+        "priority_status_pivot": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_F,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_O,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                            THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_P
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "events_recent_order_value": """
             SELECT e.user_id, e.event_id,

@@ -27,7 +27,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_value_quantiles", "customers_no_urgent_orders",
            "events_recent_orders", "events_recent_order_value",
            "events_value_quantiles_cont", "users_both_active",
-           "buyers_never_active", "events_rollup"]
+           "buyers_never_active", "events_rollup", "priority_status_pivot"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -355,6 +355,26 @@ def events_rollup(sf_dir: str):
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return rollup_aggregate(prepped, ["event_type", "epoch_day"],
                             [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def priority_status_pivot(sf_dir: str):
+    """Distributed PIVOT: per order priority, order counts and total
+    value (cents) per order status — ``stages/pivot.py`` (one-hot
+    conditional aggregation, map-side combined)."""
+    from ..stages.pivot import pivot_aggregate
+
+    prepped = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderstatus",
+                                        "o_totalprice"])
+               .map_batches(lambda b: pa.table({
+                   "o_orderpriority": b.column("o_orderpriority"),
+                   "o_orderstatus": b.column("o_orderstatus"),
+                   "total_cents": _cents(b.column("o_totalprice"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return pivot_aggregate(prepped, group="o_orderpriority",
+                           pivot_col="o_orderstatus",
+                           categories=["F", "O", "P"],
+                           value_col="total_cents")
 
 
 def users_both_active(sf_dir: str):

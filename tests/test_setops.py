@@ -62,6 +62,34 @@ def test_set_ops_null_rows_compare_equal(ray_session):
     assert got == {(None, 2), (5, 5)}
 
 
+def test_pivot_matches_pandas(ray_session):
+    """pivot_aggregate == pandas pivot_table over counts and sums,
+    including out-of-category pivot values (counted nowhere) and null
+    pivot values."""
+    from kgray.stages.pivot import pivot_aggregate
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    cats = ["x", "y", "z"]
+    pv = rng.choice(cats + ["other", None], n,
+                    p=[0.3, 0.3, 0.2, 0.15, 0.05])
+    df = pd.DataFrame({"g": rng.integers(0, 12, n).astype(np.int64),
+                       "p": pv,
+                       "v": rng.integers(-5, 50, n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = pivot_aggregate(ds, group="g", pivot_col="p", categories=cats,
+                          value_col="v") \
+        .to_pandas().sort_values("g", ignore_index=True)
+
+    for cat in cats:
+        exp_n = df.assign(hit=(df["p"] == cat).astype(np.int64)) \
+            .groupby("g")["hit"].sum()
+        exp_s = df.assign(hv=np.where(df["p"] == cat, df["v"], 0)) \
+            .groupby("g")["hv"].sum()
+        assert got.set_index("g")[f"n_{cat}"].equals(exp_n)
+        assert got.set_index("g")[f"sum_{cat}"].equals(exp_s)
+
+
 def test_set_op_union_distinct(ray_session):
     from kgray.stages.setops import set_op
 
