@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": text.token_topk,
         "subword_token_counts": text.subword_token_counts,
         "winnowing_fingerprints": text.winnowing_fingerprints,
+        "repetition_scores": text.repetition_scores,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
@@ -324,6 +325,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "repetition_scores": """
+            WITH l AS (SELECT doc_id, line
+                       FROM documents,
+                            unnest(string_split(text, chr(10))) AS t(line)),
+            c AS (SELECT doc_id, line, COUNT(*) AS cnt, len(line) AS ln
+                  FROM l GROUP BY doc_id, line)
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_lines,
+                   (SUM(cnt) - COUNT(*)) * 1.0 / SUM(cnt) AS dup_line_frac,
+                   CASE WHEN SUM(cnt * ln) = 0 THEN 0.0
+                        ELSE SUM(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END) * 1.0
+                             / SUM(cnt * ln) END AS dup_char_frac,
+                   MAX(cnt) * 1.0 / SUM(cnt) AS top_line_frac
+            FROM c GROUP BY doc_id
+        """,
         "subword_token_counts": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword

@@ -19,7 +19,7 @@ import ray.data as rd
 
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
-           "winnowing_fingerprints", "STOPWORDS"]
+           "winnowing_fingerprints", "repetition_scores", "STOPWORDS"]
 
 _WS = re.compile(r"\s+")
 
@@ -142,6 +142,42 @@ def subword_token_counts(sf_dir: str):
         n = [len(_SUBWORD.findall(t)) for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_subword": pa.array(n, type=pa.int64())})
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def repetition_scores(sf_dir: str):
+    """doc_id, n_lines, dup_line_frac, dup_char_frac, top_line_frac —
+    the Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    boilerplate-heavy pages repeat lines; high duplicate-line or
+    duplicate-character fractions mark low-quality documents).
+
+    Lines are ``text.split("\\n")`` (DuckDB ``string_split`` semantics,
+    empty lines included).  dup_line_frac = occurrences beyond each
+    line's first, over all lines; dup_char_frac = characters in lines
+    occurring more than once (all occurrences), over all line
+    characters; top_line_frac = the most frequent line's share of
+    lines.  Ratios are single IEEE divisions of exact integers, so the
+    SQL oracle matches bitwise."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n_lines, dlf, dcf, tlf = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            lines = t.split("\n")
+            c = Counter(lines)
+            n = len(lines)
+            total_chars = sum(len(ln) * k for ln, k in c.items())
+            dup_chars = sum(len(ln) * k for ln, k in c.items() if k > 1)
+            n_lines.append(n)
+            dlf.append((n - len(c)) * 1.0 / n)
+            dcf.append(dup_chars * 1.0 / total_chars if total_chars else 0.0)
+            tlf.append(max(c.values()) * 1.0 / n)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "dup_line_frac": pa.array(dlf, type=pa.float64()),
+            "dup_char_frac": pa.array(dcf, type=pa.float64()),
+            "top_line_frac": pa.array(tlf, type=pa.float64()),
+        })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
                                               zero_copy_batch=True)
 

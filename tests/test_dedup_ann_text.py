@@ -2,6 +2,7 @@
 driver-generated sf0.001 testdata (read-only) and unit-level checks."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -101,6 +102,39 @@ def test_text_ops(ray_session):
     assert ((q["stop_ratio"] >= 0) & (q["stop_ratio"] <= 1)).all()
     langs = text.lang_id(SF).to_pandas()
     assert set(langs["pred_lang"]) <= {"en", "de", "fr"}
+
+
+def test_repetition_scores_planted(ray_session, tmp_path):
+    """Planted repetition: a boilerplate doc (one line repeated) must
+    score dup fractions near 1; an all-unique doc scores 0."""
+    import pyarrow.parquet as pq
+    from kgray.pipelines import text
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "menu\nmenu\nmenu\nmenu",                  # 4 lines, 1 distinct
+            "alpha\nbeta\ngamma",                      # all unique
+            "x\nx\nlong unique line here\nx",          # mixed
+        ], type=pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = text.repetition_scores(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    assert got.loc[1, "n_lines"] == 4
+    assert got.loc[1, "dup_line_frac"] == 3 / 4
+    assert got.loc[1, "dup_char_frac"] == 1.0
+    assert got.loc[1, "top_line_frac"] == 1.0
+
+    assert got.loc[2, "dup_line_frac"] == 0.0
+    assert got.loc[2, "dup_char_frac"] == 0.0
+    assert got.loc[2, "top_line_frac"] == 1 / 3
+
+    assert got.loc[3, "n_lines"] == 4
+    assert got.loc[3, "dup_line_frac"] == 2 / 4
+    assert got.loc[3, "dup_char_frac"] == 3 / (3 + 21)
+    assert got.loc[3, "top_line_frac"] == 3 / 4
 
 
 def test_multimodal_stub(ray_session, tiny_corpus_dir):
