@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": relational.events_hopping,
         "events_rollup": relational.events_rollup,
         "priority_status_pivot": relational.priority_status_pivot,
+        "events_orders_daily": relational.events_orders_daily,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -474,6 +475,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY ROLLUP(1, 2)
+        """,
+        "events_orders_daily": """
+            WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS epoch_day,
+                              COUNT(*) AS n_events
+                       FROM events GROUP BY 1),
+            o AS (SELECT CAST(FLOOR(epoch(o_orderdate) / 86400.0) AS BIGINT) AS epoch_day,
+                         COUNT(*) AS n_orders
+                  FROM orders GROUP BY 1)
+            SELECT COALESCE(e.epoch_day, o.epoch_day) AS epoch_day,
+                   CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+            FROM e FULL OUTER JOIN o ON e.epoch_day = o.epoch_day
         """,
         "priority_status_pivot": """
             SELECT o_orderpriority,

@@ -27,7 +27,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_value_quantiles", "customers_no_urgent_orders",
            "events_recent_orders", "events_recent_order_value",
            "events_value_quantiles_cont", "users_both_active",
-           "buyers_never_active", "events_rollup", "priority_status_pivot"]
+           "buyers_never_active", "events_rollup", "priority_status_pivot",
+           "events_orders_daily"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -355,6 +356,40 @@ def events_rollup(sf_dir: str):
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return rollup_aggregate(prepped, ["event_type", "epoch_day"],
                             [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def events_orders_daily(sf_dir: str):
+    """Full-outer join demo: daily event counts ⋈ daily order counts on
+    the epoch day — days present on either side survive (counts
+    zero-filled, COALESCE in the oracle).  Both inputs are pre-reduced
+    with ``sorted_group_aggregate`` so the join sees one row per day
+    per side."""
+    from ..stages.join import sorted_merge_join
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+          .map_batches(lambda b: pa.table({
+              "epoch_day": pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                                             pa.scalar(86_400_000_000, type=pa.int64())),
+                                   pa.int64()),
+              "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    ev_daily = sorted_group_aggregate(ev, "epoch_day", [("n_events", "sum")])
+
+    od = (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+          .map_batches(lambda b: pa.table({
+              "epoch_day": pc.cast(pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()),
+                                             pa.scalar(86_400_000_000, type=pa.int64())),
+                                   pa.int64()),
+              "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    od_daily = sorted_group_aggregate(od, "epoch_day", [("n_orders", "sum")])
+
+    joined = sorted_merge_join(ev_daily, od_daily, on="epoch_day", how="outer")
+    return joined.map_batches(lambda b: pa.table({
+        "epoch_day": b.column("epoch_day"),
+        "n_events": pc.fill_null(b.column("n_events"), 0),
+        "n_orders": pc.fill_null(b.column("n_orders"), 0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def priority_status_pivot(sf_dir: str):

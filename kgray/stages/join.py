@@ -15,9 +15,10 @@ materialized sorted blocks are consumed twice zero-copy: once by a
 cheap edge-row extraction (key column only decides the mask) and once
 by the streaming interior join.
 
-Null join keys never match (SQL semantics): null-key right rows are
-dropped; null-key left rows are dropped for ``how='inner'`` and
-emitted with null right columns for ``how='left'``.
+Null join keys never match (SQL semantics): for ``how='inner'`` both
+sides' null-key rows are dropped; ``how='left'`` emits null-key left
+rows with null right columns; ``how='outer'`` additionally emits
+null-key right rows with null left columns.
 
 Skew: all rows of one key land in one sort partition — salt hot keys
 upstream if a single key's rows exceed a block (same rule as the salted
@@ -38,7 +39,9 @@ __all__ = ["sorted_merge_join"]
 
 
 def sorted_merge_join(left, right, on, how: str = "inner"):
-    """Inner/left equi-join of two Datasets on column ``on``.
+    """Inner/left/full-outer equi-join of two Datasets on column ``on``
+    (``how="outer"``; a right join is ``how="left"`` with the sides
+    swapped).
 
     Column sets of left/right must be disjoint apart from ``on``.
     Returns a Dataset with left columns then right columns (minus the
@@ -47,7 +50,7 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
     import ray
     import ray.data as rd
 
-    assert how in ("inner", "left")
+    assert how in ("inner", "left", "outer")
     l_schema = left.schema()
     r_schema = right.schema()
     l_cols = list(l_schema.names)
@@ -125,12 +128,19 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
     parts = []
     if nonnull.num_rows:
         parts.append(_pd_join(nonnull, on, l_cols, r_cols, types, how))
-    if how == "left":
-        # left rows with a null key survive a SQL left join unmatched
+    if how in ("left", "outer"):
+        # left rows with a null key survive a SQL left/full join unmatched
         null_left = edge_all.filter(
             pc.and_(null_key, pc.equal(edge_all.column("__side"), 0)))
         if null_left.num_rows:
             parts.append(null_left.select(out_cols))
+    if how == "outer":
+        # null-key right rows survive a SQL full join unmatched (their
+        # left columns are already null padding from the tag step)
+        null_right = edge_all.filter(
+            pc.and_(null_key, pc.equal(edge_all.column("__side"), 1)))
+        if null_right.num_rows:
+            parts.append(null_right.select(out_cols))
     if not parts:
         return interior
     merged = pa.concat_tables(parts, promote_options="permissive")

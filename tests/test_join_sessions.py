@@ -102,6 +102,44 @@ def test_join_null_keys(ray_session):
     assert lj.loc[lj["lv"].isin([11, 13]), "rv"].isna().all()
 
 
+def test_join_full_outer_matches_pandas(ray_session):
+    """how='outer': unmatched rows on BOTH sides survive with null
+    padding at declared int types; null-key rows of both sides are
+    kept unmatched (SQL FULL JOIN); keys span sorted blocks."""
+    import numpy as np
+    import ray.data as rd
+    from kgray.stages.join import sorted_merge_join
+
+    rng = np.random.default_rng(47)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 800).astype(np.int64),
+                         "lv": np.arange(800, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.integers(25, 75, 700).astype(np.int64),
+                          "rv": np.arange(700, dtype=np.int64)})
+    got = sorted_merge_join(
+        rd.from_arrow(pa.Table.from_pandas(left)).repartition(6),
+        rd.from_arrow(pa.Table.from_pandas(right)).repartition(4),
+        on="k", how="outer")
+    assert got.schema().base_schema.field("lv").type == pa.int64()
+    assert got.schema().base_schema.field("rv").type == pa.int64()
+    gdf = got.to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    key = lambda d: sorted(map(tuple, d.fillna(-1).to_numpy().tolist()))
+    assert key(gdf[["k", "lv", "rv"]]) == key(exp[["k", "lv", "rv"]])
+
+    # null keys: both sides' null-key rows survive unmatched
+    lt = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                   "lv": pa.array([10, 11], type=pa.int64())})
+    rt = pa.table({"k": pa.array([2, None], type=pa.int64()),
+                   "rv": pa.array([20, 21], type=pa.int64())})
+    oj = sorted_merge_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                           on="k", how="outer").to_pandas()
+    assert len(oj) == 4
+    assert oj.loc[oj["lv"] == 11, "rv"].isna().all()
+    assert oj.loc[oj["rv"] == 21, "lv"].isna().all()
+    assert oj.loc[oj["lv"] == 10, "rv"].isna().all()   # k=1 unmatched
+    assert oj.loc[oj["rv"] == 20, "lv"].isna().all()   # k=2 unmatched
+
+
 def test_join_many_to_many_output_streams(ray_session):
     """k² fan-out per key: output (40k rows) >> input (600 rows) stays exact.
     The operator materializes only the sorted *input*; the joined output
