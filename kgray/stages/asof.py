@@ -1,35 +1,47 @@
-"""Distributed backward as-of join (Ray Data has no asof operator).
+"""Distributed backward as-of join and trailing-window aggregate join
+(Ray Data has neither operator).
 
 ``asof_join(left, right, ...)`` matches every left row to the right
 row with the greatest time ≤ the left row's time within the same key —
 the classic "latest state as of t" lookup (DuckDB ``ASOF JOIN``,
 pandas ``merge_asof``).  Left-join semantics: unmatched left rows keep
-null right columns.
+null right columns.  ``windowed_count_join`` aggregates instead of
+matching: COUNT (and optionally SUM of a right value column) of
+same-key right rows in the trailing window ``[t − w, t]``.
 
-Same co-location discipline as ``stages/aggregate.py`` /
-``stages/join.py``:
+Plan — the **carry-in exchange** (hot-key-safe, no row-sized driver
+shipments):
 
-1. union both sides with a side tag, range-partition **sort** on
-   ``(key, t)`` — each key's rows become one contiguous run,
-2. per sorted block, every *interior* key run resolves its as-of
-   locally and vectorized: ``np.searchsorted(right_times, left_times,
-   'right') - 1`` (both sides of the run are already time-sorted),
-3. rows whose key equals a block's first/last key may continue in a
-   neighboring block, so they route through one driver-side resolve.
-   The shipment is ≤ 2 *keys* per block, but all ROWS of those keys —
-   a single hot key spanning many blocks ships its whole run to the
-   driver.  Hot keys must be bounded upstream (salt/split, or
-   pre-aggregate the right side), the same contract as fitting a key
-   into one sort partition.
+1. union both sides with a side tag and range-partition **sort** on
+   ``(key, t, side)`` with right < left, so each key's rows are one
+   contiguous time-sorted run and a right row at the *same* t as a
+   left row always sorts at or before it (backward as-of is
+   inclusive);
+2. a cheap per-block **summary** pass ships only boundary metadata to
+   the driver: first/last key, the boundary run's time extent, and the
+   run's *carry candidates* — for as-of the single latest right row,
+   for the windowed join the right rows within ``w`` of the run's last
+   local time (everything older can never fall in a later left row's
+   window).  Shipment per block is O(1) for as-of and bounded by the
+   window's right-row density for the windowed join — never by a hot
+   key's row count;
+3. the driver threads carries forward along the sorted block order
+   (a backward scan per block over the tiny summaries), and
+4. one task per block prepends its carry rows (they sort at-or-before
+   the block's first run by construction) and resolves EVERY left row
+   locally and vectorized (``searchsorted`` per run; prefix sums for
+   windowed SUMs).  No left row ever leaves its block.
 
 Null join keys follow SQL semantics: a null key matches nothing —
 null-key left rows are emitted unmatched (null right columns /
 zero count), null-key right rows are dropped.
 
 The sorted input is materialized (pinned by the sort's all-to-all
-anyway); the join output streams.  Determinism: callers must ensure at
-most one right row per ``(key, t)`` (pre-reduce duplicates) or ties at
-the matched time are arbitrary.
+anyway); the resolved output is produced by per-block tasks and
+consumed as a Dataset via ``from_arrow_refs`` (blocks stay in the
+object store; nothing aggregates on the driver).  Determinism: callers
+must ensure at most one right row per ``(key, t)`` (pre-reduce
+duplicates) or ties at the matched time are arbitrary.
 """
 
 from __future__ import annotations
@@ -38,9 +50,127 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import edge_mask as _null_safe_edge_mask
-
 __all__ = ["asof_join", "windowed_count_join"]
+
+
+# --------------------------------------------------------------- shared plan
+
+
+def _tagged_sort(left, right, key, left_t, right_t, l_cols, r_payload,
+                 types, extra_right=None):
+    """Union-tag both sides and sort on (key, __t, __side) with
+    right(0) < left(1); returns the materialized sorted Dataset."""
+    import ray
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key),
+                "__t": pc.cast(batch.column(left_t), pa.int64())}
+        for c in l_cols:
+            if c != key:
+                cols[c] = batch.column(c)
+        for c in r_payload:
+            cols[c] = pa.nulls(batch.num_rows, type=types[c])
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key),
+                "__t": pc.cast(batch.column(right_t), pa.int64())}
+        for c in l_cols:
+            if c != key:
+                cols[c] = pa.nulls(batch.num_rows, type=types[c])
+        for c in r_payload:
+            cols[c] = (pc.cast(batch.column(extra_right[c]), types[c])
+                       if extra_right and c in extra_right
+                       else batch.column(c))
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+               .repartition(n_part))
+    return unioned.sort([key, "__t", "__side"]).materialize()
+
+
+def _block_summary(t: pa.Table, key: str, keep_right_within: int | None):
+    """Boundary metadata for the carry scan: (first_key, last_key,
+    first_run_min_t, last_run_max_t, carry_candidates_table).
+
+    ``keep_right_within=None`` → as-of mode: the boundary (last) run's
+    single latest right row.  Otherwise windowed mode: the run's right
+    rows with t ≥ last_run_max_t − keep_right_within.
+    """
+    if t.num_rows == 0:
+        return None
+    keys = t.column(key)
+    first_key = keys[0].as_py()
+    last_key = keys[t.num_rows - 1].as_py()
+
+    def _run_eq(scalar):
+        if not scalar.is_valid:
+            return pc.is_null(keys)
+        return pc.fill_null(pc.equal(keys, scalar), False)
+
+    first_run = t.filter(_run_eq(keys[0]))
+    last_run = t.filter(_run_eq(keys[t.num_rows - 1]))
+    first_run_min_t = first_run.column("__t")[0].as_py()
+    last_run_max_t = last_run.column("__t")[last_run.num_rows - 1].as_py()
+
+    rights = last_run.filter(pc.equal(last_run.column("__side"), 0))
+    if last_key is None or rights.num_rows == 0:
+        carry = rights.slice(0, 0)
+    elif keep_right_within is None:
+        carry = rights.slice(rights.num_rows - 1, 1)
+    else:
+        rt = rights.column("__t").to_numpy(zero_copy_only=False)
+        lo = int(np.searchsorted(rt, last_run_max_t - keep_right_within,
+                                 side="left"))
+        carry = rights.slice(lo)
+    return (first_key, last_key, first_run_min_t, last_run_max_t, carry)
+
+
+def _thread_carries(summaries, window: int | None):
+    """Driver-side backward scan over the ordered per-block summaries:
+    carry rows for each block's FIRST run, collected from earlier
+    blocks while the run continues.  As-of (window=None) stops at the
+    nearest block holding a right row; windowed mode accumulates until
+    the run breaks or everything earlier is older than any possible
+    window."""
+    n = len(summaries)
+    carries = [None] * n
+    for j in range(n):
+        sj = summaries[j]
+        if sj is None:
+            continue
+        first_key, _, first_min_t, _, _ = sj
+        if first_key is None:
+            continue            # null keys never match — no carry
+        collected = []
+        for i in range(j - 1, -1, -1):
+            si = summaries[i]
+            if si is None:
+                continue        # empty block: the run continues past it
+            i_first, i_last, _, i_max_t, i_carry = si
+            if i_last != first_key:
+                break           # run does not extend into block i
+            if window is not None and i_max_t < first_min_t - window:
+                break           # older than any later window
+            if i_carry.num_rows:
+                collected.append(i_carry)
+                if window is None:
+                    break       # as-of: nearest right row wins
+            if i_first != first_key:
+                break           # the run starts inside block i
+        if collected:
+            collected.reverse()     # oldest → newest (sorted order)
+            carries[j] = pa.concat_tables(collected)
+    return carries
+
+
+# ------------------------------------------------------------------- asof
 
 
 def asof_join(left, right, key: str, left_t: str, right_t: str):
@@ -66,47 +196,9 @@ def asof_join(left, right, key: str, left_t: str, right_t: str):
     for n, t in zip(r_schema.names, r_schema.types):
         types.setdefault(n, t)
 
-    # unified layout: key | __t | __side (0=right, 1=left) | payloads
-    def tag_left(batch: pa.Table) -> pa.Table:
-        cols = {key: batch.column(key),
-                "__t": pc.cast(batch.column(left_t), pa.int64())}
-        for c in l_cols:
-            if c != key:
-                cols[c] = batch.column(c)
-        for c in r_payload:
-            cols[c] = pa.nulls(batch.num_rows, type=types[c])
-        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
-        return pa.table(cols)
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        cols = {key: batch.column(key),
-                "__t": pc.cast(batch.column(right_t), pa.int64())}
-        for c in l_cols:
-            if c != key:
-                cols[c] = pa.nulls(batch.num_rows, type=types[c])
-        for c in r_payload:
-            cols[c] = batch.column(c)
-        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
-        return pa.table(cols)
-
-    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    unioned = (left.map_batches(tag_left, batch_format="pyarrow",
-                                zero_copy_batch=True)
-               .union(right.map_batches(tag_right, batch_format="pyarrow",
-                                        zero_copy_batch=True))
-               .repartition(n_part))
-    srt = unioned.sort([key, "__t"]).materialize()
-
-    def _edge_mask(batch: pa.Table):
-        # null-safe, and null keys are always routed to the driver pass
-        # (the sort clusters them at one end; never let a null poison a
-        # filter mask)
-        return pc.or_(_null_safe_edge_mask(batch.column(key)),
-                      pc.is_null(batch.column(key)))
-
     def _resolve(t: pa.Table) -> pa.Table:
         """As-of-resolve complete key runs (rows of each key sorted by
-        __t; both sides interleaved).  Vectorized per run."""
+        __t with rights first at ties).  Vectorized per run."""
         if t.num_rows == 0:
             return _empty(out_cols, types)
         nulls = pc.is_null(t.column(key))
@@ -164,37 +256,44 @@ def asof_join(left, right, key: str, left_t: str, right_t: str):
                                    promote_options="permissive")
         return out
 
-    # Pass 1 (cheap): boundary-key rows to the driver — complete runs.
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        return batch.filter(_edge_mask(batch))
+    srt = _tagged_sort(left, right, key, left_t, right_t,
+                       l_cols, r_payload, types)
+    return _carry_resolve(srt, key, None, _resolve)
 
-    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
-                                zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
 
-    # Pass 2 (streaming): interior key runs resolve in-block.
-    def interior(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty(out_cols, types)
-        return _resolve(batch.filter(pc.invert(_edge_mask(batch))))
+def _carry_resolve(srt, key, window, resolve_fn):
+    """Run the summary pass, thread carries, and launch one resolve
+    task per sorted block (carry rows prepended — they sort at or
+    before the block's first run)."""
+    import ray
+    import ray.data as rd
 
-    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    if not edge_tables:
-        return interior_ds
-    et = pa.concat_tables(edge_tables, promote_options="permissive")
-    idx = pc.sort_indices(et, sort_keys=[(key, "ascending"),
-                                         ("__t", "ascending")])
-    resolved = _resolve(et.take(idx))
-    if resolved.num_rows == 0:
-        return interior_ds
-    return interior_ds.union(rd.from_arrow(resolved))
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        # resolve_fn returns its typed empty output for an empty table
+        return rd.from_arrow(resolve_fn(pa.table({})))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        return _block_summary(t, key, window)
+
+    @ray.remote
+    def resolve(t: pa.Table, carry):
+        if carry is not None and carry.num_rows:
+            t = pa.concat_tables([carry.select(t.schema.names), t])
+        return resolve_fn(t)
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+    carries = _thread_carries(summaries, window)
+    out_refs = [resolve.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)
 
 
 def _empty(out_cols, types) -> pa.Table:
     return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+
+
+# ----------------------------------------------------------------- windowed
 
 
 def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
@@ -213,8 +312,7 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
     output exactly one row per left row — a raw interval join's output
     is |matches| and can explode; aggregate in the operator, not after.
 
-    Same plan as :func:`asof_join` (one sort, per-run vectorized
-    resolution, edge keys through the driver): counts come from two
+    Same carry-in plan as :func:`asof_join`: counts come from two
     ``searchsorted`` calls per run and sums from a per-run prefix sum —
     no pairwise work at all.
     """
@@ -233,40 +331,6 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
     if want_sum:
         assert sum_name not in l_cols
         types[sum_name] = pa.int64()
-
-    def tag_left(batch: pa.Table) -> pa.Table:
-        cols = {key: batch.column(key),
-                "__t": pc.cast(batch.column(left_t), pa.int64())}
-        for c in l_cols:
-            if c != key:
-                cols[c] = batch.column(c)
-        if want_sum:
-            cols["__v"] = pa.nulls(batch.num_rows, type=pa.int64())
-        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
-        return pa.table(cols)
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        cols = {key: batch.column(key),
-                "__t": pc.cast(batch.column(right_t), pa.int64())}
-        for c in l_cols:
-            if c != key:
-                cols[c] = pa.nulls(batch.num_rows, type=types[c])
-        if want_sum:
-            cols["__v"] = pc.cast(batch.column(value_col), pa.int64())
-        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
-        return pa.table(cols)
-
-    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    unioned = (left.map_batches(tag_left, batch_format="pyarrow",
-                                zero_copy_batch=True)
-               .union(right.map_batches(tag_right, batch_format="pyarrow",
-                                        zero_copy_batch=True))
-               .repartition(n_part))
-    srt = unioned.sort([key, "__t"]).materialize()
-
-    def _edge_mask(batch: pa.Table):
-        return pc.or_(_null_safe_edge_mask(batch.column(key)),
-                      pc.is_null(batch.column(key)))
 
     def _resolve(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -336,28 +400,11 @@ def windowed_count_join(left, right, key: str, left_t: str, right_t: str,
                                    promote_options="permissive")
         return out
 
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        return batch.filter(_edge_mask(batch))
-
-    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
-                                zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
-
-    def interior(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty(out_cols, types)
-        return _resolve(batch.filter(pc.invert(_edge_mask(batch))))
-
-    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    if not edge_tables:
-        return interior_ds
-    et = pa.concat_tables(edge_tables, promote_options="permissive")
-    idx = pc.sort_indices(et, sort_keys=[(key, "ascending"),
-                                         ("__t", "ascending")])
-    resolved = _resolve(et.take(idx))
-    if resolved.num_rows == 0:
-        return interior_ds
-    return interior_ds.union(rd.from_arrow(resolved))
+    r_payload = ["__v"] if want_sum else []
+    wtypes = dict(types)
+    if want_sum:
+        wtypes["__v"] = pa.int64()
+    srt = _tagged_sort(left, right, key, left_t, right_t, l_cols,
+                       r_payload, wtypes,
+                       extra_right={"__v": value_col} if want_sum else None)
+    return _carry_resolve(srt, key, window, _resolve)

@@ -194,6 +194,52 @@ def test_grouped_topk_hot_group(ray_session):
                                   exp[["g", "v", "tb", "rank"]])
 
 
+def test_asof_and_windowed_hot_key(ray_session):
+    """One key holds ~80% of rows and spans many sorted blocks — the
+    carry-in exchange must stay exact while shipping only O(1) (asof)
+    / window-bounded (windowed) summaries per block, never the run."""
+    from kgray.stages.asof import asof_join, windowed_count_join
+
+    rng = np.random.default_rng(59)
+    n_l, n_r, w = 12000, 400, 30
+    lk = np.where(rng.random(n_l) < 0.8, 7, rng.integers(0, 5, n_l)) \
+        .astype(np.int64)
+    left_df = pd.DataFrame({
+        "k": lk,
+        "lt": rng.integers(0, 5000, n_l).astype(np.int64),
+        "lid": np.arange(n_l, dtype=np.int64)})
+    rk = np.where(rng.random(n_r) < 0.8, 7, rng.integers(0, 5, n_r)) \
+        .astype(np.int64)
+    right_df = pd.DataFrame({
+        "k": rk,
+        "rt": rng.integers(0, 5000, n_r).astype(np.int64)})
+    right_df["payload"] = np.arange(n_r, dtype=np.int64)
+    right_df = (right_df.groupby(["k", "rt"], as_index=False)
+                .agg(payload=("payload", "max")))
+
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(16)
+    right = rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(8)
+
+    got = asof_join(left, right, key="k", left_t="lt", right_t="rt") \
+        .to_pandas().set_index("lid").loc[left_df["lid"], "payload"]
+    assert len(got) == n_l
+    exp = _brute_asof(left_df, right_df)
+    for g, e in zip(got.tolist(), exp):
+        if e is None:
+            assert pd.isna(g)
+        else:
+            assert g == e
+
+    wgot = windowed_count_join(left, right, key="k", left_t="lt",
+                               right_t="rt", window=w, count_name="cnt") \
+        .to_pandas().set_index("lid").loc[left_df["lid"], "cnt"].to_numpy()
+    wexp = np.array([((right_df["k"] == r["k"])
+                      & (right_df["rt"] >= r["lt"] - w)
+                      & (right_df["rt"] <= r["lt"])).sum()
+                     for _, r in left_df.iterrows()], dtype=np.int64)
+    assert (wgot == wexp).all()
+
+
 def test_windowed_count_join_matches_bruteforce(ray_session):
     """Per-left trailing-window counts (inclusive bounds) vs a direct
     per-row computation, with key runs spanning sorted blocks."""
