@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": relational.events_rollup,
         "priority_status_pivot": relational.priority_status_pivot,
         "events_orders_daily": relational.events_orders_daily,
+        "user_running_value": relational.user_running_value,
+        "type_user_counts": relational.type_user_counts,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -552,6 +554,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "type_user_counts": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "user_running_value": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_cents,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running_cents
+            FROM events
         """,
         "user_sessions": """
             WITH d AS (

@@ -107,6 +107,14 @@ def run_bench() -> dict:
     timed("events_asof_orders", lambda: relational.events_asof_orders(sf_dir))
     timed("priority_top_orders", lambda: relational.priority_top_orders(sf_dir))
     timed("events_hopping", lambda: relational.events_hopping(sf_dir))
+    timed("events_recent_order_value",
+          lambda: relational.events_recent_order_value(sf_dir))
+    timed("users_both_active", lambda: relational.users_both_active(sf_dir))
+    timed("events_rollup", lambda: relational.events_rollup(sf_dir))
+    timed("priority_status_pivot",
+          lambda: relational.priority_status_pivot(sf_dir))
+    timed("events_orders_daily", lambda: relational.events_orders_daily(sf_dir))
+    timed("repetition_scores", lambda: text.repetition_scores(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -28,7 +28,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_recent_orders", "events_recent_order_value",
            "events_value_quantiles_cont", "users_both_active",
            "buyers_never_active", "events_rollup", "priority_status_pivot",
-           "events_orders_daily"]
+           "events_orders_daily", "user_running_value", "type_user_counts"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -356,6 +356,51 @@ def events_rollup(sf_dir: str):
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return rollup_aggregate(prepped, ["event_type", "epoch_day"],
                             [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def type_user_counts(sf_dir: str):
+    """Distributed COUNT(DISTINCT): users per event type via two-level
+    aggregation — distinct (type, user) pairs first (map-side combined),
+    then a count per type.  The shuffle carries distinct pairs, never
+    raw events; no driver-side set."""
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "user_id": batch.column("user_id")})
+        g = t.group_by(["event_type", "user_id"], use_threads=False) \
+             .aggregate([])
+        return g.append_column(
+            "n_users", pa.array(np.ones(g.num_rows, dtype=np.int64)))
+
+    pairs = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+             .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    distinct = sorted_group_aggregate(pairs, ["event_type", "user_id"],
+                                      [("n_users", "min")])
+    # one row per distinct pair → count per type
+    return sorted_group_aggregate(distinct.drop_columns(["user_id"]),
+                                  "event_type", [("n_users", "sum")])
+
+
+def user_running_value(sf_dir: str):
+    """Partitioned running total (the SQL window ``SUM ... OVER
+    (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING)``) —
+    ``stages/scan.py`` prefix-scan exchange: per-block cumsums plus
+    driver-threaded carry offsets, one row out per row in.  Ordered by
+    (ts, event_id) so the window order is total in both engines."""
+    from ..stages.scan import grouped_running_sum
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+               .map_batches(lambda b: pa.table({
+                   "user_id": b.column("user_id"),
+                   "event_id": b.column("event_id"),
+                   "ev_us": pc.cast(b.column("ts"), pa.int64()),
+                   "value_cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return grouped_running_sum(prepped, key="user_id",
+                               order_cols=["ev_us", "event_id"],
+                               value_col="value_cents",
+                               out_name="running_cents")
 
 
 def events_orders_daily(sf_dir: str):

@@ -1,0 +1,123 @@
+"""Distributed partitioned prefix scan: the SQL running-total window
+``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+(Ray Data has no window functions).
+
+Plan — the scan variant of the carry-in exchange (``stages/asof.py``):
+
+1. range-partition **sort** on ``(key, order_cols...)`` — each key's
+   rows become one contiguous run in a globally deterministic order
+   (callers must include a tiebreak column so the order is total,
+   exactly like the SQL window's ORDER BY);
+2. a summary pass ships ONE row per (block, boundary run): the run's
+   local value total — never the rows;
+3. the driver threads per-block carry offsets along the sorted block
+   order (prefix-summing the tiny summaries), and
+4. one task per block adds its carry offset to the local per-run
+   cumulative sums.  Exact int64 arithmetic throughout.
+
+Null keys form one partition (SQL PARTITION BY semantics — unlike a
+join key, a window partition key of NULL still gets window values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._runs import run_starts
+
+__all__ = ["grouped_running_sum"]
+
+
+def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
+                        out_name: str = "running_sum"):
+    """Append ``out_name``: the running int64 sum of ``value_col``
+    within ``key``, ordered by ``order_cols`` (must make the order
+    total — include a unique tiebreak).  Returns all input columns
+    plus the running sum, one output row per input row.
+    """
+    import ray
+    import ray.data as rd
+
+    schema = ds.schema()
+    assert out_name not in schema.names
+    out_cols = list(schema.names) + [out_name]
+    types = dict(zip(schema.names, schema.types))
+    types[out_name] = pa.int64()
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (ds.repartition(n_part)
+           .sort([key] + list(order_cols)).materialize())
+
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """(first_key, last_key, first_run_total, last_run_total) —
+        run totals of the two boundary runs (equal when one key fills
+        the block).  Keys may be null (one partition)."""
+        if t.num_rows == 0:
+            return None
+        keys = t.column(key)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = run_starts(keys)
+        first_end = int(starts[1]) if len(starts) > 1 else t.num_rows
+        last_start = int(starts[-1])
+        return (keys[0].as_py(), keys[t.num_rows - 1].as_py(),
+                int(vals[:first_end].sum()), int(vals[last_start:].sum()))
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    # thread carry offsets: for block j's FIRST run, the total of all
+    # earlier blocks' rows of the same key (prefix sum over summaries)
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    carries = [0] * len(summaries)
+    for j, sj in enumerate(summaries):
+        if sj is None:
+            continue
+        first_key = sj[0]
+        acc = 0
+        for i in range(j - 1, -1, -1):
+            si = summaries[i]
+            if si is None:
+                continue
+            i_first, i_last, i_first_tot, i_last_tot = si
+            if not _same(i_last, first_key):
+                break
+            if _same(i_first, i_last):
+                acc += i_first_tot       # whole block is the run
+                continue                 # run may extend further back
+            acc += i_last_tot            # run starts inside block i
+            break
+        carries[j] = acc
+
+    @ray.remote
+    def scan_block(t: pa.Table, carry: int):
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(vals)
+        starts = run_starts(t.column(key))
+        # subtract each run's preceding total so cumsum restarts per run
+        base = np.zeros(t.num_rows, dtype=np.int64)
+        run_base = cum[starts - 1]       # starts[0] == 0 → cum[-1]; fix below
+        run_base[0] = 0
+        reps = np.diff(np.append(starts, t.num_rows))
+        base = np.repeat(run_base, reps)
+        running = cum - base
+        running[:int(starts[1]) if len(starts) > 1 else t.num_rows] += carry
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols[out_name] = pa.array(running, type=pa.int64())
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [scan_block.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)

@@ -378,6 +378,34 @@ def test_grouped_quantiles_cont_matches_duckdb(ray_session):
         assert got["p90"].tolist() == exp["p90"].tolist()
 
 
+def test_grouped_running_sum_matches_pandas(ray_session):
+    """Prefix-scan exchange vs pandas groupby().cumsum(), including a
+    hot key spanning many sorted blocks, negative values, and a null
+    partition key (one partition, SQL PARTITION BY semantics)."""
+    from kgray.stages.scan import grouped_running_sum
+
+    rng = np.random.default_rng(61)
+    n = 15000
+    k = np.where(rng.random(n) < 0.7, 3, rng.integers(0, 8, n)).astype(np.float64)
+    k[rng.random(n) < 0.01] = np.nan
+    df = pd.DataFrame({
+        "k": pd.array([None if np.isnan(x) else int(x) for x in k],
+                      dtype="Int64"),
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+        "tb": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-50, 100, n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(13)
+    got = grouped_running_sum(ds, key="k", order_cols=["t", "tb"],
+                              value_col="v", out_name="rs") \
+        .to_pandas().sort_values("tb", ignore_index=True)
+
+    df2 = df.sort_values(["t", "tb"])
+    exp = df2.assign(rs=df2.groupby("k", dropna=False)["v"].cumsum()) \
+        .sort_values("tb", ignore_index=True)
+    assert len(got) == n
+    assert got["rs"].tolist() == exp["rs"].tolist()
+
+
 def test_grouped_quantiles_low_cardinality(ray_session):
     """Few groups over many partitions: every group is a boundary group
     and the edge pass must still produce exact quantiles (shipping
