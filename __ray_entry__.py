@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_daily": relational.events_orders_daily,
         "user_running_value": relational.user_running_value,
         "type_user_counts": relational.type_user_counts,
+        "user_event_gaps": relational.user_event_gaps,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -559,6 +560,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "user_event_gaps": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+                   CAST(COALESCE(CAST(epoch_us(ts) AS BIGINT)
+                        - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id),
+                        -1) AS BIGINT) AS gap_us
+            FROM events
         """,
         "user_running_value": """
             SELECT user_id, event_id,

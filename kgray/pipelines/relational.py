@@ -28,7 +28,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_recent_orders", "events_recent_order_value",
            "events_value_quantiles_cont", "users_both_active",
            "buyers_never_active", "events_rollup", "priority_status_pivot",
-           "events_orders_daily", "user_running_value", "type_user_counts"]
+           "events_orders_daily", "user_running_value", "type_user_counts",
+           "user_event_gaps"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -401,6 +402,32 @@ def user_running_value(sf_dir: str):
                                order_cols=["ev_us", "event_id"],
                                value_col="value_cents",
                                out_name="running_cents")
+
+
+def user_event_gaps(sf_dir: str):
+    """LAG window (``stages/scan.py:grouped_lag``): per event, µs since
+    the same user's previous event (−1 for each user's first event —
+    COALESCE in the oracle keeps the column exact int64)."""
+    from ..stages.scan import grouped_lag
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+               .map_batches(lambda b: pa.table({
+                   "user_id": b.column("user_id"),
+                   "event_id": b.column("event_id"),
+                   "ev_us": pc.cast(b.column("ts"), pa.int64())}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    lagged = grouped_lag(prepped, key="user_id",
+                         order_cols=["ev_us", "event_id"],
+                         value_col="ev_us", out_name="prev_us")
+    return lagged.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "ev_us": b.column("ev_us"),
+        "gap_us": pc.fill_null(pc.subtract(b.column("ev_us"),
+                                           b.column("prev_us")),
+                               pa.scalar(-1, type=pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def events_orders_daily(sf_dir: str):

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 from ._runs import run_starts
 
-__all__ = ["grouped_running_sum"]
+__all__ = ["grouped_running_sum", "grouped_lag"]
 
 
 def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
@@ -120,4 +120,92 @@ def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
         return pa.table({c: cols[c] for c in out_cols})
 
     out_refs = [scan_block.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def grouped_lag(ds, key: str, order_cols: list, value_col: str,
+                out_name: str = "lag"):
+    """SQL ``LAG(value) OVER (PARTITION BY key ORDER BY ...)``: each
+    row gets the PREVIOUS row's ``value_col`` within its partition
+    (null for the partition's first row).  Same carry-in plan as
+    :func:`grouped_running_sum`, but the carry is one value per block —
+    the boundary run's last ``value_col``.
+    """
+    import ray
+    import ray.data as rd
+
+    schema = ds.schema()
+    assert out_name not in schema.names
+    out_cols = list(schema.names) + [out_name]
+    types = dict(zip(schema.names, schema.types))
+    vt = types[value_col]
+    types[out_name] = vt
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (ds.repartition(n_part)
+           .sort([key] + list(order_cols)).materialize())
+
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """(first_key, last_key, last_value) — the boundary run's last
+        value, i.e. the LAG carry for the next block if the run
+        continues."""
+        if t.num_rows == 0:
+            return None
+        keys = t.column(key)
+        return (keys[0].as_py(), keys[t.num_rows - 1].as_py(),
+                t.column(value_col)[t.num_rows - 1].as_py())
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    carries = [None] * len(summaries)       # previous value or None
+    for j, sj in enumerate(summaries):
+        if sj is None:
+            continue
+        first_key = sj[0]
+        for i in range(j - 1, -1, -1):
+            si = summaries[i]
+            if si is None:
+                continue
+            if not _same(si[1], first_key):
+                break
+            carries[j] = si[2]              # nearest earlier row's value
+            break
+        # (a run spanning an entire empty-summary gap keeps scanning)
+
+    @ray.remote
+    def lag_block(t: pa.Table, carry):
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        vals = t.column(value_col)
+        starts = run_starts(t.column(key))
+        # shifted-by-one take: index i-1, with run starts nulled
+        idx = np.arange(t.num_rows, dtype=np.int64) - 1
+        idx[0] = 0
+        lagged = vals.take(pa.array(idx, type=pa.int64()))
+        null_at = np.zeros(t.num_rows, dtype=bool)
+        null_at[starts] = True
+        lagged = pc.if_else(pa.array(null_at), pa.scalar(None, type=vt),
+                            lagged)
+        if carry is not None:
+            # the first run continues from an earlier block: its first
+            # row's LAG is the carried value, not null
+            first = np.zeros(t.num_rows, dtype=bool)
+            first[0] = True
+            lagged = pc.if_else(pa.array(first), pa.scalar(carry, type=vt),
+                                lagged)
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols[out_name] = lagged
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [lag_block.remote(r, c) for r, c in zip(block_refs, carries)]
     return rd.from_arrow_refs(out_refs)

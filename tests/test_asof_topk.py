@@ -406,6 +406,37 @@ def test_grouped_running_sum_matches_pandas(ray_session):
     assert got["rs"].tolist() == exp["rs"].tolist()
 
 
+def test_grouped_lag_matches_pandas(ray_session):
+    """LAG via the carry exchange vs pandas groupby().shift(), with a
+    hot key spanning blocks and null partition keys."""
+    from kgray.stages.scan import grouped_lag
+
+    rng = np.random.default_rng(67)
+    n = 9000
+    k = np.where(rng.random(n) < 0.6, 5, rng.integers(0, 6, n)).astype(np.float64)
+    k[rng.random(n) < 0.02] = np.nan
+    df = pd.DataFrame({
+        "k": pd.array([None if np.isnan(x) else int(x) for x in k],
+                      dtype="Int64"),
+        "t": rng.integers(0, 8000, n).astype(np.int64),
+        "tb": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 1000, n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(11)
+    got = grouped_lag(ds, key="k", order_cols=["t", "tb"],
+                      value_col="v", out_name="prev") \
+        .to_pandas().sort_values("tb", ignore_index=True)
+
+    df2 = df.sort_values(["t", "tb"])
+    exp = df2.assign(prev=df2.groupby("k", dropna=False)["v"].shift(1)) \
+        .sort_values("tb", ignore_index=True)
+    assert len(got) == n
+    for g, e in zip(got["prev"].tolist(), exp["prev"].tolist()):
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e
+
+
 def test_grouped_quantiles_low_cardinality(ray_session):
     """Few groups over many partitions: every group is a boundary group
     and the edge pass must still produce exact quantiles (shipping
