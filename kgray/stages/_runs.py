@@ -16,7 +16,38 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["run_starts", "edge_mask"]
+__all__ = ["run_starts", "edge_mask", "edge_interior_exchange"]
+
+
+def edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn):
+    """The shared tail of every sorted-run exchange stage (aggregate,
+    join, semijoin, topk, quantile): consume the materialized sorted
+    Dataset ``srt`` twice zero-copy —
+
+    1. ``edge_fn`` per block extracts/reduces boundary-run shipments;
+       the non-empty results collect to the driver (bounded by each
+       stage's cap/partial contract, never raw run size),
+    2. ``interior_fn`` per block resolves complete interior runs and
+       STREAMS into downstream consumers,
+    3. ``merge_fn(edge_tables)`` resolves the collected boundary
+       shipments in one driver-side pass (may return None/empty).
+
+    Returns ``interior ∪ merged`` as a Dataset.
+    """
+    import ray
+    import ray.data as rd
+
+    edge_refs = srt.map_batches(edge_fn, batch_format="pyarrow",
+                                zero_copy_batch=True).to_arrow_refs()
+    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
+    interior_ds = srt.map_batches(interior_fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    if not edge_tables:
+        return interior_ds
+    merged = merge_fn(edge_tables)
+    if merged is None or merged.num_rows == 0:
+        return interior_ds
+    return interior_ds.union(rd.from_arrow(merged))
 
 
 def run_starts(keys) -> np.ndarray:

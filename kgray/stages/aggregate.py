@@ -38,6 +38,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._runs import edge_interior_exchange
+
 __all__ = ["sorted_group_aggregate", "rollup_aggregate"]
 
 _MERGE_FN = {"sum": "sum", "min": "min", "max": "max"}
@@ -112,15 +114,10 @@ def sorted_group_aggregate(ds, keys, aggs):
             return batch.slice(0, 0)
         return _arrow_agg(interior, keys, aggs)
 
-    edge_refs = srt.map_batches(edge_partials, batch_format="pyarrow",
-                                zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
-    interior = srt.map_batches(interior_agg, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    if not edge_tables:
-        return interior
-    merged = _arrow_agg(pa.concat_tables(edge_tables), keys, aggs)
-    return interior.union(rd.from_arrow(merged))
+    def merge(edge_tables) -> pa.Table:
+        return _arrow_agg(pa.concat_tables(edge_tables), keys, aggs)
+
+    return edge_interior_exchange(srt, edge_partials, interior_agg, merge)
 
 
 def rollup_aggregate(ds, keys, aggs):

@@ -35,6 +35,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._runs import edge_interior_exchange
+
 __all__ = ["sorted_merge_join"]
 
 
@@ -48,7 +50,6 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
     duplicate key).
     """
     import ray
-    import ray.data as rd
 
     assert how in ("inner", "left", "outer")
     l_schema = left.schema()
@@ -101,10 +102,6 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
         mask = pc.or_(_edge_mask(batch), pc.is_null(batch.column(on)))
         return batch.filter(mask)
 
-    edge_refs = sorted_ds.map_batches(
-        edge_rows, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
-
     # Pass 2 (streaming): join interior rows per block; output is never
     # materialized here.
     def join_interior(batch: pa.Table) -> pa.Table:
@@ -117,34 +114,33 @@ def sorted_merge_join(left, right, on, how: str = "inner"):
             return _empty_out(out_cols, types)
         return _pd_join(interior, on, l_cols, r_cols, types, how)
 
-    interior = sorted_ds.map_batches(join_interior, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+    def merge(edge_tables) -> pa.Table | None:
+        edge_all = pa.concat_tables(edge_tables, promote_options="permissive")
+        null_key = pc.is_null(edge_all.column(on))
+        nonnull = edge_all.filter(pc.invert(null_key))
+        parts = []
+        if nonnull.num_rows:
+            parts.append(_pd_join(nonnull, on, l_cols, r_cols, types, how))
+        if how in ("left", "outer"):
+            # left rows with a null key survive a SQL left/full join
+            # unmatched
+            null_left = edge_all.filter(
+                pc.and_(null_key, pc.equal(edge_all.column("__side"), 0)))
+            if null_left.num_rows:
+                parts.append(null_left.select(out_cols))
+        if how == "outer":
+            # null-key right rows survive a SQL full join unmatched (their
+            # left columns are already null padding from the tag step)
+            null_right = edge_all.filter(
+                pc.and_(null_key, pc.equal(edge_all.column("__side"), 1)))
+            if null_right.num_rows:
+                parts.append(null_right.select(out_cols))
+        if not parts:
+            return None
+        return pa.concat_tables(parts,
+                                promote_options="permissive").select(out_cols)
 
-    if not edge_tables:
-        return interior
-    edge_all = pa.concat_tables(edge_tables, promote_options="permissive")
-    null_key = pc.is_null(edge_all.column(on))
-    nonnull = edge_all.filter(pc.invert(null_key))
-    parts = []
-    if nonnull.num_rows:
-        parts.append(_pd_join(nonnull, on, l_cols, r_cols, types, how))
-    if how in ("left", "outer"):
-        # left rows with a null key survive a SQL left/full join unmatched
-        null_left = edge_all.filter(
-            pc.and_(null_key, pc.equal(edge_all.column("__side"), 0)))
-        if null_left.num_rows:
-            parts.append(null_left.select(out_cols))
-    if how == "outer":
-        # null-key right rows survive a SQL full join unmatched (their
-        # left columns are already null padding from the tag step)
-        null_right = edge_all.filter(
-            pc.and_(null_key, pc.equal(edge_all.column("__side"), 1)))
-        if null_right.num_rows:
-            parts.append(null_right.select(out_cols))
-    if not parts:
-        return interior
-    merged = pa.concat_tables(parts, promote_options="permissive")
-    return interior.union(rd.from_arrow(merged.select(out_cols)))
+    return edge_interior_exchange(sorted_ds, edge_rows, join_interior, merge)
 
 
 def _empty_out(out_cols, types) -> pa.Table:

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._runs import edge_interior_exchange
 from ._runs import edge_mask as _null_safe_edge_mask
 from ._runs import run_starts
 
@@ -53,7 +54,6 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
     order statistics.
     """
     import ray
-    import ray.data as rd
 
     assert method in ("disc", "cont")
     cont = method == "cont"
@@ -168,24 +168,16 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
                     pa.array(rows, type=pa.int64()))
         return pa.table({c: cols[c] for c in out_cols})
 
-    edge_refs = srt.map_batches(edge_partials, batch_format="pyarrow",
-                                zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
-
     def interior(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty(out_cols, out_types)
         return _quants(batch.filter(pc.invert(_edge_mask(batch))))
 
-    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    if not edge_tables:
-        return interior_ds
-    merged = pa.concat_tables(edge_tables, promote_options="permissive")
-    quants = _quants_from_partials(merged)
-    if quants.num_rows == 0:
-        return interior_ds
-    return interior_ds.union(rd.from_arrow(quants))
+    def merge(edge_tables) -> pa.Table:
+        return _quants_from_partials(
+            pa.concat_tables(edge_tables, promote_options="permissive"))
+
+    return edge_interior_exchange(srt, edge_partials, interior, merge)
 
 
 def _empty(out_cols, out_types) -> pa.Table:

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._runs import edge_interior_exchange
+
 __all__ = ["semi_join"]
 
 
@@ -30,7 +32,6 @@ def semi_join(left, right, on: str, anti: bool = False):
     """Left rows whose key exists in ``right`` (``anti=False``) or does
     not (``anti=True``).  Returns a Dataset with the left columns."""
     import ray
-    import ray.data as rd
 
     l_schema = left.schema()
     l_cols = list(l_schema.names)
@@ -95,10 +96,6 @@ def semi_join(left, right, on: str, anti: bool = False):
         return batch.filter(pc.or_(_edge_mask(batch),
                                    pc.is_null(batch.column(on))))
 
-    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
-                                zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
-
     def interior(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.select(l_cols)
@@ -106,13 +103,9 @@ def semi_join(left, right, on: str, anti: bool = False):
                        pc.invert(pc.is_null(batch.column(on))))
         return _filter_runs(batch.filter(keep))
 
-    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    if not edge_tables:
-        return interior_ds
-    et = pa.concat_tables(edge_tables, promote_options="permissive")
-    idx = pc.sort_indices(et, sort_keys=[(on, "ascending")])
-    filtered = _filter_runs(et.take(idx))
-    if filtered.num_rows == 0:
-        return interior_ds
-    return interior_ds.union(rd.from_arrow(filtered))
+    def merge(edge_tables) -> pa.Table:
+        et = pa.concat_tables(edge_tables, promote_options="permissive")
+        idx = pc.sort_indices(et, sort_keys=[(on, "ascending")])
+        return _filter_runs(et.take(idx))
+
+    return edge_interior_exchange(srt, edge_rows, interior, merge)

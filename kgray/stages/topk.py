@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._runs import edge_interior_exchange
 from ._runs import edge_mask as _null_safe_edge_mask
 from ._runs import run_starts
 
@@ -35,7 +36,6 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
     Returns a Dataset with the input columns plus ``rank``.
     """
     import ray
-    import ray.data as rd
 
     schema = ds.schema()
     out_cols = list(schema.names) + ["rank"]
@@ -85,28 +85,20 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
                                for s, e in zip(starts, ends)])
         return edge.take(pa.array(take, type=pa.int64()))
 
-    edge_refs = srt.map_batches(edge_rows, batch_format="pyarrow",
-                                zero_copy_batch=True).to_arrow_refs()
-    edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
-
     def interior(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty(out_cols, types)
         return _heads(batch.filter(pc.invert(_edge_mask(batch))))
 
-    interior_ds = srt.map_batches(interior, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    if not edge_tables:
-        return interior_ds
-    et = pa.concat_tables(edge_tables, promote_options="permissive")
-    idx = pc.sort_indices(et, sort_keys=[
-        (group, "ascending"),
-        (order_col, "descending" if descending else "ascending"),
-        (tiebreak, "ascending")])
-    heads = _heads(et.take(idx))
-    if heads.num_rows == 0:
-        return interior_ds
-    return interior_ds.union(rd.from_arrow(heads))
+    def merge(edge_tables) -> pa.Table:
+        et = pa.concat_tables(edge_tables, promote_options="permissive")
+        idx = pc.sort_indices(et, sort_keys=[
+            (group, "ascending"),
+            (order_col, "descending" if descending else "ascending"),
+            (tiebreak, "ascending")])
+        return _heads(et.take(idx))
+
+    return edge_interior_exchange(srt, edge_rows, interior, merge)
 
 
 def _empty(out_cols, types) -> pa.Table:
