@@ -37,6 +37,12 @@ def edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn):
     import ray
     import ray.data as rd
 
+    # Two consumers of the same blocks: the dataset MUST be pinned, or a
+    # re-executed upstream sort can split blocks differently between the
+    # passes (rows edge in one pass, interior in the other — silently
+    # dropped or doubled).  materialize() on an already-materialized
+    # dataset is a no-op.
+    srt = srt.materialize()
     edge_refs = srt.map_batches(edge_fn, batch_format="pyarrow",
                                 zero_copy_batch=True).to_arrow_refs()
     edge_tables = [t for t in ray.get(edge_refs) if t.num_rows]
