@@ -94,7 +94,8 @@ def exact_dedup(sf_dir: str):
     combined = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
                 .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     return sorted_group_aggregate(combined, "text_hash",
-                                  [("keep_doc_id", "min"), ("n_copies", "sum")])
+                                  [("keep_doc_id", "min"), ("n_copies", "sum")],
+                                  precombine=False)
 
 
 # --------------------------------------------------------------------------- shingles / jaccard
@@ -208,7 +209,7 @@ def _bucket_pairs(ds, bucket_cols: list, id_col: str, max_bucket: int = 512):
     sizes = sorted_group_aggregate(
         ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
           .repartition(n_part),
-        bucket_cols, [("n", "sum")])
+        bucket_cols, [("n", "sum")], precombine=False)
     multi = sizes.map_batches(
         lambda b: b.filter(pc.greater(b.column("n"), 1)),
         batch_format="pyarrow").take_all()

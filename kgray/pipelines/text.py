@@ -127,7 +127,8 @@ def token_topk(sf_dir: str, k: int = 100):
     from ..stages.aggregate import sorted_group_aggregate
     combined = (read_documents(sf_dir, columns=("text",))
                 .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
-    ds = sorted_group_aggregate(combined, "token", [("cnt", "sum")])
+    ds = sorted_group_aggregate(combined, "token", [("cnt", "sum")],
+                                precombine=False)
     return ds.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 

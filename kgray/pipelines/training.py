@@ -76,7 +76,7 @@ def build_crf_features_distributed(sentences_ds, rules=None):
     rows = sorted_group_aggregate(
         sentences_ds.map_batches(keys_partial, batch_format="pyarrow",
                                  zero_copy_batch=True),
-        "key", [("one", "sum")]).take_all()
+        "key", [("one", "sum")], precombine=False).take_all()
     keys, tag_set = [], {START_TAG, STOP_TAG}
     for r in rows:
         if r["key"].startswith("\x00TAG\x00"):
@@ -118,7 +118,7 @@ def evaluate_tagged(tagged_ds, gold_col: str = "gold_tags",
 
     rows = sorted_group_aggregate(
         tagged_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
-        ["gold", "pred"], [("n", "sum")]).take_all()
+        ["gold", "pred"], [("n", "sum")], precombine=False).take_all()
     y_true, y_pred = [], []
     for r in rows:
         y_true.extend([r["gold"]] * r["n"])

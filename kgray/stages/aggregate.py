@@ -57,10 +57,18 @@ def _arrow_agg(t: pa.Table, keys: list, aggs: list) -> pa.Table:
     return pa.table({n: cols[n] for n in names})
 
 
-def sorted_group_aggregate(ds, keys, aggs):
+def sorted_group_aggregate(ds, keys, aggs, precombine: bool = True):
     """Group ``ds`` by ``keys`` applying ``aggs = [(col, fn), ...]``
     with fn ∈ {sum, min, max}.  Returns a Dataset with columns
     ``keys + [col for col, _ in aggs]`` (one row per distinct key).
+
+    ``precombine=True`` (default) runs a map-side Arrow hash aggregate
+    per input block BEFORE the sort — exact for these associative
+    reducers, and it shrinks the all-to-all by the reduction factor
+    (e.g. 1M event rows → ~1.5k daily partials per block).  Pass
+    ``precombine=False`` when the keys are mostly unique relative to
+    the input (exact dedup on a content hash) or the caller already
+    combined on the same keys — there the extra pass reduces nothing.
     """
     import ray
     import ray.data as rd
@@ -68,6 +76,16 @@ def sorted_group_aggregate(ds, keys, aggs):
     keys = [keys] if isinstance(keys, str) else list(keys)
     aggs = [(c, _MERGE_FN[f]) for c, f in aggs]
     out_names = keys + [c for c, _ in aggs]
+
+    if precombine:
+        def _combine(batch: pa.Table) -> pa.Table:
+            batch = batch.select(out_names)
+            if batch.num_rows == 0:
+                return batch
+            return _arrow_agg(batch, keys, aggs)
+
+        ds = ds.map_batches(_combine, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     def _ns_eq(col, scalar):
         # null-safe equality: null == null (one null group, SQL GROUP BY

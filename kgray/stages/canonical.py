@@ -114,7 +114,8 @@ def canonical_graph(linked_ds, n_salts: int = 8, k_urls: int = 5,
         batch_format="pyarrow", batch_size=combine_batch_size)
     stage1 = sorted_group_aggregate(partial, "ks_hash", [
         ("support", "sum"), ("url_bundle", "min"), ("k_hash", "min"),
-        ("subj", "min"), ("pred", "min"), ("obj", "min")]).repartition(n_part)
+        ("subj", "min"), ("pred", "min"), ("obj", "min")],
+        precombine=False).repartition(n_part)
     final = sorted_group_aggregate(stage1, "k_hash", [
         ("support", "sum"), ("url_bundle", "min"),
         ("subj", "min"), ("pred", "min"), ("obj", "min")])
@@ -142,4 +143,5 @@ def entity_stats(linked_ds, n_salts: int = 16):
     combined = linked_ds.map_batches(combine, batch_format="pyarrow",
                                      batch_size=65536)
     return sorted_group_aggregate(combined, "canonical_id",
-                                  [("as_subj", "sum"), ("as_obj", "sum")])
+                                  [("as_subj", "sum"), ("as_obj", "sum")],
+                                  precombine=False)
