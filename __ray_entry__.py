@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": relational.user_running_value,
         "type_user_counts": relational.type_user_counts,
         "user_event_gaps": relational.user_event_gaps,
+        "user_next_event_gap": relational.user_next_event_gap,
+        "customer_order_ranks": relational.customer_order_ranks,
+        "customer_order_seq": relational.customer_order_seq,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -569,6 +572,28 @@ def oracle_sql() -> dict[str, str]:
                               PARTITION BY user_id ORDER BY ts, event_id),
                         -1) AS BIGINT) AS gap_us
             FROM events
+        """,
+        "user_next_event_gap": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+                   CAST(COALESCE(LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        - CAST(epoch_us(ts) AS BIGINT), -1) AS BIGINT) AS gap_us
+            FROM events
+        """,
+        "customer_order_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate) AS BIGINT) AS date_rank,
+                   CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate) AS BIGINT) AS date_dense_rank
+            FROM orders
+        """,
+        "customer_order_seq": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+            FROM orders
         """,
         "user_running_value": """
             SELECT user_id, event_id,

@@ -29,7 +29,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_value_quantiles_cont", "users_both_active",
            "buyers_never_active", "events_rollup", "priority_status_pivot",
            "events_orders_daily", "user_running_value", "type_user_counts",
-           "user_event_gaps"]
+           "user_event_gaps", "user_next_event_gap", "customer_order_ranks",
+           "customer_order_seq"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -571,3 +572,73 @@ def order_priority_revenue(sf_dir: str):
     joined = sorted_merge_join(li, orders, on="orderkey")
     return sorted_group_aggregate(joined, "o_orderpriority",
                                   [("revenue_cents", "sum"), ("n_items", "sum")])
+
+
+def user_next_event_gap(sf_dir: str):
+    """LEAD window (``stages/scan.py:grouped_lead``): per event, µs
+    until the same user's next event (−1 for each user's last event —
+    COALESCE in the oracle keeps the column exact int64)."""
+    from ..stages.scan import grouped_lead
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+               .map_batches(lambda b: pa.table({
+                   "user_id": b.column("user_id"),
+                   "event_id": b.column("event_id"),
+                   "ev_us": pc.cast(b.column("ts"), pa.int64())}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    led = grouped_lead(prepped, key="user_id",
+                       order_cols=["ev_us", "event_id"],
+                       value_col="ev_us", out_name="next_us")
+    return led.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "ev_us": b.column("ev_us"),
+        "gap_us": pc.fill_null(pc.subtract(b.column("next_us"),
+                                           b.column("ev_us")),
+                               pa.scalar(-1, type=pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _orders_by_cust_date(sf_dir: str):
+    return (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate"])
+            .map_batches(lambda b: pa.table({
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "date_us": pc.cast(b.column("o_orderdate"), pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True))
+
+
+def customer_order_ranks(sf_dir: str):
+    """RANK / DENSE_RANK per customer over order dates
+    (``stages/scan.py:grouped_ranks``).  Dates tie (day granularity),
+    so ROW_NUMBER is order-dependent and intentionally NOT part of the
+    result — rank/dense_rank are well-defined under ties."""
+    from ..stages.scan import grouped_ranks
+
+    ranked = grouped_ranks(_orders_by_cust_date(sf_dir),
+                           key="o_custkey", order_cols=["date_us"])
+    return ranked.map_batches(lambda b: pa.table({
+        "o_custkey": b.column("o_custkey"),
+        "o_orderkey": b.column("o_orderkey"),
+        "date_rank": b.column("rank"),
+        "date_dense_rank": b.column("dense_rank")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def customer_order_seq(sf_dir: str):
+    """ROW_NUMBER per customer over the total order
+    (o_orderdate, o_orderkey) — deterministic because the order is
+    total (unique tiebreak), matching the SQL window exactly."""
+    from ..stages.scan import grouped_ranks
+
+    ranked = grouped_ranks(_orders_by_cust_date(sf_dir),
+                           key="o_custkey",
+                           order_cols=["date_us", "o_orderkey"])
+    return ranked.map_batches(lambda b: pa.table({
+        "o_custkey": b.column("o_custkey"),
+        "o_orderkey": b.column("o_orderkey"),
+        "seq": b.column("row_number")}),
+        batch_format="pyarrow", zero_copy_batch=True)

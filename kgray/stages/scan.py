@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 
 from ._runs import run_starts
 
-__all__ = ["grouped_running_sum", "grouped_lag"]
+__all__ = ["grouped_running_sum", "grouped_lag", "grouped_lead",
+           "grouped_ranks"]
 
 
 def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
@@ -208,4 +209,225 @@ def grouped_lag(ds, key: str, order_cols: list, value_col: str,
         return pa.table({c: cols[c] for c in out_cols})
 
     out_refs = [lag_block.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def grouped_lead(ds, key: str, order_cols: list, value_col: str,
+                 out_name: str = "lead"):
+    """SQL ``LEAD(value) OVER (PARTITION BY key ORDER BY ...)``: each
+    row gets the NEXT row's ``value_col`` within its partition (null
+    for the partition's last row).  Mirror of :func:`grouped_lag` with
+    the carry threaded BACKWARD: each block's carry is the nearest
+    later row's value of its last run.
+    """
+    import ray
+    import ray.data as rd
+
+    schema = ds.schema()
+    assert out_name not in schema.names
+    out_cols = list(schema.names) + [out_name]
+    types = dict(zip(schema.names, schema.types))
+    vt = types[value_col]
+    types[out_name] = vt
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (ds.repartition(n_part)
+           .sort([key] + list(order_cols)).materialize())
+
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """(first_key, last_key, first_value) — the boundary run's
+        first value: the LEAD carry for the PREVIOUS block if the run
+        continues."""
+        if t.num_rows == 0:
+            return None
+        keys = t.column(key)
+        return (keys[0].as_py(), keys[t.num_rows - 1].as_py(),
+                t.column(value_col)[0].as_py())
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    carries = [None] * len(summaries)       # next value or None
+    for j, sj in enumerate(summaries):
+        if sj is None:
+            continue
+        last_key = sj[1]
+        for i in range(j + 1, len(summaries)):
+            si = summaries[i]
+            if si is None:
+                continue
+            if not _same(si[0], last_key):
+                break
+            carries[j] = si[2]              # nearest later row's value
+            break
+
+    @ray.remote
+    def lead_block(t: pa.Table, carry):
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        n = t.num_rows
+        vals = t.column(value_col)
+        starts = run_starts(t.column(key))
+        idx = np.arange(n, dtype=np.int64) + 1
+        idx[-1] = n - 1
+        led = vals.take(pa.array(idx, type=pa.int64()))
+        # null at each run's LAST row (position start-1 of next run, and n-1)
+        null_at = np.zeros(n, dtype=bool)
+        null_at[starts[1:] - 1] = True
+        null_at[n - 1] = True
+        led = pc.if_else(pa.array(null_at), pa.scalar(None, type=vt), led)
+        if carry is not None:
+            last = np.zeros(n, dtype=bool)
+            last[n - 1] = True
+            led = pc.if_else(pa.array(last), pa.scalar(carry, type=vt), led)
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols[out_name] = led
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [lead_block.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def _union_run_starts(t: pa.Table, cols: list) -> np.ndarray:
+    """Run starts where ANY of ``cols`` changes (null-safe per column):
+    the composite-key run boundaries."""
+    acc = None
+    for c in cols:
+        s = run_starts(t.column(c))
+        acc = s if acc is None else np.union1d(acc, s)
+    return acc.astype(np.int64)
+
+
+def grouped_ranks(ds, key: str, order_cols: list):
+    """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY
+    key ORDER BY order_cols)`` — all three appended as int64 columns
+    ``row_number``, ``rank``, ``dense_rank`` (ascending order; ties =
+    equal ``order_cols`` tuples, SQL semantics).
+
+    Carry-in exchange: per block one summary row for its LAST run —
+    (rows, distinct tie groups, first/last order tuple, within-run rank
+    of the last tie group's start).  The driver folds summaries along
+    the sorted block order; each block then resolves every row locally.
+    No row ever leaves its block.
+    """
+    import ray
+    import ray.data as rd
+
+    schema = ds.schema()
+    for c in ("row_number", "rank", "dense_rank"):
+        assert c not in schema.names
+    out_cols = list(schema.names) + ["row_number", "rank", "dense_rank"]
+    types = dict(zip(schema.names, schema.types))
+    for c in ("row_number", "rank", "dense_rank"):
+        types[c] = pa.int64()
+    order_cols = list(order_cols)
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (ds.repartition(n_part)
+           .sort([key] + order_cols).materialize())
+
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    def _tuple_at(t: pa.Table, i: int):
+        return tuple(t.column(c)[i].as_py() for c in order_cols)
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        n = t.num_rows
+        kstarts = run_starts(t.column(key))
+        tstarts = _union_run_starts(t, [key] + order_cols)
+        last_run = int(kstarts[-1])
+        l_t = tstarts[tstarts >= last_run]
+        return {
+            "first_key": t.column(key)[0].as_py(),
+            "last_key": t.column(key)[n - 1].as_py(),
+            "single_run": len(kstarts) == 1,
+            "rows": n - last_run,
+            "distinct": len(l_t),
+            "first_val": _tuple_at(t, last_run if len(kstarts) > 1 else 0),
+            "last_val": _tuple_at(t, n - 1),
+            "rank_lgs": int(l_t[-1]) - last_run + 1,
+        }
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    # forward threading: state describes the in-progress run through
+    # the end of the previously seen block
+    carries = [None] * len(summaries)
+    state = None        # (key, rows, distinct, last_val, rank_lgs)
+    for j, s in enumerate(summaries):
+        if s is None:
+            continue
+        if state is not None and _same(state[0], s["first_key"]):
+            carries[j] = state
+        c = carries[j]
+        if s["single_run"] and c is not None:
+            bsame = c[3] == s["first_val"]
+            rows = c[1] + s["rows"]
+            distinct = c[2] + s["distinct"] - (1 if bsame else 0)
+            if s["distinct"] == 1 and bsame:
+                rank_lgs = c[4]
+            else:
+                rank_lgs = c[1] + s["rank_lgs"]
+            state = (s["last_key"], rows, distinct, s["last_val"], rank_lgs)
+        else:
+            state = (s["last_key"], s["rows"], s["distinct"],
+                     s["last_val"], s["rank_lgs"])
+
+    @ray.remote
+    def rank_block(t: pa.Table, carry):
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        n = t.num_rows
+        kstarts = run_starts(t.column(key))
+        tstarts = _union_run_starts(t, [key] + order_cols)
+        row_idx = np.arange(n, dtype=np.int64)
+        kreps = np.diff(np.append(kstarts, n))
+        run_base = np.repeat(kstarts, kreps)
+        rn = row_idx - run_base + 1
+        treps = np.diff(np.append(tstarts, n))
+        tie_base = np.repeat(tstarts, treps)
+        rank = tie_base - run_base + 1
+        # dense: tie-group ordinal per row minus the run's first ordinal
+        g_ord = np.repeat(np.arange(len(tstarts), dtype=np.int64), treps)
+        dense = g_ord - g_ord[run_base] + 1
+        if carry is not None:
+            _, c_rows, c_distinct, c_last_val, c_rank_lgs = carry
+            first_end = int(kstarts[1]) if len(kstarts) > 1 else n
+            first_run = row_idx < first_end
+            rn[first_run] += c_rows
+            rank[first_run] += c_rows
+            bsame = c_last_val == tuple(
+                t.column(c)[0].as_py() for c in order_cols)
+            dense[first_run] += c_distinct - (1 if bsame else 0)
+            if bsame:
+                # the first tie group continues the carried group
+                first_tie_end = int(tstarts[1]) if len(tstarts) > 1 else n
+                first_tie_end = min(first_tie_end, first_end)
+                rank[:first_tie_end] = c_rank_lgs
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols["row_number"] = pa.array(rn, type=pa.int64())
+        cols["rank"] = pa.array(rank, type=pa.int64())
+        cols["dense_rank"] = pa.array(dense, type=pa.int64())
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [rank_block.remote(r, c) for r, c in zip(block_refs, carries)]
     return rd.from_arrow_refs(out_refs)

@@ -459,3 +459,49 @@ def test_grouped_quantiles_low_cardinality(ray_session):
         assert r["n"] == len(vals)
         assert r["p50"] == vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
         assert r["p95"] == vals[max(0, math.ceil(0.95 * len(vals)) - 1)]
+
+
+def test_grouped_ranks_and_lead_vs_pandas(ray_session):
+    """grouped_ranks / grouped_lead vs pandas windows, with heavy ties
+    and a hot key so tie groups and runs span many blocks."""
+    from kgray.stages.scan import grouped_lead, grouped_ranks
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice([1, 2, 3, 99], size=n,
+                        p=[0.2, 0.2, 0.1, 0.5]).astype("int64"),
+        "v": rng.integers(0, 12, size=n).astype("int64"),   # heavy ties
+        "tb": np.arange(n, dtype="int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(16)
+
+    got = grouped_ranks(ds, key="k", order_cols=["v"]).to_pandas()
+    got = got.sort_values(["k", "v", "tb"]).reset_index(drop=True)
+    exp = df.sort_values(["k", "v", "tb"]).reset_index(drop=True)
+    exp["rank"] = exp.groupby("k")["v"].rank(method="min").astype("int64")
+    exp["dense_rank"] = exp.groupby("k")["v"].rank(method="dense").astype("int64")
+    assert got["rank"].tolist() == exp["rank"].tolist()
+    assert got["dense_rank"].tolist() == exp["dense_rank"].tolist()
+    # row_number is a permutation of 1..group_size within each key
+    rn_sorted = got.groupby("k")["row_number"].apply(
+        lambda s: sorted(s.tolist()))
+    for k, lst in rn_sorted.items():
+        assert lst == list(range(1, len(lst) + 1))
+
+    # grouped_ranks with a total order: row_number == rank == position
+    got2 = grouped_ranks(ds, key="k", order_cols=["v", "tb"]).to_pandas()
+    got2 = got2.sort_values(["k", "v", "tb"]).reset_index(drop=True)
+    exp2 = exp.copy()
+    exp2["pos"] = exp2.groupby("k").cumcount() + 1
+    assert got2["row_number"].tolist() == exp2["pos"].tolist()
+    assert got2["rank"].tolist() == exp2["pos"].tolist()
+
+    # LEAD with a total order vs pandas shift(-1)
+    led = grouped_lead(ds, key="k", order_cols=["v", "tb"],
+                       value_col="tb", out_name="next_tb").to_pandas()
+    led = led.sort_values(["k", "v", "tb"]).reset_index(drop=True)
+    exp_next = (exp.groupby("k")["tb"].shift(-1))
+    got_next = led["next_tb"].astype("float64").where(led["next_tb"].notna())
+    assert ((got_next.isna() & exp_next.isna())
+            | (got_next == exp_next)).all()
