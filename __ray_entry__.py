@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_next_event_gap": relational.user_next_event_gap,
         "customer_order_ranks": relational.customer_order_ranks,
         "customer_order_seq": relational.customer_order_seq,
+        "events_value_bands": relational.events_value_bands,
+        "events_value_tiers": relational.events_value_tiers,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -594,6 +596,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
             FROM orders
+        """,
+        "events_value_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+                ('mid', 50.0, 150.0), ('large', 150.0, 1e18))
+            SELECT band,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY band
+        """,
+        "events_value_tiers": """
+            WITH tiers(tier, lo, hi) AS (VALUES
+                ('over_10', 10.0, 1e18), ('over_50', 50.0, 1e18),
+                ('over_150', 150.0, 1e18))
+            SELECT tier,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+            GROUP BY tier
         """,
         "user_running_value": """
             SELECT user_id, event_id,

@@ -30,7 +30,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "buyers_never_active", "events_rollup", "priority_status_pivot",
            "events_orders_daily", "user_running_value", "type_user_counts",
            "user_event_gaps", "user_next_event_gap", "customer_order_ranks",
-           "customer_order_seq"]
+           "customer_order_seq", "events_value_bands", "events_value_tiers"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -642,3 +642,55 @@ def customer_order_seq(sf_dir: str):
         "o_orderkey": b.column("o_orderkey"),
         "seq": b.column("row_number")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+_VALUE_BANDS = [("micro", 0.0, 10.0), ("small", 10.0, 50.0),
+                ("mid", 50.0, 150.0), ("large", 150.0, 1e18)]
+_VALUE_TIERS = [("over_10", 10.0, 1e18), ("over_50", 50.0, 1e18),
+                ("over_150", 150.0, 1e18)]
+
+
+def events_value_bands(sf_dir: str):
+    """Broadcast range join (``stages/rangejoin.py``, disjoint-interval
+    searchsorted kernel): each event matched to its value band, then
+    count + cents per band."""
+    from ..stages.rangejoin import broadcast_range_join
+
+    bands = pa.table({
+        "band": pa.array([b[0] for b in _VALUE_BANDS], type=pa.string()),
+        "lo": pa.array([b[1] for b in _VALUE_BANDS], type=pa.float64()),
+        "hi": pa.array([b[2] for b in _VALUE_BANDS], type=pa.float64()),
+    })
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+          .map_batches(lambda b: pa.table({
+              "value": b.column("value"),
+              "value_cents": _cents(b.column("value")),
+              "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    joined = broadcast_range_join(ev, bands, value_col="value")
+    return sorted_group_aggregate(
+        joined.drop_columns(["value"]), "band",
+        [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def events_value_tiers(sf_dir: str):
+    """Broadcast range join, OVERLAPPING intervals (per-interval mask
+    kernel): cumulative value tiers — one event matches every tier it
+    exceeds (many-to-many fan-out), then count + cents per tier."""
+    from ..stages.rangejoin import broadcast_range_join
+
+    tiers = pa.table({
+        "tier": pa.array([t[0] for t in _VALUE_TIERS], type=pa.string()),
+        "lo": pa.array([t[1] for t in _VALUE_TIERS], type=pa.float64()),
+        "hi": pa.array([t[2] for t in _VALUE_TIERS], type=pa.float64()),
+    })
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+          .map_batches(lambda b: pa.table({
+              "value": b.column("value"),
+              "value_cents": _cents(b.column("value")),
+              "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    joined = broadcast_range_join(ev, tiers, value_col="value")
+    return sorted_group_aggregate(
+        joined.drop_columns(["value"]), "tier",
+        [("n_events", "sum"), ("value_cents", "sum")])

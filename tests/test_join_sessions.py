@@ -156,3 +156,43 @@ def test_join_many_to_many_output_streams(ray_session):
     exp = left.merge(right, on="k", how="inner")
     assert len(got) == len(exp) == 10 * 20 * 20
     assert got["lv"].sum() == exp["lv"].sum() and got["rv"].sum() == exp["rv"].sum()
+
+
+def test_broadcast_range_join_kernels(ray_session):
+    """Both range-join kernels (disjoint searchsorted / overlapping
+    per-interval mask) and both join modes vs a pandas brute force."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.stages.rangejoin import broadcast_range_join
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": np.arange(500, dtype="int64"),
+                       "v": rng.uniform(-5, 120, 500)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+
+    def brute(intervals, how):
+        rows = []
+        for _, r in df.iterrows():
+            hits = [iv for iv in intervals if iv[1] <= r.v < iv[2]]
+            if hits:
+                rows += [(r.id, r.v, iv[0]) for iv in hits]
+            elif how == "left":
+                rows.append((r.id, r.v, None))
+        return sorted(rows, key=lambda x: (x[0], str(x[2])))
+
+    disjoint = [("a", 0.0, 30.0), ("b", 30.0, 80.0), ("c", 80.0, 100.0)]
+    overlap = [("x", 0.0, 60.0), ("y", 40.0, 100.0), ("z", 90.0, 95.0)]
+    for intervals in (disjoint, overlap):
+        tbl = pa.table({"name": pa.array([i[0] for i in intervals]),
+                        "lo": pa.array([i[1] for i in intervals]),
+                        "hi": pa.array([i[2] for i in intervals])})
+        for how in ("inner", "left"):
+            got = broadcast_range_join(ds, tbl, value_col="v",
+                                       how=how).to_pandas()
+            got_rows = sorted(
+                [(r.id, r.v, r.name if pd.notna(r.name) else None)
+                 for r in got.itertuples()], key=lambda x: (x[0], str(x[2])))
+            assert got_rows == brute(intervals, how), (intervals[0], how)
