@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_seq": relational.customer_order_seq,
         "events_value_bands": relational.events_value_bands,
         "events_value_tiers": relational.events_value_tiers,
+        "events_cube": relational.events_cube,
+        "events_grouping_sets": relational.events_grouping_sets,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "events_asof_orders": relational.events_asof_orders,
@@ -618,6 +620,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value_cents
             FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
             GROUP BY tier
+        """,
+        "events_cube": """
+            SELECT event_type,
+                   CAST(((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7
+                        AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY CUBE(event_type, dow)
+        """,
+        "events_grouping_sets": """
+            SELECT event_type,
+                   CAST(((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7
+                        AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (dow))
         """,
         "user_running_value": """
             SELECT user_id, event_id,

@@ -30,7 +30,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "buyers_never_active", "events_rollup", "priority_status_pivot",
            "events_orders_daily", "user_running_value", "type_user_counts",
            "user_event_gaps", "user_next_event_gap", "customer_order_ranks",
-           "customer_order_seq", "events_value_bands", "events_value_tiers"]
+           "customer_order_seq", "events_value_bands", "events_value_tiers",
+           "events_cube", "events_grouping_sets"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -694,3 +695,42 @@ def events_value_tiers(sf_dir: str):
     return sorted_group_aggregate(
         joined.drop_columns(["value"]), "tier",
         [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def _events_type_dow(sf_dir: str):
+    """(event_type, dow, n_events, value_cents) prep: day-of-week via
+    integer epoch-day arithmetic so both engines agree exactly
+    (1970-01-01 was a Thursday → +4)."""
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "dow": pa.array(dow, type=pa.int64()),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "value_cents": _cents(b.column("value"))})
+
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow) — all four grouping sets
+    (``stages/aggregate.py:cube_aggregate``: input aggregated once at
+    the finest grain, coarser sets fold the reduced output)."""
+    from ..stages.aggregate import cube_aggregate
+
+    return cube_aggregate(_events_type_dow(sf_dir), ["event_type", "dow"],
+                          [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type), (dow)) — the two marginal
+    aggregates only, no finest level and no grand total in the output."""
+    from ..stages.aggregate import grouping_sets_aggregate
+
+    return grouping_sets_aggregate(
+        _events_type_dow(sf_dir), ["event_type", "dow"],
+        [("n_events", "sum"), ("value_cents", "sum")],
+        sets=[["event_type"], ["dow"]])

@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 
 from ._runs import edge_interior_exchange
 
-__all__ = ["sorted_group_aggregate", "rollup_aggregate"]
+__all__ = ["sorted_group_aggregate", "rollup_aggregate",
+           "grouping_sets_aggregate", "cube_aggregate"]
 
 _MERGE_FN = {"sum": "sum", "min": "min", "max": "max"}
 
@@ -202,3 +203,87 @@ def rollup_aggregate(ds, keys, aggs):
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def grouping_sets_aggregate(ds, keys, aggs, sets):
+    """SQL ``GROUP BY GROUPING SETS (sets...)`` — each set is a subset
+    of ``keys``; rolled-up key columns are NULL (SQL output shape, same
+    NULL-ambiguity caveat as :func:`rollup_aggregate`).
+
+    Scale shape: the input is aggregated ONCE distributed at the finest
+    grain (all of ``keys``); every requested set re-aggregates that
+    already-reduced output (sums of sums / min of mins are exact), so
+    each extra set costs a shuffle of |distinct finest keys| rows, not
+    another pass over the input.  The empty set (grand total) folds on
+    the driver.
+    """
+    import ray
+    import ray.data as rd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        assert set(s) <= set(keys), (s, keys)
+
+    finest = sorted_group_aggregate(ds, keys, aggs).materialize()
+    schema = finest.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def pad(batch: pa.Table, keep: tuple) -> pa.Table:
+        cols = {}
+        for name in schema.names:
+            cols[name] = (batch.column(name)
+                          if name in keep or name not in keys
+                          else pa.nulls(batch.num_rows, type=types[name]))
+        return pa.table(cols)
+
+    levels = []
+    total_sets = [s for s in sets if not s]
+    for s in sets:
+        if not s:
+            continue
+        if set(s) == set(keys):
+            levels.append(finest)
+            continue
+        sub = sorted_group_aggregate(
+            finest.map_batches(
+                lambda b, _keep=tuple(s): pa.table(
+                    {n: b.column(n) for n in b.schema.names
+                     if n in _keep or n not in keys}),
+                batch_format="pyarrow"),
+            s, aggs)
+        levels.append(sub.map_batches(
+            lambda b, _keep=tuple(s): pad(b, _keep),
+            batch_format="pyarrow"))
+
+    if total_sets:
+        tables = [t for t in ray.get(finest.to_arrow_refs()) if t.num_rows]
+        if tables:
+            allt = pa.concat_tables(tables, promote_options="permissive")
+            cols = {}
+            for name in schema.names:
+                if name in keys:
+                    cols[name] = pa.nulls(1, type=types[name])
+            for c, f in aggs:
+                col = allt.column(c)
+                cols[c] = pa.array(
+                    [getattr(pc, _MERGE_FN[f])(col).as_py()],
+                    type=types[c])
+            one = rd.from_arrow(pa.table({n: cols[n] for n in schema.names}))
+            for _ in total_sets:
+                levels.append(one)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_aggregate(ds, keys, aggs):
+    """SQL ``GROUP BY CUBE(keys...)``: every subset of ``keys``
+    (2^k grouping sets) via :func:`grouping_sets_aggregate`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sets = [[]]
+    for k in keys:
+        sets = sets + [s + [k] for s in sets]
+    return grouping_sets_aggregate(ds, keys, aggs, sets)
