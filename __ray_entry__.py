@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subword_token_counts": text.subword_token_counts,
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "repetition_scores": text.repetition_scores,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
@@ -363,6 +364,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY cnt DESC, tok
             LIMIT 100
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                       FROM documents WHERE len(trim(text)) > 0),
+            tf AS (SELECT doc_id, tok AS token,
+                          CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, tok),
+            df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY token),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents WHERE len(trim(text)) > 0),
+            s AS (SELECT tf.doc_id, tf.token,
+                         CAST(tf.tf AS DOUBLE)
+                         * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                         AS tfidf
+                  FROM tf JOIN df USING (token) CROSS JOIN n),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY tfidf DESC, token)
+                      AS rank FROM s)
+            SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

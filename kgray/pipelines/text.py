@@ -14,12 +14,14 @@ import hashlib
 import re
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
-           "winnowing_fingerprints", "repetition_scores", "STOPWORDS"]
+           "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
+           "STOPWORDS"]
 
 _WS = re.compile(r"\s+")
 
@@ -214,3 +216,73 @@ def winnowing_fingerprints(sf_dir: str, k: int = 8, window: int = 5):
         })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
                                               zero_copy_batch=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms — the classic keyword extractor
+    a training-data pipeline runs for topical tagging.
+
+    Composition (all distributed): flat (doc_id, token, tf) rows →
+    document frequency via sorted_group_aggregate → LARGE×LARGE
+    sorted_merge_join on token (the df side is vocabulary-sized; no
+    broadcast assumption) → vectorized tfidf = tf · ln(N/df) →
+    grouped_topk per doc.  ln is evaluated with ``math.log`` on the
+    few distinct df values per batch — bitwise identical to DuckDB's
+    ``ln`` (numpy's SIMD log is NOT; measured 1-ulp drift).
+    """
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, toks, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok, n in Counter(_tokens(t)).items():
+                doc_ids.append(d)
+                toks.append(tok)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "tf": pa.array(tfs, type=pa.int64())})
+
+    tf_ds = (read_documents(sf_dir)
+             .map_batches(tf_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+
+    n_docs = (read_documents(sf_dir)
+              .map_batches(lambda b: pa.table({
+                  "n": pa.array([sum(1 for t in b.column("text").to_pylist()
+                                     if t.strip())], type=pa.int64())}),
+                  batch_format="pyarrow").sum("n"))
+
+    df_ds = sorted_group_aggregate(
+        tf_ds.map_batches(lambda b: pa.table({
+            "token": b.column("token"),
+            "df": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "token", [("df", "sum")])
+
+    joined = sorted_merge_join(tf_ds, df_ds, on="token")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        # ln on the distinct df values only, via math.log (libm — bitwise
+        # equal to DuckDB's ln; numpy's SIMD log drifts by 1 ulp)
+        uniq, inv = np.unique(df, return_inverse=True)
+        lns = np.array([math.log(float(n_docs) / float(u)) for u in uniq],
+                       dtype=np.float64)
+        tfidf = tf * lns[inv]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "token": batch.column("token"),
+                         "tfidf": pa.array(tfidf, type=pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    top = grouped_topk(scored, group="doc_id", order_col="tfidf",
+                       tiebreak="token", k=k, descending=True)
+    return top.map_batches(lambda b: b.select(
+        ["doc_id", "token", "tfidf", "rank"]), batch_format="pyarrow")
