@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "repetition_scores": text.repetition_scores,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "heavy_hitter_tokens": text.heavy_hitter_tokens,
+        "event_user_distinct_hll": relational.event_user_distinct_hll,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
@@ -289,7 +291,7 @@ def oracle_sql() -> dict[str, str]:
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
-                     "neardup_clusters")
+                     "neardup_clusters", "event_user_distinct_hll")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -385,6 +387,15 @@ def oracle_sql() -> dict[str, str]:
                       AS rank FROM s)
             SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        "heavy_hitter_tokens": f"""
+            WITH t AS (SELECT unnest({_TOKS}) AS token
+                       FROM documents WHERE len(trim(text)) > 0),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t CROSS JOIN n
+            GROUP BY token, n.total
+            HAVING COUNT(*) >= CEIL(0.005 * n.total)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

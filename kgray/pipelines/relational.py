@@ -31,7 +31,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_orders_daily", "user_running_value", "type_user_counts",
            "user_event_gaps", "user_next_event_gap", "customer_order_ranks",
            "customer_order_seq", "events_value_bands", "events_value_tiers",
-           "events_cube", "events_grouping_sets"]
+           "events_cube", "events_grouping_sets", "event_user_distinct_hll"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -734,3 +734,17 @@ def events_grouping_sets(sf_dir: str):
         _events_type_dow(sf_dir), ["event_type", "dow"],
         [("n_events", "sum"), ("value_cents", "sum")],
         sets=[["event_type"], ["dow"]])
+
+
+def event_user_distinct_hll(sf_dir: str, p: int = 12):
+    """Approximate per-event-type distinct users via HyperLogLog
+    (``stages/sketch.py``): fixed 2^p-register partials per
+    (block, type), merged by elementwise max — deterministic, so the
+    committed fixture is an exact oracle; accuracy vs the exact
+    distinct count is pinned in tests (type_user_counts is the exact
+    twin of this query)."""
+    from ..stages.sketch import hll_group_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_group_distinct(ev, "event_type", "user_id", p=p)

@@ -21,7 +21,7 @@ import ray.data as rd
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
-           "STOPWORDS"]
+           "heavy_hitter_tokens", "STOPWORDS"]
 
 _WS = re.compile(r"\s+")
 
@@ -286,3 +286,21 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
                        tiebreak="token", k=k, descending=True)
     return top.map_batches(lambda b: b.select(
         ["doc_id", "token", "tfidf", "rank"]), batch_format="pyarrow")
+
+
+def heavy_hitter_tokens(sf_dir: str, phi: float = 0.005):
+    """EXACT φ-heavy-hitter tokens (count ≥ ⌈φ·total tokens⌉) via the
+    two-pass Misra-Gries plan in ``stages/sketch.py``: bounded-size
+    per-block candidate sketches, then an exact recount of candidates
+    only — never a full-vocabulary aggregate."""
+    from ..stages.sketch import heavy_hitters
+
+    def flat_tokens(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(_tokens(t))
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    stream = read_documents(sf_dir, columns=("text",)).map_batches(
+        flat_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    return heavy_hitters(stream, "token", phi)

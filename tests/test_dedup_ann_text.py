@@ -280,3 +280,56 @@ def test_verify_plans_identical(ray_session):
     d = dedup.embedding_lsh_pairs(SF, threshold=0.5, verify="driver")
     j = dedup.embedding_lsh_pairs(SF, threshold=0.5, verify="join")
     assert d.equals(j)
+
+
+def test_heavy_hitters_exact_guarantee(ray_session):
+    """Two-pass Misra-Gries == exact brute-force phi-heavy hitters on a
+    skewed synthetic stream (superset candidates + exact recount)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+
+    from kgray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: few hot values, long tail
+    vals = ([f"hot{i}" for i in range(3) for _ in range(500 - 100 * i)]
+            + [f"tail{i}" for i in rng.integers(0, 5000, 3000)])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(13)
+
+    phi = 0.02
+    got = heavy_hitters(ds, "v", phi).to_pandas().sort_values("v")
+    c = Counter(vals)
+    thr = int(np.ceil(phi * len(vals)))
+    exp = sorted((v, n) for v, n in c.items() if n >= thr)
+    assert list(zip(got["v"], got["cnt"])) == exp
+
+
+def test_hll_accuracy_and_determinism(ray_session):
+    """HLL estimate within 5% of the exact distinct count at p=12, and
+    bit-identical across two runs (order-independent max merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.stages.sketch import hll_group_distinct
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "v": pa.array([f"u{int(x)}" for x in rng.integers(0, 5000, n)]),
+    })
+    ds = rd.from_arrow(tbl).repartition(9)
+    out1 = hll_group_distinct(ds, "g", "v", p=12).to_pandas()
+    out2 = hll_group_distinct(ds.random_shuffle(seed=1), "g", "v",
+                              p=12).to_pandas()
+    assert out1.equals(out2.sort_values("g").reset_index(drop=True))
+    import pandas as pd
+    exact = (tbl.to_pandas().groupby("g")["v"].nunique())
+    for _, row in out1.iterrows():
+        e = exact[row["g"]]
+        assert abs(row["approx_distinct"] - e) / e < 0.05, (row, e)
