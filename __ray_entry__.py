@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "heavy_hitter_tokens": text.heavy_hitter_tokens,
         "event_user_distinct_hll": relational.event_user_distinct_hll,
+        "events_hash_sample": relational.events_hash_sample,
+        "user_event_sample": relational.user_event_sample,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
@@ -396,6 +398,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t CROSS JOIN n
             GROUP BY token, n.total
             HAVING COUNT(*) >= CEIL(0.005 * n.total)
+        """,
+        "events_hash_sample": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000 < 50
+        """,
+        "user_event_sample": """
+            WITH h AS (SELECT user_id, event_id,
+                              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                   1, 8)) AS BIGINT) AS hv
+                       FROM events),
+            r AS (SELECT user_id, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY hv, event_id) AS sample_rank
+                  FROM h)
+            SELECT user_id, event_id,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 5
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

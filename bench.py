@@ -115,6 +115,14 @@ def run_bench() -> dict:
           lambda: relational.priority_status_pivot(sf_dir))
     timed("events_orders_daily", lambda: relational.events_orders_daily(sf_dir))
     timed("repetition_scores", lambda: text.repetition_scores(sf_dir))
+    timed("customer_order_ranks",
+          lambda: relational.customer_order_ranks(sf_dir))
+    timed("events_value_bands", lambda: relational.events_value_bands(sf_dir))
+    timed("events_cube", lambda: relational.events_cube(sf_dir))
+    timed("tfidf_top_terms", lambda: text.tfidf_top_terms(sf_dir))
+    timed("heavy_hitter_tokens", lambda: text.heavy_hitter_tokens(sf_dir))
+    timed("event_user_distinct_hll",
+          lambda: relational.event_user_distinct_hll(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

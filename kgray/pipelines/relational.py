@@ -31,7 +31,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_orders_daily", "user_running_value", "type_user_counts",
            "user_event_gaps", "user_next_event_gap", "customer_order_ranks",
            "customer_order_seq", "events_value_bands", "events_value_tiers",
-           "events_cube", "events_grouping_sets", "event_user_distinct_hll"]
+           "events_cube", "events_grouping_sets", "event_user_distinct_hll",
+           "events_hash_sample", "user_event_sample"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -748,3 +749,25 @@ def event_user_distinct_hll(sf_dir: str, p: int = 12):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     return hll_group_distinct(ev, "event_type", "user_id", p=p)
+
+
+def events_hash_sample(sf_dir: str, rate_permille: int = 50):
+    """Deterministic ~5% Bernoulli sample of events keyed on md5 of the
+    event id (``functions/sampling.py``) — identical across runs,
+    retries, partitionings and engines; streams with no shuffle."""
+    from ..functions.sampling import hash_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type"])
+    return hash_sample(ev, "event_id", rate_permille)
+
+
+def user_event_sample(sf_dir: str, k: int = 5):
+    """Per-user deterministic k-event sample (smallest md5(event_id) —
+    a stable reservoir) with a 1-based sample_rank, via the grouped
+    top-k exchange."""
+    from ..functions.sampling import group_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+    return group_sample(ev, group="user_id", key_col="event_id", k=k)
