@@ -505,3 +505,36 @@ def test_grouped_ranks_and_lead_vs_pandas(ray_session):
     got_next = led["next_tb"].astype("float64").where(led["next_tb"].notna())
     assert ((got_next.isna() & exp_next.isna())
             | (got_next == exp_next)).all()
+
+
+def test_semi_join_bloom_prefilter_exact(ray_session):
+    """semi_join with the bloom pre-filter == without, both modes,
+    incl. null keys, string keys, and all-negative/all-positive cases."""
+    from kgray.stages.semijoin import semi_join
+
+    rng = np.random.default_rng(21)
+    left_df = pd.DataFrame({
+        "k": pd.array(list(rng.integers(0, 300, 900)) + [None, None],
+                      dtype="Int64"),
+        "x": np.arange(902, dtype="int64"),
+    })
+    right_df = pd.DataFrame({
+        "k": pd.array(list(rng.integers(150, 450, 400)), dtype="Int64")})
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(7)
+    right = rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(4)
+
+    for anti in (False, True):
+        base = semi_join(left, right, on="k", anti=anti).to_pandas()
+        bl = semi_join(left, right, on="k", anti=anti,
+                       bloom_bits=1 << 16).to_pandas()
+        key = lambda d: sorted(map(tuple, d.fillna(-1).values.tolist()))
+        assert key(base) == key(bl), f"anti={anti}"
+
+    # string keys route through the md5 image path
+    lft = rd.from_arrow(pa.table({"k": pa.array(
+        [f"u{i}" for i in range(200)])})).repartition(5)
+    rgt = rd.from_arrow(pa.table({"k": pa.array(
+        [f"u{i}" for i in range(100, 400)])})).repartition(3)
+    b1 = semi_join(lft, rgt, on="k").to_pandas()
+    b2 = semi_join(lft, rgt, on="k", bloom_bits=1 << 14).to_pandas()
+    assert sorted(b1["k"]) == sorted(b2["k"])
