@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text.repetition_scores,
         "tfidf_top_terms": text.tfidf_top_terms,
         "heavy_hitter_tokens": text.heavy_hitter_tokens,
+        "jsonl_token_stats": text.jsonl_token_stats,
         "event_user_distinct_hll": relational.event_user_distinct_hll,
         "events_hash_sample": relational.events_hash_sample,
         "user_event_sample": relational.user_event_sample,
@@ -389,6 +390,13 @@ def oracle_sql() -> dict[str, str]:
                       AS rank FROM s)
             SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        "jsonl_token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS n_tokens,
+                   len(text) AS n_chars
+            FROM documents
         """,
         "heavy_hitter_tokens": f"""
             WITH t AS (SELECT unnest({_TOKS}) AS token

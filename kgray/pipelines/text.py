@@ -21,7 +21,7 @@ import ray.data as rd
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
-           "heavy_hitter_tokens", "STOPWORDS"]
+           "heavy_hitter_tokens", "jsonl_token_stats", "STOPWORDS"]
 
 _WS = re.compile(r"\s+")
 
@@ -304,3 +304,25 @@ def heavy_hitter_tokens(sf_dir: str, phi: float = 0.005):
     stream = read_documents(sf_dir, columns=("text",)).map_batches(
         flat_tokens, batch_format="pyarrow", zero_copy_batch=True)
     return heavy_hitters(stream, "token", phi)
+
+
+def jsonl_token_stats(sf_dir: str):
+    """token_stats over the JSONL twin of the documents table
+    (``sources/jsonl.py``) — same SQL oracle as ``token_stats`` over
+    the parquet view, so the driver's value hash proves source parity
+    (JSONL parse == parquet read, byte-for-byte)."""
+    from ..sources.jsonl import documents_to_jsonl, read_documents_jsonl
+
+    jdir = documents_to_jsonl(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [_tokens(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array([len(t) for t in toks], type=pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        })
+
+    return read_documents_jsonl(jdir, columns=("doc_id", "text")).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
