@@ -76,17 +76,17 @@ def pricing_summary(sf_dir: str):
 
 
 def top_customers(sf_dir: str, k: int = 10):
-    """Broadcast join orders→customer + groupby + deterministic top-k."""
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    name_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
-    ref = ray.put(name_map)
+    """Vectorized broadcast join orders→customer
+    (``stages/broadcast.py``: one searchsorted per batch, no per-row
+    Python) + groupby + deterministic top-k."""
+    from ..stages.broadcast import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        names = ray.get(ref)
-        keys = batch.column("o_custkey").to_pylist()
         return pa.table({
             "c_custkey": batch.column("o_custkey"),
-            "c_name": pa.array([names.get(ck, "") for ck in keys], type=pa.string()),
             "total_cents": _cents(batch.column("o_totalprice")),
             "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
@@ -94,27 +94,27 @@ def top_customers(sf_dir: str, k: int = 10):
     prepped = (rd.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
-    agg = sorted_group_aggregate(prepped, ["c_custkey", "c_name"],
+    joined = broadcast_join(prepped, cust, on="c_custkey")
+    agg = sorted_group_aggregate(joined, ["c_custkey", "c_name"],
                                  [("total_cents", "sum"), ("n_orders", "sum")])
     return agg.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(k)
 
 
 def supplier_nation_counts(sf_dir: str):
-    """Two-hop broadcast join supplier→nation→region, counts per nation."""
+    """Two-hop broadcast join supplier→nation→region: the two dimension
+    tables are pre-joined once on the driver (both tiny), then one
+    vectorized broadcast_join enriches the streaming supplier scan."""
+    from ..stages.broadcast import broadcast_join
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
-    n_map = {k: (n, r) for k, n, r in zip(nation["n_nationkey"].to_pylist(),
-                                          nation["n_name"].to_pylist(),
-                                          nation["n_regionkey"].to_pylist())}
-    r_map = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    ref = ray.put((n_map, r_map))
+    dim = (nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+           .select(["n_nationkey", "n_name", "r_name"])
+           .rename_columns(["s_nationkey", "n_name", "r_name"]))
 
     def prep(batch: pa.Table) -> pa.Table:
-        nm, rm = ray.get(ref)
-        nkeys = batch.column("s_nationkey").to_pylist()
         return pa.table({
-            "n_name": pa.array([nm[k][0] for k in nkeys], type=pa.string()),
-            "r_name": pa.array([rm[nm[k][1]] for k in nkeys], type=pa.string()),
+            "s_nationkey": batch.column("s_nationkey"),
             "acctbal_cents": _cents(batch.column("s_acctbal")),
             "n_suppliers": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
@@ -122,9 +122,10 @@ def supplier_nation_counts(sf_dir: str):
     prepped = (rd.read_parquet(f"{sf_dir}/supplier.parquet",
                                columns=["s_nationkey", "s_acctbal"])
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
-    return sorted_group_aggregate(prepped, ["n_name", "r_name"],
-                                  [("n_suppliers", "sum"),
-                                   ("acctbal_cents", "sum")])
+    joined = broadcast_join(prepped, dim, on="s_nationkey")
+    return sorted_group_aggregate(
+        joined.drop_columns(["s_nationkey"]), ["n_name", "r_name"],
+        [("n_suppliers", "sum"), ("acctbal_cents", "sum")])
 
 
 def distinct_segments(sf_dir: str):

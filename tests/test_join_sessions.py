@@ -196,3 +196,39 @@ def test_broadcast_range_join_kernels(ray_session):
                 [(r.id, r.v, r.name if pd.notna(r.name) else None)
                  for r in got.itertuples()], key=lambda x: (x[0], str(x[2])))
             assert got_rows == brute(intervals, how), (intervals[0], how)
+
+
+def test_broadcast_join_vs_pandas(ray_session):
+    """broadcast_join inner/left vs pandas merge, incl. null keys,
+    misses, empty dim, and the duplicate-key rejection."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from kgray.stages.broadcast import broadcast_join
+
+    left_df = pd.DataFrame({
+        "k": pd.array([1, 2, 3, 7, None, 2, 9], dtype="Int64"),
+        "x": np.arange(7, dtype="int64")})
+    dim = pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "name": pa.array(["a", "b", "c", "d"])})
+    left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(3)
+
+    for how in ("inner", "left"):
+        got = broadcast_join(left, dim, on="k", how=how).to_pandas()
+        exp = left_df.merge(dim.to_pandas(), on="k", how=how)
+        key = lambda d: sorted(
+            (-1 if pd.isna(r.k) else int(r.k), r.x,
+             "" if pd.isna(r.name) else str(r.name))
+            for r in d.itertuples())
+        assert key(got) == key(exp), how
+
+    empty_dim = dim.slice(0, 0)
+    assert broadcast_join(left, empty_dim, on="k").count() == 0
+    assert broadcast_join(left, empty_dim, on="k", how="left").count() == 7
+
+    dup = pa.table({"k": pa.array([1, 1]), "name": pa.array(["a", "b"])})
+    with pytest.raises(ValueError):
+        broadcast_join(left, dup, on="k")
