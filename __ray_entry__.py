@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "heavy_hitter_tokens": text.heavy_hitter_tokens,
         "jsonl_token_stats": text.jsonl_token_stats,
+        "entity_pagerank": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["entity_pagerank"]
+        ).entity_pagerank(sf, iters=5),
         "event_user_distinct_hll": relational.event_user_distinct_hll,
         "events_hash_sample": relational.events_hash_sample,
         "user_event_sample": relational.user_event_sample,
@@ -294,7 +297,8 @@ def oracle_sql() -> dict[str, str]:
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
-                     "neardup_clusters", "event_user_distinct_hll")
+                     "neardup_clusters", "event_user_distinct_hll",
+                     "entity_pagerank")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

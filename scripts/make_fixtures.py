@@ -39,7 +39,7 @@ FIXTURE_QUERIES = [
     "extract_invariant", "kg_entities", "binary_features",
     "winnowing_fingerprints", "minhash_lsh_pairs", "simhash_pairs",
     "embedding_lsh_pairs", "ann_ivf_topk", "neardup_clusters",
-    "event_user_distinct_hll",
+    "event_user_distinct_hll", "entity_pagerank",
 ]
 
 
