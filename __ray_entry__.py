@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_next_event_gap": relational.user_next_event_gap,
         "customer_order_ranks": relational.customer_order_ranks,
         "customer_order_seq": relational.customer_order_seq,
+        "customer_order_quartiles": relational.customer_order_quartiles,
         "events_value_bands": relational.events_value_bands,
         "events_value_tiers": relational.events_value_tiers,
         "events_cube": relational.events_cube,
@@ -663,6 +664,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
             FROM orders
+        """,
+        "customer_order_quartiles": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS ntile,
+                   PERCENT_RANK() OVER w AS percent_rank,
+                   CUME_DIST() OVER w AS cume_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
         """,
         "events_value_bands": """
             WITH bands(band, lo, hi) AS (VALUES

@@ -32,7 +32,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "user_event_gaps", "user_next_event_gap", "customer_order_ranks",
            "customer_order_seq", "events_value_bands", "events_value_tiers",
            "events_cube", "events_grouping_sets", "event_user_distinct_hll",
-           "events_hash_sample", "user_event_sample"]
+           "events_hash_sample", "user_event_sample",
+           "customer_order_quartiles"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -772,3 +773,20 @@ def user_event_sample(sf_dir: str, k: int = 5):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id"])
     return group_sample(ev, group="user_id", key_col="event_id", k=k)
+
+
+def customer_order_quartiles(sf_dir: str):
+    """NTILE(4) / PERCENT_RANK / CUME_DIST per customer over the total
+    order (o_orderdate, o_orderkey) — ``stages/scan.py:
+    grouped_ntile_stats`` (ranks exchange + size/peer aggregates +
+    merge join; float columns are single IEEE divisions, bitwise vs
+    the SQL window functions)."""
+    from ..stages.scan import grouped_ntile_stats
+
+    stats = grouped_ntile_stats(_orders_by_cust_date(sf_dir),
+                                key="o_custkey",
+                                order_cols=["date_us", "o_orderkey"],
+                                n_tiles=4)
+    return stats.map_batches(lambda b: b.select(
+        ["o_custkey", "o_orderkey", "ntile", "percent_rank", "cume_dist"]),
+        batch_format="pyarrow")

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ._runs import run_starts
 
 __all__ = ["grouped_running_sum", "grouped_lag", "grouped_lead",
-           "grouped_ranks"]
+           "grouped_ranks", "grouped_ntile_stats"]
 
 
 def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
@@ -431,3 +431,90 @@ def grouped_ranks(ds, key: str, order_cols: list):
 
     out_refs = [rank_block.remote(r, c) for r, c in zip(block_refs, carries)]
     return rd.from_arrow_refs(out_refs)
+
+
+def grouped_ntile_stats(ds, key: str, order_cols: list, n_tiles: int = 4):
+    """SQL ``NTILE(n) / PERCENT_RANK() / CUME_DIST() OVER (PARTITION BY
+    key ORDER BY order_cols)`` appended as ``ntile`` (int64),
+    ``percent_rank`` and ``cume_dist`` (float64).
+
+    Composition of existing exchanges — no new shuffle machinery:
+    :func:`grouped_ranks` provides row_number/rank, one
+    ``sorted_group_aggregate`` provides |partition| and the per-order-
+    value tie counts ride along via a max-rank aggregate, and a
+    ``sorted_merge_join`` on the partition key attaches sizes.
+
+    * ntile follows SQL semantics: with size = q·n + r, the first r
+      buckets get q+1 rows (assigned by row_number, so a total order
+      in ``order_cols`` makes it deterministic).
+    * percent_rank = (rank − 1) / (size − 1)  (0 when size == 1)
+    * cume_dist   = peers(rank) / size, where peers(rank) = the highest
+      row_number sharing the row's rank tie group — computed per block
+      from the rank column itself (max row_number per (key, rank) run
+      rides the same aggregate).
+    """
+    import pyarrow.compute as _pc
+
+    from .aggregate import sorted_group_aggregate
+    from .join import sorted_merge_join
+
+    ranked = grouped_ranks(ds, key, order_cols).materialize()
+
+    sizes = sorted_group_aggregate(
+        ranked.map_batches(lambda b: pa.table({
+            key: b.column(key),
+            "__size": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        key, [("__size", "sum")])
+    # per (key, rank): the tie group's last row_number == cume count
+    peers = sorted_group_aggregate(
+        ranked.map_batches(lambda b: pa.table({
+            key: b.column(key),
+            "rank": b.column("rank"),
+            "__peer_max": b.column("row_number")}),
+            batch_format="pyarrow"),
+        [key, "rank"], [("__peer_max", "max")])
+
+    with_size = sorted_merge_join(ranked, sizes, on=key)
+
+    # join peers on (key, rank): encode the pair as one key column to
+    # reuse the single-key join (rank < 2^20 per partition is not
+    # assumed — use a string pairing)
+    def pair_key(b: pa.Table, kcol: str) -> pa.Array:
+        ks = b.column(kcol).to_pylist()
+        rs = b.column("rank").to_pylist()
+        return pa.array([f"{k}\x00{r}" for k, r in zip(ks, rs)],
+                        type=pa.string())
+
+    lhs = with_size.map_batches(
+        lambda b: b.append_column("__kr", pair_key(b, key)),
+        batch_format="pyarrow")
+    rhs = peers.map_batches(
+        lambda b: pa.table({"__kr": pair_key(b, key),
+                            "__peer_max": b.column("__peer_max")}),
+        batch_format="pyarrow")
+    joined = sorted_merge_join(lhs, rhs, on="__kr")
+
+    def finish(b: pa.Table) -> pa.Table:
+        rn = b.column("row_number").to_numpy(zero_copy_only=False)
+        rk = b.column("rank").to_numpy(zero_copy_only=False)
+        sz = b.column("__size").to_numpy(zero_copy_only=False)
+        pm = b.column("__peer_max").to_numpy(zero_copy_only=False)
+        q, r = sz // n_tiles, sz % n_tiles
+        cut = r * (q + 1)
+        in_big = rn <= cut
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big, (rn - 1) // np.maximum(q + 1, 1),
+                r + (rn - 1 - cut) // np.maximum(q, 1)) + 1
+            prk = np.where(sz > 1, (rk - 1) / (sz - 1), 0.0)
+        cume = pm / sz
+        cols = {c: b.column(c) for c in b.schema.names
+                if not c.startswith("__")}
+        cols["ntile"] = pa.array(tile.astype(np.int64))
+        cols["percent_rank"] = pa.array(prk.astype(np.float64))
+        cols["cume_dist"] = pa.array(cume.astype(np.float64))
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

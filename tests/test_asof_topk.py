@@ -538,3 +538,45 @@ def test_semi_join_bloom_prefilter_exact(ray_session):
     b1 = semi_join(lft, rgt, on="k").to_pandas()
     b2 = semi_join(lft, rgt, on="k", bloom_bits=1 << 14).to_pandas()
     assert sorted(b1["k"]) == sorted(b2["k"])
+
+
+def test_grouped_ntile_stats_vs_duckdb_ties(ray_session):
+    """percent_rank / cume_dist (well-defined under ties) vs DuckDB on
+    a tie-heavy frame; ntile checked under a total order."""
+    import duckdb
+
+    from kgray.stages.scan import grouped_ntile_stats
+
+    rng = np.random.default_rng(17)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.choice([1, 2, 3], n).astype("int64"),
+        "v": rng.integers(0, 9, n).astype("int64"),   # heavy ties
+        "tb": np.arange(n, dtype="int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(11)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    # ties: order by v only — percent_rank/cume_dist deterministic
+    got = grouped_ntile_stats(ds, key="k", order_cols=["v"],
+                              n_tiles=4).to_pandas()
+    got = got.sort_values(["k", "v", "tb"]).reset_index(drop=True)
+    exp = con.execute("""
+        SELECT k, v, tb,
+               PERCENT_RANK() OVER w AS percent_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY k, v, tb""").df()
+    assert got["percent_rank"].tolist() == exp["percent_rank"].tolist()
+    assert got["cume_dist"].tolist() == exp["cume_dist"].tolist()
+
+    # total order: ntile deterministic
+    got2 = grouped_ntile_stats(ds, key="k", order_cols=["v", "tb"],
+                               n_tiles=3).to_pandas()
+    got2 = got2.sort_values(["k", "v", "tb"]).reset_index(drop=True)
+    exp2 = con.execute("""
+        SELECT k, v, tb, CAST(NTILE(3) OVER w AS BIGINT) AS nt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v, tb)
+        ORDER BY k, v, tb""").df()
+    assert got2["ntile"].tolist() == exp2["nt"].tolist()
