@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_ranks": relational.customer_order_ranks,
         "customer_order_seq": relational.customer_order_seq,
         "customer_order_quartiles": relational.customer_order_quartiles,
+        "events_value_quantiles_approx": relational.events_value_quantiles_approx,
         "events_value_bands": relational.events_value_bands,
         "events_value_tiers": relational.events_value_tiers,
         "events_cube": relational.events_cube,
@@ -299,7 +300,7 @@ def oracle_sql() -> dict[str, str]:
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "neardup_clusters", "event_user_distinct_hll",
-                     "entity_pagerank")
+                     "entity_pagerank", "events_value_quantiles_approx")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

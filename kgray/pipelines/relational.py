@@ -33,7 +33,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_seq", "events_value_bands", "events_value_tiers",
            "events_cube", "events_grouping_sets", "event_user_distinct_hll",
            "events_hash_sample", "user_event_sample",
-           "customer_order_quartiles"]
+           "customer_order_quartiles", "events_value_quantiles_approx"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -790,3 +790,23 @@ def customer_order_quartiles(sf_dir: str):
     return stats.map_batches(lambda b: b.select(
         ["o_custkey", "o_orderkey", "ntile", "percent_rank", "cume_dist"]),
         batch_format="pyarrow")
+
+
+def events_value_quantiles_approx(sf_dir: str):
+    """Approximate per-type p50/p95 via the mergeable histogram sketch
+    (``stages/sketch.py:approx_group_quantiles``) — the no-sort scale
+    twin of ``events_value_quantiles``: one min/max pass + one
+    histogram pass, O(groups × bins) state, no all-to-all.  Error ≤
+    one bin width; accuracy vs the exact operator pinned in tests;
+    deterministic (integer vector-add merge), hence fixture-oracled."""
+    from ..stages.sketch import approx_group_quantiles
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+               .map_batches(lambda b: pa.table({
+                   "event_type": b.column("event_type"),
+                   "value_cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    return approx_group_quantiles(prepped, group="event_type",
+                                  value_col="value_cents",
+                                  qs=[0.5, 0.95], n_bins=4096)

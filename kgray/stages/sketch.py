@@ -32,7 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["heavy_hitters", "hll_group_distinct", "hll_estimate"]
+__all__ = ["heavy_hitters", "hll_group_distinct", "hll_estimate",
+           "approx_group_quantiles"]
 
 
 # --------------------------------------------------------------- heavy hitters
@@ -221,3 +222,77 @@ def hll_group_distinct(ds, group: str, value_col: str, p: int = 12):
             [int(round(hll_estimate(merged[g]))) for g in keys],
             type=pa.int64()),
     })
+
+
+# --------------------------------------------------- approximate quantiles
+
+
+def approx_group_quantiles(ds, group: str, value_col: str, qs: list,
+                           n_bins: int = 4096):
+    """Approximate per-group quantiles WITHOUT a sort: one cheap
+    min/max pass fixes a shared linear binning, then fixed-size
+    per-(block, group) histograms merge by vector addition
+    (order-independent → deterministic).  The returned value is the
+    lower edge of the bin containing the target rank, so the error is
+    bounded by one bin width — (max−min)/n_bins — per group.
+
+    This is the scale twin of ``stages/quantile.py:grouped_quantiles``
+    (exact, sort-based): the sketch streams in one pass with O(groups ·
+    n_bins) state and no all-to-all.  Returns a pyarrow Table
+    (group, q, approx_value:float64).
+    """
+    import ray
+
+    # pass 1: global min/max (two scalars; Ray's native aggregate)
+    lo = ds.min(value_col)
+    hi = ds.max(value_col)
+    if lo is None or hi is None:
+        return pa.table({group: pa.array([], type=pa.string()),
+                         "q": pa.array([], type=pa.float64()),
+                         "approx_value": pa.array([], type=pa.float64())})
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group).to_pylist()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        bins = np.clip(((vals - lo) / width).astype(np.int64), 0,
+                       n_bins - 1)
+        by: dict = {}
+        for i, g in enumerate(groups):
+            by.setdefault(g, []).append(i)
+        out_g, out_h = [], []
+        for g, idxs in by.items():
+            h = np.bincount(bins[np.array(idxs, dtype=np.int64)],
+                            minlength=n_bins).astype(np.int64)
+            out_g.append(g)
+            out_h.append(h.tobytes())
+        return pa.table({"g": pa.array(out_g),
+                         "hist": pa.array(out_h, type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    merged: dict = {}
+    for t in tables:
+        for g, h in zip(t.column("g").to_pylist(),
+                        t.column("hist").to_pylist()):
+            arr = np.frombuffer(h, dtype=np.int64)
+            merged[g] = merged[g] + arr if g in merged else arr.copy()
+
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(merged):
+        hist = merged[g]
+        cum = np.cumsum(hist)
+        n = int(cum[-1])
+        for q in qs:
+            # rank of quantile_disc: ceil(q*n) clamped to [1, n]
+            target = min(max(int(np.ceil(q * n)), 1), n)
+            b = int(np.searchsorted(cum, target))
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(lo + b * width)
+    return pa.table({group: pa.array(out_g),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "approx_value": pa.array(out_v, type=pa.float64())})

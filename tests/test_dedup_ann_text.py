@@ -333,3 +333,37 @@ def test_hll_accuracy_and_determinism(ray_session):
     for _, row in out1.iterrows():
         e = exact[row["g"]]
         assert abs(row["approx_distinct"] - e) / e < 0.05, (row, e)
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Histogram-sketch quantiles within one bin width of exact, and
+    shuffle-invariant (deterministic merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.stages.sketch import approx_group_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 30000
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.lognormal(3, 1, n)),
+    })
+    ds = rd.from_arrow(tbl).repartition(9)
+    n_bins = 2048
+    out = approx_group_quantiles(ds, "g", "v", qs=[0.5, 0.9, 0.99],
+                                 n_bins=n_bins).to_pandas()
+    out2 = approx_group_quantiles(ds.random_shuffle(seed=2), "g", "v",
+                                  qs=[0.5, 0.9, 0.99],
+                                  n_bins=n_bins).to_pandas()
+    assert out.equals(out2.sort_values(["g", "q"]).reset_index(drop=True)
+                      if not out2.equals(out) else out2)
+
+    df = tbl.to_pandas()
+    width = (df["v"].max() - df["v"].min()) / n_bins
+    for _, row in out.iterrows():
+        grp = np.sort(df[df["g"] == row["g"]]["v"].to_numpy())
+        target = min(max(int(np.ceil(row["q"] * len(grp))), 1), len(grp))
+        exact = grp[target - 1]
+        assert abs(row["approx_value"] - exact) <= width + 1e-9, (row, exact)
