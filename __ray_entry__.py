@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "events_recent_orders": relational.events_recent_orders,
         "events_recent_order_value": relational.events_recent_order_value,
+        "user_event_type_seq": relational.user_event_type_seq,
+        "user_type_value_share": relational.user_type_value_share,
+        "priority_status_unpivot": relational.priority_status_unpivot,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -726,6 +729,45 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS running_cents
             FROM events
+        """,
+        "user_event_type_seq": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS type_seq
+            FROM events
+            GROUP BY user_id
+        """,
+        "user_type_value_share": """
+            WITH p AS (
+                SELECT user_id, event_type,
+                       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS type_cents
+                FROM events
+                GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type, type_cents,
+                   CAST(SUM(type_cents) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS user_cents,
+                   CAST(type_cents AS DOUBLE) /
+                       CAST(SUM(type_cents) OVER (PARTITION BY user_id)
+                            AS DOUBLE) AS share
+            FROM p
+        """,
+        "priority_status_unpivot": """
+            WITH wide AS (
+                SELECT o_orderpriority,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_F,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                                THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_O,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                                THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_P
+                FROM orders
+                GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, status_col, total_cents
+            FROM wide
+            UNPIVOT (total_cents FOR status_col IN (sum_F, sum_O, sum_P))
         """,
         "user_sessions": """
             WITH d AS (

@@ -33,7 +33,9 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_seq", "events_value_bands", "events_value_tiers",
            "events_cube", "events_grouping_sets", "event_user_distinct_hll",
            "events_hash_sample", "user_event_sample",
-           "customer_order_quartiles", "events_value_quantiles_approx"]
+           "customer_order_quartiles", "events_value_quantiles_approx",
+           "user_event_type_seq", "user_type_value_share",
+           "priority_status_unpivot"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -810,3 +812,80 @@ def events_value_quantiles_approx(sf_dir: str):
     return approx_group_quantiles(prepped, group="event_type",
                                   value_col="value_cents",
                                   qs=[0.5, 0.95], n_bins=4096)
+
+
+def user_event_type_seq(sf_dir: str):
+    """Ordered string aggregation (``stages/stringagg.py``): per user,
+    the comma-joined sequence of event types ordered by (ts, event_id)
+    — a total order (event_id unique), so the SQL
+    ``string_agg(... ORDER BY ts, event_id)`` result is deterministic
+    and the strings match byte-for-byte."""
+    from ..stages.stringagg import grouped_string_agg
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+               .map_batches(lambda b: pa.table({
+                   "user_id": b.column("user_id"),
+                   "ev_us": pc.cast(b.column("ts"), pa.int64()),
+                   "event_id": b.column("event_id"),
+                   "event_type": b.column("event_type")}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    agg = grouped_string_agg(prepped, key="user_id",
+                             order_cols=["ev_us", "event_id"],
+                             value_col="event_type", sep=",",
+                             out_name="type_seq")
+    return agg.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "n_events": b.column("n"),
+        "type_seq": pc.cast(b.column("type_seq"), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_type_value_share(sf_dir: str):
+    """Ratio-to-report window (``value / SUM(value) OVER (PARTITION BY
+    user)``): per (user, event_type), the type's share of the user's
+    total event value.  Cents are summed exactly at the (user, type)
+    grain; user totals RE-AGGREGATE that already-reduced output (sums
+    of sums — no second pass over the input); the two grains meet in a
+    shuffle join keyed the same way, and the share is one IEEE division
+    of two exact integers — bitwise equal to the SQL window."""
+    from ..stages.join import sorted_merge_join
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+               .map_batches(lambda b: pa.table({
+                   "user_id": b.column("user_id"),
+                   "event_type": b.column("event_type"),
+                   "type_cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    pairs = sorted_group_aggregate(prepped, ["user_id", "event_type"],
+                                   [("type_cents", "sum")]).materialize()
+    totals = sorted_group_aggregate(
+        pairs.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "user_cents": b.column("type_cents")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", [("user_cents", "sum")], precombine=False)
+    joined = sorted_merge_join(pairs, totals, on="user_id")
+    return joined.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_type": b.column("event_type"),
+        "type_cents": b.column("type_cents"),
+        "user_cents": b.column("user_cents"),
+        "share": pc.divide(pc.cast(b.column("type_cents"), pa.float64()),
+                           pc.cast(b.column("user_cents"), pa.float64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def priority_status_unpivot(sf_dir: str):
+    """Wide → long UNPIVOT (``stages/pivot.py:unpivot``) over the
+    distributed PIVOT's output: one (priority, status-column, cents)
+    row per populated cell — pivot and unpivot compose losslessly."""
+    from ..stages.pivot import unpivot
+
+    wide = priority_status_pivot(sf_dir)
+    long = unpivot(wide, id_cols=["o_orderpriority"],
+                   value_cols=["sum_F", "sum_O", "sum_P"],
+                   var_name="status_col", value_name="total_cents")
+    return long

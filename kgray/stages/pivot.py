@@ -62,3 +62,38 @@ def pivot_aggregate(ds, group: str, pivot_col: str, categories: list,
                              zero_copy_batch=True)
     return sorted_group_aggregate(prepped, group,
                                   [(nm, "sum") for nm in n_names + s_names])
+
+
+def unpivot(ds, id_cols: list, value_cols: list,
+            var_name: str = "name", value_name: str = "value"):
+    """SQL ``UNPIVOT``: wide → long.  Each input row yields one output
+    row per column in ``value_cols``: the ``id_cols`` repeated, the
+    column's NAME in ``var_name`` and its value in ``value_name``.
+    NULL cells are skipped (SQL UNPIVOT's ``EXCLUDE NULLS`` default).
+
+    Purely per-batch (no shuffle, no state): one vertical concat of
+    ``len(value_cols)`` zero-copy column selections per block — the
+    output streams and is ``len(value_cols)×`` the input rows at most.
+    All ``value_cols`` must share one Arrow type (cast upstream).
+    """
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vt = batch.schema.field(value_cols[0]).type
+        pieces = []
+        for vc in value_cols:
+            vals = batch.column(vc)
+            t = pa.table({
+                **{c: batch.column(c) for c in id_cols},
+                var_name: pa.array([vc] * batch.num_rows, type=pa.string()),
+                value_name: pc.cast(vals, vt)})
+            if vals.null_count:
+                t = t.filter(pc.is_valid(vals))
+            pieces.append(t)
+        if not pieces:
+            return pa.table({})
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
