@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text.repetition_scores,
         "tfidf_top_terms": text.tfidf_top_terms,
         "heavy_hitter_tokens": text.heavy_hitter_tokens,
+        "duplicate_ngram_fraction": text.duplicate_ngram_fraction,
         "jsonl_token_stats": text.jsonl_token_stats,
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
@@ -415,6 +416,25 @@ def oracle_sql() -> dict[str, str]:
             FROM t CROSS JOIN n
             GROUP BY token, n.total
             HAVING COUNT(*) >= CEIL(0.005 * n.total)
+        """,
+        "duplicate_ngram_fraction": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            g AS (SELECT DISTINCT doc_id, g
+                  FROM t, UNNEST(list_transform(
+                      generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      AS u(g)),
+            df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM g GROUP BY g)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams,
+                   CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+            FROM g JOIN df USING (g)
+            GROUP BY doc_id
         """,
         "events_hash_sample": """
             SELECT event_id, user_id, event_type FROM events

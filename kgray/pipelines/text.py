@@ -21,7 +21,8 @@ import ray.data as rd
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
-           "heavy_hitter_tokens", "jsonl_token_stats", "STOPWORDS"]
+           "heavy_hitter_tokens", "jsonl_token_stats",
+           "duplicate_ngram_fraction", "STOPWORDS"]
 
 _WS = re.compile(r"\s+")
 
@@ -326,3 +327,74 @@ def jsonl_token_stats(sf_dir: str):
 
     return read_documents_jsonl(jdir, columns=("doc_id", "text")).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicate_ngram_fraction(sf_dir: str, n: int = 3):
+    """Per-document cross-corpus repeated-n-gram score — the Gopher/C4
+    "duplicated n-grams" signal at corpus (not document) scope: the
+    fraction of a document's DISTINCT word n-grams that also occur in
+    at least one OTHER document.  High values mark boilerplate /
+    templated pages a training-data pipeline down-weights or drops.
+
+    Composition (all distributed, same shape as ``tfidf_top_terms``):
+    flat distinct (doc_id, gram) rows → gram document-frequency via
+    ``sorted_group_aggregate`` → LARGE×LARGE ``sorted_merge_join`` on
+    gram → per-doc counts → one IEEE division (bitwise equal to the
+    SQL oracle).  Documents with fewer than ``n`` tokens have no grams
+    and emit no row (matching SQL's post-UNNEST GROUP BY).
+
+    Scale note: grams ship as strings here because the oracle needs
+    exact equality; at 100 TB the df exchange should key on a 64-bit
+    gram hash instead (collisions only ever *raise* df — harmless for
+    a ≥2 threshold) which shrinks the shuffle ~5× for long grams.
+    """
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, grams = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            doc_ids.extend([d] * len(seen))
+            grams.extend(seen)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "gram": pa.array(grams, type=pa.string())})
+
+    gram_ds = (read_documents(sf_dir)
+               .map_batches(gram_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize())
+
+    df_ds = sorted_group_aggregate(
+        gram_ds.map_batches(lambda b: pa.table({
+            "gram": b.column("gram"),
+            "df": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "gram", [("df", "sum")])
+
+    joined = sorted_merge_join(gram_ds, df_ds, on="gram")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup = pc.cast(pc.greater_equal(batch.column("df"), pa.scalar(2)),
+                      pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_grams": pa.array(
+                             np.ones(batch.num_rows, dtype=np.int64)),
+                         "n_dup_grams": dup})
+
+    counts = sorted_group_aggregate(
+        joined.map_batches(flag, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "doc_id", [("n_grams", "sum"), ("n_dup_grams", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        frac = pc.divide(pc.cast(batch.column("n_dup_grams"), pa.float64()),
+                         pc.cast(batch.column("n_grams"), pa.float64()))
+        return batch.append_column("dup_fraction", frac)
+
+    return counts.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

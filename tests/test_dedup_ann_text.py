@@ -367,3 +367,33 @@ def test_approx_quantiles_error_bound(ray_session):
         target = min(max(int(np.ceil(row["q"] * len(grp))), 1), len(grp))
         exact = grp[target - 1]
         assert abs(row["approx_value"] - exact) <= width + 1e-9, (row, exact)
+
+
+def test_duplicate_ngram_fraction_planted(ray_session, tmp_path):
+    """Docs sharing a boilerplate sentence score high; a unique doc
+    scores 0; a doc with < 3 tokens emits no row."""
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines import text
+
+    boiler = "click here to subscribe to our newsletter today"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            f"{boiler} alpha beta gamma",
+            f"{boiler} delta epsilon zeta",
+            "completely unique words nowhere else repeated ever",
+            "too short",
+        ], type=pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = (text.duplicate_ngram_fraction(str(tmp_path))
+           .to_pandas().set_index("doc_id").sort_index())
+
+    assert 3 not in got.index                      # <3 tokens → no grams
+    assert got.loc[2, "dup_fraction"] == 0.0
+    # docs 0/1: 11 tokens → 9 trigrams, 6 inside the shared boilerplate
+    assert got.loc[0, "n_grams"] == 9
+    assert got.loc[0, "n_dup_grams"] == 6
+    assert got.loc[1, "n_dup_grams"] == 6
+    assert abs(got.loc[0, "dup_fraction"] - 6 / 9) < 1e-15
