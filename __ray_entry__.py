@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sample": relational.user_event_sample,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
+        "dedup_lines": dedup.dedup_lines,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
@@ -304,7 +305,8 @@ def oracle_sql() -> dict[str, str]:
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "neardup_clusters", "event_user_distinct_hll",
-                     "entity_pagerank", "events_value_quantiles_approx")
+                     "entity_pagerank", "events_value_quantiles_approx",
+                     "dedup_lines")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

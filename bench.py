@@ -123,6 +123,14 @@ def run_bench() -> dict:
     timed("heavy_hitter_tokens", lambda: text.heavy_hitter_tokens(sf_dir))
     timed("event_user_distinct_hll",
           lambda: relational.event_user_distinct_hll(sf_dir))
+    timed("user_event_type_seq",
+          lambda: relational.user_event_type_seq(sf_dir))
+    timed("user_type_value_share",
+          lambda: relational.user_type_value_share(sf_dir))
+    timed("duplicate_ngram_fraction",
+          lambda: text.duplicate_ngram_fraction(sf_dir))
+    from kgray.pipelines import graph as _graph
+    timed("entity_pagerank", lambda: _graph.entity_pagerank(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

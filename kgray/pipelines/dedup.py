@@ -44,7 +44,7 @@ from ..functions.hashing import stable_hash64
 __all__ = ["exact_dedup", "shingle_set", "jaccard_pairs_bruteforce",
            "minhash_signatures", "minhash_lsh_pairs", "simhash64",
            "simhash_signatures", "simhash_pairs", "embedding_neardup_pairs",
-           "embedding_lsh_pairs"]
+           "embedding_lsh_pairs", "dedup_lines", "dedup_lines_ds"]
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -770,3 +770,102 @@ def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
                 if float(vec[a] @ vec[b]) >= threshold]
     return pa.table({"vec_a": pa.array([a for a, _ in rows], type=pa.int64()),
                      "vec_b": pa.array([b for _, b in rows], type=pa.int64())})
+
+
+def dedup_lines(sf_dir: str):
+    """C4-style corpus-wide duplicate-LINE removal over the derived
+    web-page corpus (Raffel et al. 2020 §2.2 deduplicate at sub-document
+    scope: boilerplate lines — mastheads, nav, legal footers — repeat
+    across pages and must be dropped corpus-wide, keeping exactly one
+    occurrence).  For every distinct line, the single globally-first
+    occurrence (by ``(url, line_idx)``) survives; all other occurrences
+    are removed, and each page's remaining lines are reassembled in
+    order.  Pages whose every line was removed emit no row.
+
+    Fully distributed plan (no driver loops, no broadcast):
+      1. vectorized line explode — ``split_pattern`` + ``list_flatten``
+         + parent indices, line_idx via one arange subtract,
+      2. winner per distinct line via ``sorted_group_aggregate`` MIN
+         over the packed sort key ``url\\x1f<line_idx zero-padded>``
+         (string min == lexicographic first occurrence; idx padded so
+         10 sorts after 9) + occurrence count,
+      3. LARGE×LARGE ``sorted_merge_join`` back on the line text,
+         keep rows whose own key equals the winner key,
+      4. per-page reassembly with ``grouped_string_agg`` ordered by
+         line_idx (sep ``\\n``) — the ordered-aggregation operator.
+
+    Scale note: the exchange keys on the raw line string so the
+    fixture oracle is byte-exact; at 100 TB key steps 2-3 on a 64-bit
+    line hash instead (a collision merges two line groups and drops a
+    benign extra line — the standard C4 trade) which bounds exchange
+    row width.  Deterministic (seeded corpus ⇒ fixture oracle).
+    """
+    from ..sources.derived import corpus_for_sf
+    from .kg import page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    pages = rd.read_parquet(page_files(corpus), columns=["url", "text"])
+    return dedup_lines_ds(pages)
+
+
+def dedup_lines_ds(pages):
+    """Core of :func:`dedup_lines` over any ``(url, text)`` Dataset."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.stringagg import grouped_string_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch.column("text").combine_chunks(),
+                                 pattern="\n")
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines)
+        urls = batch.column("url").take(parents)
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - starts
+        # packed first-occurrence sort key; idx zero-padded to 8 digits
+        # so lexicographic min == (url, line_idx) min
+        key = pc.binary_join_element_wise(
+            urls, pa.array([f"{i:08d}" for i in idx], type=pa.string()),
+            "\x1f")
+        return pa.table({"url": urls,
+                         "line_idx": pa.array(idx, type=pa.int64()),
+                         "line": flat,
+                         "key": key})
+
+    lines_ds = (pages.map_batches(explode, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize())
+
+    winners = sorted_group_aggregate(
+        lines_ds.map_batches(lambda b: pa.table({
+            "line": b.column("line"),
+            "first_key": b.column("key"),
+            "n_occ": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "line", [("first_key", "min"), ("n_occ", "sum")],
+        precombine=False)
+
+    joined = sorted_merge_join(lines_ds, winners, on="line")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.equal(batch.column("key"),
+                                     batch.column("first_key")), False)
+        kept = batch.filter(mask)
+        return pa.table({"url": kept.column("url"),
+                         "line_idx": kept.column("line_idx"),
+                         "line": kept.column("line")})
+
+    kept = joined.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    out = grouped_string_agg(kept, key="url", order_cols=["line_idx"],
+                             value_col="line", sep="\n",
+                             out_name="text_clean")
+    return out.map_batches(lambda b: pa.table({
+        "url": b.column("url"),
+        "n_lines_kept": b.column("n"),
+        "text_clean": pc.cast(b.column("text_clean"), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -33,15 +33,33 @@ __all__ = ["pagerank", "entity_pagerank"]
 UNIT = 10 ** 12
 
 
-def pagerank(edges, iters: int = 10, d_num: int = 17, d_den: int = 20):
+# plan switch (same rule class as dedup's broadcast-vs-join verify):
+# at or below this many nodes the rank/outdeg vectors broadcast as
+# numpy arrays (~16 MB at the limit) and each iteration is ONE streaming
+# map over the integer-indexed edges plus a sparse driver merge — no
+# sort exchange.  Above it, the shuffle plan (join + aggregate per
+# iteration) is the scale path.  Both plans run the SAME integer
+# arithmetic, so their outputs are bit-identical (pinned by test).
+_DENSE_MAX_NODES = 2_000_000
+
+
+def pagerank(edges, iters: int = 10, d_num: int = 17, d_den: int = 20,
+             plan: str = "auto"):
     """PageRank over an edge Dataset (``src``, ``dst`` string columns;
     duplicate edges count once).  Returns a Dataset
     (node, rank_fp:int64) with ranks in UNIT micro-units summing to
-    ~UNIT.  Deterministic (integer arithmetic throughout)."""
+    ~UNIT.  Deterministic (integer arithmetic throughout).
+
+    ``plan``: ``"dense"`` (broadcast node vectors, per-iteration map +
+    sparse merge), ``"shuffle"`` (join + aggregate per iteration), or
+    ``"auto"`` (dense at or below ``_DENSE_MAX_NODES`` nodes).
+    """
     import ray
 
     from ..stages.aggregate import sorted_group_aggregate
     from ..stages.join import sorted_merge_join
+
+    assert plan in ("auto", "dense", "shuffle")
 
     # distinct edges, then static per-source out-degrees
     edges = sorted_group_aggregate(
@@ -70,6 +88,11 @@ def pagerank(edges, iters: int = 10, d_num: int = 17, d_den: int = 20):
             "rank_fp": pa.array([], type=pa.int64())}))
 
     base = ((d_den - d_num) * UNIT) // (d_den * n_nodes)
+
+    if plan == "dense" or (plan == "auto" and n_nodes <= _DENSE_MAX_NODES):
+        return _pagerank_dense(edges, ranks, n_nodes, base, iters,
+                               d_num, d_den)
+
     ranks = ranks.map_batches(lambda b: pa.table({
         "node": b.column("node"),
         "rank_fp": pa.array(
@@ -128,6 +151,71 @@ def pagerank(edges, iters: int = 10, d_num: int = 17, d_den: int = 20):
 
     return ranks.map_batches(lambda b: b.select(["node", "rank_fp"]),
                              batch_format="pyarrow")
+
+
+def _pagerank_dense(edges, node_outdeg, n_nodes: int, base: int,
+                    iters: int, d_num: int, d_den: int):
+    """Dense-plan iterations: node↔int index built once (node-sized
+    driver table — the plan is only selected when that fits), edges
+    integer-indexed ONCE and kept distributed; each iteration broadcasts
+    the rank vector (``ray.put``), streams one map over the indexed
+    edges emitting SPARSE per-block (idx, contribution-sum) partials,
+    and merges them on the driver with order-independent integer adds —
+    bit-identical to the shuffle plan's join + aggregate."""
+    import ray
+
+    # node universe with out-degrees, sorted for a deterministic index
+    nt = pa.concat_tables(
+        [t for t in ray.get(node_outdeg.to_arrow_refs()) if t.num_rows])
+    nt = nt.take(pc.sort_indices(nt, sort_keys=[("node", "ascending")]))
+    nodes = nt.column("node")
+    outdeg = nt.column("outdeg").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    index = {n: i for i, n in enumerate(nodes.to_pylist())}
+    idx_ref = ray.put(index)
+    outdeg_ref = ray.put(outdeg)
+
+    def to_idx(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        si = np.array([ix[s] for s in batch.column("src").to_pylist()],
+                      dtype=np.int64)
+        di = np.array([ix[s] for s in batch.column("dst").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"si": pa.array(si), "di": pa.array(di)})
+
+    int_edges = edges.map_batches(to_idx, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    r = np.full(n_nodes, UNIT // n_nodes, dtype=np.int64)
+    dangle_mask = outdeg == 0
+    for _ in range(iters):
+        share = int(r[dangle_mask].sum()) // n_nodes
+        r_ref = ray.put(r)
+
+        def contribs(batch: pa.Table, _r=r_ref, _od=outdeg_ref) -> pa.Table:
+            rv = ray.get(_r)
+            od = ray.get(_od)
+            si = batch.column("si").to_numpy(zero_copy_only=False)
+            di = batch.column("di").to_numpy(zero_copy_only=False)
+            c = rv[si] // od[si]
+            uniq, inv = np.unique(di, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table({"idx": pa.array(uniq), "val": pa.array(sums)})
+
+        in_fp = np.zeros(n_nodes, dtype=np.int64)
+        parts = ray.get(int_edges.map_batches(
+            contribs, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs())
+        for t in parts:
+            if t.num_rows:
+                np.add.at(in_fp,
+                          t.column("idx").to_numpy(zero_copy_only=False),
+                          t.column("val").to_numpy(zero_copy_only=False))
+        r = base + ((in_fp + share) * d_num) // d_den
+
+    return rd.from_arrow(pa.table({"node": nodes,
+                                   "rank_fp": pa.array(r, type=pa.int64())}))
 
 
 def entity_pagerank(sf_dir: str, iters: int = 10):

@@ -397,3 +397,30 @@ def test_duplicate_ngram_fraction_planted(ray_session, tmp_path):
     assert got.loc[0, "n_dup_grams"] == 6
     assert got.loc[1, "n_dup_grams"] == 6
     assert abs(got.loc[0, "dup_fraction"] - 6 / 9) < 1e-15
+
+
+def test_dedup_lines_keeps_first_occurrence(ray_session):
+    """Corpus-wide line dedup: every duplicated line survives exactly
+    once at its globally-first (url, line_idx) position; unique lines
+    all survive; fully-boilerplate pages vanish."""
+    import ray.data as rd
+
+    from kgray.pipelines.dedup import dedup_lines_ds
+
+    pages = pa.table({
+        "url": pa.array(["a://1", "a://2", "a://3", "a://4"]),
+        "text": pa.array([
+            "masthead\nunique one\nfooter",
+            "masthead\nunique two\nfooter",
+            "masthead\nfooter",            # fully boilerplate → vanishes
+            "solo page line",
+        ]),
+    })
+    got = (dedup_lines_ds(rd.from_arrow(pages).repartition(3))
+           .to_pandas().set_index("url").sort_index())
+
+    assert list(got.index) == ["a://1", "a://2", "a://4"]
+    assert got.loc["a://1", "text_clean"] == "masthead\nunique one\nfooter"
+    assert got.loc["a://2", "text_clean"] == "unique two"
+    assert got.loc["a://4", "text_clean"] == "solo page line"
+    assert got["n_lines_kept"].tolist() == [3, 1, 1]

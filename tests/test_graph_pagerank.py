@@ -50,3 +50,24 @@ def test_pagerank_matches_numpy_and_is_deterministic(ray_session):
         assert abs(fp / UNIT - exp[node]) < 1e-6, (node, fp / UNIT, exp[node])
     # total mass conserved (up to integer-division dust)
     assert abs(got1["rank_fp"].sum() / UNIT - 1.0) < 1e-4
+
+
+def test_pagerank_dense_and_shuffle_plans_bit_identical(ray_session):
+    """The broadcast (dense) plan and the join+aggregate (shuffle) plan
+    run the same integer arithmetic — outputs must match bit for bit,
+    including dangling-mass redistribution and duplicate-edge collapse."""
+    from kgray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(41)
+    edges = [(f"e{int(a)}", f"e{int(b)}")
+             for a, b in rng.integers(0, 80, size=(600, 2)) if a != b]
+    edges += edges[:50]                      # duplicate edges count once
+    edges += [("e200", "e201")]              # dangling sink e201
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges]),
+        "dst": pa.array([e[1] for e in edges])})).repartition(5)
+
+    dense = pagerank(ds, iters=4, plan="dense").to_pandas()
+    shuffle = pagerank(ds, iters=4, plan="shuffle").to_pandas()
+    k = lambda d: sorted(zip(d["node"], d["rank_fp"]))
+    assert k(dense) == k(shuffle)
