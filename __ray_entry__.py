@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_seq": relational.user_event_type_seq,
         "user_type_value_share": relational.user_type_value_share,
         "priority_status_unpivot": relational.priority_status_unpivot,
+        "event_value_stats": relational.event_value_stats,
+        "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -790,6 +792,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, status_col, total_cents
             FROM wide
             UNPIVOT (total_cents FOR status_col IN (sum_F, sum_O, sum_P))
+        """,
+        # moment arithmetic is exact (HUGEINT), mirroring the engine's
+        # decimal128 sums; the IEEE steps (cast, divide, sqrt) appear in
+        # the same operand order as stages/stats.py finalize — bitwise
+        "event_value_stats": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL
+            ), m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(cents AS HUGEINT)) AS sx,
+                       SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CAST(sx AS BIGINT) AS sum_cents,
+                   CASE WHEN n <= 1 THEN NULL
+                        ELSE CAST(n * sxx - sx * sx AS DOUBLE)
+                             / CAST(n * (CAST(n AS HUGEINT) - 1) AS DOUBLE)
+                   END AS var_cents,
+                   CASE WHEN n <= 1 THEN NULL
+                        ELSE SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  / CAST(n * (CAST(n AS HUGEINT) - 1)
+                                         AS DOUBLE))
+                   END AS std_cents
+            FROM m
+        """,
+        "lineitem_qty_price_corr": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)
+                           AS qty_c,
+                       CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                           AS price_c
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(qty_c AS HUGEINT)) AS sx,
+                       SUM(CAST(price_c AS HUGEINT)) AS sy,
+                       SUM(CAST(qty_c AS HUGEINT) * qty_c) AS sxx,
+                       SUM(CAST(price_c AS HUGEINT) * price_c) AS syy,
+                       SUM(CAST(qty_c AS HUGEINT) * price_c) AS sxy
+                FROM c GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   CASE WHEN n <= 1 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * (CAST(n AS HUGEINT) - 1) AS DOUBLE)
+                   END AS covar_qp,
+                   CASE WHEN n <= 1 OR n * sxx - sx * sx <= 0
+                             OR n * syy - sy * sy <= 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                             / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS corr_qp
+            FROM m
         """,
         "user_sessions": """
             WITH d AS (

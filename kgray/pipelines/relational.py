@@ -35,7 +35,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_hash_sample", "user_event_sample",
            "customer_order_quartiles", "events_value_quantiles_approx",
            "user_event_type_seq", "user_type_value_share",
-           "priority_status_unpivot"]
+           "priority_status_unpivot", "event_value_stats",
+           "lineitem_qty_price_corr"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -889,3 +890,49 @@ def priority_status_unpivot(sf_dir: str):
                    value_cols=["sum_F", "sum_O", "sum_P"],
                    var_name="status_col", value_name="total_cents")
     return long
+
+
+def event_value_stats(sf_dir: str):
+    """Per-event-type sample variance / stddev of the value column —
+    exact distributed moments (``stages/stats.py:grouped_var_std``):
+    cents per element, decimal128 moment sums (order-independent), one
+    mirrored IEEE expression at finalize, bitwise vs the oracle."""
+    from ..stages.stats import grouped_var_std
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+    cents = events.map_batches(lambda b: pa.table({
+        "event_type": b.column("event_type"),
+        "cents": _cents(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_var_std(cents, "event_type", "cents")
+    return out.map_batches(lambda b: pa.table({
+        "event_type": b.column("event_type"),
+        "n": b.column("n"),
+        "sum_cents": b.column("sum_x"),
+        "var_cents": b.column("var_x"),
+        "std_cents": b.column("std_x")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lineitem_qty_price_corr(sf_dir: str):
+    """Per-returnflag sample covariance + Pearson correlation between
+    quantity and extended price (``stages/stats.py:grouped_corr``) —
+    exact integer moments, mirrored IEEE finalize, bitwise oracle."""
+    from ..stages.stats import grouped_corr
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    cents = li.map_batches(lambda b: pa.table({
+        "l_returnflag": b.column("l_returnflag"),
+        "qty_c": _cents(b.column("l_quantity")),
+        "price_c": _cents(b.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_corr(cents, "l_returnflag", "qty_c", "price_c")
+    return out.map_batches(lambda b: pa.table({
+        "l_returnflag": b.column("l_returnflag"),
+        "n": b.column("n"),
+        "covar_qp": b.column("covar_xy"),
+        "corr_qp": b.column("corr_xy")}),
+        batch_format="pyarrow", zero_copy_batch=True)
