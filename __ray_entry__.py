@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_status_unpivot": relational.priority_status_unpivot,
         "event_value_stats": relational.event_value_stats,
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
+        "user_rolling_value": relational.user_rolling_value,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -852,6 +853,23 @@ def oracle_sql() -> dict[str, str]:
                              / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
                    END AS corr_qp
             FROM m
+        """,
+        "user_rolling_value": """
+            WITH c AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum,
+                   CAST(COUNT(cents) OVER w AS BIGINT) AS roll_n,
+                   CAST(MIN(cents) OVER w AS BIGINT) AS roll_min,
+                   CAST(MAX(cents) OVER w AS BIGINT) AS roll_max,
+                   CAST(SUM(cents) OVER w AS DOUBLE)
+                       / CAST(COUNT(cents) OVER w AS DOUBLE) AS roll_avg
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "user_sessions": """
             WITH d AS (

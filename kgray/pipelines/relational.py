@@ -36,7 +36,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_quartiles", "events_value_quantiles_approx",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
-           "lineitem_qty_price_corr"]
+           "lineitem_qty_price_corr", "user_rolling_value"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -935,4 +935,31 @@ def lineitem_qty_price_corr(sf_dir: str):
         "n": b.column("n"),
         "covar_qp": b.column("covar_xy"),
         "corr_qp": b.column("corr_xy")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_rolling_value(sf_dir: str, k: int = 3):
+    """Rolling-frame window (``stages/rolling.py:grouped_rolling``):
+    SUM/COUNT/MIN/MAX/AVG over each event's 3 preceding events plus
+    itself, per user ordered by (ts, event_id) — carry-bounded exchange
+    (≤ k scalars per block), bitwise vs the SQL ROWS frame oracle."""
+    from ..stages.rolling import grouped_rolling
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts", "value"])
+    cents = events.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "ts": b.column("ts"),
+        "cents": _cents(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_rolling(cents, "user_id", ["ts", "event_id"], "cents", k)
+    return out.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "roll_sum": b.column("roll_sum"),
+        "roll_n": b.column("roll_n"),
+        "roll_min": b.column("roll_min"),
+        "roll_max": b.column("roll_max"),
+        "roll_avg": b.column("roll_avg")}),
         batch_format="pyarrow", zero_copy_batch=True)
