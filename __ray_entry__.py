@@ -190,7 +190,8 @@ def _binary_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from kgray.pipelines import ann, cluster, dedup, relational, streaming, text
+    from kgray.pipelines import (ann, cluster, dedup, pack, relational,
+                                 streaming, text)
 
     return {
         # --- KG construction (non-SQL: Viterbi/linking; strong checks in tests/)
@@ -224,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_lines": dedup.dedup_lines,
+        "source_mix_sample": text.source_mix_sample,
+        "packed_documents": pack.pack_documents,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
@@ -309,7 +312,7 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "events_value_quantiles_approx",
-                     "dedup_lines")
+                     "dedup_lines", "packed_documents")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -440,6 +443,14 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
             FROM g JOIN df USING (g)
             GROUP BY doc_id
+        """,
+        "source_mix_sample": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000
+                  < CASE CAST(substr(source, 4) AS BIGINT) % 4
+                        WHEN 0 THEN 1000 WHEN 1 THEN 500
+                        WHEN 2 THEN 250 ELSE 125 END
         """,
         "events_hash_sample": """
             SELECT event_id, user_id, event_type FROM events

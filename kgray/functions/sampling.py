@@ -20,7 +20,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "group_sample"]
+__all__ = ["hash_sample", "group_sample", "mixture_sample"]
 
 
 def _md5_bucket(vals: list, mod: int) -> np.ndarray:
@@ -67,3 +67,29 @@ def group_sample(ds, group: str, key_col: str, k: int,
             [n if n != "rank" else "sample_rank"
              for n in b.schema.names if n != hash_name]),
         batch_format="pyarrow")
+
+
+def mixture_sample(ds, group_col: str, key_col: str, rates: dict,
+                   default_permille: int = 1000):
+    """Per-group deterministic Bernoulli mixture: keep a row iff its
+    md5(key) bucket (of 1000) < the rate assigned to its ``group_col``
+    value (``rates`` maps group → permille; unlisted groups get
+    ``default_permille``).  This is the data-mixing primitive of a
+    training corpus — down-weight over-represented domains to target
+    proportions — with the same properties as :func:`hash_sample`: a
+    pure function of the data, identical across runs/retries/engines,
+    and a pure streaming filter (no shuffle; composes with any
+    downstream stage).  Up-weighting (> 1000) is out of scope: a
+    deterministic hash can't replicate rows (repeat the pipeline with
+    an epoch-salted key for that).
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        b = _md5_bucket(batch.column(key_col).to_pylist(), 1000)
+        groups = batch.column(group_col).to_pylist()
+        lim = np.array([rates.get(g, default_permille) for g in groups],
+                       dtype=np.int64)
+        return batch.filter(pa.array(b < lim))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -22,7 +22,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
            "heavy_hitter_tokens", "jsonl_token_stats",
-           "duplicate_ngram_fraction", "STOPWORDS"]
+           "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample"]
 
 _WS = re.compile(r"\s+")
 
@@ -398,3 +398,24 @@ def duplicate_ngram_fraction(sf_dir: str, n: int = 3):
 
     return counts.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def source_mix_sample(sf_dir: str):
+    """Training-corpus data mixing (``functions/sampling.py:
+    mixture_sample``): per-source deterministic Bernoulli rates —
+    keep-all for every 4th source, 1/2, 1/4, 1/8 for the others — so
+    over-represented domains are down-weighted to a target mixture.
+    Pure streaming filter, md5-deterministic, bitwise vs the SQL CASE
+    oracle."""
+    from ..functions.sampling import mixture_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "lang", "n_chars"])
+    rates = {f"src{i}": [1000, 500, 250, 125][i % 4] for i in range(64)}
+    out = mixture_sample(docs, "source", "doc_id", rates)
+    return out.map_batches(lambda b: pa.table({
+        "doc_id": b.column("doc_id"),
+        "source": b.column("source"),
+        "lang": b.column("lang"),
+        "n_chars": b.column("n_chars")}),
+        batch_format="pyarrow", zero_copy_batch=True)

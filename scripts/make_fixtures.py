@@ -40,7 +40,7 @@ FIXTURE_QUERIES = [
     "winnowing_fingerprints", "minhash_lsh_pairs", "simhash_pairs",
     "embedding_lsh_pairs", "ann_ivf_topk", "neardup_clusters",
     "event_user_distinct_hll", "entity_pagerank",
-    "events_value_quantiles_approx", "dedup_lines",
+    "events_value_quantiles_approx", "dedup_lines", "packed_documents",
 ]
 
 
