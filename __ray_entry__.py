@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": relational.event_value_stats,
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "user_rolling_value": relational.user_rolling_value,
+        "user_first_last_event": relational.user_first_last_event,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -864,6 +865,15 @@ def oracle_sql() -> dict[str, str]:
                              / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
                    END AS corr_qp
             FROM m
+        """,
+        "user_first_last_event": """
+            SELECT user_id, event_id,
+                   FIRST_VALUE(event_type) OVER w AS first_type,
+                   LAST_VALUE(event_type) OVER w AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
         """,
         "user_rolling_value": """
             WITH c AS (

@@ -36,7 +36,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_quartiles", "events_value_quantiles_approx",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
-           "lineitem_qty_price_corr", "user_rolling_value"]
+           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -962,4 +962,25 @@ def user_rolling_value(sf_dir: str, k: int = 3):
         "roll_min": b.column("roll_min"),
         "roll_max": b.column("roll_max"),
         "roll_avg": b.column("roll_avg")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_first_last_event(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame
+    (``stages/scan.py:grouped_first_last``): every event row learns its
+    user's first and last event type in (ts, event_id) order — two
+    one-scalar-per-block carries, bitwise vs the SQL window oracle."""
+    from ..stages.scan import grouped_first_last
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts",
+                                      "event_type"])
+    out = grouped_first_last(events, "user_id", ["ts", "event_id"],
+                             "event_type", first_name="first_type",
+                             last_name="last_type")
+    return out.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "first_type": b.column("first_type"),
+        "last_type": b.column("last_type")}),
         batch_format="pyarrow", zero_copy_batch=True)

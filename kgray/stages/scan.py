@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ._runs import run_starts
 
 __all__ = ["grouped_running_sum", "grouped_lag", "grouped_lead",
-           "grouped_ranks", "grouped_ntile_stats"]
+           "grouped_ranks", "grouped_ntile_stats", "grouped_first_last"]
 
 
 def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
@@ -518,3 +518,118 @@ def grouped_ntile_stats(ds, key: str, order_cols: list, n_tiles: int = 4):
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_first_last(ds, key: str, order_cols: list, value_col: str,
+                       first_name: str = "first_value",
+                       last_name: str = "last_value"):
+    """SQL ``FIRST_VALUE(v) / LAST_VALUE(v) OVER (PARTITION BY key
+    ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)`` — every row gets its partition's first and last value
+    in the (total) window order.  One sort; one summary row per block
+    (five scalars); carries threaded BOTH ways along the sorted block
+    order — forward carries the partition-first value into blocks whose
+    first run continues an earlier block, backward the partition-last
+    value into blocks whose last run continues a later one.  No row
+    ever leaves its block.
+    """
+    import ray
+    import ray.data as rd
+
+    schema = ds.schema()
+    assert first_name not in schema.names and last_name not in schema.names
+    out_cols = list(schema.names) + [first_name, last_name]
+    types = dict(zip(schema.names, schema.types))
+    vt = types[value_col]
+    types[first_name] = vt
+    types[last_name] = vt
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (ds.repartition(n_part)
+           .sort([key] + list(order_cols)).materialize())
+
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """(first_key, last_key, single_run, block_first_value,
+        block_last_value, last_run_first_value, first_run_last_value)."""
+        if t.num_rows == 0:
+            return None
+        keys = t.column(key)
+        starts = run_starts(keys)
+        second = int(starts[1]) if len(starts) > 1 else t.num_rows
+        v = t.column(value_col)
+        return (keys[0].as_py(), keys[t.num_rows - 1].as_py(),
+                len(starts) == 1,
+                v[0].as_py(), v[t.num_rows - 1].as_py(),
+                v[int(starts[-1])].as_py(), v[second - 1].as_py())
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    # forward: carry = the partition-first value for each block whose
+    # FIRST run continues from an earlier block.  State after block j =
+    # (last_key, first value of the in-progress run).  Wrapped in a
+    # 1-tuple so a legitimately-None first value still carries.
+    fwd = [None] * len(summaries)
+    state = None
+    for j, s in enumerate(summaries):
+        if s is None:
+            continue
+        if state is not None and _same(state[0], s[0]):
+            fwd[j] = (state[1],)
+        if s[2] and fwd[j] is not None:          # run spans whole block
+            state = (s[1], fwd[j][0])
+        else:
+            state = (s[1], s[3] if s[2] else s[5])
+
+    # backward: carry = the partition-last value for each block whose
+    # LAST run continues into a later block.
+    bwd = [None] * len(summaries)
+    state = None
+    for j in range(len(summaries) - 1, -1, -1):
+        s = summaries[j]
+        if s is None:
+            continue
+        if state is not None and _same(state[0], s[1]):
+            bwd[j] = (state[1],)
+        if s[2] and bwd[j] is not None:
+            state = (s[0], bwd[j][0])
+        else:
+            state = (s[0], s[4] if s[2] else s[6])
+
+    @ray.remote
+    def fl_block(t: pa.Table, f_carry, b_carry):
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        n = t.num_rows
+        vals = t.column(value_col)
+        starts = run_starts(t.column(key))
+        reps = np.diff(np.append(starts, n))
+        fv = vals.take(pa.array(np.repeat(starts, reps), type=pa.int64()))
+        ends = np.append(starts[1:], n) - 1
+        lv = vals.take(pa.array(np.repeat(ends, reps), type=pa.int64()))
+        first_end = int(starts[1]) if len(starts) > 1 else n
+        if f_carry is not None:
+            m = np.zeros(n, dtype=bool)
+            m[:first_end] = True
+            fv = pc.if_else(pa.array(m), pa.scalar(f_carry[0], type=vt), fv)
+        if b_carry is not None:
+            m = np.zeros(n, dtype=bool)
+            m[int(starts[-1]):] = True
+            lv = pc.if_else(pa.array(m), pa.scalar(b_carry[0], type=vt), lv)
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols[first_name] = fv
+        cols[last_name] = lv
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [fl_block.remote(r, f, b)
+                for r, f, b in zip(block_refs, fwd, bwd)]
+    return rd.from_arrow_refs(out_refs)

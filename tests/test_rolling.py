@@ -69,3 +69,26 @@ def test_rolling_partitioning_invariance(ray_session):
     outs = [_run(df, 4, parts=p) for p in (1, 3, 11)]
     for o in outs[1:]:
         assert o.equals(outs[0])
+
+
+def test_first_last_value_matches_pandas(ray_session):
+    """grouped_first_last vs pandas transform, incl. a hot key spanning
+    many blocks and a null partition key."""
+    from kgray.stages.scan import grouped_first_last
+
+    rng = np.random.default_rng(21)
+    keys = rng.choice([7, 7, 7, 1, 2, None], size=2000).tolist()
+    df = pd.DataFrame({"key": pd.array(keys, dtype="Int64"),
+                       "o": np.arange(2000),
+                       "v": [f"v{i%17}" for i in range(2000)]})
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array(keys, type=pa.int64()),
+        "o": pa.array(df["o"], type=pa.int64()),
+        "v": pa.array(df["v"], type=pa.string())})).repartition(16)
+    got = (grouped_first_last(ds, "key", ["o"], "v")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    grp = df.groupby("key", dropna=False)["v"]
+    exp_first = grp.transform("first")
+    exp_last = grp.transform("last")
+    assert got["first_value"].tolist() == exp_first.tolist()
+    assert got["last_value"].tolist() == exp_last.tolist()
