@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "user_rolling_value": relational.user_rolling_value,
         "user_first_last_event": relational.user_first_last_event,
+        "user_latest_event": relational.user_latest_event,
+        "type_value_mode": relational.type_value_mode,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -865,6 +867,32 @@ def oracle_sql() -> dict[str, str]:
                              / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
                    END AS corr_qp
             FROM m
+        """,
+        "user_latest_event": """
+            WITH r AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id AS last_event_id,
+                   ts_us AS last_ts_us, event_type AS last_type
+            FROM r WHERE rn = 1
+        """,
+        "type_value_mode": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, cents) AS rn
+                FROM c
+            )
+            SELECT event_type, cents AS mode_cents, n AS mode_n
+            FROM r WHERE rn = 1
         """,
         "user_first_last_event": """
             SELECT user_id, event_id,

@@ -36,7 +36,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_quartiles", "events_value_quantiles_approx",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
-           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event"]
+           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -983,4 +983,58 @@ def user_first_last_event(sf_dir: str):
         "event_id": b.column("event_id"),
         "first_type": b.column("first_type"),
         "last_type": b.column("last_type")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_latest_event(sf_dir: str):
+    """arg-max per group (SQL ``max_by`` / ``arg_max`` with an explicit
+    total order): each user's latest event row — the grouped_topk
+    exchange at k=1 (edge shipment ≤ 1 row per block), bitwise vs a
+    ROW_NUMBER()=1 oracle (ties broken by event_id, so deterministic
+    where raw arg_max is not)."""
+    from ..stages.topk import grouped_topk
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts",
+                                      "event_type"])
+    # total order: (ts desc, event_id asc) — encode ts as int64 micros
+    prep = events.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        "event_type": b.column("event_type")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    top = grouped_topk(prep, group="user_id", order_col="ts_us",
+                       tiebreak="event_id", k=1)
+    return top.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "last_event_id": b.column("event_id"),
+        "last_ts_us": b.column("ts_us"),
+        "last_type": b.column("event_type")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def type_value_mode(sf_dir: str):
+    """Per-group MODE with a deterministic tie rule (most frequent
+    cents value per event type; ties -> smallest value).  Pure
+    composition: one distributed count aggregate at (type, value)
+    grain, then the grouped_topk exchange at k=1 over the REDUCED
+    output (count desc, value asc) — the input is touched once."""
+    from ..stages.topk import grouped_topk
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+    cents = events.map_batches(lambda b: pa.table({
+        "event_type": b.column("event_type"),
+        "cents": _cents(b.column("value")),
+        "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = sorted_group_aggregate(cents, ["event_type", "cents"],
+                                    [("n", "sum")])
+    top = grouped_topk(counts, group="event_type", order_col="n",
+                       tiebreak="cents", k=1)
+    return top.map_batches(lambda b: pa.table({
+        "event_type": b.column("event_type"),
+        "mode_cents": b.column("cents"),
+        "mode_n": b.column("n")}),
         batch_format="pyarrow", zero_copy_batch=True)
