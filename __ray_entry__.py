@@ -216,12 +216,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": text.heavy_hitter_tokens,
         "duplicate_ngram_fraction": text.duplicate_ngram_fraction,
         "jsonl_token_stats": text.jsonl_token_stats,
+        "doc_splits": text.doc_splits,
+        "unigram_logprob": text.unigram_logprob,
+        "decontaminate": text.decontaminate,
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
         ).entity_pagerank(sf, iters=5),
         "event_user_distinct_hll": relational.event_user_distinct_hll,
         "events_hash_sample": relational.events_hash_sample,
         "user_event_sample": relational.user_event_sample,
+        "events_value_histogram": relational.events_value_histogram,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_lines": dedup.dedup_lines,
@@ -411,6 +415,71 @@ def oracle_sql() -> dict[str, str]:
                       AS rank FROM s)
             SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        "doc_splits": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 8)) AS BIGINT) % 1000 < 900
+                             THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 8)) AS BIGINT) % 1000 < 950
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "unigram_logprob": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                       FROM documents WHERE len(trim(text)) > 0),
+            tf AS (SELECT doc_id, tok AS token,
+                          CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, tok),
+            cnt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+                    FROM tf GROUP BY token),
+            n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnt),
+            s AS (SELECT tf.doc_id, tf.tf,
+                         tf.tf * CAST(FLOOR(ln(CAST(cnt.cnt AS DOUBLE)
+                                               / CAST(n.n AS DOUBLE)) * 1e6)
+                                      AS BIGINT) AS c
+                  FROM tf JOIN cnt USING (token) CROSS JOIN n)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c) AS BIGINT) AS logprob_micronats,
+                   CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                       AS avg_logprob_micronats
+            FROM s GROUP BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            g AS (SELECT DISTINCT doc_id, g
+                  FROM t, UNNEST(list_transform(
+                      generate_series(1, len(toks) - 7),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                           || toks[i+5] || ' ' || toks[i+6] || ' '
+                           || toks[i+7])) AS u(g)),
+            ev AS (SELECT DISTINCT g FROM g
+                   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 1000 < 50),
+            hit AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                           CAST(SUM(CASE WHEN ev.g IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_overlap
+                    FROM g LEFT JOIN ev ON g.g = ev.g GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_grams, 0) AS n_grams,
+                   COALESCE(h.n_overlap, 0) AS n_overlap
+            FROM documents d LEFT JOIN hit h USING (doc_id)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000 >= 50
+        """,
+        "events_value_histogram": """
+            SELECT event_type,
+                   CAST(FLOOR(value / 50.0) AS BIGINT) AS value_bin,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY 1, 2
         """,
         "jsonl_token_stats": f"""
             SELECT doc_id,

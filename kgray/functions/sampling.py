@@ -20,7 +20,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "group_sample", "mixture_sample"]
+__all__ = ["hash_sample", "group_sample", "mixture_sample", "split_assign"]
 
 
 def _md5_bucket(vals: list, mod: int) -> np.ndarray:
@@ -91,5 +91,35 @@ def mixture_sample(ds, group_col: str, key_col: str, rates: dict,
         lim = np.array([rates.get(g, default_permille) for g in groups],
                        dtype=np.int64)
         return batch.filter(pa.array(b < lim))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign(ds, key_col: str, bounds=(900, 950),
+                 names=("train", "val", "test"),
+                 split_col: str = "split"):
+    """Deterministic train/val/test assignment: md5(key) bucket of
+    1000 → ``names[0]`` below ``bounds[0]``, ``names[1]`` below
+    ``bounds[1]``, else ``names[2]``.  The split is a pure function of
+    the key — stable across runs, partitions, retries and engines
+    (bitwise vs the SQL CASE oracle), so a row can never migrate
+    between splits when the corpus grows or the job is resumed, and
+    train/eval leakage cannot be introduced by a reshuffle.  Pure
+    streaming append; no shuffle.
+    """
+    if not (len(bounds) + 1 == len(names) and
+            all(bounds[i] < bounds[i + 1] for i in range(len(bounds) - 1))):
+        raise ValueError("bounds must be ascending with len(names)-1 entries")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                split_col, pa.array([], type=pa.string()))
+        b = _md5_bucket(batch.column(key_col).to_pylist(), 1000)
+        out = np.full(len(b), names[-1], dtype=object)
+        for bound, name in zip(reversed(bounds), reversed(names[:-1])):
+            out[b < bound] = name
+        return batch.append_column(
+            split_col, pa.array(out.tolist(), type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

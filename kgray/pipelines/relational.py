@@ -1038,3 +1038,28 @@ def type_value_mode(sf_dir: str):
         "mode_cents": b.column("cents"),
         "mode_n": b.column("n")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_value_histogram(sf_dir: str, width: float = 50.0):
+    """Fixed-width value histogram per event type: bin =
+    ``floor(value / width)`` (one IEEE division + exact floor, so Ray
+    and the SQL oracle agree bitwise), with event count and exact cents
+    total per (type, bin).  Map-side combine reduces each block to at
+    most types × bins partials before the tiny groupby — the canonical
+    "distribution profile" pass a data-quality dashboard runs over the
+    full corpus without ever shuffling raw rows."""
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        bin_ = pc.cast(pc.floor(pc.divide(v, pa.scalar(width))), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "value_bin": bin_,
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "value_cents": _cents(v),
+        })
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+               .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return sorted_group_aggregate(prepped, ["event_type", "value_bin"],
+                                  [("n_events", "sum"), ("value_cents", "sum")])

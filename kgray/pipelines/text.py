@@ -22,7 +22,8 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
            "heavy_hitter_tokens", "jsonl_token_stats",
-           "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample"]
+           "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
+           "doc_splits", "unigram_logprob", "decontaminate"]
 
 _WS = re.compile(r"\s+")
 
@@ -419,3 +420,156 @@ def source_mix_sample(sf_dir: str):
         "lang": b.column("lang"),
         "n_chars": b.column("n_chars")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_splits(sf_dir: str):
+    """Deterministic train/val/test assignment over the corpus
+    (``functions/sampling.py:split_assign``): md5(doc_id) bucket of
+    1000 → train < 900, val < 950, test otherwise.  A pure streaming
+    append — no shuffle — and a pure function of the key, so the split
+    survives resumes, repartitions and corpus growth without leakage."""
+    from ..functions.sampling import split_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return split_assign(docs, "doc_id")
+
+
+def unigram_logprob(sf_dir: str):
+    """Per-document average unigram log-probability under the corpus'
+    own unigram LM — the classic perplexity-style quality filter (docs
+    of rare/implausible tokens score low and get dropped).
+
+    Determinism trick: per-token log-probs are quantized to integer
+    **micro-nats** (``floor(ln(cnt/N) * 1e6)``), so the per-document
+    sum is an order-independent int64 reduction — bitwise reproducible
+    across partitionings AND equal to the SQL oracle — and the average
+    is ONE IEEE division at the end.  ``ln`` is evaluated with
+    ``math.log`` on distinct counts only (libm — bitwise equal to
+    DuckDB's ``ln``; numpy's SIMD log drifts 1 ulp).
+
+    Composition (all distributed, the ``tfidf_top_terms`` shape): flat
+    (doc_id, token, tf) rows → global token counts via
+    ``sorted_group_aggregate`` → LARGE×LARGE ``sorted_merge_join`` on
+    token (vocabulary-sized right side; no broadcast assumption) →
+    vectorized micro-nat scoring → per-doc aggregate."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, toks, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok, n in Counter(_tokens(t)).items():
+                doc_ids.append(d)
+                toks.append(tok)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "tf": pa.array(tfs, type=pa.int64())})
+
+    tf_ds = (read_documents(sf_dir)
+             .map_batches(tf_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+
+    cnt_ds = sorted_group_aggregate(
+        tf_ds.map_batches(lambda b: pa.table({
+            "token": b.column("token"), "cnt": b.column("tf")}),
+            batch_format="pyarrow"),
+        "token", [("cnt", "sum")]).materialize()
+    n_total = cnt_ds.sum("cnt")                    # corpus token count
+
+    joined = sorted_merge_join(tf_ds, cnt_ds, on="token")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cnt, return_inverse=True)
+        lp = np.array([math.log(float(u) / float(n_total)) for u in uniq],
+                      dtype=np.float64)
+        micro = np.floor(lp * 1e6).astype(np.int64)[inv]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(tf, type=pa.int64()),
+            "logprob_micronats": pa.array(tf * micro, type=pa.int64())})
+
+    sums = sorted_group_aggregate(
+        joined.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "doc_id", [("n_tokens", "sum"), ("logprob_micronats", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        avg = pc.divide(pc.cast(batch.column("logprob_micronats"),
+                                pa.float64()),
+                        pc.cast(batch.column("n_tokens"), pa.float64()))
+        return batch.append_column("avg_logprob_micronats", avg)
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def decontaminate(sf_dir: str, n: int = 8, eval_permille: int = 50):
+    """Benchmark decontamination (GPT-3 §C / Dolma style): flag
+    training documents that share any word ``n``-gram with a held-out
+    eval set, here the deterministic md5 split ``bucket < 50`` (5%) so
+    the check is self-contained and reproducible.
+
+    The eval n-gram set is SMALL by construction (eval/benchmark sets
+    always are — that is what makes decontamination broadcastable):
+    it is built distributed, collected once, ``ray.put`` once, and
+    every batch then scores its documents locally — the corpus side
+    streams with no shuffle and no join.  Output: one row per
+    non-eval document with its distinct-gram and overlap counts; a
+    pipeline drops (or audits) rows with ``n_overlap > 0``.  At 100 TB
+    the broadcast set should hold 64-bit gram hashes rather than
+    strings (collisions only ever add a flagged doc — safe direction);
+    strings are kept here for exact SQL-oracle equality."""
+    import ray
+
+    from ..functions.sampling import _md5_bucket
+
+    def doc_grams(text: str) -> set:
+        toks = _tokens(text)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = read_documents(sf_dir)
+
+    def eval_gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = _md5_bucket(ids, 1000) < eval_permille
+        grams = set()
+        for d, t, k in zip(ids, batch.column("text").to_pylist(), keep):
+            if k:
+                grams |= doc_grams(t)
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    eval_grams = set()
+    for t in (docs.map_batches(eval_gram_rows, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()):
+        t = ray.get(t)
+        if t.num_rows:
+            eval_grams.update(t.column("gram").to_pylist())
+    gram_ref = ray.put(frozenset(eval_grams))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(gram_ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = _md5_bucket(ids, 1000) >= eval_permille
+        out_ids, n_grams, n_overlap = [], [], []
+        for d, t, k in zip(ids, batch.column("text").to_pylist(), keep):
+            if not k:
+                continue
+            g = doc_grams(t)
+            out_ids.append(d)
+            n_grams.append(len(g))
+            n_overlap.append(sum(1 for x in g if x in ev))
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_overlap": pa.array(n_overlap, type=pa.int64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -1,0 +1,132 @@
+"""Training-pipeline text operators: split assignment, unigram-LM
+scoring, benchmark decontamination, value histograms — brute-force
+(serial pandas/Counter) equality over the driver-generated sf0.001
+testdata."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+_WS = re.compile(r"\s+")
+
+
+def _toks(t):
+    t = t.strip()
+    return _WS.split(t) if t else []
+
+
+def _bucket(v, mod=1000):
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod
+
+
+def test_split_assign_deterministic_and_exhaustive(ray_session):
+    from kgray.pipelines.text import doc_splits
+
+    df = doc_splits(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    assert sorted(df.doc_id) == sorted(docs.doc_id)      # total partition
+    for _, r in df.iterrows():
+        b = _bucket(r.doc_id)
+        want = "train" if b < 900 else ("val" if b < 950 else "test")
+        assert r.split == want
+    assert set(df.split) == {"train", "val", "test"}
+
+    # stability: a second run assigns identically (pure function of key)
+    df2 = doc_splits(SF).to_pandas()
+    m = df.merge(df2, on="doc_id", suffixes=("", "_2"))
+    assert (m.split == m.split_2).all()
+
+
+def test_split_assign_bounds_validation(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from kgray.functions.sampling import split_assign
+
+    ds = rd.range(4)
+    with pytest.raises(ValueError):
+        split_assign(ds, "id", bounds=(950, 900))
+    with pytest.raises(ValueError):
+        split_assign(ds, "id", bounds=(900,), names=("a", "b", "c"))
+
+
+def test_unigram_logprob_matches_serial(ray_session):
+    from kgray.pipelines.text import unigram_logprob
+
+    got = unigram_logprob(SF).to_pandas().set_index("doc_id")
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    cnt = Counter()
+    per_doc = {}
+    for _, r in docs.iterrows():
+        tf = Counter(_toks(r.text))
+        if tf:
+            per_doc[r.doc_id] = tf
+            cnt.update(tf)
+    n_total = sum(cnt.values())
+
+    assert sorted(got.index) == sorted(per_doc)
+    for doc_id, tf in per_doc.items():
+        micro = sum(n * math.floor(math.log(cnt[w] / n_total) * 1e6)
+                    for w, n in tf.items())
+        n_tok = sum(tf.values())
+        row = got.loc[doc_id]
+        assert row.n_tokens == n_tok
+        assert row.logprob_micronats == micro
+        assert row.avg_logprob_micronats == micro / n_tok
+    # log-probs are negative: every doc scores below zero
+    assert (got.avg_logprob_micronats < 0).all()
+
+
+def test_decontaminate_matches_serial(ray_session):
+    n, perm = 8, 50
+    from kgray.pipelines.text import decontaminate
+
+    got = decontaminate(SF, n=n, eval_permille=perm).to_pandas() \
+        .set_index("doc_id")
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    grams = {r.doc_id: {" ".join(ts[i:i + n])
+                        for ts in [_toks(r.text)]
+                        for i in range(len(ts) - n + 1)}
+             for _, r in docs.iterrows()}
+    ev = set().union(*(g for d, g in grams.items() if _bucket(d) < perm))
+    train = {d: g for d, g in grams.items() if _bucket(d) >= perm}
+
+    assert sorted(got.index) == sorted(train)
+    for d, g in train.items():
+        assert got.loc[d].n_grams == len(g)
+        assert got.loc[d].n_overlap == len(g & ev)
+    # the check must be non-vacuous on this corpus (planted near-dups)
+    assert (got.n_overlap > 0).any()
+
+
+def test_events_value_histogram_matches_pandas(ray_session):
+    from kgray.pipelines.relational import events_value_histogram
+
+    got = events_value_histogram(SF).to_pandas() \
+        .sort_values(["event_type", "value_bin"], ignore_index=True)
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["value_bin"] = np.floor(ev.value / 50.0).astype(np.int64)
+    ev["value_cents"] = np.floor(ev.value * 100.0 + 0.5).astype(np.int64)
+    want = (ev.groupby(["event_type", "value_bin"], as_index=False)
+              .agg(n_events=("value", "size"), value_cents=("value_cents", "sum"))
+              .sort_values(["event_type", "value_bin"], ignore_index=True))
+    want["n_events"] = want.n_events.astype(np.int64)
+
+    pd.testing.assert_frame_equal(
+        got[["event_type", "value_bin", "n_events", "value_cents"]], want)
+    # bins partition the events exactly
+    assert got.n_events.sum() == len(ev)
