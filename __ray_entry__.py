@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_lines": dedup.dedup_lines,
+        "incremental_dedup": dedup.incremental_dedup,
         "source_mix_sample": text.source_mix_sample,
         "packed_documents": pack.pack_documents,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
@@ -471,6 +472,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hit h USING (doc_id)
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
                                        1, 8)) AS BIGINT) % 1000 >= 50
+        """,
+        "incremental_dedup": """
+            WITH m AS (SELECT (4 * (max(doc_id) + 1)) // 5 AS thr,
+                              max(doc_id) + 1 AS base FROM documents),
+            h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+            new AS (SELECT h.doc_id, h.text_hash FROM h, m
+                    WHERE h.doc_id >= m.thr
+                    UNION ALL
+                    SELECT h.doc_id + m.base AS doc_id, h.text_hash
+                    FROM h, m
+                    WHERE CAST(('0x' || substr(md5(CAST(h.doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 1000 < 100),
+            old AS (SELECT DISTINCT h.text_hash FROM h, m
+                    WHERE h.doc_id < m.thr),
+            f AS (SELECT text_hash, CAST(min(doc_id) AS BIGINT)
+                             AS first_doc_id
+                  FROM new GROUP BY 1)
+            SELECT n.doc_id, n.text_hash,
+                   CASE WHEN o.text_hash IS NOT NULL THEN 'dup_existing'
+                        WHEN n.doc_id <> f.first_doc_id THEN 'dup_batch'
+                        ELSE 'new' END AS status
+            FROM new n JOIN f USING (text_hash)
+                 LEFT JOIN old o USING (text_hash)
         """,
         "events_value_histogram": """
             SELECT event_type,

@@ -44,7 +44,8 @@ from ..functions.hashing import stable_hash64
 __all__ = ["exact_dedup", "shingle_set", "jaccard_pairs_bruteforce",
            "minhash_signatures", "minhash_lsh_pairs", "simhash64",
            "simhash_signatures", "simhash_pairs", "embedding_neardup_pairs",
-           "embedding_lsh_pairs", "dedup_lines", "dedup_lines_ds"]
+           "embedding_lsh_pairs", "dedup_lines", "dedup_lines_ds",
+           "incremental_dedup"]
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -869,3 +870,124 @@ def dedup_lines_ds(pages):
         "n_lines_kept": b.column("n"),
         "text_clean": pc.cast(b.column("text_clean"), pa.string())}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def incremental_dedup(sf_dir: str, recrawl_permille: int = 100):
+    """Incremental-ingest exact dedup: an ingest batch arrives against
+    the EXISTING corpus (docs below the 80% doc_id threshold) and every
+    new document is classified ``dup_existing`` (its content hash is
+    already in the old corpus), ``dup_batch`` (first seen earlier
+    within the batch), or ``new``.
+
+    The batch models a later crawl deterministically: the corpus tail
+    (doc_id ≥ threshold) plus a RE-CRAWL of ~10% of all pages — the
+    same text re-arriving under a fresh doc_id (original + max_id + 1),
+    selected by md5(doc_id) bucket so the simulation is a pure function
+    of the data (bitwise vs the SQL oracle).  Re-crawled old pages must
+    classify ``dup_existing``; re-crawled tail pages ``dup_batch``
+    (their first occurrence is in the same batch).
+
+    The scale trick is direction: the old corpus is ~100 TB while an
+    ingest batch is small, so the OLD side is never shuffled — a
+    tree-reduced bloom bitset of the NEW batch's hashes (reusing
+    ``stages/semijoin._build_bloom``) is broadcast and the old corpus
+    streams through it, surviving only where it might collide with the
+    batch (true matches + bloom false positives).  False positives are
+    then removed exactly: the tiny survivor set joins against the
+    batch's distinct hashes, where a hash absent from the batch simply
+    matches nothing.  Shuffle volume is O(|batch| + |matches|),
+    independent of the old corpus size.
+
+    Within-batch duplicates resolve to the min doc_id (same rule as
+    ``exact_dedup``); ``dup_existing`` takes precedence over
+    ``dup_batch`` so re-ingested old content is always attributed to
+    the existing corpus."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.semijoin import _bloom_positions, _build_bloom
+    import ray
+
+    from ..functions.sampling import _md5_bucket
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    base = int(docs.max("doc_id")) + 1
+    thr = (4 * base) // 5
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text_hash": pa.array(h, type=pa.string())})
+
+    # hash table ≈ 2% of the text payload; pinned once so the old/new
+    # split and the two exchanges below don't re-read + re-hash the text
+    hashes = docs.map_batches(hash_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    import pyarrow.compute as pc
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("doc_id"),
+                                    pa.scalar(thr)))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        tail = batch.filter(pc.greater_equal(batch.column("doc_id"),
+                                             pa.scalar(thr)))
+        ids = batch.column("doc_id").to_pylist()
+        re_mask = _md5_bucket(ids, 1000) < recrawl_permille
+        recrawl = batch.filter(pa.array(re_mask))
+        recrawl = recrawl.set_column(
+            recrawl.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(recrawl.column("doc_id"), pa.scalar(base)))
+        return pa.concat_tables([tail, recrawl])
+
+    old = hashes.map_batches(old_side, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    new = hashes.map_batches(new_side, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    m_bits = 1 << 20
+    bloom_ref = ray.put(_build_bloom(new, "text_hash", m_bits))
+
+    def old_candidates(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = batch.column("text_hash")
+        pos = _bloom_positions(keys, m_bits)      # h1 block then h2 block
+        k = len(pos) // 2
+        hit = bits[pos[:k]] & bits[pos[k:]]
+        return pa.table({
+            "text_hash": batch.column("text_hash").filter(pa.array(hit)),
+        }).append_column("in_old",
+                         pa.array(np.ones(int(hit.sum()), dtype=np.int64)))
+
+    old_marks = sorted_group_aggregate(
+        old.map_batches(old_candidates, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "text_hash", [("in_old", "max")], precombine=True)
+
+    first_new = sorted_group_aggregate(
+        new.map_batches(lambda b: pa.table({
+            "text_hash": b.column("text_hash"),
+            "first_doc_id": b.column("doc_id")}), batch_format="pyarrow"),
+        "text_hash", [("first_doc_id", "min")], precombine=False)
+
+    ref = sorted_merge_join(first_new, old_marks, on="text_hash",
+                            how="left")
+    out = sorted_merge_join(new, ref, on="text_hash")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        first = batch.column("first_doc_id").to_numpy(zero_copy_only=False)
+        in_old = pc.fill_null(batch.column("in_old"), 0) \
+            .to_numpy(zero_copy_only=False)
+        status = np.where(in_old == 1, "dup_existing",
+                          np.where(did != first, "dup_batch", "new"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text_hash": batch.column("text_hash"),
+                         "status": pa.array(status.tolist(),
+                                            type=pa.string())})
+
+    return out.map_batches(classify, batch_format="pyarrow",
+                           zero_copy_batch=True)

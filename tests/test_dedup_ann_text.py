@@ -424,3 +424,46 @@ def test_dedup_lines_keeps_first_occurrence(ray_session):
     assert got.loc["a://2", "text_clean"] == "unique two"
     assert got.loc["a://4", "text_clean"] == "solo page line"
     assert got["n_lines_kept"].tolist() == [3, 1, 1]
+
+
+def test_incremental_dedup_classification(ray_session):
+    """Every new-batch doc is classified; re-crawled old content is
+    dup_existing, within-batch repeats are dup_batch (min doc_id wins),
+    and the rest are new.  Statuses re-derived here with a plain
+    pandas/set oracle over the same deterministic batch construction."""
+    import pandas as pd
+
+    from kgray.functions.sampling import _md5_bucket
+    from kgray.pipelines.dedup import incremental_dedup
+
+    got = incremental_dedup(SF).to_pandas()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import hashlib
+    docs["text_hash"] = docs["text"].map(
+        lambda t: hashlib.md5(t.encode()).hexdigest())
+    base = int(docs["doc_id"].max()) + 1
+    thr = (4 * base) // 5
+    tail = docs[docs["doc_id"] >= thr][["doc_id", "text_hash"]]
+    re_mask = _md5_bucket(docs["doc_id"].tolist(), 1000) < 100
+    recrawl = docs[re_mask][["doc_id", "text_hash"]].copy()
+    recrawl["doc_id"] += base
+    new = pd.concat([tail, recrawl], ignore_index=True)
+    old_hashes = set(docs.loc[docs["doc_id"] < thr, "text_hash"])
+    first = new.groupby("text_hash")["doc_id"].min()
+
+    def expect(row):
+        if row.text_hash in old_hashes:
+            return "dup_existing"
+        return "dup_batch" if row.doc_id != first[row.text_hash] else "new"
+
+    exp = new.assign(status=[expect(r) for r in new.itertuples()])
+    got = got.sort_values(["doc_id"]).reset_index(drop=True)
+    exp = exp.sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "text_hash", "status"]].astype({"doc_id": "int64"}),
+        exp[["doc_id", "text_hash", "status"]].astype({"doc_id": "int64"}))
+    # all three classes actually occur in the testdata
+    assert set(got["status"]) == {"dup_existing", "dup_batch", "new"}
