@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_splits": text.doc_splits,
         "unigram_logprob": text.unigram_logprob,
         "decontaminate": text.decontaminate,
+        "pii_scrub": text.pii_scrub,
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
         ).entity_pagerank(sf, iters=5),
@@ -472,6 +473,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hit h USING (doc_id)
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
                                        1, 8)) AS BIGINT) % 1000 >= 50
+        """,
+        "pii_scrub": """
+            WITH base AS (
+                SELECT doc_id,
+                       text || CASE WHEN CAST(('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR)), 1, 8))
+                                        AS BIGINT) % 1000 < 300
+                           THEN chr(10) || 'Contact: user' || doc_id
+                                || '@example.com or 10.' || (doc_id % 256)
+                                || '.' || ((doc_id // 256) % 256)
+                                || '.7, call 555-' || (100 + doc_id % 900)
+                                || '-' || (1000 + doc_id % 9000) || '.'
+                           ELSE '' END AS t0
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(t0,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                               AS BIGINT) AS n_email,
+                          regexp_replace(t0,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g') AS t1
+                   FROM base),
+            s2 AS (SELECT doc_id, n_email,
+                          CAST(len(regexp_extract_all(t1,
+                               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                               AS BIGINT) AS n_ip,
+                          regexp_replace(t1,
+                               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                               '<IP>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id, n_email, n_ip,
+                   CAST(len(regexp_extract_all(t2,
+                        '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                                  '<PHONE>', 'g') AS text_clean
+            FROM s2
         """,
         "incremental_dedup": """
             WITH m AS (SELECT (4 * (max(doc_id) + 1)) // 5 AS thr,

@@ -131,6 +131,14 @@ def run_bench() -> dict:
           lambda: text.duplicate_ngram_fraction(sf_dir))
     from kgray.pipelines import graph as _graph
     timed("entity_pagerank", lambda: _graph.entity_pagerank(sf_dir))
+    from kgray.pipelines import cluster as _cluster
+    from kgray.pipelines import pack as _pack
+    timed("neardup_clusters", lambda: _cluster.neardup_clusters(sf_dir))
+    timed("dedup_lines", lambda: dedup.dedup_lines(sf_dir))
+    timed("incremental_dedup", lambda: dedup.incremental_dedup(sf_dir))
+    timed("packed_documents", lambda: _pack.pack_documents(sf_dir))
+    timed("decontaminate", lambda: text.decontaminate(sf_dir))
+    timed("pii_scrub", lambda: text.pii_scrub(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

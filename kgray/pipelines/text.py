@@ -23,7 +23,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
            "heavy_hitter_tokens", "jsonl_token_stats",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
-           "doc_splits", "unigram_logprob", "decontaminate"]
+           "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub"]
 
 _WS = re.compile(r"\s+")
 
@@ -573,3 +573,57 @@ def decontaminate(sf_dir: str, n: int = 8, eval_permille: int = 50):
 
     return docs.map_batches(flag, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# PII scrub patterns — deliberately RE2-only syntax (no lookaround, no
+# backrefs) so pyarrow's RE2 kernels and DuckDB's RE2 regexp_replace
+# agree byte-for-byte.  Replacement order matters: emails first (their
+# domains contain dots that the IP pattern must never see), then IPs,
+# then phones (dash-separated, disjoint from both).
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(sf_dir: str, inject_permille: int = 300):
+    """C4/Dolma-style PII redaction: replace emails / IPv4s / US-style
+    phone numbers with typed placeholder tokens and count the matches
+    per document.
+
+    The synthetic corpus contains no PII, so the query first APPENDS a
+    deterministic contact footer to ~30% of documents (md5(doc_id)
+    bucket < ``inject_permille``; footer fields are pure functions of
+    doc_id) — the same construction the SQL oracle performs — and then
+    scrubs.  Non-injected documents flow through the same kernels and
+    assert the zero-match path.
+
+    Entirely vectorized: match counting and replacement are pyarrow's
+    RE2 C++ kernels (`count_substring_regex` /
+    `replace_substring_regex`) over the Arrow string column — no
+    Python-level row loop — and the stage is stateless `map_batches`,
+    so at 100 TB it streams with no shuffle."""
+    import pyarrow.compute as pc
+
+    from ..functions.sampling import _md5_bucket
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        bucket = _md5_bucket(ids.to_pylist(), 1000)
+        idv = ids.to_numpy(zero_copy_only=False)
+        footer = pa.array([
+            (f"\nContact: user{d}@example.com or 10.{d % 256}."
+             f"{(d // 256) % 256}.7, call 555-{100 + d % 900}-"
+             f"{1000 + d % 9000}." if b < inject_permille else "")
+            for d, b in zip(idv, bucket)], type=pa.string())
+        text = pc.binary_join_element_wise(batch.column("text"), footer, "")
+        counts = {}
+        for name, pat, repl in _PII_PATTERNS:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, repl)
+        return pa.table({"doc_id": ids, **counts, "text_clean": text})
+
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                              zero_copy_batch=True)

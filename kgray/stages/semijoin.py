@@ -75,9 +75,13 @@ def _build_bloom(right, on: str, m_bits: int):
     def or_merge(*tabs):
         acc = None
         for t in tabs:
+            if t.num_rows == 0 or "b" not in t.column_names:
+                continue                 # Ray emits empty-schema blocks
             for buf in t.column("b").to_pylist():
                 a = np.frombuffer(buf, dtype=np.uint8)
                 acc = a.copy() if acc is None else (acc | a)
+        if acc is None:
+            acc = np.zeros(m_bits // 8, dtype=np.uint8)
         return pa.table({"b": pa.array([acc.tobytes()], type=pa.binary())})
 
     while len(refs) > 1:

@@ -130,3 +130,29 @@ def test_events_value_histogram_matches_pandas(ray_session):
         got[["event_type", "value_bin", "n_events", "value_cents"]], want)
     # bins partition the events exactly
     assert got.n_events.sum() == len(ev)
+
+
+def test_pii_scrub_redacts_and_counts(ray_session):
+    """Injected docs lose their email/IP/phone (one each, typed
+    placeholders appear); non-injected docs pass through byte-identical
+    with zero counts."""
+    from kgray.functions.sampling import _md5_bucket
+    from kgray.pipelines.text import pii_scrub
+
+    got = pii_scrub(SF).to_pandas().set_index("doc_id").sort_index()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id").sort_index()
+    injected = _md5_bucket(docs.index.tolist(), 1000) < 300
+    assert injected.any() and not injected.all()
+
+    inj = got[injected]
+    assert (inj[["n_email", "n_ip", "n_phone"]] == 1).all().all()
+    assert inj.text_clean.str.contains("<EMAIL>").all()
+    assert inj.text_clean.str.contains("<IP>").all()
+    assert inj.text_clean.str.contains("<PHONE>").all()
+    assert not inj.text_clean.str.contains("@example.com").any()
+
+    clean = got[~injected]
+    assert (clean[["n_email", "n_ip", "n_phone"]] == 0).all().all()
+    assert (clean.text_clean == docs.text[~injected]).all()
