@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": relational.events_grouping_sets,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
+        "bucketed_order_revenue": relational.bucketed_order_revenue,
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
@@ -799,6 +800,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "bucketed_order_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
         """,

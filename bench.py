@@ -139,6 +139,8 @@ def run_bench() -> dict:
     timed("packed_documents", lambda: _pack.pack_documents(sf_dir))
     timed("decontaminate", lambda: text.decontaminate(sf_dir))
     timed("pii_scrub", lambda: text.pii_scrub(sf_dir))
+    timed("bucketed_order_revenue",
+          lambda: relational.bucketed_order_revenue(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -36,7 +36,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_quartiles", "events_value_quantiles_approx",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
-           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode"]
+           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1063,3 +1063,72 @@ def events_value_histogram(sf_dir: str, width: float = 50.0):
                .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return sorted_group_aggregate(prepped, ["event_type", "value_bin"],
                                   [("n_events", "sum"), ("value_cents", "sum")])
+
+
+def bucketed_order_revenue(sf_dir: str, n_buckets: int = 32):
+    """``order_priority_revenue``'s shuffle-free twin on a co-bucketed
+    layout (see ``stages/bucketed.py``): lineitem and orders are each
+    written ONCE as ``bucket=<orderkey % B>/`` parquet, then every
+    bucket pair joins locally inside one task — zero exchange at query
+    time.  Co-location also makes ``COUNT(DISTINCT orderkey)`` exact as
+    a plain SUM of per-bucket local distinct counts (a key lives in
+    exactly one bucket), so the output adds an ``n_orders`` column the
+    shuffle plan would need a second exchange for.
+
+    The layout is cached per sf_dir under /tmp — the 100-TB reading is
+    that the bucketed write is amortized across every orderkey join in
+    the workload, which is exactly why warehouses bucket fact tables."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..stages.bucketed import bucketed_join, write_bucketed
+
+    tag = _hl.md5(f"{_os.path.realpath(sf_dir)}|{n_buckets}|v1"
+                  .encode()).hexdigest()[:16]
+    root = f"/tmp/kgray_buckets/{tag}"
+    _os.makedirs(root, exist_ok=True)
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        revenue = pc.multiply(b.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0),
+                                          b.column("l_discount")))
+        return pa.table({"orderkey": b.column("l_orderkey"),
+                         "revenue_cents": _cents(revenue)})
+
+    li_dir = _os.path.join(root, "lineitem")
+    if not _os.path.isdir(li_dir):
+        li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_extendedprice",
+                                       "l_discount"])
+              .map_batches(prep_li, batch_format="pyarrow",
+                           zero_copy_batch=True))
+        write_bucketed(li, "orderkey", li_dir, n_buckets)
+
+    ord_dir = _os.path.join(root, "orders")
+    if not _os.path.isdir(ord_dir):
+        orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                  columns=["o_orderkey", "o_orderpriority"])
+                  .map_batches(lambda b: pa.table({
+                      "orderkey": b.column("o_orderkey"),
+                      "o_orderpriority": b.column("o_orderpriority")}),
+                      batch_format="pyarrow", zero_copy_batch=True))
+        write_bucketed(orders, "orderkey", ord_dir, n_buckets)
+
+    def per_bucket(j: pa.Table) -> pa.Table:
+        g = j.group_by("o_orderpriority").aggregate(
+            [("revenue_cents", "sum"), ("revenue_cents", "count"),
+             ("orderkey", "count_distinct")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "revenue_cents": pc.cast(g.column("revenue_cents_sum"),
+                                     pa.int64()),
+            "n_items": pc.cast(g.column("revenue_cents_count"), pa.int64()),
+            "n_orders": pc.cast(g.column("orderkey_count_distinct"),
+                                pa.int64())})
+
+    partials = bucketed_join(li_dir, ord_dir, on="orderkey",
+                             n_buckets=n_buckets, per_bucket=per_bucket)
+    return sorted_group_aggregate(partials, "o_orderpriority",
+                                  [("revenue_cents", "sum"),
+                                   ("n_items", "sum"), ("n_orders", "sum")],
+                                  precombine=False)

@@ -232,3 +232,35 @@ def test_broadcast_join_vs_pandas(ray_session):
     dup = pa.table({"k": pa.array([1, 1]), "name": pa.array(["a", "b"])})
     with pytest.raises(ValueError):
         broadcast_join(left, dup, on="k")
+
+
+def test_bucketed_join_matches_shuffle_plan(ray_session):
+    """The co-bucketed zero-shuffle plan returns exactly the shuffle
+    sorted-merge-join plan's aggregate, plus an exact additive
+    COUNT(DISTINCT orderkey) per priority."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.relational import (bucketed_order_revenue,
+                                            order_priority_revenue)
+
+    got = bucketed_order_revenue(SF).to_pandas() \
+        .sort_values("o_orderpriority", ignore_index=True)
+    twin = order_priority_revenue(SF).to_pandas() \
+        .sort_values("o_orderpriority", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["o_orderpriority", "revenue_cents", "n_items"]], twin)
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"]) \
+        .to_pandas()
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    want = j.groupby("o_orderpriority")["o_orderkey"].nunique()
+    assert dict(zip(got.o_orderpriority, got.n_orders)) == want.to_dict()
+
+    # second call hits the cached layout and agrees with itself
+    again = bucketed_order_revenue(SF).to_pandas() \
+        .sort_values("o_orderpriority", ignore_index=True)
+    pd.testing.assert_frame_equal(got, again)
