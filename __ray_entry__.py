@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "embedding_kmeans": ann.embedding_kmeans,
         # --- relational surface (SQL-oracled, integer-cents math)
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -270,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "bucketed_order_revenue": relational.bucketed_order_revenue,
+        "csv_event_stats": relational.csv_event_stats,
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
@@ -320,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
+                     "embedding_kmeans",
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents")
@@ -802,6 +805,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "csv_event_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "bucketed_order_revenue": """
             SELECT o_orderpriority,

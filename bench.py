@@ -141,6 +141,8 @@ def run_bench() -> dict:
     timed("pii_scrub", lambda: text.pii_scrub(sf_dir))
     timed("bucketed_order_revenue",
           lambda: relational.bucketed_order_revenue(sf_dir))
+    timed("csv_event_stats", lambda: relational.csv_event_stats(sf_dir))
+    timed("embedding_kmeans", lambda: ann.embedding_kmeans(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

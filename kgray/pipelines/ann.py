@@ -20,7 +20,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
-           "build_ivf_index", "ivf_probe_plan"]
+           "build_ivf_index", "ivf_probe_plan", "embedding_kmeans"]
 
 
 # Scale notes: the sf_dir-based query selection below reads the
@@ -240,3 +240,99 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
             .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas"))
+
+
+_KM_SCALE = 1 << 20          # fixed-point quantization for exact sums
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column, made
+    DETERMINISTIC the same way the exact VAR/STDDEV operators are:
+    every vector is quantized once to fixed-point int64
+    (``round(x * 2^20)``), per-batch partials carry integer coordinate
+    sums + counts, and integer addition is exact and order-independent
+    — so centroids are bit-identical regardless of block arrival
+    order, parallelism, or retries (floats would drift with summation
+    order).  Ties in the argmin assignment break to the lowest cluster
+    id; empty clusters keep their previous centroid.
+
+    Per iteration: centroids broadcast via ``ray.put`` (one object,
+    read by every task), one streaming pass emits k partial rows per
+    batch, the driver folds the tiny partial set.  Shuffle volume per
+    pass is O(k * dim * n_blocks) — independent of corpus size; the
+    quantized table is pinned once so iterations re-read it from the
+    object store, not from parquet.
+
+    Output: one row per vector — (vec_id, cluster).
+    """
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.rint(X * _KM_SCALE).astype(np.int64)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "q": pa.array(list(q), type=pa.list_(pa.int64()))})
+
+    qds = raw.map_batches(quantize, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    # deterministic init: the k vectors with the smallest vec_id
+    seed_tbl = pa.concat_tables(
+        [t for t in ray.get(qds.sort("vec_id").limit(k).to_arrow_refs())
+         if t.num_rows])
+    C_int = np.array(seed_tbl.column("q").to_pylist(), dtype=np.int64)
+    C = C_int.astype(np.float64)            # in quantized units
+    dim = C.shape[1]
+
+    def assign(Xq: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # argmin ||x-c||^2 = argmin(c.c - 2 x.c); ties -> lowest id
+        X = Xq.astype(np.float64)
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(b: pa.Table) -> pa.Table:
+            Cb = ray.get(c_ref)
+            Xq = np.array(b.column("q").to_pylist(), dtype=np.int64)
+            a = assign(Xq, Cb)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, Xq)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "s": pa.array(list(sums), type=pa.list_(pa.int64())),
+                "n": pa.array(cnt)})
+
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for t in ray.get(qds.map_batches(
+                partial, batch_format="pyarrow",
+                zero_copy_batch=True).to_arrow_refs()):
+            if t.num_rows == 0:
+                continue
+            # one block may hold several batches' partials -> repeated
+            # cluster ids; np.add.at accumulates duplicates exactly
+            idx = np.asarray(t.column("cluster"))
+            np.add.at(sums, idx,
+                      np.array(t.column("s").to_pylist(), dtype=np.int64))
+            np.add.at(cnt, idx, np.asarray(t.column("n")))
+        nz = cnt > 0
+        # exact integer sums -> one float division: order-independent
+        C = C.copy()
+        C[nz] = sums[nz] / cnt[nz, None]
+
+    c_ref = ray.put(C)
+
+    def final_assign(b: pa.Table) -> pa.Table:
+        Cb = ray.get(c_ref)
+        Xq = np.array(b.column("q").to_pylist(), dtype=np.int64)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "cluster": pa.array(assign(Xq, Cb).astype(np.int64))})
+
+    return qds.map_batches(final_assign, batch_format="pyarrow",
+                           zero_copy_batch=True)

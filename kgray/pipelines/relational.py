@@ -36,7 +36,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_order_quartiles", "events_value_quantiles_approx",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
-           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue"]
+           "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue",
+           "csv_event_stats"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1132,3 +1133,25 @@ def bucketed_order_revenue(sf_dir: str, n_buckets: int = 32):
                                   [("revenue_cents", "sum"),
                                    ("n_items", "sum"), ("n_orders", "sum")],
                                   precombine=False)
+
+
+def csv_event_stats(sf_dir: str):
+    """Per-event-type totals computed over the CSV twin of the events
+    table (``sources/csvsrc.py``) — same SQL oracle as over the
+    parquet view, so the driver's value hash proves CSV source parity
+    end-to-end (sharded read → typed parse → cents kernel →
+    distributed aggregate)."""
+    from ..sources.csvsrc import events_to_csv, read_events_csv
+
+    ds = read_events_csv(events_to_csv(sf_dir))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": _cents(b.column("value")),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", [("value_cents", "sum"), ("n_events", "sum")],
+        precombine=True)

@@ -38,7 +38,8 @@ FIXTURE_QUERIES = [
     "transformer_tags_valid",
     "extract_invariant", "kg_entities", "binary_features",
     "winnowing_fingerprints", "minhash_lsh_pairs", "simhash_pairs",
-    "embedding_lsh_pairs", "ann_ivf_topk", "neardup_clusters",
+    "embedding_lsh_pairs", "ann_ivf_topk", "embedding_kmeans",
+    "neardup_clusters",
     "event_user_distinct_hll", "entity_pagerank",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
 ]

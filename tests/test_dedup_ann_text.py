@@ -467,3 +467,41 @@ def test_incremental_dedup_classification(ray_session):
         exp[["doc_id", "text_hash", "status"]].astype({"doc_id": "int64"}))
     # all three classes actually occur in the testdata
     assert set(got["status"]) == {"dup_existing", "dup_batch", "new"}
+
+
+def test_embedding_kmeans_matches_serial_oracle(ray_session):
+    """The distributed fixed-point Lloyd's must equal a serial NumPy
+    implementation of the same rules bit-for-bit (integer sums make
+    block order irrelevant), and every cluster must be non-trivial on
+    the labeled testdata."""
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.ann import _KM_SCALE, embedding_kmeans
+
+    k, iters = 8, 5
+    got = embedding_kmeans(SF, k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    Xq = np.rint(np.array(tbl["embedding"].to_pylist(),
+                          dtype=np.float64) * _KM_SCALE).astype(np.int64)
+    ids, Xq = ids[order], Xq[order]
+    C = Xq[:k].astype(np.float64)
+    for _ in range(iters):
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (Xq.astype(np.float64) @ C.T)
+        a = np.argmin(d, axis=1)
+        sums = np.zeros((k, Xq.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, Xq)
+        cnt = np.bincount(a, minlength=k)
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = sums[nz] / cnt[nz, None]
+    d = (C * C).sum(axis=1)[None, :] - 2.0 * (Xq.astype(np.float64) @ C.T)
+    want = np.argmin(d, axis=1)
+
+    assert got.vec_id.tolist() == ids.tolist()
+    assert got.cluster.tolist() == want.tolist()
+    assert len(set(got.cluster)) == k
