@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "bucketed_order_revenue": relational.bucketed_order_revenue,
         "csv_event_stats": relational.csv_event_stats,
+        "part_copurchase_topk": relational.part_copurchase_topk,
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
@@ -805,6 +806,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "part_copurchase_topk": """
+            SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b,
+                   COUNT(*) AS n_copurchase
+            FROM lineitem l1 JOIN lineitem l2
+                 ON l1.l_orderkey = l2.l_orderkey
+                AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_copurchase DESC, part_a, part_b
+            LIMIT 20
         """,
         "csv_event_stats": """
             SELECT event_type,

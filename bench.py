@@ -143,6 +143,8 @@ def run_bench() -> dict:
           lambda: relational.bucketed_order_revenue(sf_dir))
     timed("csv_event_stats", lambda: relational.csv_event_stats(sf_dir))
     timed("embedding_kmeans", lambda: ann.embedding_kmeans(sf_dir))
+    timed("part_copurchase_topk",
+          lambda: relational.part_copurchase_topk(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

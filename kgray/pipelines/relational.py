@@ -37,7 +37,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
            "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue",
-           "csv_event_stats"]
+           "csv_event_stats", "part_copurchase_topk"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1155,3 +1155,77 @@ def csv_event_stats(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "event_type", [("value_cents", "sum"), ("n_events", "sum")],
         precombine=True)
+
+
+def part_copurchase_topk(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence: the top-k part pairs appearing on
+    the same order (the classic self-join-on-the-fact-table pattern —
+    SQL expresses it as lineitem ⋈ lineitem on orderkey with
+    ``part_a < part_b``).
+
+    Instead of materializing the quadratic self-join, rows sort once on
+    (orderkey, partkey) and each block expands only its COMPLETE runs
+    into pair counts (order sizes are bounded — tens of lineitems — so
+    per-run expansion is O(m²) with tiny m); boundary runs ship their
+    raw rows (≤ 2 orders × m rows per block) through the standard
+    edge/interior exchange.  Pairs are packed ``a·2³² + b`` so the
+    global count reduction is a single-key integer aggregate, then the
+    top-k sorts the (already combined) pair table with a full
+    deterministic tie-break (cnt desc, part_a, part_b)."""
+    from collections import Counter as _Counter
+
+    from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    srt = li.sort(["l_orderkey", "l_partkey"])
+
+    def _pair_counts(order_keys, part_keys) -> pa.Table:
+        """(packed pair -> count) over contiguous equal-orderkey runs."""
+        c = _Counter()
+        starts = run_starts(order_keys)
+        bounds = np.r_[starts, len(order_keys)]
+        parts = part_keys.to_numpy(zero_copy_only=False)
+        for i in range(len(starts)):
+            run = parts[bounds[i]:bounds[i + 1]]
+            m = len(run)
+            for x in range(m - 1):
+                a = run[x]
+                for y in range(x + 1, m):
+                    if run[y] != a:          # SQL: l1.partkey < l2.partkey
+                        c[(int(a) << 32) | int(run[y])] += 1
+        return pa.table({
+            "pair": pa.array(list(c.keys()), type=pa.int64()),
+            "n_copurchase": pa.array(list(c.values()), type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(edge_mask(batch.column("l_orderkey")))
+
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        interior = batch.filter(
+            pc.invert(edge_mask(batch.column("l_orderkey"))))
+        return _pair_counts(interior.column("l_orderkey"),
+                            interior.column("l_partkey"))
+
+    def merge_fn(edge_tables):
+        t = pa.concat_tables(edge_tables)
+        t = t.take(pc.sort_indices(t, sort_keys=[("l_orderkey", "ascending"),
+                                                 ("l_partkey", "ascending")]))
+        return _pair_counts(t.column("l_orderkey"), t.column("l_partkey"))
+
+    pairs = edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+    total = sorted_group_aggregate(pairs, "pair",
+                                   [("n_copurchase", "sum")],
+                                   precombine=False)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = b.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_a": pa.array(p >> 32, type=pa.int64()),
+            "part_b": pa.array(p & 0xFFFFFFFF, type=pa.int64()),
+            "n_copurchase": b.column("n_copurchase")})
+
+    return (total.map_batches(unpack, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort(["n_copurchase", "part_a", "part_b"],
+                  descending=[True, False, False]).limit(k))

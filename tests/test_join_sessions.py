@@ -264,3 +264,30 @@ def test_bucketed_join_matches_shuffle_plan(ray_session):
     again = bucketed_order_revenue(SF).to_pandas() \
         .sort_values("o_orderpriority", ignore_index=True)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_part_copurchase_matches_pandas(ray_session):
+    """Pair expansion must survive orders split across blocks and
+    duplicate parts within an order (strict < excludes equal-part row
+    pairs, mirroring the SQL self-join)."""
+    import itertools
+
+    from collections import Counter
+
+    import ray.data as rd
+
+    from kgray.pipelines.relational import part_copurchase_topk
+
+    got = part_copurchase_topk(SF, k=15).to_pandas()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    c = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(grp.l_partkey), 2):
+            if a != b:
+                c[(a, b)] += 1
+    want = sorted(((n, a, b) for (a, b), n in c.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:15]
+    got_t = list(zip(got.n_copurchase, got.part_a, got.part_b))
+    assert got_t == want
