@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_order_revenue": relational.bucketed_order_revenue,
         "csv_event_stats": relational.csv_event_stats,
         "part_copurchase_topk": relational.part_copurchase_topk,
+        "events_value_outliers": relational.events_value_outliers,
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
@@ -806,6 +807,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "events_value_outliers": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS value_cents
+                       FROM events),
+            med AS (SELECT event_type,
+                           quantile_disc(value_cents, 0.5) AS med_cents
+                    FROM e GROUP BY 1),
+            mad AS (SELECT e.event_type,
+                           quantile_disc(abs(e.value_cents - m.med_cents),
+                                         0.5) AS mad_cents
+                    FROM e JOIN med m USING (event_type) GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value_cents,
+                   m.med_cents, d.mad_cents
+            FROM e JOIN med m USING (event_type)
+                 JOIN mad d USING (event_type)
+            WHERE abs(e.value_cents - m.med_cents) > 3 * d.mad_cents
         """,
         "part_copurchase_topk": """
             SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b,

@@ -145,6 +145,8 @@ def run_bench() -> dict:
     timed("embedding_kmeans", lambda: ann.embedding_kmeans(sf_dir))
     timed("part_copurchase_topk",
           lambda: relational.part_copurchase_topk(sf_dir))
+    timed("events_value_outliers",
+          lambda: relational.events_value_outliers(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

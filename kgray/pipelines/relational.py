@@ -37,7 +37,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "user_event_type_seq", "user_type_value_share",
            "priority_status_unpivot", "event_value_stats",
            "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue",
-           "csv_event_stats", "part_copurchase_topk"]
+           "csv_event_stats", "part_copurchase_topk",
+           "events_value_outliers"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1229,3 +1230,67 @@ def part_copurchase_topk(sf_dir: str, k: int = 20):
                               zero_copy_batch=True)
             .sort(["n_copurchase", "part_a", "part_b"],
                   descending=[True, False, False]).limit(k))
+
+
+def events_value_outliers(sf_dir: str):
+    """Robust per-group outlier filter: events whose value deviates
+    from their type's MEDIAN by more than 3× the MAD (median absolute
+    deviation) — the quality-filtering shape a training-data pipeline
+    runs on numeric metadata, where mean/stddev would be dragged by the
+    very outliers being hunted.
+
+    Entirely in integer cents so every comparison is exact: two passes
+    of the exact grouped quantile stage (median of value_cents, then
+    median of |value_cents − med|), each producing a per-type row set
+    small enough to broadcast as a plain dict — the event stream is
+    never shuffled, only scanned twice."""
+    from ..stages.quantile import grouped_quantiles
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value_cents": _cents(b.column("value"))})
+
+    def events():
+        return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "event_type",
+                                         "value"])
+                .map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    med_tbl = grouped_quantiles(events(), group="event_type",
+                                value_col="value_cents", qs=[0.5],
+                                out_names=["med_cents"]).to_pandas()
+    med = dict(zip(med_tbl.event_type, med_tbl.med_cents.astype("int64")))
+
+    def absdev(b: pa.Table) -> pa.Table:
+        m = np.array([med[t] for t in b.column("event_type").to_pylist()],
+                     dtype=np.int64)
+        v = b.column("value_cents").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b.column("event_type"),
+                         "dev": pa.array(np.abs(v - m))})
+
+    mad_tbl = grouped_quantiles(
+        events().map_batches(absdev, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        group="event_type", value_col="dev", qs=[0.5],
+        out_names=["mad_cents"]).to_pandas()
+    mad = dict(zip(mad_tbl.event_type, mad_tbl.mad_cents.astype("int64")))
+
+    def flag(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        m = np.array([med[t] for t in types], dtype=np.int64)
+        d = np.array([mad[t] for t in types], dtype=np.int64)
+        v = b.column("value_cents").to_numpy(zero_copy_only=False)
+        keep = np.abs(v - m) > 3 * d
+        out = b.filter(pa.array(keep))
+        return pa.table({
+            "event_id": out.column("event_id"),
+            "event_type": out.column("event_type"),
+            "value_cents": out.column("value_cents"),
+            "med_cents": pa.array(m[keep]),
+            "mad_cents": pa.array(d[keep])})
+
+    return events().map_batches(flag, batch_format="pyarrow",
+                                zero_copy_batch=True)
