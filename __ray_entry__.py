@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_kmeans": ann.embedding_kmeans,
+        "embedding_quantize": ann.embedding_quantize,
         # --- relational surface (SQL-oracled, integer-cents math)
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -807,6 +808,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) AS dim,
+                              CAST(unnest(embedding) AS DOUBLE) AS x
+                       FROM embeddings),
+            mm AS (SELECT dim, min(x) AS mn, max(x) AS mx
+                   FROM e GROUP BY 1),
+            q AS (SELECT e.vec_id, e.dim,
+                         CASE WHEN mm.mx = mm.mn THEN 0
+                              ELSE CAST(LEAST(GREATEST(FLOOR(
+                                   (e.x - mm.mn) * 255.0 / (mm.mx - mm.mn)
+                                   + 0.5), 0), 255) AS BIGINT) END AS qv
+                  FROM e JOIN mm USING (dim))
+            SELECT vec_id, list(qv ORDER BY dim) AS qvec
+            FROM q GROUP BY vec_id
         """,
         "events_value_outliers": """
             WITH e AS (SELECT event_id, event_type,

@@ -147,6 +147,7 @@ def run_bench() -> dict:
           lambda: relational.part_copurchase_topk(sf_dir))
     timed("events_value_outliers",
           lambda: relational.events_value_outliers(sf_dir))
+    timed("embedding_quantize", lambda: ann.embedding_quantize(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -20,7 +20,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
-           "build_ivf_index", "ivf_probe_plan", "embedding_kmeans"]
+           "build_ivf_index", "ivf_probe_plan", "embedding_kmeans",
+           "embedding_quantize"]
 
 
 # Scale notes: the sf_dir-based query selection below reads the
@@ -335,4 +336,55 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
             "cluster": pa.array(assign(Xq, Cb).astype(np.int64))})
 
     return qds.map_batches(final_assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def embedding_quantize(sf_dir: str):
+    """Per-dimension min-max int8 quantization of the embedding column
+    — the export step that shrinks a float32 vector store 4× before
+    serving.  Two streaming passes: (1) per-block min/max partials
+    (exact, order-independent) reduce to one global per-dim range on
+    the driver; (2) every vector maps to
+    ``floor((x − mn) · 255 / (mx − mn) + 0.5)`` — the expression is
+    mirrored operand-for-operand in the SQL oracle (floor(v + 0.5)
+    instead of round() because DuckDB rounds half away from zero while
+    numpy rounds half to even), so the int output is bitwise equal.
+    Degenerate dimensions (mx == mn) quantize to 0.
+
+    Output: (vec_id, qvec list<int64>) — int64 in the query for
+    dtype-strict oracle equality; the production sink would cast the
+    same values to uint8."""
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def minmax(b: pa.Table) -> pa.Table:
+        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "mn": pa.array([X.min(axis=0)], type=pa.list_(pa.float64())),
+            "mx": pa.array([X.max(axis=0)], type=pa.list_(pa.float64()))})
+
+    mn = mx = None
+    for t in ray.get(raw.map_batches(minmax, batch_format="pyarrow",
+                                     zero_copy_batch=True).to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        bm = np.array(t.column("mn").to_pylist(), dtype=np.float64)
+        bx = np.array(t.column("mx").to_pylist(), dtype=np.float64)
+        mn = bm.min(axis=0) if mn is None else np.minimum(mn, bm.min(axis=0))
+        mx = bx.max(axis=0) if mx is None else np.maximum(mx, bx.max(axis=0))
+    rng_ref = ray.put((mn, mx))
+
+    def quant(b: pa.Table) -> pa.Table:
+        mn, mx = ray.get(rng_ref)
+        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        span = mx - mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((X - mn) * 255.0 / span + 0.5)
+        q = np.where(span == 0.0, 0.0, q)
+        q = np.clip(q, 0, 255).astype(np.int64)
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "qvec": pa.array(list(q),
+                                          type=pa.list_(pa.int64()))})
+
+    return raw.map_batches(quant, batch_format="pyarrow",
                            zero_copy_batch=True)
