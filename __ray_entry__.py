@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_event_stats": relational.csv_event_stats,
         "part_copurchase_topk": relational.part_copurchase_topk,
         "events_value_outliers": relational.events_value_outliers,
+        "events_value_trend": relational.events_value_trend,
         "events_asof_orders": relational.events_asof_orders,
         "priority_top_orders": relational.priority_top_orders,
         "events_value_quantiles": relational.events_value_quantiles,
@@ -824,6 +825,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM e JOIN mm USING (dim))
             SELECT vec_id, list(qv ORDER BY dim) AS qvec
             FROM q GROUP BY vec_id
+        """,
+        "events_value_trend": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                           AS value_cents
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(hour AS HUGEINT)) AS sx,
+                       SUM(CAST(value_cents AS HUGEINT)) AS sy,
+                       SUM(CAST(hour AS HUGEINT) * hour) AS sxx,
+                       SUM(CAST(hour AS HUGEINT) * value_cents) AS sxy
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CASE WHEN n <= 1 OR n * sxx - sx * sx <= 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) END
+                       AS slope,
+                   CASE WHEN n <= 1 OR n * sxx - sx * sx <= 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE) END AS intercept
+            FROM m
         """,
         "events_value_outliers": """
             WITH e AS (SELECT event_id, event_type,

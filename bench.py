@@ -148,6 +148,8 @@ def run_bench() -> dict:
     timed("events_value_outliers",
           lambda: relational.events_value_outliers(sf_dir))
     timed("embedding_quantize", lambda: ann.embedding_quantize(sf_dir))
+    timed("events_value_trend",
+          lambda: relational.events_value_trend(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -38,7 +38,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "priority_status_unpivot", "event_value_stats",
            "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue",
            "csv_event_stats", "part_copurchase_topk",
-           "events_value_outliers"]
+           "events_value_outliers", "events_value_trend"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1294,3 +1294,26 @@ def events_value_outliers(sf_dir: str):
 
     return events().map_batches(flag, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def events_value_trend(sf_dir: str):
+    """Per-event-type least-squares trend of value (cents) against
+    event hour — drift detection over a metrics log.  Exact decimal128
+    moment sums (``stages/stats.py:grouped_regression``), so slope and
+    intercept are single mirrored IEEE expressions over exact integers
+    and the DuckDB oracle matches bitwise."""
+    from ..stages.stats import grouped_regression
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pc.cast(hour, pa.int64()),
+            "value_cents": _cents(b.column("value"))})
+
+    ds = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return grouped_regression(ds, key="event_type", x_col="hour",
+                              y_col="value_cents")

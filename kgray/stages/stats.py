@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 
 from .aggregate import sorted_group_aggregate
 
-__all__ = ["grouped_var_std", "grouped_corr"]
+__all__ = ["grouped_var_std", "grouped_corr", "grouped_regression"]
 
 _DEC = pa.decimal128(38, 0)
 # element products are computed in int64 numpy (Arrow's decimal multiply
@@ -208,6 +208,69 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str):
                          "n": batch.column("n"),
                          "covar_xy": pa.array(cov, type=pa.float64()),
                          "corr_xy": pa.array(corr, type=pa.float64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_regression(ds, key: str, x_col: str, y_col: str):
+    """Per-group simple linear regression (least squares) over two
+    int64 columns, on the same exact-decimal128-moments plan as
+    ``grouped_corr``: numerators/denominators are exact Python ints
+    from the reduced partials, then ONE mirrored IEEE expression each —
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Rows with a NULL on either side are excluded (SQL ``REGR_*``
+    semantics); n ≤ 1 or zero x-variance yields NULL slope/intercept.
+    Returns ``(key, n:int64, slope:double, intercept:double)``."""
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(_valid_mask(batch.column(x_col),
+                                     batch.column(y_col)))
+        empty_cols = {key: pa.array([], type=batch.schema.field(key).type),
+                      "n": pa.array([], type=pa.int64()),
+                      **{c: pa.array([], type=_DEC)
+                         for c in ("sx", "sy", "sxx", "sxy")}}
+        if b.num_rows == 0:
+            return pa.table(empty_cols)
+        x = b.column(x_col).combine_chunks()
+        y = b.column(y_col).combine_chunks()
+        t = pa.table({key: b.column(key),
+                      "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                      "sx": pc.cast(x, _DEC), "sy": pc.cast(y, _DEC),
+                      "sxx": _sq_dec(x), "sxy": _prod_dec(x, y)})
+        aggs = [("n", "sum")] + [(c, "sum")
+                                 for c in ("sx", "sy", "sxx", "sxy")]
+        g = t.group_by(key, use_threads=False).aggregate(aggs)
+        return pa.table({key: g.column(key),
+                         **{c: g.column(f"{c}_sum") for c, _ in aggs}})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    aggs = [("n", "sum")] + [(c, "sum") for c in ("sx", "sy", "sxx", "sxy")]
+    merged = sorted_group_aggregate(partials, key, aggs, precombine=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n").to_pylist()
+        ints = {c: [int(v) for v in batch.column(c).to_pylist()]
+                for c in ("sx", "sy", "sxx", "sxy")}
+        slopes, inters = [], []
+        for i, n in enumerate(ns):
+            sx, sy = ints["sx"][i], ints["sy"][i]
+            sxx, sxy = ints["sxx"][i], ints["sxy"][i]
+            dx = n * sxx - sx * sx
+            if n <= 1 or dx <= 0:
+                slopes.append(None)
+                inters.append(None)
+                continue
+            sl = float(n * sxy - sx * sy) / float(dx)
+            slopes.append(sl)
+            inters.append((float(sy) - sl * float(sx)) / float(n))
+        return pa.table({key: batch.column(key),
+                         "n": batch.column("n"),
+                         "slope": pa.array(slopes, type=pa.float64()),
+                         "intercept": pa.array(inters, type=pa.float64())})
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -8,7 +8,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from kgray.stages.stats import grouped_corr, grouped_var_std
+from kgray.stages.stats import (grouped_corr, grouped_regression,
+                                grouped_var_std)
 
 
 def _mk(rows, cols):
@@ -100,3 +101,37 @@ def test_element_magnitude_guard(ray_session):
     ds = _mk([("a", big), ("a", 1)], ["g", "x"])
     with pytest.raises(Exception, match="int64-safe product bound"):
         grouped_var_std(ds, "g", "x").to_pandas()
+
+
+def test_regression_matches_duckdb_native(ray_session):
+    """slope/intercept vs DuckDB's native regr_slope/regr_intercept
+    (float tolerance — the exact-oracle bitwise check is the mirrored
+    HUGEINT SQL in the driver gate), plus NULL semantics for n=1 and
+    zero x-variance groups."""
+    rng = np.random.default_rng(23)
+    g = rng.choice(list("ab"), size=3000).tolist()
+    x = rng.integers(0, 10_000, size=3000)
+    y = (3 * x + rng.integers(-5_000, 5_000, size=3000)).tolist()
+    x = x.tolist()
+    # degenerate groups: single row, zero x-variance
+    g += ["one", "flat", "flat", "flat"]
+    x += [5, 7, 7, 7]
+    y += [9, 1, 2, 3]
+    ds = rd.from_arrow(pa.table({"g": g, "x": pa.array(x, type=pa.int64()),
+                                 "y": pa.array(y, type=pa.int64())}))
+
+    got = (grouped_regression(ds.repartition(5), "g", "x", "y")
+           .to_pandas().set_index("g").sort_index())
+    exp = duckdb.sql("""
+        SELECT g, regr_slope(y, x) AS sl, regr_intercept(y, x) AS ic
+        FROM (SELECT UNNEST($g) AS g, UNNEST($x) AS x, UNNEST($y) AS y)
+        GROUP BY g ORDER BY g
+    """, params={"g": g, "x": x, "y": y}).df().set_index("g")
+
+    for grp in ("a", "b"):
+        np.testing.assert_allclose(got.loc[grp, "slope"],
+                                   exp.loc[grp, "sl"], rtol=1e-9)
+        np.testing.assert_allclose(got.loc[grp, "intercept"],
+                                   exp.loc[grp, "ic"], rtol=1e-9)
+    assert got.loc["one", ["slope", "intercept"]].isna().all()
+    assert got.loc["flat", ["slope", "intercept"]].isna().all()
