@@ -292,6 +292,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": relational.user_first_last_event,
         "user_latest_event": relational.user_latest_event,
         "type_value_mode": relational.type_value_mode,
+        "event_value_moments": relational.event_value_moments,
+        "user_trailing_value": relational.user_trailing_value,
+        "purchases_except_views_all": relational.purchases_except_views_all,
+        "purchases_intersect_views_all":
+            relational.purchases_intersect_views_all,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "user_funnel_counts": relational.user_funnel_counts,
+        "weekly_retention": relational.weekly_retention,
+        "events_hourly_dense": relational.events_hourly_dense,
+        "events_profile": relational.events_profile,
+        "token_fuzzy_pairs": text.token_fuzzy_pairs,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1145,6 +1156,212 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        # engine expression mirrored operand-for-operand: every SUM is an
+        # exact HUGEINT over integer cents powers, each operand CAST to
+        # DOUBLE once, then the identical IEEE step order (see
+        # stages/stats.py:grouped_skew_kurt docstring)
+        "event_value_moments": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL
+            ), m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(cents AS HUGEINT)) AS sx,
+                       SUM(CAST(cents AS HUGEINT) * cents) AS sxx,
+                       SUM(CAST(cents AS HUGEINT) * cents * cents) AS sx3,
+                       SUM(CAST(cents AS HUGEINT) * cents * cents * cents)
+                           AS sx4
+                FROM c GROUP BY event_type
+            ), d AS (
+                -- HUGEINT → VARCHAR → DOUBLE: DuckDB's direct
+                -- hugeint→double cast double-rounds above 2^53
+                -- (hi·2⁶⁴ + lo in doubles); strtod is correctly
+                -- rounded and matches Python's float(int) bitwise
+                SELECT event_type, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS mu,
+                       CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS fxx,
+                       CAST(CAST(sx3 AS VARCHAR) AS DOUBLE) AS fx3,
+                       CAST(CAST(sx4 AS VARCHAR) AS DOUBLE) AS fx4
+                FROM m
+            ), mm AS (
+                SELECT *, fxx / nd - mu * mu AS m2 FROM d
+            )
+            SELECT event_type, n,
+                   CASE WHEN n <= 1 OR m2 <= 0.0 THEN NULL
+                        ELSE (fx3 / nd - 3.0 * mu * (fxx / nd)
+                              + 2.0 * mu * mu * mu)
+                             / (SQRT(m2) * SQRT(m2) * SQRT(m2))
+                   END AS skew_x,
+                   CASE WHEN n <= 1 OR m2 <= 0.0 THEN NULL
+                        ELSE (fx4 / nd - 4.0 * mu * (fx3 / nd)
+                              + 6.0 * mu * mu * (fxx / nd)
+                              - 3.0 * mu * mu * mu * mu)
+                             / (m2 * m2) - 3.0
+                   END AS kurt_x
+            FROM mm
+        """,
+        "user_trailing_value": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+                   CAST(COALESCE(SUM(CAST(FLOOR(value * 100.0 + 0.5)
+                                          AS BIGINT)) OVER w, 0)
+                        AS BIGINT) AS trailing_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "purchases_except_views_all": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "purchases_intersect_views_all": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "local_supplier_volume": """
+            WITH rev AS (
+                SELECT n.n_name,
+                       CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE c.c_nationkey = s.s_nationkey
+                  AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT n_name, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM rev GROUP BY n_name
+        """,
+        "user_funnel_counts": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM v HAVING COUNT(*) > 0
+            UNION ALL
+            SELECT '2_click', CAST(COUNT(*) AS BIGINT)
+            FROM c HAVING COUNT(*) > 0
+            UNION ALL
+            SELECT '3_purchase', CAST(COUNT(*) AS BIGINT)
+            FROM p HAVING COUNT(*) > 0
+        """,
+        # Monday-aligned epoch weeks via pure integer day arithmetic
+        # (day 0 = 1970-01-01 = Thursday), mirrored in the engine
+        "weekly_retention": """
+            WITH wk AS (
+                SELECT user_id,
+                       (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       - ((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3)
+                          % 7) AS week
+                FROM events
+            ), cohort AS (
+                SELECT user_id, MIN(week) AS cohort_week
+                FROM wk GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id, week FROM wk
+            )
+            SELECT c.cohort_week,
+                   (a.week - c.cohort_week) // 7 AS weeks_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM active a JOIN cohort c ON a.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
+        "events_hourly_dense": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour
+                FROM events
+            ), counts AS (
+                SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+                FROM h GROUP BY 1, 2
+            ), bounds AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h),
+            hours AS (
+                SELECT UNNEST(generate_series(lo, hi)) AS epoch_hour
+                FROM bounds
+            ), types AS (SELECT DISTINCT event_type FROM events)
+            SELECT t.event_type, hh.epoch_hour,
+                   COALESCE(c.n, 0) AS n_events
+            FROM types t CROSS JOIN hours hh
+            LEFT JOIN counts c ON c.event_type = t.event_type
+                              AND c.hour = hh.epoch_hour
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
+        """,
+        # quadratic levenshtein plan is the gate-scale oracle only; the
+        # engine's deletion-neighborhood join never compares all pairs
+        "token_fuzzy_pairs": """
+            WITH tok AS (
+                SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
+                                                             '\\s+')) AS t
+                FROM documents WHERE len(trim(text)) > 0
+            ), f AS (
+                SELECT t FROM tok WHERE regexp_matches(t, '^[a-z]{4,12}$')
+            ), aug AS (
+                SELECT t FROM f
+                UNION
+                SELECT t || 's' FROM f
+                WHERE CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                      % 1000 < 250
+            )
+            SELECT a.t AS tok_a, b.t AS tok_b
+            FROM aug a JOIN aug b
+              ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
+                 AND levenshtein(a.t, b.t) <= 1
         """,
         "user_sessions": """
             WITH d AS (

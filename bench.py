@@ -150,6 +150,21 @@ def run_bench() -> dict:
     timed("embedding_quantize", lambda: ann.embedding_quantize(sf_dir))
     timed("events_value_trend",
           lambda: relational.events_value_trend(sf_dir))
+    timed("event_value_moments",
+          lambda: relational.event_value_moments(sf_dir))
+    timed("user_trailing_value",
+          lambda: relational.user_trailing_value(sf_dir))
+    timed("purchases_except_views_all",
+          lambda: relational.purchases_except_views_all(sf_dir))
+    timed("local_supplier_volume",
+          lambda: relational.local_supplier_volume(sf_dir))
+    timed("user_funnel_counts",
+          lambda: relational.user_funnel_counts(sf_dir))
+    timed("weekly_retention", lambda: relational.weekly_retention(sf_dir))
+    timed("events_hourly_dense",
+          lambda: relational.events_hourly_dense(sf_dir))
+    timed("events_profile", lambda: relational.events_profile(sf_dir))
+    timed("token_fuzzy_pairs", lambda: text.token_fuzzy_pairs(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

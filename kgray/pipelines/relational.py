@@ -38,7 +38,11 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "priority_status_unpivot", "event_value_stats",
            "lineitem_qty_price_corr", "user_rolling_value", "user_first_last_event", "user_latest_event", "type_value_mode", "bucketed_order_revenue",
            "csv_event_stats", "part_copurchase_topk",
-           "events_value_outliers", "events_value_trend"]
+           "events_value_outliers", "events_value_trend",
+           "event_value_moments", "user_trailing_value",
+           "purchases_except_views_all", "purchases_intersect_views_all",
+           "local_supplier_volume", "user_funnel_counts",
+           "weekly_retention", "events_hourly_dense", "events_profile"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1317,3 +1321,413 @@ def events_value_trend(sf_dir: str):
           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
     return grouped_regression(ds, key="event_type", x_col="hour",
                               y_col="value_cents")
+
+
+def event_value_moments(sf_dir: str):
+    """Per-event-type skewness and excess kurtosis of value (cents) —
+    distribution-shape profiling for anomaly detection.  Exact
+    decimal128 sums of x..x⁴ (``stages/stats.py:grouped_skew_kurt``)
+    with floating point only in the final mirrored expression, so the
+    DuckDB oracle matches bitwise."""
+    from ..stages.stats import grouped_skew_kurt
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": _cents(b.column("value"))})
+
+    ds = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    return grouped_skew_kurt(ds, key="event_type", x_col="value_cents")
+
+
+def user_trailing_value(sf_dir: str, hours: int = 1):
+    """Time-based (RANGE) window frame: per event, the COUNT and SUM of
+    the same user's event values over the trailing ``hours`` — SQL's
+    ``RANGE BETWEEN INTERVAL h PRECEDING AND CURRENT ROW`` frame, which
+    (unlike the ROWS frame in ``user_rolling_value``) includes every
+    peer row at equal ``ts``.
+
+    A RANGE frame IS a trailing-window interval self-join — one stream
+    as lefts, the same stream as rights — so this composes the pinned
+    ``windowed_count_join`` carry-in exchange (per-run searchsorted +
+    prefix sums, O(1) carried rows per block) instead of new machinery."""
+    from ..stages.asof import windowed_count_join
+
+    def lefts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "ev_us": pc.cast(b.column("ts"), pa.int64())})
+
+    def rights(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "r_us": pc.cast(b.column("ts"), pa.int64()),
+            "value_cents": _cents(b.column("value"))})
+
+    left = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+            .map_batches(lefts, batch_format="pyarrow", zero_copy_batch=True))
+    right = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id", "value"])
+             .map_batches(rights, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    window_us = hours * 3_600 * 1_000_000
+    return windowed_count_join(left, right, key="user_id",
+                               left_t="ev_us", right_t="r_us",
+                               window=window_us,
+                               count_name="n_trailing",
+                               value_col="value_cents",
+                               sum_name="trailing_cents")
+
+
+def _typed_users(sf_dir: str, event_type: str):
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), pa.scalar(event_type))
+        m = pc.fill_null(m, False)
+        return b.filter(m).select(["user_id"])
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def purchases_except_views_all(sf_dir: str):
+    """Bag-semantics EXCEPT ALL: each user_id kept ``max(purchases −
+    views, 0)`` times — the multiset difference of two event streams
+    (``stages/setops.py`` with ``all_rows=True``; the exchange carries
+    distinct rows + multiplicities, never the multiset)."""
+    from ..stages.setops import set_op
+    return set_op(_typed_users(sf_dir, "purchase"),
+                  _typed_users(sf_dir, "view"), "except", all_rows=True)
+
+
+def purchases_intersect_views_all(sf_dir: str):
+    """Bag-semantics INTERSECT ALL: each user_id kept ``min(purchases,
+    views)`` times."""
+    from ..stages.setops import set_op
+    return set_op(_typed_users(sf_dir, "purchase"),
+                  _typed_users(sf_dir, "view"), "intersect", all_rows=True)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          year: int = 1996):
+    """TPC-H Q5-shaped multiway join: revenue per nation from lineitems
+    whose customer AND supplier sit in the same nation of ``region``,
+    for orders placed in ``year``.
+
+    Plan (mirrors how the join sides scale): the two fact×fact hops —
+    orders⋈customer on custkey and lineitem⋈orders on orderkey — run as
+    shuffle ``sorted_merge_join``s; the supplier→nation map and the
+    nation/region dimensions broadcast (``ray.put`` once, searchsorted
+    per batch).  Region filtering happens on the dimension side BEFORE
+    the shuffles, so non-region customers never enter the exchange.
+    Revenue is exact integer cents; the oracle mirrors the expression."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(reg, keys="n_regionkey", right_keys="r_regionkey")
+    dim = dim.filter(pc.equal(dim.column("r_name"), pa.scalar(region)))
+    keep_nat = set(dim.column("n_nationkey").to_pylist())
+    nat_name = dim.select(["n_nationkey", "n_name"])
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "c_custkey": t.column("o_custkey")})
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("c_nationkey"),
+                     value_set=pa.array(sorted(keep_nat), type=pa.int32()))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_nat": t.column("c_nationkey")})
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+              .map_batches(prep_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(prep_cust, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    ord_nat = sorted_merge_join(orders, cust, on="c_custkey")
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "rev_cents": pc.cast(pc.floor(pc.add(
+                pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.int64())})
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"])
+            .map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    joined = sorted_merge_join(line, ord_nat.drop_columns(["c_custkey"]),
+                               on="l_orderkey")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.rename_columns(["l_suppkey", "s_nat"])
+    enriched = broadcast_join(joined, supp, on="l_suppkey")
+
+    def local_only(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("c_nat"), b.column("s_nat")),
+                    pc.is_in(b.column("s_nat"),
+                             value_set=pa.array(sorted(keep_nat),
+                                                type=pa.int32())))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"n_nationkey": t.column("s_nat"),
+                         "revenue_cents": t.column("rev_cents")})
+
+    local = enriched.map_batches(local_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    agg = sorted_group_aggregate(local, ["n_nationkey"],
+                                 [("revenue_cents", "sum")])
+    named = broadcast_join(agg, nat_name, on="n_nationkey")
+    return (named.select_columns(["n_name", "revenue_cents"])
+            .sort(["revenue_cents", "n_name"], descending=[True, False]))
+
+
+def user_funnel_counts(sf_dir: str,
+                       stages: tuple = ("view", "click", "purchase")):
+    """Ordered-funnel analytics: how many users reached each stage,
+    where stage k requires an event of type ``stages[k]`` STRICTLY
+    after the user's earliest qualifying stage-(k−1) event.
+
+    Plan: stage 1 is a per-user MIN aggregate; each later stage joins
+    the (reduced, one row per qualifying user) frontier to that type's
+    event stream with a shuffle ``sorted_merge_join``, filters
+    ``ts > frontier``, and re-aggregates MIN — raw events are scanned
+    once per stage and never pair-exploded.  Output: one row per stage
+    with its surviving-user count."""
+    from ..stages.join import sorted_merge_join
+
+    def typed(etype: str):
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.equal(b.column("event_type"),
+                                      pa.scalar(etype)), False)
+            t = b.filter(m)
+            return pa.table({"user_id": t.column("user_id"),
+                             "t_us": pc.cast(t.column("ts"), pa.int64())})
+        return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "event_type", "ts"])
+                .map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    frontier = sorted_group_aggregate(typed(stages[0]), ["user_id"],
+                                      [("t_us", "min")])
+    reduced = [frontier]
+    for etype in stages[1:]:
+        prev = reduced[-1].map_batches(
+            lambda b: b.rename_columns(["user_id", "prev_us"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        nxt = sorted_merge_join(typed(etype), prev, on="user_id")
+
+        def after(b: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.greater(b.column("t_us"),
+                                        b.column("prev_us")), False)
+            return b.filter(m).select(["user_id", "t_us"])
+
+        reduced.append(sorted_group_aggregate(
+            nxt.map_batches(after, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            ["user_id"], [("t_us", "min")]))
+
+    tagged = None
+    for i, (etype, ds) in enumerate(zip(stages, reduced)):
+        label = f"{i + 1}_{etype}"
+
+        def tag(b: pa.Table, label=label) -> pa.Table:
+            return pa.table({
+                "stage": pa.array([label] * b.num_rows, type=pa.string()),
+                "n_users": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+        part = ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        tagged = part if tagged is None else tagged.union(part)
+    return sorted_group_aggregate(tagged, ["stage"], [("n_users", "sum")])
+
+
+def weekly_retention(sf_dir: str):
+    """Cohort-retention matrix: users grouped by the Monday-aligned
+    epoch-week of their FIRST event; for each (cohort_week,
+    weeks_since) the count of cohort users active that week.
+
+    Two reduced aggregates — per-user first week, distinct
+    (user, active week) — shuffle-joined on user_id, then one count
+    aggregate.  Weeks are pure integer day arithmetic (day 0 = epoch
+    Thursday, so Monday-start = ``day − ((day + 3) % 7)``), mirrored
+    in the oracle rather than relying on engine date_trunc agreement."""
+    from ..stages.join import sorted_merge_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, type=pa.int64()))
+        dow = pc.subtract(day, pc.multiply(
+            pc.divide(pc.add(day, pa.scalar(3, type=pa.int64())),
+                      pa.scalar(7, type=pa.int64())),
+            pa.scalar(7, type=pa.int64())))
+        # week start day = day − ((day+3) mod 7); derive mod via the
+        # floor-divide identity to keep every operand int64/exact
+        week = pc.subtract(day, pc.add(dow, pa.scalar(3, type=pa.int64())))
+        return pa.table({"user_id": b.column("user_id"),
+                         "week": pc.cast(week, pa.int64())})
+
+    weeks = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+             .map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    cohort = sorted_group_aggregate(weeks, ["user_id"], [("week", "min")])
+    cohort = cohort.map_batches(
+        lambda b: b.rename_columns(["user_id", "cohort_week"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    active = sorted_group_aggregate(
+        weeks.map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "week"], [("one", "min")])
+    active = active.map_batches(lambda b: b.select(["user_id", "week"]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    joined = sorted_merge_join(active, cohort, on="user_id")
+
+    def offs(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b.column("week"), b.column("cohort_week"))
+        return pa.table({
+            "cohort_week": b.column("cohort_week"),
+            "weeks_since": pc.cast(pc.divide(
+                d, pa.scalar(7, type=pa.int64())), pa.int64()),
+            "n_users": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        joined.map_batches(offs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["cohort_week", "weeks_since"], [("n_users", "sum")])
+
+
+def events_hourly_dense(sf_dir: str):
+    """Gap-filled time series: the tumbling hourly count per event
+    type, DENSIFIED to every hour between the global min and max —
+    missing (type, hour) cells become explicit zeros (the
+    ``generate_series`` + LEFT JOIN + COALESCE shape; downstream
+    trend/seasonality models need the zeros).
+
+    The heavy side (raw events) streams through one combined count
+    aggregate; the dense frame is hours×types — output-sized by
+    definition — built as a Dataset and filled via one broadcast join
+    of the (equally reduced) sparse counts."""
+    from ..stages.broadcast import broadcast_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        hour = pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "epoch_hour": pc.cast(hour, pa.int64()),
+            "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    prepped = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+               .map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    sparse_ds = sorted_group_aggregate(prepped, ["event_type", "epoch_hour"],
+                                       [("n_events", "sum")])
+    # the aggregate output is (types × active hours) — output-sized;
+    # collecting it to build the dense frame is collecting the result
+    sparse = pa.Table.from_pandas(sparse_ds.to_pandas(),
+                                  preserve_index=False)
+    types = sorted(set(sparse.column("event_type").to_pylist()))
+    hours = sparse.column("epoch_hour").to_numpy(zero_copy_only=False)
+    lo, hi = int(hours.min()), int(hours.max())
+    n_hours = hi - lo + 1
+    t_idx = {t: i for i, t in enumerate(types)}
+    all_hours = np.tile(np.arange(lo, hi + 1, dtype=np.int64), len(types))
+    all_types = np.repeat(np.arange(len(types), dtype=np.int64), n_hours)
+    dense = pa.table({
+        "event_type": pa.array([types[i] for i in all_types],
+                               type=pa.string()),
+        "epoch_hour": pa.array(all_hours),
+        "__k": pa.array(all_types * (2 ** 40) + all_hours)})
+    s_types = np.array([t_idx[t] for t in
+                        sparse.column("event_type").to_pylist()],
+                       dtype=np.int64)
+    dim = pa.table({"__k": pa.array(s_types * (2 ** 40) + hours),
+                    "n_events": sparse.column("n_events")})
+    filled = broadcast_join(rd.from_arrow(dense), dim, on="__k", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "epoch_hour": b.column("epoch_hour"),
+            "n_events": pc.fill_null(b.column("n_events"),
+                                     pa.scalar(0, type=pa.int64()))})
+
+    return filled.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def events_profile(sf_dir: str):
+    """Column-profiling operator (the ``SUMMARIZE`` shape): for every
+    events column, total rows, null count, and exact distinct count
+    (nulls excluded, SQL ``COUNT(DISTINCT col)`` semantics).
+
+    Rows/nulls come from one streaming partial pass; each column's
+    distinct count is its own map-side-combined distinct aggregate —
+    the exchange carries distinct values only.  Output is one row per
+    column (bounded by schema width, never data size)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def null_partial(b: pa.Table) -> pa.Table:
+        names, nrows, nnull = [], [], []
+        for c in cols:
+            names.append(c)
+            nrows.append(b.num_rows)
+            nnull.append(b.column(c).null_count)
+        return pa.table({"col_name": pa.array(names, type=pa.string()),
+                         "n_rows": pa.array(nrows, type=pa.int64()),
+                         "n_nulls": pa.array(nnull, type=pa.int64())})
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    counts = sorted_group_aggregate(
+        base.map_batches(null_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["col_name"], [("n_rows", "sum"), ("n_nulls", "sum")])
+    counts_tbl = counts.to_pandas()
+
+    distinct = {}
+    for c in cols:
+        def proj(b: pa.Table, c=c) -> pa.Table:
+            col = b.column(c)
+            t = pa.table({"v": col.filter(pc.is_valid(col))})
+            return pa.table({"v": t.column("v").unique()
+                             if t.num_rows else t.column("v")})
+        d = sorted_group_aggregate(
+            base.map_batches(proj, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["v"], [("one", "min")], precombine=False)
+        distinct[c] = d.count()
+
+    counts_tbl["n_distinct"] = counts_tbl["col_name"].map(distinct)
+    counts_tbl = counts_tbl.sort_values("col_name", ignore_index=True)
+    return pa.table({
+        "col_name": pa.array(counts_tbl["col_name"], type=pa.string()),
+        "n_rows": pa.array(counts_tbl["n_rows"], type=pa.int64()),
+        "n_nulls": pa.array(counts_tbl["n_nulls"], type=pa.int64()),
+        "n_distinct": pa.array(counts_tbl["n_distinct"], type=pa.int64())})

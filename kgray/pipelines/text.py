@@ -23,7 +23,8 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
            "heavy_hitter_tokens", "jsonl_token_stats",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
-           "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub"]
+           "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
+           "token_fuzzy_pairs"]
 
 _WS = re.compile(r"\s+")
 
@@ -627,3 +628,120 @@ def pii_scrub(sf_dir: str, inject_permille: int = 300):
 
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow",
                                               zero_copy_batch=True)
+
+
+def _lev_le_1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (two-pointer; strings are short)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = miss = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            miss += 1
+            if miss > 1:
+                return False
+            j += 1
+    return True
+
+
+def token_fuzzy_pairs(sf_dir: str, typo_permille: int = 250):
+    """Fuzzy string-match join (entity-resolution candidate generation):
+    all DISTINCT lowercase-alpha corpus tokens (4–12 chars) at edit
+    distance ≤ 1 of each other, found WITHOUT a quadratic comparison.
+
+    The synthetic corpus has no natural near-miss spellings, so —
+    like ``pii_scrub``'s footer injection — a deterministic md5-selected
+    subset of tokens contributes an ``s``-suffixed typo twin, mirrored
+    in the oracle, making the query non-vacuous at every scale.
+
+    Plan (SymSpell-style deletion neighborhoods, exact for d ≤ 1): each
+    token emits itself plus its single-character deletions as
+    ``(variant, token)`` rows; two tokens at distance ≤ 1 MUST share a
+    variant (substitution → same-position deletions; insert/delete →
+    the longer's deletion equals the shorter; the variant self-row
+    covers it), so a shuffle self-join on ``variant`` yields a complete
+    candidate set sized by neighborhood overlap — never |tokens|².
+    Candidates are deduped and verified with the exact two-pointer
+    check.  The oracle can afford the quadratic plan at gate scale
+    (DuckDB ``levenshtein``); the engine never runs it."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..functions.sampling import _md5_bucket
+
+    _ALPHA = re.compile(r"^[a-z]{4,12}$")
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        toks = set()
+        for t in batch.column("text").to_pylist():
+            toks.update(w for w in _tokens(t) if _ALPHA.match(w))
+        out = sorted(toks)
+        return pa.table({"token": pa.array(out, type=pa.string()),
+                         "one": pa.array(np.ones(len(out), dtype=np.int64))})
+
+    base = (read_documents(sf_dir, columns=("text",))
+            .map_batches(distinct_tokens, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    tokens = sorted_group_aggregate(base, ["token"], [("one", "min")],
+                                    precombine=False)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pylist()
+        buckets = _md5_bucket(toks, 1000)
+        out = list(toks)
+        out.extend(t + "s" for t, b in zip(toks, buckets)
+                   if b < typo_permille)
+        out = sorted(set(out))
+        return pa.table({"token": pa.array(out, type=pa.string()),
+                         "one": pa.array(np.ones(len(out), dtype=np.int64))})
+
+    augmented = sorted_group_aggregate(
+        tokens.map_batches(augment, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["token"], [("one", "min")], precombine=False)
+
+    def variants(batch: pa.Table, name: str) -> pa.Table:
+        va, tk = [], []
+        for t in batch.column("token").to_pylist():
+            va.append(t)
+            tk.append(t)
+            for i in range(len(t)):
+                va.append(t[:i] + t[i + 1:])
+                tk.append(t)
+        return pa.table({"variant": pa.array(va, type=pa.string()),
+                         name: pa.array(tk, type=pa.string())})
+
+    v_a = augmented.map_batches(lambda b: variants(b, "tok_a"),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    v_b = augmented.map_batches(lambda b: variants(b, "tok_b"),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    cand = sorted_merge_join(v_a, v_b, on="variant")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.fill_null(pc.less(batch.column("tok_a"),
+                                 batch.column("tok_b")), False)
+        t = batch.filter(m)
+        a = t.column("tok_a").to_pylist()
+        b = t.column("tok_b").to_pylist()
+        keep = pa.array([_lev_le_1(x, y) for x, y in zip(a, b)],
+                        type=pa.bool_())
+        t = t.filter(keep)
+        return pa.table({"tok_a": t.column("tok_a"),
+                         "tok_b": t.column("tok_b"),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    verified = cand.map_batches(verify, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pairs = sorted_group_aggregate(verified, ["tok_a", "tok_b"],
+                                   [("one", "min")])
+    return pairs.map_batches(lambda b: b.select(["tok_a", "tok_b"]),
+                             batch_format="pyarrow", zero_copy_batch=True)

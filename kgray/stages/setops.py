@@ -20,6 +20,13 @@ SQL null semantics for set ops: NULLs compare EQUAL (unlike joins) —
 ``(1, NULL)`` on both sides intersects.  That falls out of the
 null-safe grouping in ``sorted_group_aggregate``.
 
+``all_rows=True`` switches to BAG (ALL) semantics — the same presence
+counters become multiplicities, and each surviving row is emitted
+``m`` times (``INTERSECT ALL``: min(a, b); ``EXCEPT ALL``:
+max(a − b, 0); ``UNION ALL``: a + b) via one vectorized ``take`` over
+the reduced rows.  The exchange still carries only distinct rows +
+counts, never the multiset itself.
+
 Scale: the exchange carries at most the distinct rows of each side
 (map-side combine), one sort, output streams.  No driver-side state.
 """
@@ -35,10 +42,13 @@ from .aggregate import sorted_group_aggregate
 __all__ = ["set_op"]
 
 
-def set_op(left, right, op: str, columns: list | None = None):
+def set_op(left, right, op: str, columns: list | None = None,
+           all_rows: bool = False):
     """``op`` ∈ {"intersect", "except", "union"}; both Datasets must
     expose ``columns`` (default: all of left's columns, which the right
-    side must share).  Returns a Dataset of distinct rows.
+    side must share).  Returns a Dataset of distinct rows, or — with
+    ``all_rows=True`` — SQL ALL (bag) semantics with exact
+    multiplicities.
     """
     assert op in ("intersect", "except", "union")
     cols = list(columns) if columns is not None else list(left.schema().names)
@@ -70,6 +80,17 @@ def set_op(left, right, op: str, columns: list | None = None):
     def pick(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.select(cols)
+        if all_rows:
+            a = batch.column("__a").to_numpy(zero_copy_only=False)
+            b = batch.column("__b").to_numpy(zero_copy_only=False)
+            if op == "intersect":
+                m = np.minimum(a, b)
+            elif op == "except":
+                m = np.maximum(a - b, 0)
+            else:
+                m = a + b
+            idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), m)
+            return batch.take(pa.array(idx)).select(cols)
         a = pc.greater(batch.column("__a"), pa.scalar(0, type=pa.int64()))
         b = pc.greater(batch.column("__b"), pa.scalar(0, type=pa.int64()))
         if op == "intersect":

@@ -39,7 +39,8 @@ import pyarrow.compute as pc
 
 from .aggregate import sorted_group_aggregate
 
-__all__ = ["grouped_var_std", "grouped_corr", "grouped_regression"]
+__all__ = ["grouped_var_std", "grouped_corr", "grouped_regression",
+           "grouped_skew_kurt"]
 
 _DEC = pa.decimal128(38, 0)
 # element products are computed in int64 numpy (Arrow's decimal multiply
@@ -137,6 +138,114 @@ def grouped_var_std(ds, key: str, x_col: str):
                          "sum_x": pc.cast(batch.column("sx"), pa.int64()),
                          "var_x": pa.array(var, type=pa.float64()),
                          "std_x": pa.array(std, type=pa.float64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+_SK_EL_MAX = 31_622_776  # x² < 10^15 keeps x³ in decimal128(25), x⁴ in (33)
+
+
+def _pow_dec(x_arr: pa.Array) -> tuple:
+    """Exact elementwise x³ and x⁴ as decimal128 columns.
+
+    int64 holds x² for any cents-scale value but x⁴ of a 10⁵-cent value
+    is already 10²⁰, so the higher powers go through Arrow decimal
+    multiply: x → decimal(8), x² → decimal(16) (int64 squares are exact
+    under the guard), then decimal×decimal gives precision 25 (x³) and
+    33 (x⁴) — both inside decimal128.  Arrow only casts int64 to
+    decimal(19+), hence the two-step cast down to the narrow types.
+    """
+    x = _np(x_arr)
+    hi = int(np.abs(x).max(initial=0))
+    if hi > _SK_EL_MAX:
+        raise ValueError(
+            f"element magnitude {hi} exceeds the decimal128-safe 4th-moment "
+            f"bound {_SK_EL_MAX}; rescale the unit before grouped moments")
+    d19 = pa.decimal128(19, 0)
+    dx = pc.cast(pc.cast(pa.array(x, type=pa.int64()), d19),
+                 pa.decimal128(8, 0))
+    dxx = pc.cast(pc.cast(pa.array(x * x, type=pa.int64()), d19),
+                  pa.decimal128(16, 0))
+    x3 = pc.cast(pc.multiply(dx, dxx), _DEC)
+    x4 = pc.cast(pc.multiply(dxx, dxx), _DEC)
+    return x3, x4
+
+
+def grouped_skew_kurt(ds, key: str, x_col: str):
+    """Per-group skewness and excess kurtosis over an int64 column, on
+    the exact-moment plan: per-(block, group) partials carry ``n, Σx,
+    Σx², Σx³, Σx⁴`` as decimal128 integer sums (order-independent), one
+    ``sorted_group_aggregate`` merges them, and floating point enters
+    only in the final mirrored expression over the reduced rows:
+
+        μ  = Σx/n                      (every operand CAST from exact)
+        m2 = Σx²/n − μ²
+        m3 = Σx³/n − 3μ(Σx²/n) + 2μ³
+        m4 = Σx⁴/n − 4μ(Σx³/n) + 6μ²(Σx²/n) − 3μ⁴
+        skew = m3 / (√m2)³ ;  kurt = m4/m2² − 3
+
+    (population moments — the convention-free form; the oracle mirrors
+    the identical IEEE step order so results are bit-identical).  NULL
+    x rows are excluded; n ≤ 1 or non-positive float m2 (all-equal
+    groups, or cancellation at extreme μ/σ ratios) yields NULL —
+    gated on the mirrored float so both engines agree on the boundary.
+
+    Returns ``(key, n:int64, skew_x:double, kurt_x:double)``.
+    """
+    moments = ("sx", "sxx", "sx3", "sx4")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(_valid_mask(batch.column(x_col)))
+        if b.num_rows == 0:
+            return pa.table({key: pa.array([], type=batch.schema.field(key).type),
+                             "n": pa.array([], type=pa.int64()),
+                             **{c: pa.array([], type=_DEC) for c in moments}})
+        x = b.column(x_col).combine_chunks()
+        x3, x4 = _pow_dec(x)
+        t = pa.table({key: b.column(key),
+                      "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                      "sx": pc.cast(x, _DEC), "sxx": _sq_dec(x),
+                      "sx3": x3, "sx4": x4})
+        aggs = [("n", "sum")] + [(c, "sum") for c in moments]
+        g = t.group_by(key, use_threads=False).aggregate(aggs)
+        return pa.table({key: g.column(key),
+                         **{c: g.column(f"{c}_sum") for c, _ in aggs}})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    aggs = [("n", "sum")] + [(c, "sum") for c in moments]
+    merged = sorted_group_aggregate(partials, key, aggs, precombine=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n").to_pylist()
+        ints = {c: [int(v) for v in batch.column(c).to_pylist()]
+                for c in moments}
+        skews, kurts = [], []
+        for i, n in enumerate(ns):
+            if n <= 1:
+                skews.append(None)
+                kurts.append(None)
+                continue
+            nd = float(n)
+            f_sx, f_sxx = float(ints["sx"][i]), float(ints["sxx"][i])
+            f_sx3, f_sx4 = float(ints["sx3"][i]), float(ints["sx4"][i])
+            mu = f_sx / nd
+            m2 = f_sxx / nd - mu * mu
+            if m2 <= 0.0:
+                skews.append(None)
+                kurts.append(None)
+                continue
+            m3 = f_sx3 / nd - 3.0 * mu * (f_sxx / nd) + 2.0 * mu * mu * mu
+            m4 = (f_sx4 / nd - 4.0 * mu * (f_sx3 / nd)
+                  + 6.0 * mu * mu * (f_sxx / nd) - 3.0 * mu * mu * mu * mu)
+            s = math.sqrt(m2)
+            skews.append(m3 / (s * s * s))
+            kurts.append(m4 / (m2 * m2) - 3.0)
+        return pa.table({key: batch.column(key),
+                         "n": batch.column("n"),
+                         "skew_x": pa.array(skews, type=pa.float64()),
+                         "kurt_x": pa.array(kurts, type=pa.float64())})
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
