@@ -303,6 +303,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": relational.events_hourly_dense,
         "events_profile": relational.events_profile,
         "token_fuzzy_pairs": text.token_fuzzy_pairs,
+        "copurchase_triangles": relational.copurchase_triangles,
+        "revenue_forecast": relational.revenue_forecast,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "large_orders": relational.large_orders,
+        "event_props_stats": relational.event_props_stats,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1375,6 +1380,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_events,
                    CAST(SUM(new_s) AS BIGINT) AS n_sessions
             FROM d GROUP BY user_id
+        """,
+        "copurchase_triangles": """
+            WITH e AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT e1.a AS part_a, e1.b AS part_b, e2.b AS part_c
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        """,
+        "revenue_forecast": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+                       l_extendedprice * l_discount * 100.0 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+        """,
+        "promo_revenue_share": """
+            WITH j AS (
+                SELECT CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                            * 100.0 + 0.5) AS BIGINT) AS rc, p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate <  TIMESTAMP '1997-10-01'
+            )
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+                        AS BIGINT) AS promo_cents,
+                   CAST(SUM(rc) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+                        AS BIGINT) * 100.0
+                   / CAST(SUM(rc) AS BIGINT) AS promo_share
+            FROM j
+        """,
+        "large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+            )
+            SELECT o.o_orderkey AS orderkey, big.sum_qty,
+                   o.o_custkey AS c_custkey, o.o_orderdate,
+                   CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS total_cents,
+                   c.c_name
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "event_props_stats": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+                   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events
+            WHERE props->>'$.k' IS NOT NULL
+            GROUP BY event_type
         """,
         "part_type_stats": """
             SELECT p_type,

@@ -42,7 +42,9 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "event_value_moments", "user_trailing_value",
            "purchases_except_views_all", "purchases_intersect_views_all",
            "local_supplier_volume", "user_funnel_counts",
-           "weekly_retention", "events_hourly_dense", "events_profile"]
+           "weekly_retention", "events_hourly_dense", "events_profile",
+           "copurchase_triangles", "revenue_forecast",
+           "promo_revenue_share", "large_orders", "event_props_stats"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1162,11 +1164,10 @@ def csv_event_stats(sf_dir: str):
         precombine=True)
 
 
-def part_copurchase_topk(sf_dir: str, k: int = 20):
-    """Market-basket co-occurrence: the top-k part pairs appearing on
-    the same order (the classic self-join-on-the-fact-table pattern —
-    SQL expresses it as lineitem ⋈ lineitem on orderkey with
-    ``part_a < part_b``).
+def _copurchase_pair_counts(sf_dir: str):
+    """Packed co-purchase pair counts ``(pair = a·2³² + b, n_copurchase)``
+    over orders — the shared front of :func:`part_copurchase_topk` and
+    :func:`copurchase_triangles`.
 
     Instead of materializing the quadratic self-join, rows sort once on
     (orderkey, partkey) and each block expands only its COMPLETE runs
@@ -1174,9 +1175,7 @@ def part_copurchase_topk(sf_dir: str, k: int = 20):
     per-run expansion is O(m²) with tiny m); boundary runs ship their
     raw rows (≤ 2 orders × m rows per block) through the standard
     edge/interior exchange.  Pairs are packed ``a·2³² + b`` so the
-    global count reduction is a single-key integer aggregate, then the
-    top-k sorts the (already combined) pair table with a full
-    deterministic tie-break (cnt desc, part_a, part_b)."""
+    global count reduction is a single-key integer aggregate."""
     from collections import Counter as _Counter
 
     from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
@@ -1219,21 +1218,89 @@ def part_copurchase_topk(sf_dir: str, k: int = 20):
         return _pair_counts(t.column("l_orderkey"), t.column("l_partkey"))
 
     pairs = edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
-    total = sorted_group_aggregate(pairs, "pair",
-                                   [("n_copurchase", "sum")],
-                                   precombine=False)
+    return sorted_group_aggregate(pairs, "pair",
+                                  [("n_copurchase", "sum")],
+                                  precombine=False)
 
-    def unpack(b: pa.Table) -> pa.Table:
-        p = b.column("pair").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "part_a": pa.array(p >> 32, type=pa.int64()),
-            "part_b": pa.array(p & 0xFFFFFFFF, type=pa.int64()),
-            "n_copurchase": b.column("n_copurchase")})
 
-    return (total.map_batches(unpack, batch_format="pyarrow",
+def _unpack_pair(b: pa.Table) -> pa.Table:
+    p = b.column("pair").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "part_a": pa.array(p >> 32, type=pa.int64()),
+        "part_b": pa.array(p & 0xFFFFFFFF, type=pa.int64()),
+        "n_copurchase": b.column("n_copurchase")})
+
+
+def part_copurchase_topk(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence: the top-k part pairs appearing on
+    the same order (the classic self-join-on-the-fact-table pattern —
+    SQL expresses it as lineitem ⋈ lineitem on orderkey with
+    ``part_a < part_b``).  Pair counting is the bounded-run exchange in
+    :func:`_copurchase_pair_counts`; the top-k sorts the (already
+    combined) pair table with a full deterministic tie-break
+    (cnt desc, part_a, part_b)."""
+    total = _copurchase_pair_counts(sf_dir)
+    return (total.map_batches(_unpack_pair, batch_format="pyarrow",
                               zero_copy_batch=True)
             .sort(["n_copurchase", "part_a", "part_b"],
                   descending=[True, False, False]).limit(k))
+
+
+def copurchase_triangles(sf_dir: str, min_count: int = 2):
+    """Distributed triangle enumeration over the co-purchase graph
+    (edges = part pairs co-purchased at least ``min_count`` times).
+
+    Classic two-join plan on the ordered edge set (a < b everywhere, so
+    every triangle is enumerated exactly once as a < b < c):
+
+    1. wedges = edges(a, mid) ⋈ edges(mid, c) on the middle vertex —
+       one distributed sorted-merge join;
+    2. close each wedge by an equi-join of the packed outer pair
+       ``a·2³² + c`` against the packed edge set — a second single-key
+       sorted-merge join (packing makes the composite key a plain int64,
+       the same trick the pair counter uses).
+
+    Both joins hash-ship only edge/wedge rows — never the fact table —
+    and the wedge side is bounded by Σ deg² of the *thresholded* graph.
+    At 100 TB the min_count support threshold is the knob that keeps
+    the wedge fan-out sane (raise it for denser graphs)."""
+    from ..stages.join import sorted_merge_join
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    left = edges.map_batches(lambda b: pa.table({
+        "mid": b.column("part_b"), "part_a": b.column("part_a")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = edges.map_batches(lambda b: pa.table({
+        "mid": b.column("part_a"), "part_c": b.column("part_b")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    wedges = sorted_merge_join(left, right, on="mid")
+
+    def _pack_ac(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        c = b.column("part_c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ac": pa.array((a << 32) | c, type=pa.int64()),
+            "part_a": b.column("part_a"),
+            "part_b": b.column("mid"),
+            "part_c": b.column("part_c")})
+
+    packed_wedges = wedges.map_batches(_pack_ac, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    edge_keys = edges.map_batches(lambda b: pa.table({
+        "ac": pa.array(
+            (b.column("part_a").to_numpy(zero_copy_only=False) << 32)
+            | b.column("part_b").to_numpy(zero_copy_only=False),
+            type=pa.int64()),
+        "closed": pa.array(np.ones(b.num_rows, dtype=np.int8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    closed = sorted_merge_join(packed_wedges, edge_keys, on="ac")
+    return closed.map_batches(
+        lambda b: b.select(["part_a", "part_b", "part_c"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def events_value_outliers(sf_dir: str):
@@ -1731,3 +1798,155 @@ def events_profile(sf_dir: str):
         "n_rows": pa.array(counts_tbl["n_rows"], type=pa.int64()),
         "n_nulls": pa.array(counts_tbl["n_nulls"], type=pa.int64()),
         "n_distinct": pa.array(counts_tbl["n_distinct"], type=pa.int64())})
+
+
+def revenue_forecast(sf_dir: str):
+    """TPC-H Q6-flavored predicate-pushdown demo: the ship-date range
+    is pushed into the parquet scan itself (``read_parquet(filter=...)``
+    — row groups outside the range never leave storage), the residual
+    discount/quantity predicates run vectorized per batch, and only a
+    one-row partial sum per block reaches the driver."""
+    import pyarrow.dataset as pds
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    scan = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_discount"), pa.scalar(0.05)),
+                    pc.less_equal(b.column("l_discount"), pa.scalar(0.07))),
+            pc.less(b.column("l_quantity"), pa.scalar(24.0)))
+        f = b.filter(pc.fill_null(mask, False))
+        rev = _cents(pc.multiply(f.column("l_extendedprice"),
+                                 f.column("l_discount")))
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_cents": pa.array([s], type=pa.int64()),
+                         "n_items": pa.array([f.num_rows], type=pa.int64())})
+
+    parts = scan.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    return pa.table({
+        "revenue_cents": pa.array(
+            [sum(r["revenue_cents"] for r in parts)], type=pa.int64()),
+        "n_items": pa.array(
+            [sum(r["n_items"] for r in parts)], type=pa.int64())})
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-flavored: one month of lineitem (ship-date range pushed
+    into the scan) broadcast-joined to the part dimension; promo and
+    total revenue accumulate as exact integer cents, and the percentage
+    is one float expression over the two exact sums — mirrored
+    operand-for-operand in the oracle."""
+    import pyarrow.dataset as pds
+
+    from ..stages.broadcast import broadcast_join
+
+    lo = pd.Timestamp("1997-09-01")
+    hi = pd.Timestamp("1997-10-01")
+    part_dim = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+    scan = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"p_partkey": b.column("l_partkey"),
+                         "rev_cents": _cents(rev)})
+
+    joined = broadcast_join(
+        scan.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        part_dim, on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = b.column("rev_cents")
+        promo = pc.if_else(pc.equal(b.column("p_type"), pa.scalar("PROMO")),
+                           rev, pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "promo_cents": pa.array([pc.sum(promo).as_py() or 0],
+                                    type=pa.int64()),
+            "total_cents": pa.array([pc.sum(rev).as_py() or 0],
+                                    type=pa.int64())})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    promo_cents = sum(r["promo_cents"] for r in parts)
+    total_cents = sum(r["total_cents"] for r in parts)
+    share = promo_cents * 100.0 / total_cents if total_cents else 0.0
+    return pa.table({
+        "promo_cents": pa.array([promo_cents], type=pa.int64()),
+        "total_cents": pa.array([total_cents], type=pa.int64()),
+        "promo_share": pa.array([share], type=pa.float64())})
+
+
+def large_orders(sf_dir: str, min_qty: int = 150):
+    """TPC-H Q18-flavored: group the fact table by order key (HAVING
+    sum(qty) > threshold), then enrich the surviving orders via a
+    distributed sorted-merge join against orders and a broadcast
+    customer-name lookup.  The HAVING filter runs before any join, so
+    the join input is already the small survivor set."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_quantity"])
+          .map_batches(lambda b: pa.table({
+              "orderkey": b.column("l_orderkey"),
+              "qty": pc.cast(pc.floor(pc.add(b.column("l_quantity"),
+                                             pa.scalar(0.5))), pa.int64())}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    big = (sorted_group_aggregate(li, "orderkey", [("qty", "sum")])
+           .filter(expr=f"qty > {int(min_qty)}")
+           .map_batches(lambda b: b.rename_columns(["orderkey", "sum_qty"]),
+                        batch_format="pyarrow", zero_copy_batch=True))
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_totalprice"])
+              .map_batches(lambda b: pa.table({
+                  "orderkey": b.column("o_orderkey"),
+                  "c_custkey": b.column("o_custkey"),
+                  "o_orderdate": b.column("o_orderdate"),
+                  "total_cents": _cents(b.column("o_totalprice"))}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    joined = sorted_merge_join(big, orders, on="orderkey")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return broadcast_join(joined, cust, on="c_custkey")
+
+
+def event_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with ONE vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads), then aggregate per
+    event type.  The oracle extracts the same field with DuckDB's JSON
+    operator, proving the regex path implements real JSON-field
+    semantics on this data."""
+    scan = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n_events": pa.array(np.ones(b.num_rows,
+                                                   dtype=np.int64)),
+                      "sum_k": k, "min_k": k, "max_k": k})
+        return t.filter(pc.is_valid(k))
+
+    prepped = scan.map_batches(extract, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return sorted_group_aggregate(
+        prepped, "event_type",
+        [("n_events", "sum"), ("sum_k", "sum"),
+         ("min_k", "min"), ("max_k", "max")])

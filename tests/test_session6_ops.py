@@ -1,0 +1,205 @@
+"""Session-6 operators: triangle enumeration on the co-purchase graph,
+predicate-pushdown scan aggregate (Q6), promo revenue share (Q14),
+large-orders HAVING join (Q18), and vectorized JSON-field extraction —
+each pinned against DuckDB on planted synthetic data (not the shared
+testdata, so edge cases are controlled: isolated edges, degenerate
+cliques, empty filter windows, missing JSON keys)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _write(dirpath, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{dirpath}/{name}.parquet")
+
+
+# ------------------------------------------------------------- triangles
+def test_copurchase_triangles_matches_duckdb(ray_session, tmp_path):
+    # planted graph: orders that induce a 4-clique (via repeated
+    # co-purchase), a path (no triangle), and an isolated edge
+    rng = np.random.default_rng(11)
+    rows = []
+    oid = 0
+    for _ in range(3):            # 4-clique on parts 1..4, support 3 ≥ 2
+        oid += 1
+        rows += [(oid, p) for p in (1, 2, 3, 4)]
+    for _ in range(2):            # path 10-11-12 (no closing edge)
+        oid += 1
+        rows += [(oid, 10), (oid, 11)]
+        oid += 1
+        rows += [(oid, 11), (oid, 12)]
+    for _ in range(2):            # isolated edge 20-21
+        oid += 1
+        rows += [(oid, 20), (oid, 21)]
+    for _ in range(40):           # random noise orders (support mostly 1)
+        oid += 1
+        parts = rng.choice(np.arange(30, 60), size=3, replace=False)
+        rows += [(oid, int(p)) for p in parts]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]
+                      ).astype(np.int64)
+    _write(tmp_path, "lineitem", li)
+
+    from kgray.pipelines.relational import copurchase_triangles
+    got = (copurchase_triangles(str(tmp_path), min_count=2)
+           .to_pandas().sort_values(["part_a", "part_b", "part_c"],
+                                    ignore_index=True))
+
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    exp = con.sql("""
+        WITH e AS (
+            SELECT l1.l_partkey a, l2.l_partkey b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )
+        SELECT e1.a part_a, e1.b part_b, e2.b part_c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        ORDER BY 1, 2, 3
+    """).df()
+    # the 4-clique contributes C(4,3)=4 triangles; nothing else closes
+    assert len(got) == 4
+    pd.testing.assert_frame_equal(got, exp.astype(np.int64))
+
+
+# ------------------------------------------------- Q6 / Q14 / Q18 family
+def _tpch_tables(tmp_path, n_orders=400, seed=3):
+    rng = np.random.default_rng(seed)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders, dtype=np.int64),
+        "o_custkey": rng.integers(0, 50, n_orders).astype(np.int64),
+        "o_orderdate": pd.to_datetime("1996-06-01")
+        + pd.to_timedelta(rng.integers(0, 900, n_orders), unit="D"),
+        "o_totalprice": np.round(rng.uniform(10, 5e4, n_orders), 2),
+    })
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    n_li = n_orders * 4
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_orders, n_li).astype(np.int64),
+        "l_partkey": rng.integers(0, 80, n_li).astype(np.int64),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(100, 9e4, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_shipdate": (pd.to_datetime("1996-06-01")
+                       + pd.to_timedelta(rng.integers(0, 900, n_li),
+                                         unit="D")),
+    })
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    part = pd.DataFrame({
+        "p_partkey": np.arange(80, dtype=np.int64),
+        "p_type": [["PROMO", "STANDARD", "ECONOMY"][i % 3]
+                   for i in range(80)],
+    })
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(50, dtype=np.int64),
+        "c_name": [f"Customer#{i:06d}" for i in range(50)],
+    })
+    for name, df in (("orders", orders), ("lineitem", li),
+                     ("part", part), ("customer", cust)):
+        _write(tmp_path, name, df)
+    con = duckdb.connect()
+    for name, df in (("orders", orders), ("lineitem", li),
+                     ("part", part), ("customer", cust)):
+        con.register(name, df)
+    return con
+
+
+def test_revenue_forecast_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import revenue_forecast
+    got = revenue_forecast(str(tmp_path)).to_pandas()
+    exp = con.sql("""
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount
+                   * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT) revenue_cents,
+               COUNT(*) n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """).df()
+    assert got["n_items"][0] > 0            # non-vacuous
+    assert got["revenue_cents"][0] == exp["revenue_cents"][0]
+    assert got["n_items"][0] == exp["n_items"][0]
+
+
+def test_promo_revenue_share_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import promo_revenue_share
+    got = promo_revenue_share(str(tmp_path)).to_pandas()
+    exp = con.sql("""
+        WITH j AS (SELECT CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                        * 100.0 + 0.5) AS BIGINT) rc, p_type
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                     AND l_shipdate < TIMESTAMP '1997-10-01')
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+                    AS BIGINT) promo_cents,
+               CAST(SUM(rc) AS BIGINT) total_cents,
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+                    AS BIGINT) * 100.0 / CAST(SUM(rc) AS BIGINT) promo_share
+        FROM j
+    """).df()
+    assert got["total_cents"][0] > 0
+    assert got["promo_cents"][0] == exp["promo_cents"][0]
+    assert got["total_cents"][0] == exp["total_cents"][0]
+    assert got["promo_share"][0] == exp["promo_share"][0]   # bitwise
+
+
+def test_large_orders_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import large_orders
+    got = (large_orders(str(tmp_path), min_qty=120).to_pandas()
+           .sort_values("orderkey", ignore_index=True))
+    exp = con.sql("""
+        WITH big AS (SELECT l_orderkey,
+                            CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                                 AS BIGINT) sum_qty
+                     FROM lineitem GROUP BY 1 HAVING sum_qty > 120)
+        SELECT o.o_orderkey orderkey, big.sum_qty, o.o_custkey c_custkey,
+               o.o_orderdate,
+               CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   total_cents,
+               c.c_name
+        FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY orderkey
+    """).df()
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)])
+
+
+# --------------------------------------------------- JSON-field extraction
+def test_event_props_stats_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(9)
+    n = 3000
+    ks = rng.integers(-50, 500, n)
+    types = rng.choice(["view", "click", "purchase"], n)
+    props = [f'{{"k": {k}}}' if i % 17 else '{"other": 1}'
+             for i, k in enumerate(ks)]          # some rows lack the key
+    ev = pd.DataFrame({"event_type": types, "props": props})
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import event_props_stats
+    got = (event_props_stats(str(tmp_path)).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        SELECT event_type, COUNT(*) n_events,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) sum_k,
+               MIN(CAST(props->>'$.k' AS BIGINT)) min_k,
+               MAX(CAST(props->>'$.k' AS BIGINT)) max_k
+        FROM events WHERE props->>'$.k' IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
