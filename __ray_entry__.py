@@ -203,6 +203,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_invariant": _extract_invariant,
         "kg_entities": _kg_entities,
         "binary_features": _binary_features,
+        "image_features": lambda sf: __import__(
+            "kgray.pipelines.multimodal", fromlist=["image_features"]
+        ).image_features(sf),
+        "audio_features": lambda sf: __import__(
+            "kgray.pipelines.multimodal", fromlist=["audio_features"]
+        ).audio_features(sf),
         # --- text analysis over documents (SQL-oracled)
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -345,7 +351,8 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_kmeans",
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "events_value_quantiles_approx",
-                     "dedup_lines", "packed_documents")
+                     "dedup_lines", "packed_documents",
+                     "image_features", "audio_features")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

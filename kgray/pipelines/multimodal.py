@@ -18,7 +18,9 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["decode_image", "byte_histogram", "BinaryFeaturizer",
-           "binary_features"]
+           "binary_features", "synth_bmp_payload", "synth_wav_payload",
+           "ImageFeaturizer", "AudioFeaturizer", "image_features",
+           "audio_features"]
 
 N_BUCKETS = 16
 
@@ -83,3 +85,142 @@ def binary_features(pages, concurrency: int | None = None, batch_size: int = 256
     return ds.map_batches(BinaryFeaturizer, fn_constructor_kwargs={"column": column},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+# ------------------------------------------------------------------
+# REAL decode path — uncompressed formats (BMP / PCM WAV) need no codec
+# library, so for them the full multimodal pipeline is genuinely real:
+# synthesize deterministic binary payloads → carry them through the
+# object store as a binary column → decode + featurize in an actor
+# pool.  Compressed formats (JPEG/PNG/MP3) stay stubbed above.
+
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """Deterministic per-doc BMP: doc-dependent size, gradient +
+    hash-seeded noise — a stand-in for 'fetched image bytes'."""
+    from ..kernels.codec import encode_bmp
+
+    h = 16 + (doc_id * 13) % 17
+    w = 16 + (doc_id * 7) % 23
+    rng = np.random.Generator(np.random.PCG64(0xB41C0DE + doc_id))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+        rng.integers(0, 256, (h, w), dtype=np.int64).astype(np.uint8),
+    ], axis=2)
+    return encode_bmp(img)
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic per-doc PCM WAV: doc-dependent pitch/length sine
+    plus seeded noise."""
+    from ..kernels.codec import encode_wav
+
+    rate = 8000
+    n = 400 + (doc_id * 31) % 800
+    freq = 200.0 + (doc_id * 17) % 800
+    t = np.arange(n, dtype=np.float64) / rate
+    rng = np.random.Generator(np.random.PCG64(0xA0D10 + doc_id))
+    wave_f = (0.6 * np.sin(2 * np.pi * freq * t)
+              + 0.05 * rng.standard_normal(n))
+    return encode_wav(np.clip(wave_f * 32767, -32768, 32767)
+                      .astype(np.int16), rate)
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: binary BMP column → decoded image features.
+
+    Exactly the shape a real vision featurizer takes — decode once per
+    payload, all per-pixel math vectorized in NumPy, integer outputs so
+    results are bitwise-stable.  ``__init__`` is where a model would
+    load (once per actor)."""
+
+    def __init__(self, thumb: int = 8):
+        from ..kernels.codec import decode_bmp, resize_nearest
+        self._decode = decode_bmp
+        self._resize = resize_nearest
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "thumb_sum": []}
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, payload in zip(ids, batch.column("payload").to_pylist()):
+            img = self._decode(payload)
+            h, w = img.shape[:2]
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            th = self._resize(img, self.thumb, self.thumb)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_r"].append(int(sums[0]))
+            rows["sum_g"].append(int(sums[1]))
+            rows["sum_b"].append(int(sums[2]))
+            rows["thumb_sum"].append(int(th.sum(dtype=np.int64)))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: binary WAV column → decoded audio features
+    (all-integer: sample count, rate, energy = Σ s², zero crossings)."""
+
+    def __init__(self):
+        from ..kernels.codec import decode_wav
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "sample_rate": [], "n_samples": [],
+                "energy": [], "zero_crossings": []}
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, payload in zip(ids, batch.column("payload").to_pylist()):
+            rate, samples = self._decode(payload)
+            s = samples[:, 0].astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(s))
+            rows["energy"].append(int((s * s).sum()))
+            rows["zero_crossings"].append(
+                int(((s[:-1] < 0) != (s[1:] < 0)).sum()))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+
+def _synth_binary_column(sf_dir: str, synth_fn):
+    """documents → (doc_id, payload) with a deterministic binary column.
+    Payload synthesis is itself a map_batches stage, so the binary
+    bytes genuinely flow through the object store into the featurizer
+    actor pool (small batch_size: payload × batch × concurrency must
+    fit worker heaps)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([synth_fn(i) for i in ids],
+                                type=pa.binary())})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=128)
+
+
+def image_features(sf_dir: str, concurrency: int | None = None):
+    """Real image pipeline over uncompressed BMP payloads: synthesize →
+    binary column → actor-pool decode/resize/featurize."""
+    if concurrency is None:
+        from .kg import _auto_concurrency
+        concurrency = _auto_concurrency()[0]
+    return _synth_binary_column(sf_dir, synth_bmp_payload).map_batches(
+        ImageFeaturizer, batch_format="pyarrow", batch_size=128,
+        concurrency=concurrency, num_cpus=1)
+
+
+def audio_features(sf_dir: str, concurrency: int | None = None):
+    """Real audio pipeline over PCM WAV payloads: synthesize → binary
+    column → actor-pool decode/featurize."""
+    if concurrency is None:
+        from .kg import _auto_concurrency
+        concurrency = _auto_concurrency()[0]
+    return _synth_binary_column(sf_dir, synth_wav_payload).map_batches(
+        AudioFeaturizer, batch_format="pyarrow", batch_size=128,
+        concurrency=concurrency, num_cpus=1)
