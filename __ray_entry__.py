@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": relational.promo_revenue_share,
         "large_orders": relational.large_orders,
         "event_props_stats": relational.event_props_stats,
+        "orders_above_cust_avg": relational.orders_above_cust_avg,
+        "fk_orphan_audit": relational.fk_orphan_audit,
+        "dedup_substring_mask": text.dedup_substring_mask,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1453,6 +1456,61 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "orders_above_cust_avg": """
+            WITH a AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sum_cents,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS total_cents
+            FROM orders o JOIN a USING (o_custkey)
+            WHERE CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  * a.n_orders > a.sum_cents
+        """,
+        "fk_orphan_audit": """
+            WITH ev AS (
+                SELECT event_type,
+                       CASE WHEN CAST(('0x' || substr(md5(CAST(event_id
+                                 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                 < 100
+                            THEN user_id + 1000000 ELSE user_id
+                       END AS user_id
+                FROM events
+            )
+            SELECT ev.event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_orphans
+            FROM ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+            GROUP BY ev.event_type
+        """,
+        "dedup_substring_mask": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            occ AS (SELECT doc_id, i,
+                           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               AS g
+                    FROM t, UNNEST(generate_series(1, len(toks) - 2))
+                        AS u(i)),
+            df AS (SELECT g, COUNT(DISTINCT doc_id) AS df
+                   FROM occ GROUP BY g),
+            cov AS (SELECT DISTINCT occ.doc_id, occ.i + o AS pos
+                    FROM occ JOIN df USING (g),
+                         UNNEST(generate_series(0, 2)) AS v(o)
+                    WHERE df.df >= 2),
+            m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+                  FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, len(t.toks) AS n_tokens,
+                   CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+                   CASE WHEN len(t.toks) = 0 THEN 0.0
+                        ELSE CAST(COALESCE(m.n_masked, 0) AS DOUBLE)
+                             / CAST(len(t.toks) AS DOUBLE)
+                   END AS masked_fraction
+            FROM t LEFT JOIN m USING (doc_id)
         """,
         "part_type_stats": """
             SELECT p_type,

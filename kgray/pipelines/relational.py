@@ -44,7 +44,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "local_supplier_volume", "user_funnel_counts",
            "weekly_retention", "events_hourly_dense", "events_profile",
            "copurchase_triangles", "revenue_forecast",
-           "promo_revenue_share", "large_orders", "event_props_stats"]
+           "promo_revenue_share", "large_orders", "event_props_stats",
+           "orders_above_cust_avg", "fk_orphan_audit"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -1950,3 +1951,105 @@ def event_props_stats(sf_dir: str):
         prepped, "event_type",
         [("n_events", "sum"), ("sum_k", "sum"),
          ("min_k", "min"), ("max_k", "max")])
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery decorrelation: orders costing more than THEIR
+    customer's average order value.  The correlated ``AVG`` becomes one
+    per-customer aggregate pass, re-joined to the fact scan via the
+    distributed sorted-merge join; the average comparison is done by
+    integer cross-multiplication (``total·n > sum``) so it stays exact
+    — no float division anywhere."""
+    from ..stages.join import sorted_merge_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "total_cents": _cents(b.column("o_totalprice"))})
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_totalprice"])
+              .map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    agg = (sorted_group_aggregate(
+        orders.map_batches(lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "sum_cents": b.column("total_cents"),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey", [("sum_cents", "sum"), ("n_orders", "sum")]))
+    joined = sorted_merge_join(orders, agg, on="o_custkey")
+
+    def keep(b: pa.Table) -> pa.Table:
+        lhs = pc.multiply(b.column("total_cents"), b.column("n_orders"))
+        mask = pc.fill_null(pc.greater(lhs, b.column("sum_cents")), False)
+        return b.filter(mask).select(["o_orderkey", "o_custkey",
+                                      "total_cents"])
+
+    return joined.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def fk_orphan_audit(sf_dir: str, corrupt_permille: int = 100):
+    """Referential-integrity audit as a data-quality operator: count,
+    per event type, facts whose ``user_id`` has no matching customer
+    row.  The natural testdata is perfectly consistent (0 orphans
+    everywhere — vacuous), so a deterministic md5-selected ~10% of
+    events is first 'corrupted' (user_id shifted out of range),
+    mirrored literally in the oracle — the ``pii_scrub`` injection
+    pattern.
+
+    The membership check is the bloom-prefiltered ANTI join
+    (``stages/semijoin.py``): customer keys tree-reduce into a bitset
+    broadcast once; bloom-negative events are definite orphans and
+    never pay the shuffle."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.semijoin import semi_join
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(["event_id", "event_type", "user_id"])
+        sel = _md5_bucket(b.column("event_id").to_pylist(),
+                          1000) < corrupt_permille
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "user_id": pa.array(np.where(sel, uid + 1_000_000, uid),
+                                type=pa.int64())})
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "event_type", "user_id"])
+          .map_batches(corrupt, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+            .map_batches(lambda b: b.rename_columns(["user_id"]),
+                         batch_format="pyarrow", zero_copy_batch=True))
+    orphans = semi_join(ev, cust, on="user_id", anti=True,
+                        bloom_bits=1 << 20)
+
+    totals = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", [("n_events", "sum")])
+    orphan_counts = sorted_group_aggregate(
+        orphans.map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n_orphans": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", [("n_orphans", "sum")])
+
+    from ..stages.join import sorted_merge_join
+    out = sorted_merge_join(totals, orphan_counts, on="event_type",
+                            how="left")
+    return out.map_batches(lambda b: pa.table({
+        "event_type": b.column("event_type"),
+        "n_events": b.column("n_events"),
+        "n_orphans": pc.fill_null(b.column("n_orphans"),
+                                  pa.scalar(0, type=pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)

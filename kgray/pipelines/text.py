@@ -24,7 +24,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "heavy_hitter_tokens", "jsonl_token_stats",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
            "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
-           "token_fuzzy_pairs"]
+           "token_fuzzy_pairs", "dedup_substring_mask"]
 
 _WS = re.compile(r"\s+")
 
@@ -745,3 +745,112 @@ def token_fuzzy_pairs(sf_dir: str, typo_permille: int = 250):
                                    [("one", "min")])
     return pairs.map_batches(lambda b: b.select(["tok_a", "tok_b"]),
                              batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_substring_mask(sf_dir: str, n: int = 3):
+    """Substring-dedup masking signal (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" shape, at n-gram
+    granularity): for each document, how many TOKEN POSITIONS are
+    covered by some n-gram that also appears in another document.  A
+    cleaning pipeline would drop or rewrite those spans; this operator
+    computes the per-doc mask size exactly.
+
+    Distributed composition (reusing the duplicate-n-gram exchange):
+    occurrence rows (doc, pos, gram) → gram doc-frequency (distinct-doc
+    count) → sorted-merge join occurrences⋈df on gram → explode covered
+    positions pos..pos+n−1 → distinct (doc, pos) → per-doc count, left-
+    joined back to every nonempty doc so unmasked docs report 0.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, poss, grams = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            for i in range(len(toks) - n + 1):
+                doc_ids.append(d)
+                poss.append(i)
+                grams.append(" ".join(toks[i:i + n]))
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "pos": pa.array(poss, type=pa.int64()),
+                         "gram": pa.array(grams, type=pa.string())})
+
+    def ntok_rows(batch: pa.Table) -> pa.Table:
+        ids, ntoks = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if not t.strip():
+                continue                      # SQL's t CTE excludes these
+            ids.append(d)
+            ntoks.append(len(_tokens(t)))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "n_tokens": pa.array(ntoks, type=pa.int64())})
+
+    docs = read_documents(sf_dir)
+    occ = (docs.map_batches(occ_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize())
+
+    # gram document frequency over DISTINCT (gram, doc): two-level
+    # aggregate keeps within-doc repeats from inflating df
+    pair = sorted_group_aggregate(
+        occ.map_batches(lambda b: pa.table({
+            "gram": b.column("gram"), "doc_id": b.column("doc_id"),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["gram", "doc_id"], [("one", "min")], precombine=False)
+    df_ds = sorted_group_aggregate(
+        pair.map_batches(lambda b: pa.table({
+            "gram": b.column("gram"),
+            "df": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "gram", [("df", "sum")])
+
+    joined = sorted_merge_join(occ, df_ds, on="gram")
+
+    def explode_cover(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.greater_equal(batch.column("df"),
+                                             pa.scalar(2)), False)
+        b = batch.filter(mask)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        p = b.column("pos").to_numpy(zero_copy_only=False)
+        offs = np.arange(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(d, n), type=pa.int64()),
+            "cov": pa.array((p[:, None] + offs[None, :]).ravel(),
+                            type=pa.int64())})
+
+    cov = joined.map_batches(explode_cover, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cov_distinct = sorted_group_aggregate(
+        cov.map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["doc_id", "cov"], [("one", "min")])
+    masked = sorted_group_aggregate(
+        cov_distinct.map_batches(lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_masked": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "doc_id", [("n_masked", "sum")])
+
+    ntok = docs.map_batches(ntok_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = sorted_merge_join(ntok, masked, on="doc_id", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nm = pc.fill_null(b.column("n_masked"),
+                          pa.scalar(0, type=pa.int64()))
+        nt = b.column("n_tokens")
+        frac = pc.if_else(
+            pc.equal(nt, pa.scalar(0, type=pa.int64())),
+            pa.scalar(0.0),
+            pc.divide(pc.cast(nm, pa.float64()), pc.cast(nt, pa.float64())))
+        return pa.table({"doc_id": b.column("doc_id"), "n_tokens": nt,
+                         "n_masked": nm, "masked_fraction": frac})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

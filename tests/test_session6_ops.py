@@ -203,3 +203,90 @@ def test_event_props_stats_matches_duckdb(ray_session, tmp_path):
     """).df()
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# ----------------------------------------------- correlated subquery
+def test_orders_above_cust_avg_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import orders_above_cust_avg
+    got = (orders_above_cust_avg(str(tmp_path)).to_pandas()
+           .sort_values("o_orderkey", ignore_index=True))
+    exp = con.sql("""
+        WITH a AS (SELECT o_custkey,
+                          CAST(SUM(CAST(FLOOR(o_totalprice*100.0+0.5)
+                               AS BIGINT)) AS BIGINT) sum_cents,
+                          COUNT(*) n_orders
+                   FROM orders GROUP BY 1)
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(FLOOR(o.o_totalprice*100.0+0.5) AS BIGINT) total_cents
+        FROM orders o JOIN a USING (o_custkey)
+        WHERE CAST(FLOOR(o.o_totalprice*100.0+0.5) AS BIGINT) * a.n_orders
+              > a.sum_cents
+        ORDER BY o_orderkey
+    """).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+# ------------------------------------------------- FK integrity audit
+def test_fk_orphan_audit_counts_planted_orphans(ray_session, tmp_path):
+    rng = np.random.default_rng(21)
+    n = 4000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["view", "click"], n),
+        "user_id": rng.integers(0, 40, n).astype(np.int64)})
+    cust = pd.DataFrame({"c_custkey": np.arange(40, dtype=np.int64)})
+    _write(tmp_path, "events", ev)
+    _write(tmp_path, "customer", cust)
+
+    from kgray.pipelines.relational import fk_orphan_audit
+    got = (fk_orphan_audit(str(tmp_path)).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("customer", cust)
+    exp = con.sql("""
+        WITH ev AS (SELECT event_type,
+                      CASE WHEN CAST(('0x' || substr(md5(CAST(event_id
+                           AS VARCHAR)),1,8)) AS BIGINT) % 1000 < 100
+                           THEN user_id + 1000000 ELSE user_id END user_id
+                    FROM events)
+        SELECT ev.event_type, COUNT(*) n_events,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) n_orphans
+        FROM ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["n_orphans"].sum() > 0          # injection really planted
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+# -------------------------------------------- substring-dedup masking
+def test_dedup_substring_mask_planted(ray_session, tmp_path):
+    # doc 0/1 share a 5-token phrase (coverage 5 tokens each);
+    # doc 2 repeats a gram internally but shares nothing (df=1 -> 0);
+    # doc 3 too short for any gram; doc 4 whitespace-only (excluded)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["aa bb cc dd ee xx yy",
+                 "zz aa bb cc dd ee",
+                 "pp qq rr pp qq rr",
+                 "one two",
+                 "   "]})
+    _write(tmp_path, "documents", docs)
+
+    from kgray.pipelines.text import dedup_substring_mask
+    got = (dedup_substring_mask(str(tmp_path)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(got["doc_id"]) == [0, 1, 2, 3]       # blank doc excluded
+    by = got.set_index("doc_id")
+    # shared 'aa bb cc dd ee' covers positions of its 3 trigram spans = 5
+    assert by.loc[0, "n_masked"] == 5
+    assert by.loc[1, "n_masked"] == 5
+    assert by.loc[2, "n_masked"] == 0      # internal repeats, df=1
+    assert by.loc[3, "n_masked"] == 0      # no trigrams at all
+    assert by.loc[0, "n_tokens"] == 7 and by.loc[3, "n_tokens"] == 2
+    assert by.loc[1, "masked_fraction"] == 5.0 / 6.0
