@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": relational.orders_above_cust_avg,
         "fk_orphan_audit": relational.fk_orphan_audit,
         "dedup_substring_mask": text.dedup_substring_mask,
+        "logline_stats": relational.logline_stats,
+        "orders_cdc_latest": relational.orders_cdc_latest,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1456,6 +1458,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "logline_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   MAX(user_id) AS max_user
+            FROM events GROUP BY event_type
+        """,
+        "orders_cdc_latest": """
+            WITH h AS (SELECT o_orderkey, o_totalprice,
+                              CAST(('0x' || substr(md5(CAST(o_orderkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM orders),
+            base AS (SELECT o_orderkey, 0 AS version, 'U' AS op,
+                            o_totalprice AS price FROM orders),
+            chg AS (SELECT o_orderkey, 1 AS version,
+                           CASE WHEN hb < 100 THEN 'D' ELSE 'U' END AS op,
+                           o_totalprice + 10.0 AS price
+                    FROM h WHERE hb < 300),
+            allr AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            latest AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY version DESC) AS rn
+                       FROM allr)
+            SELECT o_orderkey,
+                   CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)
+                       AS total_cents,
+                   CAST(version AS BIGINT) AS version
+            FROM latest WHERE rn = 1 AND op = 'U'
         """,
         "orders_above_cust_avg": """
             WITH a AS (

@@ -45,7 +45,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "weekly_retention", "events_hourly_dense", "events_profile",
            "copurchase_triangles", "revenue_forecast",
            "promo_revenue_share", "large_orders", "event_props_stats",
-           "orders_above_cust_avg", "fk_orphan_audit"]
+           "orders_above_cust_avg", "fk_orphan_audit",
+           "logline_stats", "orders_cdc_latest"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2053,3 +2054,77 @@ def fk_orphan_audit(sf_dir: str, corrupt_permille: int = 100):
         "n_orphans": pc.fill_null(b.column("n_orphans"),
                                   pa.scalar(0, type=pa.int64()))}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def logline_stats(sf_dir: str):
+    """Raw-log ingest: unstructured text lines (``sources/textlog.py``,
+    a deterministic twin of the events table) streamed with
+    ``read_text``, parsed by one vectorized RE2 kernel, then the usual
+    exact-cents aggregate per event type.  Oracled by the same SQL over
+    the parquet view — proving read_text → regex-parse source parity."""
+    from ..sources.textlog import events_to_log, read_events_log
+
+    ds = read_events_log(events_to_log(sf_dir))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "value_cents": _cents(b.column("value")),
+            "max_user": b.column("user_id")})
+
+    return sorted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        [("n_events", "sum"), ("value_cents", "sum"), ("max_user", "max")])
+
+
+def orders_cdc_latest(sf_dir: str):
+    """CDC / MERGE-INTO semantics: apply a changelog to a snapshot with
+    latest-version-wins and DELETE support.  A deterministic changelog
+    is derived from orders (md5-selected ~30% of keys get a version-1
+    change; a third of those are deletes), the snapshot unions with it,
+    one grouped top-1 exchange keeps each key's latest version, and
+    surviving deletes drop out — the upsert path of every lakehouse
+    table format, as a streaming Ray op."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.topk import grouped_topk
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "version": pa.array(np.zeros(n, dtype=np.int64)),
+            "op": pa.array(["U"] * n, type=pa.string()),
+            "price": b.column("o_totalprice")})
+
+    def change_rows(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("o_orderkey").to_pylist(), 1000)
+        t = b.filter(pa.array(h < 300))
+        hh = h[h < 300]
+        ops = np.where(hh < 100, "D", "U")
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "version": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "op": pa.array(ops.tolist(), type=pa.string()),
+            "price": pc.add(t.column("o_totalprice"), pa.scalar(10.0))})
+
+    scan = lambda: rd.read_parquet(f"{sf_dir}/orders.parquet",  # noqa: E731
+                                   columns=["o_orderkey", "o_totalprice"])
+    base = scan().map_batches(base_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    chg = scan().map_batches(change_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    latest = grouped_topk(base.union(chg), group="o_orderkey",
+                          order_col="version", tiebreak="op", k=1)
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.equal(b.column("op"), pa.scalar("U")), False)
+        t = b.filter(keep)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "total_cents": _cents(t.column("price")),
+            "version": t.column("version")})
+
+    return latest.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -290,3 +290,59 @@ def test_dedup_substring_mask_planted(ray_session, tmp_path):
     assert by.loc[3, "n_masked"] == 0      # no trigrams at all
     assert by.loc[0, "n_tokens"] == 7 and by.loc[3, "n_tokens"] == 2
     assert by.loc[1, "masked_fraction"] == 5.0 / 6.0
+
+
+# ---------------------------------------------------- raw log-line source
+def test_textlog_source_roundtrip(ray_session, tmp_path):
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.arange(200), unit="min")
+    ev = pd.DataFrame({
+        "event_id": np.arange(200, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": np.arange(200, dtype=np.int64) % 9,
+        "event_type": ["view", "click"] * 100,
+        "value": np.round(np.random.default_rng(2).uniform(0, 100, 200), 7),
+        "props": ["{}"] * 200})
+    _write(tmp_path, "events", ev)
+
+    from kgray.sources.textlog import events_to_log, read_events_log
+    parsed = (read_events_log(events_to_log(str(tmp_path),
+                                            root=str(tmp_path) + "/log"))
+              .to_pandas().sort_values("event_id", ignore_index=True))
+    assert len(parsed) == 200
+    assert (parsed["user_id"] == ev["user_id"]).all()
+    assert (parsed["event_type"] == ev["event_type"]).all()
+    # repr round-trip + Arrow strtod == bitwise-equal floats
+    assert (parsed["value"].to_numpy() == ev["value"].to_numpy()).all()
+
+
+# ------------------------------------------------------------- CDC merge
+def test_orders_cdc_latest_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import orders_cdc_latest
+    got = (orders_cdc_latest(str(tmp_path)).to_pandas()
+           .sort_values("o_orderkey", ignore_index=True))
+    exp = con.sql("""
+        WITH h AS (SELECT o_orderkey, o_totalprice,
+                          CAST(('0x' || substr(md5(CAST(o_orderkey
+                               AS VARCHAR)),1,8)) AS BIGINT) % 1000 hb
+                   FROM orders),
+        base AS (SELECT o_orderkey, 0 AS version, 'U' AS op,
+                        o_totalprice AS price FROM orders),
+        chg AS (SELECT o_orderkey, 1 AS version,
+                       CASE WHEN hb < 100 THEN 'D' ELSE 'U' END AS op,
+                       o_totalprice + 10.0 AS price
+                FROM h WHERE hb < 300),
+        allr AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                       ORDER BY version DESC) rn FROM allr)
+        SELECT o_orderkey,
+               CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT) total_cents,
+               CAST(version AS BIGINT) AS version
+        FROM latest WHERE rn = 1 AND op = 'U'
+        ORDER BY o_orderkey
+    """).df()
+    # deletes really removed rows; updates really bumped versions
+    assert len(got) < 400 and (got["version"] == 1).any()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
