@@ -165,6 +165,23 @@ def run_bench() -> dict:
           lambda: relational.events_hourly_dense(sf_dir))
     timed("events_profile", lambda: relational.events_profile(sf_dir))
     timed("token_fuzzy_pairs", lambda: text.token_fuzzy_pairs(sf_dir))
+    timed("copurchase_triangles",
+          lambda: relational.copurchase_triangles(sf_dir))
+    timed("revenue_forecast", lambda: relational.revenue_forecast(sf_dir))
+    timed("promo_revenue_share",
+          lambda: relational.promo_revenue_share(sf_dir))
+    timed("large_orders", lambda: relational.large_orders(sf_dir))
+    timed("event_props_stats", lambda: relational.event_props_stats(sf_dir))
+    timed("orders_above_cust_avg",
+          lambda: relational.orders_above_cust_avg(sf_dir))
+    timed("fk_orphan_audit", lambda: relational.fk_orphan_audit(sf_dir))
+    timed("dedup_substring_mask",
+          lambda: text.dedup_substring_mask(sf_dir))
+    timed("logline_stats", lambda: relational.logline_stats(sf_dir))
+    timed("orders_cdc_latest", lambda: relational.orders_cdc_latest(sf_dir))
+    from kgray.pipelines import multimodal as _mm
+    timed("image_features", lambda: _mm.image_features(sf_dir))
+    timed("audio_features", lambda: _mm.audio_features(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",
