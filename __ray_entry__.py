@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_mask": text.dedup_substring_mask,
         "logline_stats": relational.logline_stats,
         "orders_cdc_latest": relational.orders_cdc_latest,
+        "pareto_orders": relational.pareto_orders,
+        "embedding_dim_stats": ann.embedding_dim_stats,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1458,6 +1460,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "pareto_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS total_cents,
+                              CAST(epoch_us(o_orderdate) AS BIGINT)
+                                  AS date_us
+                       FROM orders)
+            SELECT o_orderkey, total_cents, date_us FROM o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM o x
+                WHERE x.total_cents >= o.total_cents
+                  AND x.date_us >= o.date_us
+                  AND (x.total_cents > o.total_cents
+                       OR x.date_us > o.date_us))
+        """,
+        "embedding_dim_stats": """
+            WITH e AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                   * 65536.0 + 0.5) AS BIGINT) AS q
+                       FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_q,
+                   MIN(q) AS min_q, MAX(q) AS max_q
+            FROM e GROUP BY dim
         """,
         "logline_stats": """
             SELECT event_type,

@@ -21,7 +21,7 @@ import ray.data as rd
 
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
            "build_ivf_index", "ivf_probe_plan", "embedding_kmeans",
-           "embedding_quantize"]
+           "embedding_quantize", "embedding_dim_stats"]
 
 
 # Scale notes: the sf_dir-based query selection below reads the
@@ -388,3 +388,41 @@ def embedding_quantize(sf_dir: str):
 
     return raw.map_batches(quant, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension profile of the embedding column (list<float>) —
+    the schema-shaped statistics pass a vector store runs before
+    choosing quantization ranges.  Each block reduces its vectors to
+    ONE row per dimension (n, Σq, min, max over values quantized to
+    1/65536 fixed point — exact int64, order-independent), then a tiny
+    32-row aggregate merges blocks.  Shuffle volume: dims × blocks,
+    independent of corpus size."""
+    from ..stages.aggregate import sorted_group_aggregate
+
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sum_q": pa.array([], type=pa.int64()),
+                             "min_q": pa.array([], type=pa.int64()),
+                             "max_q": pa.array([], type=pa.int64())})
+        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        Q = np.floor(X * 65536.0 + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "n": pa.array(np.full(d, Q.shape[0], dtype=np.int64)),
+            "sum_q": pa.array(Q.sum(axis=0, dtype=np.int64)),
+            "min_q": pa.array(Q.min(axis=0)),
+            "max_q": pa.array(Q.max(axis=0))})
+
+    parts = raw.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return sorted_group_aggregate(parts, "dim",
+                                  [("n", "sum"), ("sum_q", "sum"),
+                                   ("min_q", "min"), ("max_q", "max")],
+                                  precombine=False)

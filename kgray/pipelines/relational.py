@@ -46,7 +46,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "copurchase_triangles", "revenue_forecast",
            "promo_revenue_share", "large_orders", "event_props_stats",
            "orders_above_cust_avg", "fk_orphan_audit",
-           "logline_stats", "orders_cdc_latest"]
+           "logline_stats", "orders_cdc_latest", "pareto_orders"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2128,3 +2128,65 @@ def orders_cdc_latest(sf_dir: str):
 
     return latest.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _skyline_2d(price: np.ndarray, date: np.ndarray):
+    """Indices of the 2-D maxima (skyline) of (price, date): points not
+    dominated (≥ in both, > in one) by any other.  O(m log m): sort by
+    price desc; within an equal-price group only max-date points
+    survive, and only if that date strictly beats every strictly-
+    higher-price date seen so far.  Duplicate points co-survive."""
+    order = np.lexsort((-date, -price))
+    p, d = price[order], date[order]
+    keep = np.zeros(len(p), dtype=bool)
+    best = None                               # max date at higher price
+    i = 0
+    while i < len(p):
+        j = i
+        while j < len(p) and p[j] == p[i]:
+            j += 1
+        gmax = d[i]                           # group sorted date desc
+        if best is None or gmax > best:
+            k = i
+            while k < j and d[k] == gmax:
+                keep[k] = True
+                k += 1
+            best = gmax if best is None else max(best, gmax)
+        i = j
+    return order[keep]
+
+
+def pareto_orders(sf_dir: str):
+    """Skyline (Pareto-optimal) query: orders not dominated on
+    (total price, order date) — no other order is ≥ in both and > in
+    at least one.  The classic distributed plan: each block reduces to
+    its LOCAL skyline (local domination implies global — the pruned
+    rows can never resurface), the union of local skylines is tiny and
+    resolves in one final driver pass.  No shuffle at all; the oracle
+    is the quadratic NOT EXISTS domination query."""
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                             "total_cents": pa.array([], type=pa.int64()),
+                             "date_us": pa.array([], type=pa.int64())})
+        price = _cents(b.column("o_totalprice")).to_numpy()
+        date = pc.cast(b.column("o_orderdate"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        idx = _skyline_2d(price, date)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").take(pa.array(idx)),
+            "total_cents": pa.array(price[idx], type=pa.int64()),
+            "date_us": pa.array(date[idx], type=pa.int64())})
+
+    cand = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice",
+                                     "o_orderdate"])
+            .map_batches(local, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .to_arrow_refs())
+    tabs = [t for t in ray.get(cand) if t.num_rows]
+    t = pa.concat_tables(tabs)
+    idx = _skyline_2d(t.column("total_cents").to_numpy(),
+                      t.column("date_us").to_numpy())
+    out = t.take(pa.array(np.sort(idx)))
+    return out

@@ -346,3 +346,76 @@ def test_orders_cdc_latest_matches_duckdb(ray_session, tmp_path):
     assert len(got) < 400 and (got["version"] == 1).any()
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# --------------------------------------------------------------- skyline
+def test_skyline_kernel_bruteforce():
+    from kgray.pipelines.relational import _skyline_2d
+
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        m = int(rng.integers(1, 60))
+        # small value range plants many ties and duplicate points
+        p = rng.integers(0, 8, m).astype(np.int64)
+        d = rng.integers(0, 8, m).astype(np.int64)
+        got = sorted(_skyline_2d(p, d).tolist())
+        exp = [i for i in range(m)
+               if not any((p[j] >= p[i]) and (d[j] >= d[i])
+                          and (p[j] > p[i] or d[j] > d[i])
+                          for j in range(m))]
+        assert got == exp, (trial, p.tolist(), d.tolist())
+
+
+def test_pareto_orders_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import pareto_orders
+    got = (pareto_orders(str(tmp_path)).to_pandas()
+           .sort_values("o_orderkey", ignore_index=True))
+    exp = con.sql("""
+        WITH o AS (SELECT o_orderkey,
+                          CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT)
+                              AS total_cents,
+                          CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+                   FROM orders)
+        SELECT o_orderkey, total_cents, date_us FROM o
+        WHERE NOT EXISTS (SELECT 1 FROM o x
+            WHERE x.total_cents >= o.total_cents
+              AND x.date_us >= o.date_us
+              AND (x.total_cents > o.total_cents OR x.date_us > o.date_us))
+        ORDER BY o_orderkey
+    """).df()
+    assert 0 < len(got) < 400
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+# ------------------------------------------------- embedding dim profile
+def test_embedding_dim_stats_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(23)
+    n, dim = 300, 7
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              type=pa.list_(pa.float32()))})
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+
+    from kgray.pipelines.ann import embedding_dim_stats
+    got = (embedding_dim_stats(str(tmp_path)).to_pandas()
+           .sort_values("dim", ignore_index=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/embeddings.parquet')")
+    exp = con.sql("""
+        WITH e AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                               * 65536.0 + 0.5) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS sum_q,
+               MIN(q) AS min_q, MAX(q) AS max_q
+        FROM e GROUP BY dim ORDER BY dim
+    """).df()
+    assert len(got) == dim
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
