@@ -2046,8 +2046,12 @@ def fk_orphan_audit(sf_dir: str, corrupt_permille: int = 100):
     orphans = semi_join(ev, cust, on="user_id", anti=True,
                         bloom_bits=1 << 20)
 
+    # per-type totals don't depend on the corruption — aggregate the RAW
+    # scan so the per-row md5 runs once, in the audit path only
     totals = sorted_group_aggregate(
-        ev.map_batches(lambda b: pa.table({
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type"])
+        .map_batches(lambda b: pa.table({
             "event_type": b.column("event_type"),
             "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
             batch_format="pyarrow", zero_copy_batch=True),
