@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_latest": relational.orders_cdc_latest,
         "pareto_orders": relational.pareto_orders,
         "embedding_dim_stats": ann.embedding_dim_stats,
+        "user_value_twap": relational.user_value_twap,
+        "copurchase_degree_hist": relational.copurchase_degree_hist,
+        "token_postings": text.token_postings,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1460,6 +1463,55 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "user_value_twap": """
+            WITH e AS (SELECT user_id, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS vc
+                       FROM events),
+            l AS (SELECT user_id, vc, ev_us,
+                         LEAD(ev_us) OVER (PARTITION BY user_id
+                             ORDER BY ev_us, event_id) AS nxt
+                  FROM e),
+            w AS (SELECT user_id,
+                         CAST(SUM(vc * ((nxt - ev_us) // 1000))
+                              AS BIGINT) AS wsum
+                  FROM l WHERE nxt IS NOT NULL GROUP BY user_id),
+            b AS (SELECT user_id, COUNT(*) AS n_events,
+                         MIN(ev_us) AS mn, MAX(ev_us) AS mx
+                  FROM e GROUP BY user_id)
+            SELECT b.user_id, b.n_events,
+                   (b.mx - b.mn) // 1000 AS span_ms,
+                   CAST(COALESCE(w.wsum, 0) AS BIGINT) AS wsum,
+                   CASE WHEN (b.mx - b.mn) // 1000 = 0 THEN NULL
+                        ELSE CAST(COALESCE(w.wsum, 0) AS DOUBLE)
+                             / CAST((b.mx - b.mn) // 1000 AS DOUBLE)
+                   END AS twap_cents
+            FROM b LEFT JOIN w USING (user_id)
+        """,
+        "copurchase_degree_hist": """
+            WITH e AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            d AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+                  FROM (SELECT a AS v FROM e
+                        UNION ALL SELECT b AS v FROM e)
+                  GROUP BY v)
+            SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree
+        """,
+        "token_postings": f"""
+            WITH p AS (SELECT DISTINCT tok AS token, doc_id
+                       FROM documents, unnest({_TOKS}) AS u(tok)
+                       WHERE len(trim(text)) > 0)
+            SELECT token, COUNT(*) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM p GROUP BY token
         """,
         "pareto_orders": """
             WITH o AS (SELECT o_orderkey,

@@ -184,6 +184,10 @@ def run_bench() -> dict:
     timed("audio_features", lambda: _mm.audio_features(sf_dir))
     timed("pareto_orders", lambda: relational.pareto_orders(sf_dir))
     timed("embedding_dim_stats", lambda: ann.embedding_dim_stats(sf_dir))
+    timed("user_value_twap", lambda: relational.user_value_twap(sf_dir))
+    timed("copurchase_degree_hist",
+          lambda: relational.copurchase_degree_hist(sf_dir))
+    timed("token_postings", lambda: text.token_postings(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

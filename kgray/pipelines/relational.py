@@ -46,7 +46,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "copurchase_triangles", "revenue_forecast",
            "promo_revenue_share", "large_orders", "event_props_stats",
            "orders_above_cust_avg", "fk_orphan_audit",
-           "logline_stats", "orders_cdc_latest", "pareto_orders"]
+           "logline_stats", "orders_cdc_latest", "pareto_orders",
+           "user_value_twap", "copurchase_degree_hist"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2208,3 +2209,101 @@ def pareto_orders(sf_dir: str):
                       t.column("date_us").to_numpy())
     out = t.take(pa.array(np.sort(idx)))
     return out
+
+
+def user_value_twap(sf_dir: str):
+    """Time-weighted average value per user (the telemetry/finance TWAP
+    shape): each event's value is weighted by how long it remained
+    'current' (left-step interpolation to the next event), all in exact
+    integers — cents × floor-millisecond gaps (ms, not µs, for int64
+    headroom) — with ONE final mirrored float division.  Composition:
+    the LEAD carry exchange produces gaps without any self-join; a
+    second small aggregate adds per-user span/counts."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.scan import grouped_lead
+
+    base = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts", "value"])
+            .map_batches(lambda b: pa.table({
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "ev_us": pc.cast(b.column("ts"), pa.int64()),
+                "vc": _cents(b.column("value"))}),
+                batch_format="pyarrow", zero_copy_batch=True))
+
+    led = grouped_lead(base, key="user_id",
+                       order_cols=["ev_us", "event_id"],
+                       value_col="ev_us", out_name="next_us")
+
+    def seg(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("next_us")))
+        gap_ms = pc.divide(pc.subtract(t.column("next_us"),
+                                       t.column("ev_us")),
+                           pa.scalar(1000, type=pa.int64()))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "wsum": pc.multiply(t.column("vc"), gap_ms)})
+
+    wsums = sorted_group_aggregate(
+        led.map_batches(seg, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", [("wsum", "sum")])
+    stats = sorted_group_aggregate(
+        base.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "mn_us": b.column("ev_us"), "mx_us": b.column("ev_us")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", [("n_events", "sum"), ("mn_us", "min"),
+                    ("mx_us", "max")])
+    joined = sorted_merge_join(stats, wsums, on="user_id", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        span_ms = pc.divide(pc.subtract(b.column("mx_us"),
+                                        b.column("mn_us")),
+                            pa.scalar(1000, type=pa.int64()))
+        wsum = pc.fill_null(b.column("wsum"),
+                            pa.scalar(0, type=pa.int64()))
+        twap = pc.if_else(
+            pc.equal(span_ms, pa.scalar(0, type=pa.int64())),
+            pa.scalar(None, type=pa.float64()),
+            pc.divide(pc.cast(wsum, pa.float64()),
+                      pc.cast(span_ms, pa.float64())))
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_events": b.column("n_events"),
+                         "span_ms": span_ms, "wsum": wsum,
+                         "twap_cents": twap})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def copurchase_degree_hist(sf_dir: str, min_count: int = 2):
+    """Degree distribution of the thresholded co-purchase graph — the
+    first diagnostic run on any extracted graph.  Edges reduce to
+    per-node degrees (each edge emits both endpoints), degrees reduce
+    to a histogram; both aggregates carry rows bounded by nodes, never
+    the fact table."""
+    total = _copurchase_pair_counts(sf_dir)
+    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b.column("part_a").to_numpy(zero_copy_only=False),
+            b.column("part_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"v": pa.array(v, type=pa.int64()),
+                         "degree": pa.array(np.ones(len(v),
+                                                    dtype=np.int64))})
+
+    deg = sorted_group_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "v", [("degree", "sum")])
+    hist = sorted_group_aggregate(
+        deg.map_batches(lambda b: pa.table({
+            "degree": b.column("degree"),
+            "n_nodes": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "degree", [("n_nodes", "sum")])
+    return hist

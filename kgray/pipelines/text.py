@@ -24,7 +24,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "heavy_hitter_tokens", "jsonl_token_stats",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
            "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
-           "token_fuzzy_pairs", "dedup_substring_mask"]
+           "token_fuzzy_pairs", "dedup_substring_mask", "token_postings"]
 
 _WS = re.compile(r"\s+")
 
@@ -854,3 +854,50 @@ def dedup_substring_mask(sf_dir: str, n: int = 3):
 
     return out.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def token_postings(sf_dir: str):
+    """Inverted-index build (the IR/text-retrieval core op): per token,
+    its document frequency and the ordered posting list of doc ids —
+    constructed distributed with the ordered string-agg exchange
+    (interior runs join vectorized; boundary runs ship ONE pre-joined
+    partial per block, so hot tokens never ship raw postings)."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.stringagg import grouped_string_agg
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        toks, ids = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok in set(_tokens(t)):
+                toks.append(tok)
+                ids.append(d)
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "doc_id": pa.array(ids, type=pa.int64())})
+
+    pairs = (read_documents(sf_dir)
+             .map_batches(pair_rows, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    # distinct (token, doc) — a doc counts once per token
+    distinct = sorted_group_aggregate(
+        pairs.map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["token", "doc_id"], [("one", "min")], precombine=False)
+
+    def as_str(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"token": b.column("token"),
+                         "doc_id": b.column("doc_id"),
+                         "doc_str": pc.cast(b.column("doc_id"),
+                                            pa.string())})
+
+    prepped = distinct.map_batches(as_str, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    out = grouped_string_agg(prepped, key="token",
+                             order_cols=["doc_id"], value_col="doc_str",
+                             sep=",", out_name="postings")
+    return out.map_batches(lambda b: b.rename_columns(
+        ["token", "n_docs", "postings"]), batch_format="pyarrow",
+        zero_copy_batch=True)

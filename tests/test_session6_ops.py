@@ -419,3 +419,91 @@ def test_embedding_dim_stats_matches_duckdb(ray_session, tmp_path):
     assert len(got) == dim
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# ------------------------------------------------------------------ TWAP
+def test_user_value_twap_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(31)
+    n = 2500
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (pd.to_datetime("2024-03-01")
+               + pd.to_timedelta(rng.integers(0, 10**7, n), unit="ms")
+               ).astype("datetime64[us]"),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "event_type": ["view"] * n,
+        "value": np.round(rng.uniform(0, 300, n), 2),
+        "props": ["{}"] * n})
+    # a single-event user exercises the span=0 NULL path
+    ev.loc[0, "user_id"] = 999
+    ev = ev[(ev.user_id != 999) | (ev.index == 0)]
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import user_value_twap
+    got = (user_value_twap(str(tmp_path)).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(epoch_us(ts) AS BIGINT) ev_us,
+                          CAST(FLOOR(value*100.0+0.5) AS BIGINT) vc
+                   FROM events),
+        l AS (SELECT user_id, vc, ev_us,
+                     LEAD(ev_us) OVER (PARTITION BY user_id
+                         ORDER BY ev_us, event_id) nxt FROM e),
+        w AS (SELECT user_id, CAST(SUM(vc * ((nxt - ev_us) // 1000))
+                     AS BIGINT) wsum
+              FROM l WHERE nxt IS NOT NULL GROUP BY user_id),
+        b AS (SELECT user_id, COUNT(*) n_events, MIN(ev_us) mn,
+                     MAX(ev_us) mx FROM e GROUP BY user_id)
+        SELECT b.user_id, b.n_events, (b.mx - b.mn) // 1000 AS span_ms,
+               CAST(COALESCE(w.wsum, 0) AS BIGINT) AS wsum,
+               CASE WHEN (b.mx - b.mn) // 1000 = 0 THEN NULL
+                    ELSE CAST(COALESCE(w.wsum,0) AS DOUBLE)
+                         / CAST((b.mx - b.mn) // 1000 AS DOUBLE)
+               END AS twap_cents
+        FROM b LEFT JOIN w USING (user_id) ORDER BY user_id
+    """).df()
+    assert got["twap_cents"].isna().sum() == 1      # the 1-event user
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+# ------------------------------------------------------ inverted index
+def test_token_postings_matches_duckdb(ray_session, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["aa bb cc", "bb cc dd", "aa aa aa",  # repeats: 1 posting
+                 "", "  ", "cc"]})
+    _write(tmp_path, "documents", docs)
+
+    from kgray.pipelines.text import token_postings
+    got = (token_postings(str(tmp_path)).to_pandas()
+           .sort_values("token", ignore_index=True))
+    assert list(got["token"]) == ["aa", "bb", "cc", "dd"]
+    by = got.set_index("token")
+    assert by.loc["aa", "postings"] == "0,2"
+    assert by.loc["cc", "postings"] == "0,1,5"
+    assert by.loc["cc", "n_docs"] == 3
+
+
+# ----------------------------------------------------- degree histogram
+def test_copurchase_degree_hist_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(41)
+    rows = []
+    oid = 0
+    for _ in range(3):                     # star: hub 1 with spokes 2..5
+        for spoke in (2, 3, 4, 5):
+            oid += 1
+            rows += [(oid, 1), (oid, spoke)]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]
+                      ).astype(np.int64)
+    _write(tmp_path, "lineitem", li)
+
+    from kgray.pipelines.relational import copurchase_degree_hist
+    got = (copurchase_degree_hist(str(tmp_path)).to_pandas()
+           .sort_values("degree", ignore_index=True))
+    # hub degree 4 (1 node), spokes degree 1 (4 nodes)
+    assert got.to_dict("records") == [
+        {"degree": 1, "n_nodes": 4}, {"degree": 4, "n_nodes": 1}]
