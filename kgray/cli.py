@@ -11,6 +11,8 @@ crf_ner.py:699-719 — generalized to the pipeline lifecycle):
                  (reference-compatible CoNLL file predict)
     eval         --gold FILE --pred FILE [--lang en|zh]  P/R/F1 report
     bench        (same as python bench.py)
+    query        NAME [--sf-dir DIR] [--out FILE.parquet]  run any
+                 pipeline from the queries() registry (no NAME: list)
 
 Suitable for ``ray job submit -- python -m kgray run ...``; each command
 owns its Ray session (guarded init).
@@ -78,6 +80,17 @@ def main(argv=None):
     p.add_argument("--scaling", action="store_true",
                    help="8-vs-32-CPU fresh-process scaling efficiency")
 
+    p = sub.add_parser("query", help="run a named pipeline from the "
+                       "driver contract's queries() registry")
+    p.add_argument("name", nargs="?", default=None,
+                   help="query name (omit to list all)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing "
+                        "a preview")
+    p.add_argument("--limit", type=int, default=20,
+                   help="preview row cap when printing")
+
     args = parser.parse_args(argv)
 
     if args.command == "gen-corpus":
@@ -132,6 +145,46 @@ def main(argv=None):
             print(json.dumps(bench.run_scaling()))
         else:
             print(json.dumps(bench.run_bench()))
+
+    elif args.command == "query":
+        import os
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        try:
+            import __ray_entry__ as entrymod
+        except ImportError:
+            print("__ray_entry__.py not found next to the kgray package",
+                  file=sys.stderr)
+            return 1
+        registry = entrymod.queries()
+        if args.name is None:
+            for name in sorted(registry):
+                print(name)
+            return 0
+        if args.name not in registry:
+            print(f"unknown query {args.name!r} — run `python -m kgray "
+                  "query` for the list", file=sys.stderr)
+            return 1
+        _ray_init()
+        res = registry[args.name](args.sf_dir)
+        import pyarrow as pa
+        if hasattr(res, "to_arrow_refs"):            # Dataset
+            import ray
+            tabs = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+            tbl = (pa.concat_tables(tabs, promote_options="permissive")
+                   if tabs else res.schema().base_schema.empty_table())
+        elif isinstance(res, pa.Table):
+            tbl = res
+        else:                                        # pandas
+            tbl = pa.Table.from_pandas(res, preserve_index=False)
+        if args.out:
+            import pyarrow.parquet as pq
+            pq.write_table(tbl, args.out)
+            print(json.dumps({"query": args.name, "rows": tbl.num_rows,
+                              "out": args.out}))
+        else:
+            print(tbl.slice(0, args.limit).to_pandas().to_string())
+            print(f"[{tbl.num_rows} rows x {tbl.num_columns} cols]")
 
     elif args.command == "eval":
         from .constants import SORTED_LABELS_EN, SORTED_LABELS_ZH

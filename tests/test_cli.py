@@ -40,3 +40,19 @@ def test_gen_train_predict_eval(tmp_path):
     micro = [l for l in r.stdout.splitlines() if "micro avg" in l][0]
     f1 = float(micro.split("F1=")[1].split()[0])
     assert f1 > 0.85, r.stdout
+
+
+def test_cli_query_list_and_run(ray_session, capsys):
+    from kgray.cli import main
+
+    assert main(["query"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert "pricing_summary" in listed and len(listed) >= 100
+
+    rc = main(["query", "distinct_segments",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc is None or rc == 0
+    out = capsys.readouterr().out
+    assert "rows x" in out
+
+    assert main(["query", "not_a_query"]) == 1
