@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_twap": relational.user_value_twap,
         "copurchase_degree_hist": relational.copurchase_degree_hist,
         "token_postings": text.token_postings,
+        "events_value_winsorized": relational.events_value_winsorized,
+        "user_key_skew": relational.user_key_skew,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1463,6 +1465,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "events_value_winsorized": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS vc
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(vc, 0.05) AS lo,
+                         quantile_disc(vc, 0.95) AS hi
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, COUNT(*) AS n_events,
+                   CAST(SUM(vc) AS BIGINT) AS sum_cents,
+                   CAST(SUM(LEAST(GREATEST(vc, lo), hi)) AS BIGINT)
+                       AS winsor_cents,
+                   CAST(SUM(CASE WHEN vc < lo OR vc > hi THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_clipped
+            FROM c JOIN q USING (event_type) GROUP BY c.event_type
+        """,
+        "user_key_skew": """
+            WITH c AS (SELECT user_id, COUNT(*) AS cnt
+                       FROM events GROUP BY user_id),
+            s AS (SELECT COUNT(*) AS n_keys,
+                         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                         MAX(cnt) AS max_count,
+                         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+                  FROM c)
+            SELECT n_keys, n_rows, max_count, sum_sq,
+                   CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                       AS top_share,
+                   CAST(sum_sq AS DOUBLE)
+                       / CAST(n_rows * n_rows AS DOUBLE) AS hhi
+            FROM s
         """,
         "user_value_twap": """
             WITH e AS (SELECT user_id, event_id,

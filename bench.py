@@ -188,6 +188,9 @@ def run_bench() -> dict:
     timed("copurchase_degree_hist",
           lambda: relational.copurchase_degree_hist(sf_dir))
     timed("token_postings", lambda: text.token_postings(sf_dir))
+    timed("events_value_winsorized",
+          lambda: relational.events_value_winsorized(sf_dir))
+    timed("user_key_skew", lambda: relational.user_key_skew(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -47,7 +47,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "promo_revenue_share", "large_orders", "event_props_stats",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "pareto_orders",
-           "user_value_twap", "copurchase_degree_hist"]
+           "user_value_twap", "copurchase_degree_hist",
+           "events_value_winsorized", "user_key_skew"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2307,3 +2308,94 @@ def copurchase_degree_hist(sf_dir: str, min_count: int = 2):
             batch_format="pyarrow", zero_copy_batch=True),
         "degree", [("n_nodes", "sum")])
     return hist
+
+
+def events_value_winsorized(sf_dir: str, lo_q: float = 0.05,
+                            hi_q: float = 0.95):
+    """Winsorized per-type aggregation: values clipped to each type's
+    [P05, P95] (``quantile_disc`` order statistics in exact integer
+    cents) before summing — the robust-mean shape that keeps a fat tail
+    from dominating a metric.  One exact grouped-quantile pass produces
+    a per-type clip table small enough to broadcast as a dict; the
+    event stream itself is scanned, clipped vectorized, and aggregated
+    — never shuffled at row grain."""
+    from ..stages.quantile import grouped_quantiles
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": _cents(b.column("value"))})
+
+    def events():
+        return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "value"])
+                .map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    q_tbl = grouped_quantiles(events(), group="event_type",
+                              value_col="value_cents", qs=[lo_q, hi_q],
+                              out_names=["lo_cents", "hi_cents"]
+                              ).to_pandas()
+    lo = dict(zip(q_tbl.event_type, q_tbl.lo_cents.astype("int64")))
+    hi = dict(zip(q_tbl.event_type, q_tbl.hi_cents.astype("int64")))
+
+    def clip(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        v = b.column("value_cents").to_numpy(zero_copy_only=False)
+        lo_v = np.array([lo[t] for t in types], dtype=np.int64)
+        hi_v = np.array([hi[t] for t in types], dtype=np.int64)
+        w = np.minimum(np.maximum(v, lo_v), hi_v)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(np.ones(len(v), dtype=np.int64)),
+            "sum_cents": pa.array(v),
+            "winsor_cents": pa.array(w),
+            "n_clipped": pa.array((w != v).astype(np.int64))})
+
+    return sorted_group_aggregate(
+        events().map_batches(clip, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "event_type",
+        [("n_events", "sum"), ("sum_cents", "sum"),
+         ("winsor_cents", "sum"), ("n_clipped", "sum")])
+
+
+def user_key_skew(sf_dir: str):
+    """Key-skew diagnostic for shuffle planning: exact per-key counts of
+    the events ``user_id`` reduce to one concentration row — row count,
+    key count, the heaviest key's share, and the Herfindahl index
+    HHI = Σ(cᵢ/N)², computed as one division of the exact integer
+    Σcᵢ² by N² so the double is bit-reproducible.  This is the report
+    that decides whether a key needs salting before a groupby."""
+    counts = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "cnt": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", [("cnt", "sum")])
+
+    def summar(b: pa.Table) -> pa.Table:
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_keys": pa.array([len(c)], type=pa.int64()),
+            "n_rows": pa.array([int(c.sum())], type=pa.int64()),
+            "max_count": pa.array([int(c.max()) if len(c) else 0],
+                                  type=pa.int64()),
+            "sum_sq": pa.array([int((c * c).sum())], type=pa.int64())})
+
+    parts = counts.map_batches(summar, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    n_keys = sum(r["n_keys"] for r in parts)
+    n_rows = sum(r["n_rows"] for r in parts)
+    max_count = max((r["max_count"] for r in parts), default=0)
+    sum_sq = sum(r["sum_sq"] for r in parts)
+    hhi = sum_sq / (n_rows * n_rows) if n_rows else 0.0
+    top_share = max_count / n_rows if n_rows else 0.0
+    return pa.table({
+        "n_keys": pa.array([n_keys], type=pa.int64()),
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "max_count": pa.array([max_count], type=pa.int64()),
+        "sum_sq": pa.array([sum_sq], type=pa.int64()),
+        "top_share": pa.array([top_share], type=pa.float64()),
+        "hhi": pa.array([hhi], type=pa.float64())})

@@ -507,3 +507,67 @@ def test_copurchase_degree_hist_matches_duckdb(ray_session, tmp_path):
     # hub degree 4 (1 node), spokes degree 1 (4 nodes)
     assert got.to_dict("records") == [
         {"degree": 1, "n_nodes": 4}, {"degree": 4, "n_nodes": 1}]
+
+
+# ------------------------------------------------------- winsorized agg
+def test_events_value_winsorized_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(51)
+    n = 3000
+    vals = rng.uniform(0, 100, n)
+    vals[rng.integers(0, n, 30)] *= 1000          # planted fat tail
+    ev = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], n),
+        "value": np.round(vals, 2)})
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import events_value_winsorized
+    got = (events_value_winsorized(str(tmp_path)).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH c AS (SELECT event_type,
+                          CAST(FLOOR(value*100.0+0.5) AS BIGINT) vc
+                   FROM events),
+        q AS (SELECT event_type, quantile_disc(vc, 0.05) lo,
+                     quantile_disc(vc, 0.95) hi FROM c GROUP BY 1)
+        SELECT c.event_type, COUNT(*) n_events,
+               CAST(SUM(vc) AS BIGINT) sum_cents,
+               CAST(SUM(LEAST(GREATEST(vc, lo), hi)) AS BIGINT)
+                   winsor_cents,
+               CAST(SUM(CASE WHEN vc < lo OR vc > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) n_clipped
+        FROM c JOIN q USING (event_type) GROUP BY 1 ORDER BY 1
+    """).df()
+    assert (got["n_clipped"] > 0).all()          # tails really clipped
+    assert (got["winsor_cents"] < got["sum_cents"]).all()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+# ------------------------------------------------------ key-skew report
+def test_user_key_skew_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(61)
+    # zipf-ish: one hot key with half the rows
+    uid = np.where(rng.random(4000) < 0.5, 7,
+                   rng.integers(0, 200, 4000)).astype(np.int64)
+    ev = pd.DataFrame({"user_id": uid})
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import user_key_skew
+    got = user_key_skew(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH c AS (SELECT user_id, COUNT(*) cnt FROM events GROUP BY 1),
+        s AS (SELECT COUNT(*) n_keys, CAST(SUM(cnt) AS BIGINT) n_rows,
+                     MAX(cnt) max_count, CAST(SUM(cnt*cnt) AS BIGINT) sum_sq
+              FROM c)
+        SELECT n_keys, n_rows, max_count, sum_sq,
+               CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) top_share,
+               CAST(sum_sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) hhi
+        FROM s
+    """).df()
+    assert got["top_share"][0] > 0.4             # skew really planted
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
