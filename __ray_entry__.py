@@ -326,6 +326,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": text.token_postings,
         "events_value_winsorized": relational.events_value_winsorized,
         "user_key_skew": relational.user_key_skew,
+        "customer_rfm_segments": relational.customer_rfm_segments,
+        "event_type_transitions": relational.event_type_transitions,
+        "corpus_curation": lambda sf: __import__(
+            "kgray.pipelines.curation", fromlist=["curation_report"]
+        ).curation_report(sf),
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -364,7 +369,8 @@ def oracle_sql() -> dict[str, str]:
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
-                     "image_features", "audio_features")
+                     "image_features", "audio_features",
+                     "corpus_curation")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -1465,6 +1471,49 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "customer_rfm_segments": """
+            WITH m AS (SELECT o_custkey AS c_custkey,
+                              MAX(CAST(epoch_us(o_orderdate) AS BIGINT))
+                                  AS r_us,
+                              COUNT(*) AS f,
+                              CAST(SUM(CAST(FLOOR(o_totalprice * 100.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+                       FROM orders GROUP BY o_custkey),
+            q AS (SELECT quantile_disc(r_us, 0.25) AS r1,
+                         quantile_disc(r_us, 0.50) AS r2,
+                         quantile_disc(r_us, 0.75) AS r3,
+                         quantile_disc(f, 0.25) AS f1,
+                         quantile_disc(f, 0.50) AS f2,
+                         quantile_disc(f, 0.75) AS f3,
+                         quantile_disc(m_cents, 0.25) AS m1,
+                         quantile_disc(m_cents, 0.50) AS m2,
+                         quantile_disc(m_cents, 0.75) AS m3
+                  FROM m),
+            s AS (SELECT m.*,
+                         1 + CAST(r_us > r1 AS BIGINT)
+                           + CAST(r_us > r2 AS BIGINT)
+                           + CAST(r_us > r3 AS BIGINT) AS r_score,
+                         1 + CAST(f > f1 AS BIGINT)
+                           + CAST(f > f2 AS BIGINT)
+                           + CAST(f > f3 AS BIGINT) AS f_score,
+                         1 + CAST(m_cents > m1 AS BIGINT)
+                           + CAST(m_cents > m2 AS BIGINT)
+                           + CAST(m_cents > m3 AS BIGINT) AS m_score
+                  FROM m, q)
+            SELECT c_custkey, r_us, f, m_cents, r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS segment
+            FROM s
+        """,
+        "event_type_transitions": """
+            WITH l AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS from_type
+                       FROM events)
+            SELECT from_type, event_type AS to_type, COUNT(*) AS n
+            FROM l WHERE from_type IS NOT NULL
+            GROUP BY from_type, event_type
         """,
         "events_value_winsorized": """
             WITH c AS (SELECT event_type,

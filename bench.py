@@ -191,6 +191,12 @@ def run_bench() -> dict:
     timed("events_value_winsorized",
           lambda: relational.events_value_winsorized(sf_dir))
     timed("user_key_skew", lambda: relational.user_key_skew(sf_dir))
+    timed("customer_rfm_segments",
+          lambda: relational.customer_rfm_segments(sf_dir))
+    timed("event_type_transitions",
+          lambda: relational.event_type_transitions(sf_dir))
+    from kgray.pipelines import curation as _cur
+    timed("corpus_curation", lambda: _cur.curation_report(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

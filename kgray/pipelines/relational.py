@@ -48,7 +48,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
-           "events_value_winsorized", "user_key_skew"]
+           "events_value_winsorized", "user_key_skew",
+           "customer_rfm_segments", "event_type_transitions"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2399,3 +2400,92 @@ def user_key_skew(sf_dir: str):
         "sum_sq": pa.array([sum_sq], type=pa.int64()),
         "top_share": pa.array([top_share], type=pa.float64()),
         "hhi": pa.array([hhi], type=pa.float64())})
+
+
+def customer_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical marketing-analytics derivation.  One distributed
+    aggregate reduces orders to a per-customer metric table; exact
+    quartile thresholds (``quantile_disc`` over the REDUCED table) come
+    back as six integers; scores are pure comparisons
+    ``1 + (v > q1) + (v > q2) + (v > q3)`` mirrored in SQL, so the
+    whole segmentation is bitwise-reproducible."""
+    from ..stages.quantile import grouped_quantiles
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "r_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "f": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "m_cents": _cents(b.column("o_totalprice"))})
+
+    metrics = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey", [("r_us", "max"), ("f", "sum"), ("m_cents", "sum")])
+    metrics = metrics.materialize()       # consumed 4× (3 quantiles + scan)
+
+    qs = {}
+    for col in ("r_us", "f", "m_cents"):
+        t = (grouped_quantiles(
+            metrics.map_batches(lambda b, col=col: pa.table({
+                "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "v": b.column(col)}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            group="g", value_col="v", qs=[0.25, 0.5, 0.75],
+            out_names=["q1", "q2", "q3"]).to_pandas())
+        qs[col] = (int(t.q1[0]), int(t.q2[0]), int(t.q3[0]))
+
+    def score(b: pa.Table) -> pa.Table:
+        def s(col):
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            q1, q2, q3 = qs[col]
+            return (1 + (v > q1).astype(np.int64) + (v > q2) + (v > q3))
+        r, f, m = s("r_us"), s("f"), s("m_cents")
+        seg = np.char.add(np.char.add(r.astype("U1"), f.astype("U1")),
+                          m.astype("U1"))
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "r_us": b.column("r_us"), "f": b.column("f"),
+            "m_cents": b.column("m_cents"),
+            "r_score": pa.array(r), "f_score": pa.array(f),
+            "m_score": pa.array(m),
+            "segment": pa.array(seg.tolist(), type=pa.string())})
+
+    return metrics.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def event_type_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    sequence (the sequence-mining shape behind session models): one
+    LAG carry exchange pairs every event with its predecessor's type —
+    no self-join — then a tiny (from, to) aggregate."""
+    from ..stages.scan import grouped_lag
+
+    base = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts",
+                                     "event_type"])
+            .map_batches(lambda b: pa.table({
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "ev_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_type": b.column("event_type")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+    lagged = grouped_lag(base, key="user_id",
+                         order_cols=["ev_us", "event_id"],
+                         value_col="event_type", out_name="from_type")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("from_type")))
+        return pa.table({
+            "from_type": t.column("from_type"),
+            "to_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        lagged.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["from_type", "to_type"], [("n", "sum")])

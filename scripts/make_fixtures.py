@@ -42,7 +42,7 @@ FIXTURE_QUERIES = [
     "neardup_clusters",
     "event_user_distinct_hll", "entity_pagerank",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
-    "image_features", "audio_features",
+    "image_features", "audio_features", "corpus_curation",
 ]
 
 

@@ -571,3 +571,74 @@ def test_user_key_skew_matches_duckdb(ray_session, tmp_path):
     assert got["top_share"][0] > 0.4             # skew really planted
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# ---------------------------------------------------------- RFM segments
+def test_customer_rfm_segments_matches_duckdb(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path)
+    from kgray.pipelines.relational import customer_rfm_segments
+    got = (customer_rfm_segments(str(tmp_path)).to_pandas()
+           .sort_values("c_custkey", ignore_index=True))
+    exp = con.sql("""
+        WITH m AS (SELECT o_custkey c_custkey,
+                          MAX(CAST(epoch_us(o_orderdate) AS BIGINT)) r_us,
+                          COUNT(*) f,
+                          CAST(SUM(CAST(FLOOR(o_totalprice*100.0+0.5)
+                               AS BIGINT)) AS BIGINT) m_cents
+                   FROM orders GROUP BY 1),
+        q AS (SELECT quantile_disc(r_us, 0.25) r1, quantile_disc(r_us, 0.50) r2,
+                     quantile_disc(r_us, 0.75) r3, quantile_disc(f, 0.25) f1,
+                     quantile_disc(f, 0.50) f2, quantile_disc(f, 0.75) f3,
+                     quantile_disc(m_cents, 0.25) m1,
+                     quantile_disc(m_cents, 0.50) m2,
+                     quantile_disc(m_cents, 0.75) m3 FROM m),
+        s AS (SELECT m.*,
+                     1 + CAST(r_us > r1 AS BIGINT) + CAST(r_us > r2 AS BIGINT)
+                       + CAST(r_us > r3 AS BIGINT) AS r_score,
+                     1 + CAST(f > f1 AS BIGINT) + CAST(f > f2 AS BIGINT)
+                       + CAST(f > f3 AS BIGINT) AS f_score,
+                     1 + CAST(m_cents > m1 AS BIGINT)
+                       + CAST(m_cents > m2 AS BIGINT)
+                       + CAST(m_cents > m3 AS BIGINT) AS m_score
+              FROM m, q)
+        SELECT c_custkey, r_us, f, m_cents, r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+        FROM s ORDER BY c_custkey
+    """).df()
+    assert set(got["r_score"]) <= {1, 2, 3, 4}
+    assert got["segment"].nunique() > 5          # real spread
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+# ----------------------------------------------------- transition matrix
+def test_event_type_transitions_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(71)
+    n = 3000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (pd.to_datetime("2024-05-01")
+               + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s")
+               ).astype("datetime64[us]"),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase"], n)})
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import event_type_transitions
+    got = (event_type_transitions(str(tmp_path)).to_pandas()
+           .sort_values(["from_type", "to_type"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH l AS (SELECT user_id, event_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) from_type
+                   FROM events)
+        SELECT from_type, event_type to_type, COUNT(*) n
+        FROM l WHERE from_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got["n"].sum() == n - 40              # n - one per user
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
