@@ -113,25 +113,17 @@ def curate_documents(sf_dir: str, budget: int = 256, n_shards: int = 8,
                                zero_copy_batch=True).materialize()
     report["n_quality_lang"] = filtered.count()
 
-    # exact dedup: broadcast the winner-id set (ids only, small) and
-    # semi-filter the already-materialized stream
-    winners = _dedup_keep_ids(filtered)
-    win_ids = set()
-    for t in ray.get(winners.to_arrow_refs()):
-        if t.num_rows:
-            win_ids.update(t.column("doc_id").to_pylist())
-    win_ref = ray.put(np.array(sorted(win_ids), dtype=np.int64))
+    # exact dedup: keep min-doc_id winners.  The winner-id set scales
+    # WITH the corpus (≈ distinct docs), so it must never broadcast;
+    # the distributed semi-join pays one text exchange instead — the
+    # standard dedup shuffle, same order as any hash-partition plan
+    from ..stages.semijoin import semi_join
 
-    def keep_winners(b: pa.Table) -> pa.Table:
-        ids = ray.get(win_ref)
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ids, d)
-        pos[pos >= len(ids)] = max(len(ids) - 1, 0)
-        mask = ids[pos] == d if len(ids) else np.zeros(len(d), bool)
-        return b.filter(pa.array(mask))
-
-    deduped = filtered.map_batches(keep_winners, batch_format="pyarrow",
-                                   zero_copy_batch=True).materialize()
+    winners = _dedup_keep_ids(filtered).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    deduped = semi_join(filtered, winners, on="doc_id",
+                        bloom_bits=1 << 20).materialize()
     report["n_deduped"] = deduped.count()
 
     # decontamination: eval split = md5 bucket < eval_permille over the
