@@ -275,6 +275,38 @@ def _loadavg1() -> float:
         return -1.0
 
 
+def _hw_ceiling(lo: int, hi: int, secs: float = 3.0) -> float:
+    """Measured hardware ceiling for the lo→hi scaling ratio: pure-CPU
+    multiprocessing burn at both process counts.  On this SHARED
+    sandbox co-tenants can hold cores for hours; the ceiling stamps how
+    much parallelism was actually available in the measurement window,
+    so a polluted efficiency number is distinguishable from an engine
+    regression in the artifact itself (ceiling 1.0 = hi/lo cores truly
+    free)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        import time as _t
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < secs:
+            for _ in range(10000):
+                pass
+            n += 1
+        q.put(n)
+
+    def rate(procs: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        return sum(q.get() for _ in ps) / secs
+
+    return round((rate(hi) / rate(lo)) / (hi / lo), 3)
+
+
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at 8 and 32 CPUs —
     the sandbox stand-in for N vs 4N Ray nodes (north rule ≥ 0.8)."""
@@ -303,6 +335,7 @@ def run_scaling() -> dict:
     # documents the noise.
     lo, hi = 8, 32
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    ceiling = _hw_ceiling(lo, hi)
     runs_lo, runs_hi = [], []
     for _ in range(repeats):
         runs_lo.append(run(lo))
@@ -323,6 +356,8 @@ def run_scaling() -> dict:
         "loadavg_lo_runs": [r.get("loadavg") for r in runs_lo],
         "loadavg_hi_runs": [r.get("loadavg") for r in runs_hi],
         "efficiency_cross_range": [all_eff[0], all_eff[-1]],
+        "hw_ceiling_efficiency": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "pages": runs_hi[0]["pages"],
         "pages_per_sec_lo": round(runs_hi[0]["pages"] / t_lo, 1),
         "pages_per_sec_hi": round(runs_hi[0]["pages"] / t_hi, 1),

@@ -131,16 +131,17 @@ def partition_groups(files: list, files_per_group: int = 2) -> list:
     return groups
 
 
-def _auto_concurrency():
-    """Size the actor pools to the measured work split: the tagger does
-    ~3.2× the linker's compute (and extract/split fuse INTO the tagger
-    actors, extract_triples into the linker's), so tagger ≈ 3/4 of the
-    CPUs and the linker gets the rest minus one — one CPU always stays
-    unreserved or the stateless read tasks starve and the pipeline
-    stalls (A/B-measured round 2: (24,7) beats the old (16,8) by ~40%
-    at 32 CPUs; full reservation deadlocks at 8)."""
+def _auto_concurrency(tagger_eighths: int = 6):
+    """Size the actor pools to the measured work split (extract/split
+    fuse INTO the tagger actors, extract_triples into the linker's):
+    tagger ≈ ``tagger_eighths``/8 of the CPUs, linker the rest minus
+    one — one CPU always stays unreserved or the stateless read tasks
+    starve and the pipeline stalls (A/B-measured round 2: (24,7) beats
+    the old (16,8) by ~40% at 32 CPUs; full reservation deadlocks
+    at 8).  HMM decode is light → 6/8 (≡ the measured 3/4 split); CRF
+    decode does ~6.8× the linker's CPU (ds.stats(), 480k pages) → 7/8."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    tagger = max(1, (3 * cpus) // 4)
+    tagger = max(1, (tagger_eighths * cpus) // 8)
     linker = max(1, cpus - tagger - 1)
     if tagger + linker >= cpus and tagger > 1:
         tagger = max(1, cpus - linker - 1)
@@ -155,7 +156,8 @@ def kg_dataset(files, corpus_dir: str, model_dir: str, tagger: str = "hmm",
     (tagger n, linker max(1, n//2)); a tuple → used for both pools.
     """
     if concurrency is None:
-        tagger_conc, linker_conc = _auto_concurrency()
+        tagger_conc, linker_conc = _auto_concurrency(
+            7 if tagger in ("crf", "transformer") else 6)
     elif isinstance(concurrency, int):
         tagger_conc, linker_conc = concurrency, max(1, concurrency // 2)
     else:

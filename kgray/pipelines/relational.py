@@ -1272,9 +1272,12 @@ def copurchase_triangles(sf_dir: str, min_count: int = 2):
     from ..stages.join import sorted_merge_join
 
     total = _copurchase_pair_counts(sf_dir)
+    # pinned: consumed three ways (wedge left, wedge right, closing
+    # keys) — unpinned, each consumer would re-run the pair exchange
     edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
                                zero_copy_batch=True)
-             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())
 
     left = edges.map_batches(lambda b: pa.table({
         "mid": b.column("part_b"), "part_a": b.column("part_a")}),
