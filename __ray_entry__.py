@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": lambda sf: __import__(
             "kgray.pipelines.curation", fromlist=["curation_report"]
         ).curation_report(sf),
+        "orders_monthly_seasonality": relational.orders_monthly_seasonality,
+        "orders_quarter_growth": relational.orders_quarter_growth,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1471,6 +1473,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "orders_monthly_seasonality": """
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+                       AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY year, month
+        """,
+        "orders_quarter_growth": """
+            WITH q AS (
+                SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                           AS year,
+                       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT)
+                           AS quarter,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY year, quarter
+            ),
+            l AS (SELECT *, LAG(revenue_cents) OVER (
+                      ORDER BY year, quarter) AS prev_cents
+                  FROM q)
+            SELECT year, quarter, revenue_cents, prev_cents,
+                   CASE WHEN prev_cents IS NULL OR prev_cents = 0
+                        THEN NULL
+                        ELSE (revenue_cents - prev_cents) * 100.0
+                             / prev_cents
+                   END AS growth_pct
+            FROM l
         """,
         "customer_rfm_segments": """
             WITH m AS (SELECT o_custkey AS c_custkey,

@@ -197,6 +197,10 @@ def run_bench() -> dict:
           lambda: relational.event_type_transitions(sf_dir))
     from kgray.pipelines import curation as _cur
     timed("corpus_curation", lambda: _cur.curation_report(sf_dir))
+    timed("orders_monthly_seasonality",
+          lambda: relational.orders_monthly_seasonality(sf_dir))
+    timed("orders_quarter_growth",
+          lambda: relational.orders_quarter_growth(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -49,7 +49,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "logline_stats", "orders_cdc_latest", "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
            "events_value_winsorized", "user_key_skew",
-           "customer_rfm_segments", "event_type_transitions"]
+           "customer_rfm_segments", "event_type_transitions",
+           "orders_monthly_seasonality", "orders_quarter_growth"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2492,3 +2493,64 @@ def event_type_transitions(sf_dir: str):
         lagged.map_batches(pairs, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["from_type", "to_type"], [("n", "sum")])
+
+
+def orders_monthly_seasonality(sf_dir: str):
+    """Calendar-bucketed aggregation: orders per (year, month) with
+    exact revenue cents — Arrow's temporal kernels (``pc.year`` /
+    ``pc.month``, proleptic Gregorian, same as SQL EXTRACT) bucket each
+    batch vectorized, map-side combine shrinks the exchange to the
+    calendar frame."""
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        return pa.table({
+            "year": pc.cast(pc.year(d), pa.int64()),
+            "month": pc.cast(pc.month(d), pa.int64()),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "revenue_cents": _cents(b.column("o_totalprice"))})
+
+    return sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["year", "month"], [("n_orders", "sum"), ("revenue_cents", "sum")])
+
+
+def orders_quarter_growth(sf_dir: str):
+    """Quarter-over-quarter revenue growth: the calendar aggregate
+    reduces the fact table to one row per quarter (tiny by definition),
+    the LAG + growth ratio then run on the driver over that reduced
+    frame — exact cents everywhere, ONE mirrored float division per
+    row; the first quarter's growth is NULL (SQL LAG semantics)."""
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        return pa.table({
+            "year": pc.cast(pc.year(d), pa.int64()),
+            "quarter": pc.cast(pc.quarter(d), pa.int64()),
+            "revenue_cents": _cents(b.column("o_totalprice"))})
+
+    agg = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["year", "quarter"], [("revenue_cents", "sum")])
+    t = (agg.to_pandas()
+         .sort_values(["year", "quarter"], ignore_index=True))
+    rev = t["revenue_cents"].to_numpy()
+    prev = np.empty(len(rev), dtype=np.int64)
+    prev[0] = 0
+    prev[1:] = rev[:-1]
+    growth = np.full(len(rev), np.nan)
+    mask = np.arange(len(rev)) > 0
+    nz = mask & (prev != 0)
+    growth[nz] = (rev[nz] - prev[nz]) * 100.0 / prev[nz]
+    return pa.table({
+        "year": pa.array(t["year"], type=pa.int64()),
+        "quarter": pa.array(t["quarter"], type=pa.int64()),
+        "revenue_cents": pa.array(rev, type=pa.int64()),
+        "prev_cents": pa.array(
+            [int(prev[i]) if i > 0 else None for i in range(len(rev))],
+            type=pa.int64()),
+        "growth_pct": pa.array(
+            [float(growth[i]) if not np.isnan(growth[i]) else None
+             for i in range(len(rev))], type=pa.float64())})

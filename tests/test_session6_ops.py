@@ -642,3 +642,44 @@ def test_event_type_transitions_matches_duckdb(ray_session, tmp_path):
     assert got["n"].sum() == n - 40              # n - one per user
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# --------------------------------------------------- calendar functions
+def test_orders_seasonality_and_growth(ray_session, tmp_path):
+    con = _tpch_tables(tmp_path, n_orders=600, seed=13)
+    from kgray.pipelines.relational import (orders_monthly_seasonality,
+                                            orders_quarter_growth)
+    got = (orders_monthly_seasonality(str(tmp_path)).to_pandas()
+           .sort_values(["year", "month"], ignore_index=True))
+    exp = con.sql("""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month,
+               COUNT(*) n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT))
+                    AS BIGINT) revenue_cents
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+    g = (orders_quarter_growth(str(tmp_path)).to_pandas()
+         .sort_values(["year", "quarter"], ignore_index=True))
+    ge = con.sql("""
+        WITH q AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                       AS year,
+                   CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT)
+                       AS quarter,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT))
+                        AS BIGINT) revenue_cents
+                   FROM orders GROUP BY 1, 2),
+        l AS (SELECT *, LAG(revenue_cents) OVER (ORDER BY year, quarter)
+                  prev_cents FROM q)
+        SELECT year, quarter, revenue_cents, prev_cents,
+               CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                    ELSE (revenue_cents - prev_cents) * 100.0 / prev_cents
+               END growth_pct
+        FROM l ORDER BY year, quarter
+    """).df()
+    assert pd.isna(g["growth_pct"][0]) and g["growth_pct"].notna().sum() > 0
+    pd.testing.assert_frame_equal(g[sorted(g.columns)],
+                                  ge[sorted(ge.columns)])
