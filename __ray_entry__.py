@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": lambda sf: __import__(
             "kgray.pipelines.multimodal", fromlist=["audio_features"]
         ).audio_features(sf),
+        "video_features": lambda sf: __import__(
+            "kgray.pipelines.multimodal", fromlist=["video_features"]
+        ).video_features(sf),
         # --- text analysis over documents (SQL-oracled)
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -371,7 +374,7 @@ def oracle_sql() -> dict[str, str]:
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
-                     "image_features", "audio_features",
+                     "image_features", "audio_features", "video_features",
                      "corpus_curation")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }

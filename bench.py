@@ -182,6 +182,7 @@ def run_bench() -> dict:
     from kgray.pipelines import multimodal as _mm
     timed("image_features", lambda: _mm.image_features(sf_dir))
     timed("audio_features", lambda: _mm.audio_features(sf_dir))
+    timed("video_features", lambda: _mm.video_features(sf_dir))
     timed("pareto_orders", lambda: relational.pareto_orders(sf_dir))
     timed("embedding_dim_stats", lambda: ann.embedding_dim_stats(sf_dir))
     timed("user_value_twap", lambda: relational.user_value_twap(sf_dir))

@@ -25,7 +25,7 @@ import wave
 import numpy as np
 
 __all__ = ["encode_bmp", "decode_bmp", "encode_wav", "decode_wav",
-           "resize_nearest"]
+           "resize_nearest", "encode_video", "decode_video_frames"]
 
 
 # ------------------------------------------------------------------ BMP
@@ -102,3 +102,38 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         raw = f.readframes(n)
         arr = np.frombuffer(raw, dtype=np.int16).reshape(n, f.getnchannels())
     return rate, arr
+
+
+# ------------------------------------------------------------ video (KGV1)
+
+_KGV_MAGIC = b"KGV1"
+
+
+def encode_video(frames: list) -> bytes:
+    """Trivial uncompressed video container: ``KGV1`` magic, uint32
+    frame count, then length-prefixed BMP frames.  Stands in for a real
+    container (MP4/MKV) the same way BMP stands in for JPEG — the
+    PARSING/sampling plumbing is real, only the codec is simplified."""
+    parts = [_KGV_MAGIC, struct.pack("<I", len(frames))]
+    for img in frames:
+        payload = encode_bmp(img)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def decode_video_frames(payload: bytes, stride: int = 1):
+    """Yield ``(frame_index, rgb_array)`` for every ``stride``-th frame
+    WITHOUT decoding skipped frames — the container is seekable via the
+    length prefixes, so frame-sampling cost is proportional to frames
+    SAMPLED, not frames stored (the property that matters at 100 TB)."""
+    if payload[:4] != _KGV_MAGIC:
+        raise ValueError("not a KGV1 payload")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    off = 8
+    for i in range(n_frames):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if i % stride == 0:
+            yield i, decode_bmp(payload[off:off + ln])
+        off += ln

@@ -20,7 +20,8 @@ import ray.data as rd
 __all__ = ["decode_image", "byte_histogram", "BinaryFeaturizer",
            "binary_features", "synth_bmp_payload", "synth_wav_payload",
            "ImageFeaturizer", "AudioFeaturizer", "image_features",
-           "audio_features"]
+           "audio_features", "synth_video_payload", "VideoFeaturizer",
+           "video_features"]
 
 N_BUCKETS = 16
 
@@ -223,4 +224,78 @@ def audio_features(sf_dir: str, concurrency: int | None = None):
         concurrency = _auto_concurrency()[0]
     return _synth_binary_column(sf_dir, synth_wav_payload).map_batches(
         AudioFeaturizer, batch_format="pyarrow", batch_size=128,
+        concurrency=concurrency, num_cpus=1)
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Deterministic per-doc KGV1 clip: 4-11 frames of a gradient that
+    shifts per frame plus seeded noise — motion between frames is real,
+    so the motion feature is non-trivial."""
+    from ..kernels.codec import encode_video
+
+    n_frames = 4 + (doc_id * 5) % 8
+    h = 12 + (doc_id * 3) % 9
+    w = 16 + (doc_id * 11) % 13
+    rng = np.random.Generator(np.random.PCG64(0x71DE0 + doc_id))
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for fi in range(n_frames):
+        img = np.stack([
+            ((yy + 7 * fi) * 255 // max(h - 1, 1) % 256).astype(np.uint8),
+            ((xx + 3 * fi) * 255 // max(w - 1, 1) % 256).astype(np.uint8),
+            rng.integers(0, 256, (h, w), dtype=np.int64).astype(np.uint8),
+        ], axis=2)
+        frames.append(img)
+    return encode_video(frames)
+
+
+class VideoFeaturizer:
+    """Actor-pool stage: KGV1 binary column → frame-sampled features.
+
+    Samples every ``stride``-th frame — the container seeks over
+    skipped frames, so the decode cost is proportional to frames
+    SAMPLED.  Features are exact integers: sampled-frame channel sums
+    and total absolute inter-frame motion."""
+
+    def __init__(self, stride: int = 2):
+        from ..kernels.codec import decode_video_frames
+        self._frames = decode_video_frames
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "n_frames": [], "n_sampled": [],
+                "sum_rgb": [], "motion": []}
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, payload in zip(ids, batch.column("payload").to_pylist()):
+            import struct as _struct
+            (n_frames,) = _struct.unpack_from("<I", payload, 4)
+            sampled = list(self._frames(payload, stride=self.stride))
+            s_rgb = 0
+            motion = 0
+            prev = None
+            for _, img in sampled:
+                a = img.astype(np.int64)
+                s_rgb += int(a.sum())
+                if prev is not None:
+                    motion += int(np.abs(a - prev).sum())
+                prev = a
+            rows["doc_id"].append(doc_id)
+            rows["n_frames"].append(n_frames)
+            rows["n_sampled"].append(len(sampled))
+            rows["sum_rgb"].append(s_rgb)
+            rows["motion"].append(motion)
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+
+def video_features(sf_dir: str, concurrency: int | None = None,
+                   stride: int = 2):
+    """Real video pipeline over KGV1 clips: synthesize → binary column
+    → actor-pool seekable frame-sample + decode + featurize."""
+    if concurrency is None:
+        from .kg import _auto_concurrency
+        concurrency = _auto_concurrency()[0]
+    return _synth_binary_column(sf_dir, synth_video_payload).map_batches(
+        VideoFeaturizer, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=64,
         concurrency=concurrency, num_cpus=1)

@@ -42,7 +42,8 @@ FIXTURE_QUERIES = [
     "neardup_clusters",
     "event_user_distinct_hll", "entity_pagerank",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
-    "image_features", "audio_features", "corpus_curation",
+    "image_features", "audio_features", "video_features",
+    "corpus_curation",
 ]
 
 

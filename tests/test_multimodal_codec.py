@@ -98,3 +98,50 @@ def test_audio_features_pipeline_matches_serial(ray_session, tmp_path):
         assert row.n_samples == len(s)
         assert row.energy == int((s * s).sum())
         assert row.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+
+
+# ------------------------------------------------------------------ video
+def test_video_container_roundtrip_and_seek():
+    from kgray.kernels.codec import (decode_video_frames, encode_bmp,
+                                     encode_video)
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+              for _ in range(7)]
+    payload = encode_video(frames)
+    # stride 1: all frames, exact round-trip
+    out = list(decode_video_frames(payload, stride=1))
+    assert [i for i, _ in out] == list(range(7))
+    for (_, got), src in zip(out, frames):
+        assert np.array_equal(got, src)
+    # stride 3 samples frames 0, 3, 6
+    idx = [i for i, _ in decode_video_frames(payload, stride=3)]
+    assert idx == [0, 3, 6]
+    with pytest.raises(ValueError):
+        list(decode_video_frames(b"nope" + payload[4:]))
+
+
+def test_video_features_pipeline_matches_serial(ray_session, tmp_path):
+    from kgray.kernels.codec import decode_video_frames
+    from kgray.pipelines.multimodal import (synth_video_payload,
+                                            video_features)
+
+    sf = _docs_dir(tmp_path)
+    got = (video_features(sf, concurrency=2, stride=2).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert len(got) == 40
+    for _, row in got.iloc[:6].iterrows():
+        payload = synth_video_payload(int(row.doc_id))
+        sampled = list(decode_video_frames(payload, stride=2))
+        assert row.n_sampled == len(sampled)
+        s_rgb = sum(int(img.astype(np.int64).sum()) for _, img in sampled)
+        assert row.sum_rgb == s_rgb
+        motion = 0
+        prev = None
+        for _, img in sampled:
+            a = img.astype(np.int64)
+            if prev is not None:
+                motion += int(np.abs(a - prev).sum())
+            prev = a
+        assert row.motion == motion
+        assert row.motion > 0                  # frames really move
