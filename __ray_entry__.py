@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).curation_report(sf),
         "orders_monthly_seasonality": relational.orders_monthly_seasonality,
         "orders_quarter_growth": relational.orders_quarter_growth,
+        "user_weekly_streaks": relational.user_weekly_streaks,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1476,6 +1477,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "user_weekly_streaks": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              (CAST(epoch_us(ts) AS BIGINT)
+                               // 86400000000 + 3) // 7 AS week
+                       FROM events),
+            g AS (SELECT user_id, week,
+                         week - ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY week) AS grp
+                  FROM w),
+            s AS (SELECT user_id, grp, COUNT(*) AS len
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_weeks,
+                   MAX(len) AS max_streak
+            FROM s GROUP BY user_id
         """,
         "orders_monthly_seasonality": """
             SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,

@@ -202,6 +202,8 @@ def run_bench() -> dict:
           lambda: relational.orders_monthly_seasonality(sf_dir))
     timed("orders_quarter_growth",
           lambda: relational.orders_quarter_growth(sf_dir))
+    timed("user_weekly_streaks",
+          lambda: relational.user_weekly_streaks(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

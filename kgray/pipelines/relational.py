@@ -50,7 +50,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "user_value_twap", "copurchase_degree_hist",
            "events_value_winsorized", "user_key_skew",
            "customer_rfm_segments", "event_type_transitions",
-           "orders_monthly_seasonality", "orders_quarter_growth"]
+           "orders_monthly_seasonality", "orders_quarter_growth",
+           "user_weekly_streaks"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2554,3 +2555,67 @@ def orders_quarter_growth(sf_dir: str):
         "growth_pct": pa.array(
             [float(growth[i]) if not np.isnan(growth[i]) else None
              for i in range(len(rev))], type=pa.float64())})
+
+
+def user_weekly_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's total active weeks and LONGEST run
+    of consecutive active weeks.  The classic SQL islands pattern
+    (``week − ROW_NUMBER()`` grouping) becomes, distributed: distinct
+    (user, week) rows → sort co-locates each user's weeks in order →
+    complete runs resolve their streaks in-block, boundary runs ship
+    raw rows (bounded by one user's week count) through the standard
+    edge/interior exchange."""
+    from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, type=pa.int64()))
+        week = pc.divide(pc.add(day, pa.scalar(3, type=pa.int64())),
+                         pa.scalar(7, type=pa.int64()))
+        return pa.table({"user_id": b.column("user_id"),
+                         "week": pc.cast(week, pa.int64()),
+                         "one": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64))})
+
+    distinct = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "week"], [("one", "min")])
+    srt = (distinct.map_batches(lambda b: b.select(["user_id", "week"]),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .sort(["user_id", "week"]))
+
+    def _streaks(users, weeks) -> pa.Table:
+        uid, nw, mx = [], [], []
+        starts = run_starts(users)
+        bounds = np.r_[starts, len(users)]
+        w = weeks.to_numpy(zero_copy_only=False)
+        u = users.to_numpy(zero_copy_only=False)
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            ws = w[lo:hi]                       # sorted distinct weeks
+            breaks = np.flatnonzero(np.diff(ws) != 1)
+            seg_bounds = np.r_[0, breaks + 1, len(ws)]
+            uid.append(int(u[lo]))
+            nw.append(int(len(ws)))
+            mx.append(int(np.diff(seg_bounds).max()))
+        return pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                         "n_weeks": pa.array(nw, type=pa.int64()),
+                         "max_streak": pa.array(mx, type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(edge_mask(batch.column("user_id")))
+
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(edge_mask(batch.column("user_id"))))
+        return _streaks(t.column("user_id"), t.column("week"))
+
+    def merge_fn(edge_tables):
+        t = pa.concat_tables(edge_tables)
+        t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                                 ("week", "ascending")]))
+        return _streaks(t.column("user_id"), t.column("week"))
+
+    return edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)

@@ -683,3 +683,47 @@ def test_orders_seasonality_and_growth(ray_session, tmp_path):
     assert pd.isna(g["growth_pct"][0]) and g["growth_pct"].notna().sum() > 0
     pd.testing.assert_frame_equal(g[sorted(g.columns)],
                                   ge[sorted(ge.columns)])
+
+
+# ------------------------------------------------------ gaps-and-islands
+def test_user_weekly_streaks_planted(ray_session, tmp_path):
+    # user 1: weeks 0,1,2, 5,6, 9        -> n_weeks 6, max_streak 3
+    # user 2: weeks 4                    -> n_weeks 1, max_streak 1
+    # user 3: weeks 0..7 consecutive     -> n_weeks 8, max_streak 8
+    # duplicate events within a week must not inflate anything
+    week_us = 7 * 86_400_000_000
+    rows = []
+    for uid, weeks in ((1, [0, 1, 2, 5, 6, 9]), (2, [4]),
+                       (3, list(range(8)))):
+        for w in weeks:
+            for rep in range(2):              # two events per week
+                rows.append((uid, (w * 7 - 3 + rep) * 86_400_000_000))
+    ev = pd.DataFrame(rows, columns=["user_id", "us"])
+    ev["ts"] = pd.to_datetime(ev.pop("us"), unit="us").astype(
+        "datetime64[us]")
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import user_weekly_streaks
+    got = (user_weekly_streaks(str(tmp_path)).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert got.to_dict("records") == [
+        {"user_id": 1, "n_weeks": 6, "max_streak": 3},
+        {"user_id": 2, "n_weeks": 1, "max_streak": 1},
+        {"user_id": 3, "n_weeks": 8, "max_streak": 8}]
+
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH w AS (SELECT DISTINCT user_id,
+                          (CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           + 3) // 7 AS week FROM events),
+        g AS (SELECT user_id, week, week - ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY week) AS grp FROM w),
+        s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_weeks,
+               MAX(len) AS max_streak
+        FROM s GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
