@@ -216,6 +216,10 @@ def run_bench() -> dict:
         "triples": n_triples,
         "pages_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
+        # ambient-load context: this is a SHARED box (co-tenant spikes
+        # slow individual queries 3-5x in bad windows; see NOTES.md) —
+        # the stamp makes a polluted artifact self-documenting
+        "loadavg_end": _loadavg1(),
     }
     ray.shutdown()
     return result
