@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 from ._runs import edge_interior_exchange
 
-__all__ = ["sorted_merge_join"]
+__all__ = ["sorted_merge_join", "auto_join"]
 
 
 def sorted_merge_join(left, right, on, how: str = "inner"):
@@ -161,3 +161,36 @@ def _pd_join(t: pa.Table, on: str, l_cols, r_cols, types, how: str) -> pa.Table:
     cols = l_cols + r_cols
     return pa.table({c: pa.array(out[c], type=types[c], from_pandas=True)
                      for c in cols})
+
+
+def auto_join(left, right, on: str, how: str = "inner",
+              broadcast_rows: int = 200_000, payload=None):
+    """Adaptive join planning — the broadcast-vs-shuffle rule as a
+    first-class operator (the same class of decision `dedup._verify_join`
+    makes for LSH verification).
+
+    Counts the right side (metadata-cheap for pure parquet reads); at
+    or below ``broadcast_rows`` with a UNIQUE key the right side
+    materializes once and broadcasts (`ray.put`, zero shuffle of the
+    big side), otherwise — too large, or fan-out duplicate keys — the
+    distributed sorted-merge exchange runs.  Both plans are
+    value-identical (pinned by test); the threshold is the worker-heap
+    knob: broadcast_rows × row width × pool size must fit memory."""
+    import ray
+
+    from .broadcast import broadcast_join
+
+    n = right.count()
+    if n <= broadcast_rows:
+        tabs = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            dim = pa.concat_tables(tabs, promote_options="permissive")
+        else:
+            dim = right.schema().base_schema.empty_table()
+        keys = dim.column(on) if dim.num_rows else None
+        unique = (dim.num_rows == 0
+                  or pc.count_distinct(keys).as_py() == dim.num_rows)
+        if unique and how in ("inner", "left"):
+            return broadcast_join(left, dim, on=on, how=how,
+                                  payload=payload)
+    return sorted_merge_join(left, right, on=on, how=how)

@@ -291,3 +291,58 @@ def test_part_copurchase_matches_pandas(ray_session):
                   key=lambda t: (-t[0], t[1], t[2]))[:15]
     got_t = list(zip(got.n_copurchase, got.part_a, got.part_b))
     assert got_t == want
+
+
+# ------------------------------------------------------------- auto_join
+def test_auto_join_plans_are_value_identical(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.stages.join import auto_join, sorted_merge_join
+
+    rng = np.random.default_rng(83)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 5000).astype(np.int64),
+                         "x": rng.integers(0, 10**6, 5000).astype(np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(50)]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(6)
+
+    def run(threshold):
+        rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+        return (auto_join(lds, rds, on="k", broadcast_rows=threshold)
+                .to_pandas().sort_values(["k", "x"], ignore_index=True))
+
+    small = run(10**6)       # broadcast plan
+    large = run(10)          # forced sorted-merge plan
+    pd.testing.assert_frame_equal(small[sorted(small.columns)],
+                                  large[sorted(large.columns)])
+    exp = (left.merge(right, on="k")
+           .sort_values(["k", "x"], ignore_index=True))
+    pd.testing.assert_frame_equal(small[sorted(small.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_auto_join_dup_key_right_falls_back(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.stages.join import auto_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "x": np.array([10, 20, 30], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 1, 2], dtype=np.int64),
+                          "y": np.array([7, 8, 9], dtype=np.int64)})
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+    # small right but duplicate keys: broadcast_join would reject —
+    # the planner must route to the fan-out-safe sorted-merge path
+    got = (auto_join(lds, rds, on="k", broadcast_rows=100)
+           .to_pandas().sort_values(["k", "y"], ignore_index=True))
+    exp = (left.merge(right, on="k")
+           .sort_values(["k", "y"], ignore_index=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
