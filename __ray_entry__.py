@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_seasonality": relational.orders_monthly_seasonality,
         "orders_quarter_growth": relational.orders_quarter_growth,
         "user_weekly_streaks": relational.user_weekly_streaks,
+        "events_hourly_incremental": relational.events_hourly_incremental,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1477,6 +1478,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "events_hourly_incremental": """
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                       AS epoch_hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type, epoch_hour
         """,
         "user_weekly_streaks": """
             WITH w AS (SELECT DISTINCT user_id,

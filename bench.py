@@ -204,6 +204,8 @@ def run_bench() -> dict:
           lambda: relational.orders_quarter_growth(sf_dir))
     timed("user_weekly_streaks",
           lambda: relational.user_weekly_streaks(sf_dir))
+    timed("events_hourly_incremental",
+          lambda: relational.events_hourly_incremental(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -51,7 +51,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_value_winsorized", "user_key_skew",
            "customer_rfm_segments", "event_type_transitions",
            "orders_monthly_seasonality", "orders_quarter_growth",
-           "user_weekly_streaks"]
+           "user_weekly_streaks", "events_hourly_incremental"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2619,3 +2619,49 @@ def user_weekly_streaks(sf_dir: str):
         return _streaks(t.column("user_id"), t.column("week"))
 
     return edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+
+
+def events_hourly_incremental(sf_dir: str, delta_permille: int = 100):
+    """Incremental view maintenance: an md5-selected ~10% of events
+    plays the 'newly arrived batch'; the maintained hourly aggregate is
+    the BASE aggregate (old data, aggregated once and in production
+    never rescanned) merged with the DELTA batch's aggregate — a plain
+    groupby-sum over the two partial tables, valid because every
+    aggregate in this engine is a mergeable partial.  The oracle is the
+    full recompute over all events: merge(base, delta) == full is
+    exactly the law incremental maintenance relies on, here enforced
+    bitwise by the gate."""
+    from ..functions.sampling import _md5_bucket
+
+    def prep(batch: pa.Table, want_delta: bool) -> pa.Table:
+        sel = _md5_bucket(batch.column("event_id").to_pylist(),
+                          1000) < delta_permille
+        b = batch.filter(pa.array(sel if want_delta else ~sel))
+        ts = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "epoch_hour": pc.cast(hour, pa.int64()),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "value_cents": _cents(b.column("value"))})
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type",
+                                        "value"])
+
+    base = sorted_group_aggregate(
+        scan().map_batches(lambda b: prep(b, False),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "epoch_hour"],
+        [("n_events", "sum"), ("value_cents", "sum")])
+    delta = sorted_group_aggregate(
+        scan().map_batches(lambda b: prep(b, True),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "epoch_hour"],
+        [("n_events", "sum"), ("value_cents", "sum")])
+    # the maintenance step itself: merge two partial aggregates — the
+    # base is touched only at this (already reduced) grain
+    return sorted_group_aggregate(
+        base.union(delta), ["event_type", "epoch_hour"],
+        [("n_events", "sum"), ("value_cents", "sum")], precombine=False)

@@ -727,3 +727,34 @@ def test_user_weekly_streaks_planted(ray_session, tmp_path):
     """).df()
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# ------------------------------------------- incremental view maintenance
+def test_events_hourly_incremental_merge_law(ray_session, tmp_path):
+    rng = np.random.default_rng(91)
+    n = 4000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (pd.to_datetime("2024-06-01")
+               + pd.to_timedelta(rng.integers(0, 3 * 86400, n), unit="s")
+               ).astype("datetime64[us]"),
+        "event_type": rng.choice(["a", "b"], n),
+        "value": np.round(rng.uniform(0, 500, n), 2)})
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import events_hourly_incremental
+    got = (events_hourly_incremental(str(tmp_path)).to_pandas()
+           .sort_values(["event_type", "epoch_hour"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS epoch_hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*100.0+0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    # merge(base_agg, delta_agg) must equal the full recompute exactly
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
