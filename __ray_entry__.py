@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_quarter_growth": relational.orders_quarter_growth,
         "user_weekly_streaks": relational.user_weekly_streaks,
         "events_hourly_incremental": relational.events_hourly_incremental,
+        "events_ctr_wilson": relational.events_ctr_wilson,
+        "copurchase_pmi": relational.copurchase_pmi,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1478,6 +1480,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "events_ctr_wilson": """
+            WITH a AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5)
+                            AS BIGINT) > 25000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k
+                FROM events GROUP BY event_type),
+            w AS (SELECT event_type, n, k,
+                         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+                  FROM a)
+            SELECT event_type, n, k, p AS rate,
+                   ((p + 1.96e0 * 1.96e0 / (2.0e0 * n))
+                    - 1.96e0 * sqrt(p * (1.0e0 - p) / n
+                                    + 1.96e0 * 1.96e0 / (4.0e0 * n * n)))
+                   / (1.0e0 + 1.96e0 * 1.96e0 / n) AS wilson_lo
+            FROM w
+        """,
+        "copurchase_pmi": """
+            WITH pc_ AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                       CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            ic AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY l_partkey),
+            no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+                   FROM lineitem)
+            SELECT pc_.a AS part_a, pc_.b AS part_b,
+                   pc_.c_ab AS n_copurchase,
+                   ln(CAST(no.n * pc_.c_ab AS DOUBLE)
+                      / CAST(ca.c * cb.c AS DOUBLE)) AS pmi
+            FROM pc_
+            CROSS JOIN no
+            JOIN ic ca ON pc_.a = ca.p
+            JOIN ic cb ON pc_.b = cb.p
+            ORDER BY pmi DESC, part_a, part_b
+            LIMIT 50
         """,
         "events_hourly_incremental": """
             SELECT event_type,

@@ -206,6 +206,9 @@ def run_bench() -> dict:
           lambda: relational.user_weekly_streaks(sf_dir))
     timed("events_hourly_incremental",
           lambda: relational.events_hourly_incremental(sf_dir))
+    timed("events_ctr_wilson",
+          lambda: relational.events_ctr_wilson(sf_dir))
+    timed("copurchase_pmi", lambda: relational.copurchase_pmi(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

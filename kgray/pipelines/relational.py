@@ -51,7 +51,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "events_value_winsorized", "user_key_skew",
            "customer_rfm_segments", "event_type_transitions",
            "orders_monthly_seasonality", "orders_quarter_growth",
-           "user_weekly_streaks", "events_hourly_incremental"]
+           "user_weekly_streaks", "events_hourly_incremental",
+           "events_ctr_wilson", "copurchase_pmi"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2665,3 +2666,101 @@ def events_hourly_incremental(sf_dir: str, delta_permille: int = 100):
     return sorted_group_aggregate(
         base.union(delta), ["event_type", "epoch_hour"],
         [("n_events", "sum"), ("value_cents", "sum")], precombine=False)
+
+
+def events_ctr_wilson(sf_dir: str, z: float = 1.96,
+                      success_cents: int = 25000):
+    """Per-type success-rate estimate with a Wilson-score lower bound —
+    the statistically-honest way to rank segments by conversion when
+    sample sizes differ.  Counts are exact distributed integers; the
+    Wilson expression is evaluated ONCE per reduced row, mirrored
+    operand-for-operand in SQL (sqrt is IEEE-correctly-rounded on both
+    engines, verified bitwise)."""
+    def prep(b: pa.Table) -> pa.Table:
+        vc = _cents(b.column("value"))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "k": pc.cast(pc.greater(vc, pa.scalar(success_cents,
+                                                  type=pa.int64())),
+                         pa.int64())})
+
+    agg = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", [("n", "sum"), ("k", "sum")])
+
+    def wilson(b: pa.Table) -> pa.Table:
+        import math
+        n = b.column("n").to_pylist()
+        k = b.column("k").to_pylist()
+        rate, lo = [], []
+        for ni, ki in zip(n, k):
+            p = ki / ni
+            denom = 1.0 + z * z / ni
+            center = p + z * z / (2.0 * ni)
+            rad = z * math.sqrt(p * (1.0 - p) / ni
+                                + z * z / (4.0 * ni * ni))
+            rate.append(p)
+            lo.append((center - rad) / denom)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n": b.column("n"), "k": b.column("k"),
+            "rate": pa.array(rate, type=pa.float64()),
+            "wilson_lo": pa.array(lo, type=pa.float64())})
+
+    return agg.map_batches(wilson, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def copurchase_pmi(sf_dir: str, min_count: int = 2, k_top: int = 50):
+    """Pointwise mutual information over co-purchase pairs — the
+    association metric that separates 'frequently together because both
+    are popular' from genuine affinity.  Exact integer counts feed
+    ``ln((n_orders·c_ab) / (c_a·c_b))`` — ``math.log`` on exact-int
+    ratios is bitwise-equal to DuckDB ``ln`` (measured; numpy's SIMD
+    log is NOT).  Composition: the bounded-run pair exchange, per-item
+    counts, two broadcast lookups, top-k."""
+    import math
+
+    total = _copurchase_pair_counts(sf_dir)
+    pairs = total.map_batches(_unpack_pair, batch_format="pyarrow",
+                              zero_copy_batch=True).filter(
+        expr=f"n_copurchase >= {int(min_count)}").materialize()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    item_counts = sorted_group_aggregate(
+        li.map_batches(lambda b: pa.table({
+            "p": b.column("l_partkey"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "p", [("c", "sum")]).to_pandas()
+    c_of = dict(zip(item_counts["p"], item_counts["c"]))
+    orders = sorted_group_aggregate(
+        li.map_batches(lambda b: pa.table({
+            "o": b.column("l_orderkey"),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "o", [("one", "min")], precombine=False).count()
+
+    import ray
+    c_ref = ray.put(c_of)
+
+    def score(b: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        a = b.column("part_a").to_pylist()
+        bb = b.column("part_b").to_pylist()
+        cab = b.column("n_copurchase").to_pylist()
+        pmi = [math.log((orders * c) / (cm[x] * cm[y]))
+               for x, y, c in zip(a, bb, cab)]
+        return pa.table({
+            "part_a": b.column("part_a"), "part_b": b.column("part_b"),
+            "n_copurchase": b.column("n_copurchase"),
+            "pmi": pa.array(pmi, type=pa.float64())})
+
+    return (pairs.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort(["pmi", "part_a", "part_b"],
+                  descending=[True, False, False]).limit(k_top))

@@ -758,3 +758,59 @@ def test_events_hourly_incremental_merge_law(ray_session, tmp_path):
     # merge(base_agg, delta_agg) must equal the full recompute exactly
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+# ---------------------------------------------------- Wilson bound / PMI
+def test_events_ctr_wilson_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(97)
+    n = 3000
+    ev = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": np.round(rng.uniform(0, 600, n), 2)})
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import events_ctr_wilson
+    got = (events_ctr_wilson(str(tmp_path)).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH a AS (SELECT event_type, COUNT(*) n,
+                          CAST(SUM(CASE WHEN CAST(FLOOR(value*100.0+0.5)
+                               AS BIGINT) > 25000 THEN 1 ELSE 0 END)
+                               AS BIGINT) k
+                   FROM events GROUP BY 1),
+        w AS (SELECT event_type, n, k,
+                     CAST(k AS DOUBLE)/CAST(n AS DOUBLE) p FROM a)
+        SELECT event_type, n, k, p rate,
+               ((p + 1.96e0*1.96e0/(2.0e0*n))
+                - 1.96e0*sqrt(p*(1.0e0-p)/n + 1.96e0*1.96e0/(4.0e0*n*n)))
+               / (1.0e0 + 1.96e0*1.96e0/n) wilson_lo
+        FROM w ORDER BY event_type
+    """).df()
+    # the bound must be a real lower bound strictly below the estimate
+    assert (got["wilson_lo"] < got["rate"]).all()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_copurchase_pmi_prefers_exclusive_pairs(ray_session, tmp_path):
+    # parts 1-2 co-occur ONLY with each other (high affinity);
+    # parts 10-11 are each very popular and co-occur incidentally:
+    # PMI must rank (1,2) above (10,11)
+    rows = []
+    oid = 0
+    for _ in range(3):
+        oid += 1
+        rows += [(oid, 1), (oid, 2)]
+    for _ in range(20):                 # 10 and 11 in many orders
+        oid += 1
+        rows += [(oid, 10), (oid, 11), (oid, int(20 + oid % 9))]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]
+                      ).astype(np.int64)
+    _write(tmp_path, "lineitem", li)
+
+    from kgray.pipelines.relational import copurchase_pmi
+    got = copurchase_pmi(str(tmp_path)).to_pandas()
+    by = {(r.part_a, r.part_b): r.pmi for r in got.itertuples()}
+    assert by[(1, 2)] > by[(10, 11)]
