@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_incremental": relational.events_hourly_incremental,
         "events_ctr_wilson": relational.events_ctr_wilson,
         "copurchase_pmi": relational.copurchase_pmi,
+        "events_hourly_bursts": relational.events_hourly_bursts,
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -1480,6 +1481,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "events_hourly_bursts": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS epoch_hour,
+                       COUNT(*) AS c
+                FROM events GROUP BY event_type, epoch_hour),
+            m AS (SELECT event_type, COUNT(*) AS t,
+                         CAST(SUM(c) AS BIGINT) AS s,
+                         CAST(SUM(c * c) AS BIGINT) AS sxx
+                  FROM h GROUP BY event_type)
+            SELECT h.event_type, h.epoch_hour, h.c
+            FROM h JOIN m USING (event_type)
+            WHERE (h.c * m.t - m.s) > 0
+              AND (h.c * m.t - m.s) * (h.c * m.t - m.s)
+                  > 9 * (m.t * m.sxx - m.s * m.s)
         """,
         "events_ctr_wilson": """
             WITH a AS (

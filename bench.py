@@ -209,6 +209,8 @@ def run_bench() -> dict:
     timed("events_ctr_wilson",
           lambda: relational.events_ctr_wilson(sf_dir))
     timed("copurchase_pmi", lambda: relational.copurchase_pmi(sf_dir))
+    timed("events_hourly_bursts",
+          lambda: relational.events_hourly_bursts(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -52,7 +52,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_rfm_segments", "event_type_transitions",
            "orders_monthly_seasonality", "orders_quarter_growth",
            "user_weekly_streaks", "events_hourly_incremental",
-           "events_ctr_wilson", "copurchase_pmi"]
+           "events_ctr_wilson", "copurchase_pmi", "events_hourly_bursts"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2764,3 +2764,62 @@ def copurchase_pmi(sf_dir: str, min_count: int = 2, k_top: int = 50):
                               zero_copy_batch=True)
             .sort(["pmi", "part_a", "part_b"],
                   descending=[True, False, False]).limit(k_top))
+
+
+def events_hourly_bursts(sf_dir: str):
+    """Burst (anomaly) detection over each type's hourly series with
+    ZERO floating point: hour h bursts when
+    ``count > mean + 3σ``, algebraically rearranged to the exact
+    integer predicate ``(c·T − S) > 0 AND (c·T − S)² > 9·(T·Sxx − S²)``
+    (T = hours in the series, S = Σc, Sxx = Σc²) — no sqrt, no
+    division, no rounding mode to disagree on.  Two reduced aggregates
+    (hourly counts, then per-type moments over ≤ hours rows) and one
+    broadcast join; the raw stream is scanned once."""
+    from ..stages.broadcast import broadcast_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "epoch_hour": pc.cast(hour, pa.int64()),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    hourly = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "epoch_hour"], [("c", "sum")]).materialize()
+
+    def moments(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "t_hours": pa.array(np.ones(len(c), dtype=np.int64)),
+            "s": pa.array(c), "sxx": pa.array(c * c)})
+
+    mom = sorted_group_aggregate(
+        hourly.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "event_type",
+        [("t_hours", "sum"), ("s", "sum"), ("sxx", "sum")]).to_pandas()
+    mom_tbl = pa.Table.from_pandas(mom, preserve_index=False)
+
+    joined = broadcast_join(hourly, mom_tbl, on="event_type")
+
+    def flag(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        t = b.column("t_hours").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        dev = c * t - s
+        var_t2 = t * sxx - s * s            # T²·σ², exact
+        mask = (dev > 0) & (dev * dev > 9 * var_t2)
+        k = b.filter(pa.array(mask))
+        return pa.table({
+            "event_type": k.column("event_type"),
+            "epoch_hour": k.column("epoch_hour"),
+            "c": k.column("c")})
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)

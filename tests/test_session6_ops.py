@@ -814,3 +814,41 @@ def test_copurchase_pmi_prefers_exclusive_pairs(ray_session, tmp_path):
     got = copurchase_pmi(str(tmp_path)).to_pandas()
     by = {(r.part_a, r.part_b): r.pmi for r in got.itertuples()}
     assert by[(1, 2)] > by[(10, 11)]
+
+
+# --------------------------------------------------------- burst detection
+def test_events_hourly_bursts_planted(ray_session, tmp_path):
+    # flat series of 10 events/hour for 50 hours, plus ONE 300-event
+    # burst hour — only the burst must flag
+    rows = []
+    for h in range(50):
+        n = 300 if h == 25 else 10
+        for i in range(n):
+            rows.append(("a", h * 3_600_000_000 + i * 1000))
+    ev = pd.DataFrame(rows, columns=["event_type", "us"])
+    ev["ts"] = pd.to_datetime(ev.pop("us"), unit="us").astype(
+        "datetime64[us]")
+    _write(tmp_path, "events", ev)
+
+    from kgray.pipelines.relational import events_hourly_bursts
+    got = events_hourly_bursts(str(tmp_path)).to_pandas()
+    assert got.to_dict("records") == [
+        {"event_type": "a", "epoch_hour": 25, "c": 300}]
+
+    con = duckdb.connect()
+    con.register("events", ev)
+    exp = con.sql("""
+        WITH h AS (SELECT event_type,
+                          CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                              AS epoch_hour, COUNT(*) c
+                   FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, COUNT(*) t, CAST(SUM(c) AS BIGINT) s,
+                     CAST(SUM(c*c) AS BIGINT) sxx FROM h GROUP BY 1)
+        SELECT h.event_type, h.epoch_hour, h.c
+        FROM h JOIN m USING (event_type)
+        WHERE (h.c * m.t - m.s) > 0
+          AND (h.c*m.t - m.s) * (h.c*m.t - m.s) > 9 * (m.t*m.sxx - m.s*m.s)
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        exp[sorted(exp.columns)].reset_index(drop=True))
