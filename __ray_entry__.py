@@ -341,6 +341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ctr_wilson": relational.events_ctr_wilson,
         "copurchase_pmi": relational.copurchase_pmi,
         "events_hourly_bursts": relational.events_hourly_bursts,
+        "events_keyset_page": relational.events_keyset_page,
+        "page_site_counts": lambda sf: __import__(
+            "kgray.pipelines.kg", fromlist=["page_site_counts"]
+        ).page_site_counts(sf),
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
@@ -380,7 +384,7 @@ def oracle_sql() -> dict[str, str]:
                      "entity_pagerank", "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
-                     "corpus_curation")
+                     "corpus_curation", "page_site_counts")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -1481,6 +1485,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "events_keyset_page": """
+            SELECT CAST(epoch_us(ts) AS BIGINT) AS ev_us, event_id,
+                   user_id, event_type
+            FROM events
+            WHERE CAST(epoch_us(ts) AS BIGINT) > 1705000000000000
+               OR (CAST(epoch_us(ts) AS BIGINT) = 1705000000000000
+                   AND event_id > -1)
+            ORDER BY ev_us, event_id
+            LIMIT 200
         """,
         "events_hourly_bursts": """
             WITH h AS (

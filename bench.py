@@ -211,6 +211,10 @@ def run_bench() -> dict:
     timed("copurchase_pmi", lambda: relational.copurchase_pmi(sf_dir))
     timed("events_hourly_bursts",
           lambda: relational.events_hourly_bursts(sf_dir))
+    timed("events_keyset_page",
+          lambda: relational.events_keyset_page(sf_dir))
+    from kgray.pipelines.kg import page_site_counts as _psc
+    timed("page_site_counts", lambda: _psc(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

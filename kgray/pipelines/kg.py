@@ -43,7 +43,7 @@ from ..state.counters import counting_passthrough, new_counter
 from ..state.manifest import Manifest
 
 __all__ = ["build_models", "kg_dataset", "run_kg", "serial_oracle_triples",
-           "page_files", "partition_groups"]
+           "page_files", "partition_groups", "page_site_counts"]
 
 
 # --------------------------------------------------------------------------- models
@@ -360,3 +360,33 @@ def serial_oracle_triples(corpus_dir: str, model_dir: str, tagger: str = "hmm",
                     key = (s_cid, pred, o_cid)
                     triples[key] = triples.get(key, 0) + 1
     return triples
+
+
+def page_site_counts(sf_dir: str):
+    """URL analytics over the web corpus: site segment parsed from every
+    page url with ONE vectorized RE2 kernel, pages counted per site —
+    the crawl-manifest summary every web pipeline starts from."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sources.derived import corpus_for_sf
+    from ..stages.aggregate import sorted_group_aggregate
+
+    corpus = corpus_for_sf(sf_dir)
+
+    def parse(b):
+        import pyarrow as pa
+        hit = pc.extract_regex(b.column("url"),
+                               r"^https://(?P<host>[^/]+)/(?P<site>[^/]+)/")
+        t = pa.table({
+            "host": pc.struct_field(hit, "host"),
+            "site": pc.struct_field(hit, "site"),
+            "n_pages": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.filter(pc.is_valid(t.column("site")))
+
+    ds = rd.read_parquet(page_files(corpus), columns=["url"],
+                         ray_remote_args={"num_cpus": 0.25})
+    return sorted_group_aggregate(
+        ds.map_batches(parse, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["host", "site"], [("n_pages", "sum")])

@@ -2823,3 +2823,35 @@ def events_hourly_bursts(sf_dir: str):
 
     return joined.map_batches(flag, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def events_keyset_page(sf_dir: str, after_us: int = 1_705_000_000_000_000,
+                       after_id: int = -1, page_size: int = 200):
+    """Keyset (cursor) pagination — the scalable alternative to
+    OFFSET: rows strictly after the cursor ``(ts, event_id)`` in the
+    total order, first ``page_size``.  The tuple comparison is one
+    vectorized mask per batch (pushdown-friendly: at scale the ts
+    bound also prunes row groups); only matching rows enter the sort,
+    and the limit keeps the output page-sized."""
+    def keyset(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        eid = b.column("event_id")
+        gt = pc.greater(ts, pa.scalar(after_us, type=pa.int64()))
+        eq = pc.equal(ts, pa.scalar(after_us, type=pa.int64()))
+        tie = pc.and_(eq, pc.greater(eid, pa.scalar(after_id,
+                                                    type=pa.int64())))
+        mask = pc.fill_null(pc.or_(gt, tie), False)
+        k = b.filter(mask)
+        return pa.table({
+            "ev_us": pc.cast(pc.cast(k.column("ts"), pa.int64()),
+                             pa.int64()),
+            "event_id": k.column("event_id"),
+            "user_id": k.column("user_id"),
+            "event_type": k.column("event_type")})
+
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_id", "user_id",
+                                     "event_type"])
+            .map_batches(keyset, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sort(["ev_us", "event_id"]).limit(page_size))
