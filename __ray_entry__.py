@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pmi": relational.copurchase_pmi,
         "events_hourly_bursts": relational.events_hourly_bursts,
         "events_keyset_page": relational.events_keyset_page,
+        "orders_price_band": relational.orders_price_band,
         "page_site_counts": lambda sf: __import__(
             "kgray.pipelines.kg", fromlist=["page_site_counts"]
         ).page_site_counts(sf),
@@ -1485,6 +1486,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "orders_price_band": """
+            SELECT COUNT(*) AS n_orders,
+                   CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0
+                        + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  BETWEEN 1000000 AND 2000000
         """,
         "events_keyset_page": """
             SELECT CAST(epoch_us(ts) AS BIGINT) AS ev_us, event_id,

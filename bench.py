@@ -215,6 +215,8 @@ def run_bench() -> dict:
           lambda: relational.events_keyset_page(sf_dir))
     from kgray.pipelines.kg import page_site_counts as _psc
     timed("page_site_counts", lambda: _psc(sf_dir))
+    timed("orders_price_band",
+          lambda: relational.orders_price_band(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

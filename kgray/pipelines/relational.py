@@ -52,7 +52,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "customer_rfm_segments", "event_type_transitions",
            "orders_monthly_seasonality", "orders_quarter_growth",
            "user_weekly_streaks", "events_hourly_incremental",
-           "events_ctr_wilson", "copurchase_pmi", "events_hourly_bursts"]
+           "events_ctr_wilson", "copurchase_pmi", "events_hourly_bursts",
+           "events_keyset_page", "orders_price_band"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2855,3 +2856,46 @@ def events_keyset_page(sf_dir: str, after_us: int = 1_705_000_000_000_000,
             .map_batches(keyset, batch_format="pyarrow",
                          zero_copy_batch=True)
             .sort(["ev_us", "event_id"]).limit(page_size))
+
+
+def orders_price_band(sf_dir: str, lo_cents: int = 10_000_00,
+                      hi_cents: int = 20_000_00):
+    """Zone-map pruned band query: orders are laid out ONCE sorted by
+    price (``stages/layout.py`` — file footers become non-overlapping
+    zone maps, cached per sf under /tmp), then the band scan opens only
+    the overlapping files (pruning asserted by test, not assumed) and
+    pushes the residual filter into the scan.  Output: exact count +
+    cents sum over the band."""
+    import hashlib
+    import os
+
+    from ..stages.layout import read_range, write_range_layout
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = f"/tmp/kgray_rangelayout/orders_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        src = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+               .map_batches(lambda b: pa.table({
+                   "o_orderkey": b.column("o_orderkey"),
+                   "total_cents": _cents(b.column("o_totalprice"))}),
+                   batch_format="pyarrow", zero_copy_batch=True))
+        write_range_layout(src, "total_cents", out)
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("ok\n")
+
+    band = read_range(out, "total_cents", lo_cents, hi_cents)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_orders": pa.array([b.num_rows], type=pa.int64()),
+            "sum_cents": pa.array([pc.sum(b.column("total_cents")).as_py()
+                                   or 0], type=pa.int64())})
+
+    parts = band.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    return pa.table({
+        "n_orders": pa.array([sum(r["n_orders"] for r in parts)],
+                             type=pa.int64()),
+        "sum_cents": pa.array([sum(r["sum_cents"] for r in parts)],
+                              type=pa.int64())})

@@ -7,6 +7,7 @@ cliques, empty filter windows, missing JSON keys)."""
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -852,3 +853,28 @@ def test_events_hourly_bursts_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)].reset_index(drop=True),
         exp[sorted(exp.columns)].reset_index(drop=True))
+
+
+# ------------------------------------------------------ zone-map pruning
+def test_range_layout_really_prunes(ray_session, tmp_path):
+    from kgray.stages.layout import (files_overlapping, read_range,
+                                     write_range_layout)
+
+    rng = np.random.default_rng(101)
+    n = 60_000
+    src = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                        "v": rng.permutation(n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(src)).repartition(12)
+    out = str(tmp_path / "layout")
+    write_range_layout(ds, "v", out)
+
+    lo, hi = 10_000, 14_999
+    kept, total = files_overlapping(out, "v", lo, hi)
+    assert len(total) >= 8                    # really multi-file
+    assert len(kept) < len(total)             # pruning actually happened
+
+    got = sorted(read_range(out, "v", lo, hi).to_pandas()["v"])
+    assert got == list(range(lo, hi + 1))     # exact band, no loss
+
+    with pytest.raises(FileNotFoundError):
+        read_range(out, "v", 10**9, 2 * 10**9)
