@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_bursts": relational.events_hourly_bursts,
         "events_keyset_page": relational.events_keyset_page,
         "orders_price_band": relational.orders_price_band,
+        "orders_lineitem_consistency":
+            relational.orders_lineitem_consistency,
         "page_site_counts": lambda sf: __import__(
             "kgray.pipelines.kg", fromlist=["page_site_counts"]
         ).page_site_counts(sf),
@@ -1486,6 +1488,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props->>'$.k' IS NOT NULL
             GROUP BY event_type
+        """,
+        "orders_lineitem_consistency": """
+            SELECT
+                (SELECT COUNT(*) FROM orders) AS n_orders,
+                (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                    AS n_childless_orders,
+                (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+                (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                    AS n_orphan_lineitems
         """,
         "orders_price_band": """
             SELECT COUNT(*) AS n_orders,

@@ -217,6 +217,8 @@ def run_bench() -> dict:
     timed("page_site_counts", lambda: _psc(sf_dir))
     timed("orders_price_band",
           lambda: relational.orders_price_band(sf_dir))
+    timed("orders_lineitem_consistency",
+          lambda: relational.orders_lineitem_consistency(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

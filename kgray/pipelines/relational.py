@@ -53,7 +53,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_monthly_seasonality", "orders_quarter_growth",
            "user_weekly_streaks", "events_hourly_incremental",
            "events_ctr_wilson", "copurchase_pmi", "events_hourly_bursts",
-           "events_keyset_page", "orders_price_band"]
+           "events_keyset_page", "orders_price_band",
+           "orders_lineitem_consistency"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -2899,3 +2900,33 @@ def orders_price_band(sf_dir: str, lo_cents: int = 10_000_00,
                              type=pa.int64()),
         "sum_cents": pa.array([sum(r["sum_cents"] for r in parts)],
                               type=pa.int64())})
+
+
+def orders_lineitem_consistency(sf_dir: str):
+    """Bidirectional referential-consistency audit on the NATURAL data
+    (no injection needed — childless orders genuinely exist): orders
+    with no lineitems and lineitems with no order, both via the
+    bloom-prefiltered anti join, reduced to one summary row of exact
+    counts."""
+    from ..stages.semijoin import semi_join
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey"])
+              .map_batches(lambda b: b.rename_columns(["k"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey"])
+          .map_batches(lambda b: b.rename_columns(["k"]),
+                       batch_format="pyarrow", zero_copy_batch=True))
+
+    n_orders = orders.count()
+    n_lineitems = li.count()
+    childless = semi_join(orders, li, on="k", anti=True,
+                          bloom_bits=1 << 20).count()
+    orphans = semi_join(li, orders, on="k", anti=True,
+                        bloom_bits=1 << 20).count()
+    return pa.table({
+        "n_orders": pa.array([n_orders], type=pa.int64()),
+        "n_childless_orders": pa.array([childless], type=pa.int64()),
+        "n_lineitems": pa.array([n_lineitems], type=pa.int64()),
+        "n_orphan_lineitems": pa.array([orphans], type=pa.int64())})
