@@ -2845,8 +2845,7 @@ def events_keyset_page(sf_dir: str, after_us: int = 1_705_000_000_000_000,
         mask = pc.fill_null(pc.or_(gt, tie), False)
         k = b.filter(mask)
         return pa.table({
-            "ev_us": pc.cast(pc.cast(k.column("ts"), pa.int64()),
-                             pa.int64()),
+            "ev_us": pc.cast(k.column("ts"), pa.int64()),
             "event_id": k.column("event_id"),
             "user_id": k.column("user_id"),
             "event_type": k.column("event_type")})
