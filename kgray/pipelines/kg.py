@@ -286,10 +286,11 @@ def run_kg(corpus_dir: str, out_dir: str, model_dir: str | None = None,
     graph = canonical_graph(linked, n_salts=n_salts)
 
     def add_bucket(batch):
+        import numpy as np
         import pyarrow as pa
-        from ..functions.hashing import stable_hash64
-        b = [stable_hash64(s) % graph_buckets
-             for s in batch.column("subj").to_pylist()]
+        from ..functions.hashing import polyhash64_batch
+        b = (polyhash64_batch(batch.column("subj"))
+             % np.uint64(graph_buckets)).astype(np.int32)
         return batch.append_column("subj_bucket", pa.array(b, type=pa.int32()))
 
     graph = (graph.map_batches(add_bucket, batch_format="pyarrow",

@@ -59,7 +59,7 @@ def test_pipeline_vs_gold(kg_run):
 def test_graph_is_sorted_and_partitioned(kg_run):
     """subj_bucket=<b>/ hash-bucketed layout, subj-sorted within each
     bucket; a single-subject consumer reads exactly one partition dir."""
-    from kgray.functions.hashing import stable_hash64
+    from kgray.functions.hashing import polyhash64
 
     _, out, _, _ = kg_run
     bucket_dirs = sorted(glob.glob(os.path.join(out, "graph", "subj_bucket=*")))
@@ -71,11 +71,11 @@ def test_graph_is_sorted_and_partitioned(kg_run):
         for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
             subjects.extend(pq.read_table(f, columns=["subj"])["subj"].to_pylist())
         assert subjects == sorted(subjects)           # subj-sorted per bucket
-        assert all(stable_hash64(s) % 16 == b for s in set(subjects))
+        assert all(polyhash64(s) % 16 == b for s in set(subjects))
         all_subjects.extend(subjects)
     # prune-read: one subject's rows live entirely in its hash bucket
     probe = all_subjects[0]
-    d = os.path.join(out, "graph", f"subj_bucket={stable_hash64(probe) % 16}")
+    d = os.path.join(out, "graph", f"subj_bucket={polyhash64(probe) % 16}")
     got = [s for f in glob.glob(os.path.join(d, "*.parquet"))
            for s in pq.read_table(f, columns=["subj"])["subj"].to_pylist()]
     assert probe in got
