@@ -450,7 +450,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(cnt) * 1.0 / SUM(cnt) AS top_line_frac
             FROM c GROUP BY doc_id
         """,
-        "subword_token_counts": """
+        "subword_token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword
             FROM documents

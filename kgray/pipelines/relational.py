@@ -1782,6 +1782,12 @@ def events_profile(sf_dir: str):
         for c in cols:
             col = b.column(c)
             u = col.drop_null().unique()
+            if pa.types.is_floating(u.type):
+                # -0.0 and 0.0 cast to distinct strings ('-0'/'0') but
+                # SQL COUNT(DISTINCT) treats them as one value: add 0.0
+                # (IEEE: -0.0 + 0.0 = +0.0) before the cast; the
+                # downstream distinct-aggregate dedupes the merged pair
+                u = pc.add(u, pa.scalar(0.0, type=u.type))
             s = pc.cast(u, pa.string())
             s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
             names.append(pa.array([c] * len(s), type=pa.string()))
@@ -2755,7 +2761,11 @@ def copurchase_pmi(sf_dir: str, min_count: int = 2, k_top: int = 50):
         a = b.column("part_a").to_pylist()
         bb = b.column("part_b").to_pylist()
         cab = b.column("n_copurchase").to_pylist()
-        pmi = [math.log((orders * c) / (cm[x] * cm[y]))
+        # mirror the oracle exactly: DuckDB casts each product to DOUBLE
+        # before dividing, so round both operands to double first —
+        # Python exact-int true division would round differently once a
+        # product exceeds 2^53 (ADVICE r2)
+        pmi = [math.log(float(orders * c) / float(cm[x] * cm[y]))
                for x, y, c in zip(a, bb, cab)]
         return pa.table({
             "part_a": b.column("part_a"), "part_b": b.column("part_b"),
@@ -2766,6 +2776,34 @@ def copurchase_pmi(sf_dir: str, min_count: int = 2, k_top: int = 50):
                               zero_copy_batch=True)
             .sort(["pmi", "part_a", "part_b"],
                   descending=[True, False, False]).limit(k_top))
+
+
+def _burst_mask(c: np.ndarray, t: np.ndarray, s: np.ndarray,
+                sxx: np.ndarray) -> np.ndarray:
+    """Exact integer burst predicate ``(cT−S) > 0 AND (cT−S)² > 9(T·Sxx−S²)``
+    with an overflow guard: the int64 fast path is exact only while the
+    squared terms stay below 2^62 (float64 magnitude estimate, 2x
+    margin); past that numpy would silently wrap (ADVICE r2), so fall
+    back to exact Python ints — callers pass hourly-reduced rows
+    (types × hours), so the slow path is output-sized."""
+    if len(c) == 0:
+        return np.zeros(0, dtype=bool)
+    est = max(
+        float(np.max(np.abs(c.astype(np.float64) * t
+                            - s.astype(np.float64))) ** 2),
+        float(9.0 * np.max(np.abs(t.astype(np.float64)
+                                  * sxx.astype(np.float64)))),
+        float(9.0 * np.max(s.astype(np.float64) ** 2)))
+    if est < float(2 ** 62):
+        dev = c * t - s
+        var_t2 = t * sxx - s * s            # T²·σ², exact
+        return (dev > 0) & (dev * dev > 9 * var_t2)
+    return np.fromiter(
+        ((int(ci) * int(ti) - int(si)) > 0
+         and (int(ci) * int(ti) - int(si)) ** 2
+         > 9 * (int(ti) * int(xi) - int(si) * int(si))
+         for ci, ti, si, xi in zip(c, t, s, sxx)),
+        dtype=bool, count=len(c))
 
 
 def events_hourly_bursts(sf_dir: str):
@@ -2814,10 +2852,7 @@ def events_hourly_bursts(sf_dir: str):
         t = b.column("t_hours").to_numpy(zero_copy_only=False)
         s = b.column("s").to_numpy(zero_copy_only=False)
         sxx = b.column("sxx").to_numpy(zero_copy_only=False)
-        dev = c * t - s
-        var_t2 = t * sxx - s * s            # T²·σ², exact
-        mask = (dev > 0) & (dev * dev > 9 * var_t2)
-        k = b.filter(pa.array(mask))
+        k = b.filter(pa.array(_burst_mask(c, t, s, sxx)))
         return pa.table({
             "event_type": k.column("event_type"),
             "epoch_hour": k.column("epoch_hour"),
@@ -2868,21 +2903,36 @@ def orders_price_band(sf_dir: str, lo_cents: int = 10_000_00,
     cents sum over the band."""
     import hashlib
     import os
+    import shutil
 
     from ..stages.layout import read_range, write_range_layout
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # Cache tag folds in a content fingerprint (source file size+mtime):
+    # regenerated data at the same path gets a fresh layout instead of
+    # stale results (ADVICE r2).
+    src_path = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:10]
     out = f"/tmp/kgray_rangelayout/orders_{tag}"
     if not os.path.exists(os.path.join(out, "_DONE")):
+        # build in a temp dir and atomically rename: a run that crashes
+        # mid-write can't leave partial files that a rerun's
+        # write_parquet would double-count (ADVICE r2)
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         src = (rd.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
                .map_batches(lambda b: pa.table({
                    "o_orderkey": b.column("o_orderkey"),
                    "total_cents": _cents(b.column("o_totalprice"))}),
                    batch_format="pyarrow", zero_copy_batch=True))
-        write_range_layout(src, "total_cents", out)
-        with open(os.path.join(out, "_DONE"), "w") as f:
+        write_range_layout(src, "total_cents", tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok\n")
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
 
     band = read_range(out, "total_cents", lo_cents, hi_cents)
 

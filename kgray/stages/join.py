@@ -193,4 +193,13 @@ def auto_join(left, right, on: str, how: str = "inner",
         if unique and how in ("inner", "left"):
             return broadcast_join(left, dim, on=on, how=how,
                                   payload=payload)
+    if payload is not None:
+        # keep the two plans schema-identical (ADVICE r2): the broadcast
+        # path projects right to on+payload, so the shuffle fallback
+        # must too — otherwise a dup-key or oversized right side would
+        # silently return ALL right columns
+        keep = [on] + [c for c in payload if c != on]
+        right = right.map_batches(
+            lambda b, _k=tuple(keep): b.select(list(_k)),
+            batch_format="pyarrow", zero_copy_batch=True)
     return sorted_merge_join(left, right, on=on, how=how)
