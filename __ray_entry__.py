@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transformer_tags_valid": _transformer_tags_valid,
         "extract_invariant": _extract_invariant,
         "kg_entities": _kg_entities,
+        # --- composite-key join (r3): two-column-key fact×fact exchange
+        "user_day_purchase_views": relational.user_day_purchase_views,
         "binary_features": _binary_features,
         "image_features": lambda sf: __import__(
             "kgray.pipelines.multimodal", fromlist=["image_features"]
@@ -790,6 +792,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY ROLLUP(1, 2)
+        """,
+        "user_day_purchase_views": """
+            WITH p AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                                  AS epoch_day,
+                              CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                              CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS purchase_cents
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2),
+            v AS (SELECT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                             AS epoch_day,
+                         CAST(COUNT(*) AS BIGINT) AS n_views
+                  FROM events WHERE event_type = 'view'
+                  GROUP BY 1, 2)
+            SELECT p.user_id, p.epoch_day, p.n_purchases, p.purchase_cents,
+                   CAST(COALESCE(v.n_views, 0) AS BIGINT) AS n_views
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id AND p.epoch_day = v.epoch_day
         """,
         "events_orders_daily": """
             WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS epoch_day,

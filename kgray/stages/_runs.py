@@ -16,7 +16,87 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["run_starts", "edge_mask", "edge_interior_exchange"]
+__all__ = ["run_starts", "edge_mask", "edge_interior_exchange",
+           "nullsafe_sort"]
+
+_NN = "__nn_"
+
+
+def _fill_default(t: pa.DataType):
+    """A valid in-domain placeholder for nulls during the sort (the
+    value is never observed: the null flag column outranks it and the
+    decode step restores the null)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    return 0        # ints, floats, timestamps, dates (all numeric-backed)
+
+
+def nullsafe_sort(ds, keys, descending=False):
+    """``ds.sort(keys)`` that never feeds null key values to Ray's range
+    partitioner.
+
+    Ray 2.49's sort samples block boundaries and bins rows with
+    ``np.searchsorted`` over the RAW key values
+    (``ray/data/_internal/util.py:find_partition_index``); a null key
+    becomes NaN (numeric: rows silently land in TWO partitions —
+    duplicated output rows) or None (strings: ``TypeError: '<' not
+    supported``).  Reproduced in tests/test_nullsafe_sort.py.
+
+    Encoding: each key column ``c`` is paired with ``__nn_c`` =
+    ``is_null(c)`` as int8 (sorted ascending, so null keys form ONE
+    contiguous run at the end — Ray's observed ascending placement and
+    DuckDB's default NULLS LAST) and ``c`` itself is null-filled with a
+    type default for the sort only; after the sort the flag restores
+    the nulls and is dropped.  Value order within the null run follows
+    ``descending`` like any other run.  NaN float keys (not null) are
+    out of scope — no pipeline sorts on NaN-able keys.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if isinstance(descending, bool):
+        desc = [descending] * len(keys)
+    else:
+        desc = list(descending)
+    schema = ds.schema()
+    if schema is None:                      # empty dataset: nothing to sort
+        return ds
+    types = dict(zip(schema.names, schema.types))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cols = {n: batch.column(n) for n in batch.schema.names}
+        for k in keys:
+            col = batch.column(k)
+            cols[_NN + k] = pc.cast(pc.is_null(col), pa.int8())
+            cols[k] = pc.fill_null(
+                col, pa.scalar(_fill_default(types[k]), type=types[k]))
+        return pa.table(cols)
+
+    sort_cols, sort_desc = [], []
+    for k, d in zip(keys, desc):
+        sort_cols += [_NN + k, k]
+        sort_desc += [False, d]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for n in batch.schema.names:
+            if n.startswith(_NN):
+                continue
+            if n in keys:
+                flag = pc.equal(batch.column(_NN + n), 1)
+                cols[n] = pc.if_else(
+                    flag, pa.scalar(None, type=types[n]), batch.column(n))
+            else:
+                cols[n] = batch.column(n)
+        return pa.table(cols)
+
+    return (ds.map_batches(encode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(sort_cols, descending=sort_desc)
+            .map_batches(decode, batch_format="pyarrow",
+                         zero_copy_batch=True))
 
 
 def edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn):

@@ -38,7 +38,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import edge_interior_exchange
+from ._runs import edge_interior_exchange, nullsafe_sort
 
 __all__ = ["sorted_group_aggregate", "rollup_aggregate",
            "grouping_sets_aggregate", "cube_aggregate"]
@@ -111,7 +111,7 @@ def sorted_group_aggregate(ds, keys, aggs, precombine: bool = True):
 
     # Input-sized pin (held by the sort's all-to-all anyway); the
     # aggregate output below streams.
-    srt = ds.sort(keys).materialize()
+    srt = nullsafe_sort(ds, keys).materialize()
 
     # Pass 1 (cheap): ≤ 2 aggregated edge rows per block to the driver.
     def edge_partials(batch: pa.Table) -> pa.Table:

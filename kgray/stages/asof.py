@@ -92,7 +92,8 @@ def _tagged_sort(left, right, key, left_t, right_t, l_cols, r_payload,
                .union(right.map_batches(tag_right, batch_format="pyarrow",
                                         zero_copy_batch=True))
                .repartition(n_part))
-    return unioned.sort([key, "__t", "__side"]).materialize()
+    from ._runs import nullsafe_sort
+    return nullsafe_sort(unioned, [key, "__t", "__side"]).materialize()
 
 
 def _block_summary(t: pa.Table, key: str, keep_right_within: int | None):

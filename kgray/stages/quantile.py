@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import edge_interior_exchange
+from ._runs import edge_interior_exchange, nullsafe_sort
 from ._runs import edge_mask as _null_safe_edge_mask
 from ._runs import run_starts
 
@@ -70,7 +70,8 @@ def grouped_quantiles(ds, group: str, value_col: str, qs: list,
                  **{nm: vt for nm in out_names}}
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part).sort([group, value_col]).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [group, value_col]).materialize()
 
     def _edge_mask(batch: pa.Table):
         return _null_safe_edge_mask(batch.column(group))

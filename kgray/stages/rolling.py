@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ._runs import run_starts
+from ._runs import nullsafe_sort, run_starts
 
 __all__ = ["grouped_rolling"]
 
@@ -58,8 +58,8 @@ def grouped_rolling(ds, key: str, order_cols: list, value_col: str,
     types[new_cols[4]] = pa.float64()
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([key] + list(order_cols)).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     block_refs = srt.to_arrow_refs()
     if not block_refs:

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import run_starts
+from ._runs import nullsafe_sort, run_starts
 
 __all__ = ["grouped_running_sum", "grouped_lag", "grouped_lead",
            "grouped_ranks", "grouped_ntile_stats", "grouped_first_last"]
@@ -48,8 +48,8 @@ def grouped_running_sum(ds, key: str, order_cols: list, value_col: str,
     types[out_name] = pa.int64()
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([key] + list(order_cols)).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     block_refs = srt.to_arrow_refs()
     if not block_refs:
@@ -143,8 +143,8 @@ def grouped_lag(ds, key: str, order_cols: list, value_col: str,
     types[out_name] = vt
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([key] + list(order_cols)).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     block_refs = srt.to_arrow_refs()
     if not block_refs:
@@ -231,8 +231,8 @@ def grouped_lead(ds, key: str, order_cols: list, value_col: str,
     types[out_name] = vt
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([key] + list(order_cols)).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     block_refs = srt.to_arrow_refs()
     if not block_refs:
@@ -332,8 +332,8 @@ def grouped_ranks(ds, key: str, order_cols: list):
     order_cols = list(order_cols)
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([key] + order_cols).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     block_refs = srt.to_arrow_refs()
     if not block_refs:
@@ -545,8 +545,8 @@ def grouped_first_last(ds, key: str, order_cols: list, value_col: str,
     types[last_name] = vt
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([key] + list(order_cols)).materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     block_refs = srt.to_arrow_refs()
     if not block_refs:

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import edge_interior_exchange
+from ._runs import edge_interior_exchange, nullsafe_sort
 
 __all__ = ["semi_join"]
 
@@ -165,7 +165,7 @@ def semi_join(left, right, on: str, anti: bool = False,
                .union(right.map_batches(right_keys, batch_format="pyarrow",
                                         zero_copy_batch=True))
                .repartition(n_part))
-    srt = unioned.sort(on).materialize()
+    srt = nullsafe_sort(unioned, on).materialize()
 
     def _edge_mask(batch: pa.Table):
         k = batch.column(on)

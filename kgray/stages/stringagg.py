@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import edge_interior_exchange
+from ._runs import edge_interior_exchange, nullsafe_sort
 from ._runs import edge_mask as _null_safe_edge_mask
 from ._runs import run_starts
 
@@ -51,7 +51,8 @@ def grouped_string_agg(ds, key: str, order_cols: list, value_col: str,
     out_types = {key: kt, "n": pa.int64(), out_name: pa.large_string()}
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = ds.repartition(n_part).sort([key] + list(order_cols)).materialize()
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
 
     def _join_runs(t: pa.Table, starts: np.ndarray) -> tuple:
         """(keys_at_starts, counts, joined) for the runs starting at

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._runs import edge_interior_exchange
+from ._runs import edge_interior_exchange, nullsafe_sort
 from ._runs import edge_mask as _null_safe_edge_mask
 from ._runs import run_starts
 
@@ -43,10 +43,9 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
     types["rank"] = pa.int64()
 
     n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    srt = (ds.repartition(n_part)
-           .sort([group, order_col, tiebreak],
-                 descending=[False, descending, False])
-           .materialize())
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [group, order_col, tiebreak],
+                        descending=[False, descending, False]).materialize()
 
     def _edge_mask(batch: pa.Table):
         return _null_safe_edge_mask(batch.column(group))
