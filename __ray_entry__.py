@@ -189,11 +189,52 @@ def _binary_features(sf_dir: str):
 # --------------------------------------------------------------------------- queries
 
 
+# The driver's correctness gate checks the FIRST 50 queries() entries
+# (CORRECTNESS_r{N}.json window).  Round 2 verified the KG core + the
+# text/dedup/ANN families; round 3 keeps the KG core first and rotates
+# the windowed/join-heavy relational surface — driver-unchecked until
+# now — into the window (r2 VERDICT next-round #5).  Everything outside
+# the window keeps its prior driver-green record plus the local gate
+# (scripts/check_queries.py runs ALL entries).
+_R3_WINDOW = [
+    # KG core (flagship — always first)
+    "kg_graph", "kg_mentions", "hmm_tags_valid", "crf_tags_valid",
+    "transformer_tags_valid", "extract_invariant", "kg_entities",
+    # joins (incl. the new composite-key exchange)
+    "user_day_purchase_views", "order_priority_revenue",
+    "events_orders_daily", "local_supplier_volume", "large_orders",
+    "bucketed_order_revenue",
+    # as-of / interval / rolling windows
+    "events_asof_orders", "events_recent_orders",
+    "events_recent_order_value", "user_trailing_value",
+    "user_rolling_value",
+    # scan windows (running/lag/lead/rank/first-last)
+    "user_running_value", "user_event_gaps", "user_next_event_gap",
+    "customer_order_ranks", "customer_order_seq",
+    "customer_order_quartiles", "user_first_last_event",
+    "user_latest_event",
+    # top-k / quantiles / stats
+    "priority_top_orders", "events_value_quantiles",
+    "events_value_quantiles_cont", "type_user_counts", "type_value_mode",
+    "event_value_stats", "lineitem_qty_price_corr", "event_value_moments",
+    # set ops
+    "users_both_active", "buyers_never_active",
+    "purchases_except_views_all", "purchases_intersect_views_all",
+    # windows/rollups/pivots over the event stream
+    "events_hourly", "events_hopping", "events_rollup", "events_cube",
+    "events_grouping_sets", "priority_status_pivot",
+    "priority_status_unpivot",
+    # sessionization / ordered aggregation / funnel / retention
+    "user_sessions", "user_event_type_seq", "user_type_value_share",
+    "user_funnel_counts", "weekly_retention",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgray.pipelines import (ann, cluster, dedup, pack, relational,
                                  streaming, text)
 
-    return {
+    q = {
         # --- KG construction (non-SQL: Viterbi/linking; strong checks in tests/)
         "kg_graph": _kg_graph,
         "kg_mentions": _kg_mentions,
@@ -353,6 +394,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
     }
+    assert all(k in q for k in _R3_WINDOW), \
+        [k for k in _R3_WINDOW if k not in q]
+    window = {k: q[k] for k in _R3_WINDOW}
+    window.update((k, v) for k, v in q.items() if k not in window)
+    return window
 
 
 # --------------------------------------------------------------------------- oracles
