@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": relational.events_hourly_dense,
         "events_profile": relational.events_profile,
         "token_fuzzy_pairs": text.token_fuzzy_pairs,
+        "token_fuzzy_pairs_d2": text.token_fuzzy_pairs_d2,
         "copurchase_triangles": relational.copurchase_triangles,
         "revenue_forecast": relational.revenue_forecast,
         "promo_revenue_share": relational.promo_revenue_share,
@@ -1478,6 +1479,29 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b
               ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
                  AND levenshtein(a.t, b.t) <= 1
+        """,
+        "token_fuzzy_pairs_d2": """
+            WITH tok AS (
+                SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
+                                                             '\\s+')) AS t
+                FROM documents WHERE len(trim(text)) > 0
+            ), f AS (
+                SELECT t FROM tok WHERE regexp_matches(t, '^[a-z]{4,12}$')
+            ), aug AS (
+                SELECT t FROM f
+                UNION
+                SELECT t || 's' FROM f
+                WHERE CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                      % 1000 < 250
+                UNION
+                SELECT t || 'ed' FROM f
+                WHERE CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                      % 1000 < 250
+            )
+            SELECT a.t AS tok_a, b.t AS tok_b
+            FROM aug a JOIN aug b
+              ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 2
+                 AND levenshtein(a.t, b.t) <= 2
         """,
         "user_sessions": """
             WITH d AS (
