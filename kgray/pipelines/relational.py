@@ -1583,64 +1583,117 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
             .sort(["revenue_cents", "n_name"], descending=[True, False]))
 
 
+def _funnel_depths(user, k, ts, n_stages: int):
+    """Per-run funnel depth over arrays sorted by (user, ts): stage j's
+    frontier = segmented min of type-j timestamps strictly greater than
+    that row's stage-(j-1) frontier.  Fully vectorized (numpy
+    reduceat); returns (run_start_indices, depth_per_run)."""
+    from ..stages._runs import run_starts
+
+    starts = run_starts(user)
+    if starts.size == 0:
+        return starts, np.zeros(0, dtype=np.int64)
+    INF = np.iinfo(np.int64).max
+    run_id = np.zeros(len(ts), dtype=np.int64)
+    run_id[starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    depth = np.zeros(starts.size, dtype=np.int64)
+    f_prev = np.full(starts.size, -1, dtype=np.int64)   # ts are >= 0
+    for j in range(n_stages):
+        cand = np.where((k == j) & (ts > f_prev[run_id]), ts, INF)
+        f_j = np.minimum.reduceat(cand, starts)
+        reached = f_j < INF
+        depth += (reached & (depth == j)).astype(np.int64)
+        f_prev = np.where(reached, f_j, INF)            # dead runs stay dead
+    return starts, depth
+
+
 def user_funnel_counts(sf_dir: str,
                        stages: tuple = ("view", "click", "purchase")):
     """Ordered-funnel analytics: how many users reached each stage,
     where stage k requires an event of type ``stages[k]`` STRICTLY
     after the user's earliest qualifying stage-(k−1) event.
 
-    Plan: stage 1 is a per-user MIN aggregate; each later stage joins
-    the (reduced, one row per qualifying user) frontier to that type's
-    event stream with a shuffle ``sorted_merge_join``, filters
-    ``ts > frontier``, and re-aggregates MIN — raw events are scanned
-    once per stage and never pair-exploded.  Output: one row per stage
-    with its surviving-user count."""
-    from ..stages.join import sorted_merge_join
+    Shared-scan plan (r3 — was 3 reads + 3 join exchanges, the r2
+    VERDICT stretch item): ONE read of the events stream filtered to
+    the stage types, ONE sort on (user_id, ts) co-locates each user's
+    typed events, and every complete run resolves its whole funnel
+    locally with segmented numpy mins.  Boundary runs ship raw rows
+    (bounded by one user's typed events per block edge — the standard
+    sorted-run contract); interior blocks ship ≤K depth-count partial
+    rows.  Output: one row per stage with its surviving-user count."""
+    from ..stages._runs import edge_interior_exchange, edge_mask, nullsafe_sort
 
-    def typed(etype: str):
-        def prep(b: pa.Table) -> pa.Table:
-            m = pc.fill_null(pc.equal(b.column("event_type"),
-                                      pa.scalar(etype)), False)
-            t = b.filter(m)
-            return pa.table({"user_id": t.column("user_id"),
-                             "t_us": pc.cast(t.column("ts"), pa.int64())})
-        return (rd.read_parquet(f"{sf_dir}/events.parquet",
-                                columns=["user_id", "event_type", "ts"])
-                .map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True))
+    n_stages = len(stages)
+    stage_arr = pa.array(list(stages), type=pa.string())
 
-    frontier = sorted_group_aggregate(typed(stages[0]), ["user_id"],
-                                      [("t_us", "min")])
-    reduced = [frontier]
-    for etype in stages[1:]:
-        prev = reduced[-1].map_batches(
-            lambda b: b.rename_columns(["user_id", "prev_us"]),
-            batch_format="pyarrow", zero_copy_batch=True)
-        nxt = sorted_merge_join(typed(etype), prev, on="user_id")
+    def prep(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("event_type"), value_set=stage_arr)
+        m = pc.fill_null(pc.is_valid(idx), False)
+        t = b.filter(m)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "k": pc.cast(pc.index_in(t.column("event_type"),
+                                     value_set=stage_arr), pa.int8()),
+            "t_us": pc.cast(t.column("ts"), pa.int64())})
 
-        def after(b: pa.Table) -> pa.Table:
-            m = pc.fill_null(pc.greater(b.column("t_us"),
-                                        b.column("prev_us")), False)
-            return b.filter(m).select(["user_id", "t_us"])
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "event_type", "ts"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    srt = nullsafe_sort(ev, ["user_id", "t_us"]).materialize()
 
-        reduced.append(sorted_group_aggregate(
-            nxt.map_batches(after, batch_format="pyarrow",
-                            zero_copy_batch=True),
-            ["user_id"], [("t_us", "min")]))
+    def _depth_counts(t: pa.Table) -> pa.Table:
+        user = t.column("user_id").combine_chunks()
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t_us").to_numpy(zero_copy_only=False)
+        _, depth = _funnel_depths(user, k, ts, n_stages)
+        counts = np.bincount(depth, minlength=n_stages + 1)
+        # depth d means the user reached stages 1..d
+        return pa.table({
+            "stage_idx": pa.array(np.arange(1, n_stages + 1,
+                                            dtype=np.int64)),
+            "n_users": pa.array([int(counts[d:].sum())
+                                 for d in range(1, n_stages + 1)],
+                                type=pa.int64())})
 
-    tagged = None
-    for i, (etype, ds) in enumerate(zip(stages, reduced)):
-        label = f"{i + 1}_{etype}"
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(edge_mask(batch.column("user_id")
+                                      .combine_chunks()))
 
-        def tag(b: pa.Table, label=label) -> pa.Table:
-            return pa.table({
-                "stage": pa.array([label] * b.num_rows, type=pa.string()),
-                "n_users": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"stage_idx": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        m = edge_mask(batch.column("user_id").combine_chunks())
+        interior = batch.filter(pc.invert(m))
+        if interior.num_rows == 0:
+            return empty
+        return _depth_counts(interior)
 
-        part = ds.map_batches(tag, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        tagged = part if tagged is None else tagged.union(part)
-    return sorted_group_aggregate(tagged, ["stage"], [("n_users", "sum")])
+    def merge(edge_tables) -> pa.Table:
+        allt = pa.concat_tables(edge_tables)
+        srt_edge = allt.sort_by([("user_id", "ascending"),
+                                 ("t_us", "ascending")])
+        return _depth_counts(srt_edge)
+
+    partials = edge_interior_exchange(srt, edge_fn, interior_fn, merge)
+    agg = sorted_group_aggregate(partials, ["stage_idx"],
+                                 [("n_users", "sum")], precombine=False)
+
+    labels = {i + 1: f"{i + 1}_{s}" for i, s in enumerate(stages)}
+
+    def label(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "stage": pa.array([labels[i] for i in
+                               b.column("stage_idx").to_pylist()],
+                              type=pa.string()),
+            "n_users": b.column("n_users")})
+
+    return agg.map_batches(label, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def weekly_retention(sf_dir: str):

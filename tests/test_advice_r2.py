@@ -137,3 +137,60 @@ def test_price_band_cache_fingerprints_source(ray_session, tmp_path):
     os.utime(tmp_path / "orders.parquet")    # ensure mtime moves
     r2 = orders_price_band(str(tmp_path)).to_pandas()
     assert int(r2.n_orders.iloc[0]) == 25    # stale cache would say 10
+
+
+def test_funnel_shared_scan_cross_block_and_ties(ray_session):
+    """r3 shared-scan funnel: strict-after semantics at ts ties, users
+    spanning many blocks, dead-stage users — vs a brute-force oracle."""
+    import itertools
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.pipelines.relational import user_funnel_counts
+
+    rng = random.Random(6)
+    stages = ("view", "click", "purchase")
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(1, 12)):
+            rows.append((u, rng.choice(stages + ("error",)),
+                         rng.randint(0, 20) * 1_000_000))
+    # hot user spanning many blocks + exact-tie cases
+    rows += [(99, "view", 5_000_000)] * 50
+    rows += [(99, "click", 5_000_000)]          # tie: must NOT advance
+    rows += [(99, "click", 6_000_000), (99, "purchase", 6_000_000),
+             (99, "purchase", 7_000_000)]
+    rows.sort(key=lambda r: rng.random())
+
+    def brute():
+        by_u = {}
+        for u, t, ts in rows:
+            by_u.setdefault(u, []).append((ts, t))
+        counts = {i + 1: 0 for i in range(3)}
+        for u, evs in by_u.items():
+            f = -1
+            depth = 0
+            for j, st in enumerate(stages):
+                cand = [ts for ts, t in evs if t == st and ts > f]
+                if not cand:
+                    break
+                f = min(cand)
+                depth = j + 1
+            for d in range(1, depth + 1):
+                counts[d] += 1
+        return counts
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="funnel_")
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts_us"])
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp, "events.parquet"))
+    got = user_funnel_counts(tmp).to_pandas()
+    got_counts = {int(s.split("_")[0]): n
+                  for s, n in zip(got.stage, got.n_users)}
+    assert got_counts == brute()
