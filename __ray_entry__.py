@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": relational.events_profile,
         "token_fuzzy_pairs": text.token_fuzzy_pairs,
         "token_fuzzy_pairs_d2": text.token_fuzzy_pairs_d2,
+        "chunk_documents": text.chunk_documents,
         "copurchase_triangles": relational.copurchase_triangles,
         "revenue_forecast": relational.revenue_forecast,
         "promo_revenue_share": relational.promo_revenue_share,
@@ -1479,6 +1480,28 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b
               ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
                  AND levenshtein(a.t, b.t) <= 1
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE len(trim(text)) > 0
+            )
+            , c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, 48)) AS g
+                FROM t
+            )
+            SELECT doc_id,
+                   g // 48 AS chunk_id,
+                   g AS begin_tok,
+                   LEAST(g + 64, len(toks)) AS end_tok,
+                   LEAST(g + 64, len(toks)) - g AS n_tokens,
+                   array_to_string(
+                       list_slice(toks, g + 1,
+                                  LEAST(g + 64, len(toks))), ' ')
+                       AS chunk_text
+            FROM c
         """,
         "token_fuzzy_pairs_d2": """
             WITH tok AS (

@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
+           "chunk_documents", "token_fuzzy_pairs_d2",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
            "heavy_hitter_tokens", "jsonl_token_stats",
@@ -1057,3 +1058,42 @@ def token_postings(sf_dir: str):
     return out.map_batches(lambda b: b.rename_columns(
         ["token", "n_docs", "postings"]), batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
+    """RAG / long-context chunking (r3): split every document into
+    overlapping token windows — the standard retrieval/training-window
+    prep (chunk k covers tokens [k·stride, k·stride+chunk_tokens), last
+    chunk may be short; empty docs emit nothing).
+
+    Pure streaming stateless map over the documents table — zero
+    shuffle, embarrassingly parallel at any corpus size; at 100 TB the
+    output (≈ chunk_tokens/stride × input) streams straight into the
+    embedding/packing stages.  Output: (doc_id, chunk_id, begin_tok,
+    end_tok, n_tokens, chunk_text), mirrored bitwise by a
+    generate_series + list_slice oracle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, begins, ends, texts_out = [], [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            n = len(toks)
+            for k, s in enumerate(range(0, n, stride)):
+                e = min(s + chunk_tokens, n)
+                doc_ids.append(d)
+                chunk_ids.append(k)
+                begins.append(s)
+                ends.append(e)
+                texts_out.append(" ".join(toks[s:e]))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "chunk_id": pa.array(chunk_ids, type=pa.int64()),
+            "begin_tok": pa.array(begins, type=pa.int64()),
+            "end_tok": pa.array(ends, type=pa.int64()),
+            "n_tokens": pa.array([e - b for b, e in zip(begins, ends)],
+                                 type=pa.int64()),
+            "chunk_text": pa.array(texts_out, type=pa.string()),
+        })
+
+    return read_documents(sf_dir, columns=("doc_id", "text")).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

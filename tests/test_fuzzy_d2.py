@@ -99,3 +99,37 @@ def test_fuzzy_d2_cap_knob_drops_hot_buckets(ray_session, tmp_path):
     capped_pairs = set(zip(capped.tok_a, capped.tok_b))
     assert capped_pairs <= exact_pairs
     assert len(capped_pairs) < len(exact_pairs)   # the knob actually bit
+
+
+def test_chunk_documents_reassembles_and_overlaps(ray_session, tmp_path):
+    """Chunk windows cover every token; consecutive chunks overlap by
+    chunk-stride tokens; empty docs vanish."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.text import chunk_documents
+
+    texts = [" ".join(f"t{i}" for i in range(n)) for n in (0, 1, 48, 64,
+                                                           65, 150)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    df = (chunk_documents(str(tmp_path), chunk_tokens=64, stride=48)
+          .to_pandas().sort_values(["doc_id", "chunk_id"],
+                                   ignore_index=True))
+    assert 0 not in set(df.doc_id)                    # empty doc: no chunks
+    for d, n in [(1, 1), (2, 48), (3, 64), (4, 65), (5, 150)]:
+        sub = df[df.doc_id == d]
+        toks = texts[d].split()
+        # full coverage: union of [begin, end) == [0, n)
+        covered = set()
+        for r in sub.itertuples():
+            assert r.chunk_text == " ".join(toks[r.begin_tok:r.end_tok])
+            assert r.n_tokens == r.end_tok - r.begin_tok <= 64
+            covered.update(range(r.begin_tok, r.end_tok))
+        assert covered == set(range(n))
+        # stride law
+        assert list(sub.begin_tok) == list(range(0, n, 48))
