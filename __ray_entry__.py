@@ -357,6 +357,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fuzzy_pairs": text.token_fuzzy_pairs,
         "token_fuzzy_pairs_d2": text.token_fuzzy_pairs_d2,
         "chunk_documents": text.chunk_documents,
+        # --- BPE tokenizer training (r3): distributed word-count
+        # reduction + deterministic driver merge loop; fixture-oracled
+        "bpe_merges": lambda sf: __import__(
+            "kgray.pipelines.bpe", fromlist=["bpe_merges"]).bpe_merges(sf),
+        "bpe_token_counts": lambda sf: __import__(
+            "kgray.pipelines.bpe", fromlist=["bpe_token_counts"]
+        ).bpe_token_counts(sf),
         "copurchase_triangles": relational.copurchase_triangles,
         "revenue_forecast": relational.revenue_forecast,
         "promo_revenue_share": relational.promo_revenue_share,
@@ -437,7 +444,8 @@ def oracle_sql() -> dict[str, str]:
                      "entity_pagerank", "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
-                     "corpus_curation", "page_site_counts")
+                     "corpus_curation", "page_site_counts",
+                     "bpe_merges", "bpe_token_counts")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
