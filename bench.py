@@ -219,6 +219,13 @@ def run_bench() -> dict:
           lambda: relational.orders_price_band(sf_dir))
     timed("orders_lineitem_consistency",
           lambda: relational.orders_lineitem_consistency(sf_dir))
+    # ---- round-3 operators
+    timed("user_day_purchase_views",
+          lambda: relational.user_day_purchase_views(sf_dir))
+    timed("token_fuzzy_pairs_d2", lambda: text.token_fuzzy_pairs_d2(sf_dir))
+    timed("chunk_documents", lambda: text.chunk_documents(sf_dir))
+    from kgray.pipelines import bpe as _bpe
+    timed("bpe_token_counts", lambda: _bpe.bpe_token_counts(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",
