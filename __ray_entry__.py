@@ -402,6 +402,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).page_site_counts(sf),
         # --- stream-shaped: session windows over the events log
         "user_sessions": streaming.user_sessions,
+        # --- r3 s2: classic decision-support join plans (Q3/Q4/Q10/Q16/Q19
+        # shapes) + iterative multi-source BFS with a recursive-SQL oracle
+        "shipping_priority_topk": relational.shipping_priority_topk,
+        "late_order_priority_counts": relational.late_order_priority_counts,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "brand_supplier_counts": relational.brand_supplier_counts,
+        "disjunctive_part_revenue": relational.disjunctive_part_revenue,
+        "part_copurchase_hops": relational.part_copurchase_hops,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -1998,5 +2006,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
             FROM part
             GROUP BY p_type
+        """,
+        "shipping_priority_topk": """
+            SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-06-15'
+              AND l.l_shipdate > TIMESTAMP '1997-06-15'
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, o_orderdate, o_orderkey
+            LIMIT 10
+        """,
+        "late_order_priority_counts": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "returned_item_revenue": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01' + INTERVAL 3 MONTH
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_cents DESC, c_custkey
+            LIMIT 20
+        """,
+        "brand_supplier_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size <= 15 AND p.p_type <> 'STANDARD'
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "disjunctive_part_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#11' AND p.p_size <= 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#12' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#13' AND p.p_size <= 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "part_copurchase_hops": """
+            WITH RECURSIVE counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM counted WHERE c >= 2
+                UNION ALL
+                SELECT b AS src, a AS dst FROM counted WHERE c >= 2
+            ), bfs AS (
+                SELECT p_partkey AS node, 0 AS hop
+                FROM part WHERE p_partkey % 101 = 0
+                UNION
+                SELECT e.dst AS node, b.hop + 1 AS hop
+                FROM bfs b JOIN edges e ON b.node = e.src
+                WHERE b.hop < 3
+            )
+            SELECT node AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hop
+            FROM bfs GROUP BY node
         """,
     }

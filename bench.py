@@ -226,6 +226,18 @@ def run_bench() -> dict:
     timed("chunk_documents", lambda: text.chunk_documents(sf_dir))
     from kgray.pipelines import bpe as _bpe
     timed("bpe_token_counts", lambda: _bpe.bpe_token_counts(sf_dir))
+    timed("shipping_priority_topk",
+          lambda: relational.shipping_priority_topk(sf_dir))
+    timed("late_order_priority_counts",
+          lambda: relational.late_order_priority_counts(sf_dir))
+    timed("returned_item_revenue",
+          lambda: relational.returned_item_revenue(sf_dir))
+    timed("brand_supplier_counts",
+          lambda: relational.brand_supplier_counts(sf_dir))
+    timed("disjunctive_part_revenue",
+          lambda: relational.disjunctive_part_revenue(sf_dir))
+    timed("part_copurchase_hops",
+          lambda: relational.part_copurchase_hops(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -54,7 +54,10 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "user_weekly_streaks", "events_hourly_incremental",
            "events_ctr_wilson", "copurchase_pmi", "events_hourly_bursts",
            "events_keyset_page", "orders_price_band",
-           "orders_lineitem_consistency", "user_day_purchase_views"]
+           "orders_lineitem_consistency", "user_day_purchase_views",
+           "shipping_priority_topk", "late_order_priority_counts",
+           "returned_item_revenue", "brand_supplier_counts",
+           "disjunctive_part_revenue", "part_copurchase_hops"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -3086,4 +3089,345 @@ def user_day_purchase_views(sf_dir: str):
         "n_purchases": b.column("n_purchases"),
         "purchase_cents": b.column("purchase_cents"),
         "n_views": pc.fill_null(b.column("n_views"), 0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- round-3 s2:
+# classic decision-support join plans (TPC-H Q3/Q4/Q10/Q16/Q19 shapes) and an
+# iterative multi-source BFS over the co-purchase graph.
+
+
+def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
+                           cutoff: str = "1997-06-15", k: int = 10):
+    """TPC-H Q3-shaped: the ``k`` highest-revenue not-yet-shipped orders
+    of one market segment (orders placed before ``cutoff`` with
+    lineitems shipping after it).
+
+    Plan: the segment filter runs on the customer side BEFORE the
+    custkey exchange (only segment customers enter the shuffle), the
+    date filters run inside both fact scans; two sorted-merge joins
+    (orders⋈customer, lineitem⋈orders) then a groupby-sum to one row
+    per order.  The final LIMIT uses ``global_topk`` — each block ships
+    only its local top-k, so no full sort of the aggregate happens
+    anywhere (the scale shape for k ≪ orders)."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import global_topk
+
+    cut = pd.Timestamp(cutoff)
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("c_mktsegment"), pa.scalar(segment))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"o_custkey": t.column("c_custkey")})
+
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_mktsegment"])
+            .map_batches(prep_cust, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("o_orderdate"), pa.scalar(cut))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "o_orderdate": t.column("o_orderdate")})
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+              .map_batches(prep_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    seg_orders = sorted_merge_join(orders, cust, on="o_custkey")
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("l_shipdate"), pa.scalar(cut))
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "revenue_cents": _cents(rev)})
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate",
+                                     "l_extendedprice", "l_discount"])
+            .map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    joined = sorted_merge_join(
+        line, seg_orders.drop_columns(["o_custkey"]), on="o_orderkey")
+    per_order = sorted_group_aggregate(
+        joined, ["o_orderkey", "o_orderdate"], [("revenue_cents", "sum")])
+    return global_topk(per_order, [("revenue_cents", "descending"),
+                                   ("o_orderdate", "ascending"),
+                                   ("o_orderkey", "ascending")], k)
+
+
+def late_order_priority_counts(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS decorrelation: per order priority, how
+    many orders have at least one lineitem that shipped after the order
+    date.  ``EXISTS(l_shipdate > o_orderdate)`` is rewritten as the
+    per-order MAX — one groupby-max over lineitem (fact-sized input,
+    order-sized output), one sorted-merge join against orders, then a
+    vectorized column-vs-column compare.  Orders with no lineitems drop
+    out in the inner join — exactly the EXISTS semantics."""
+    from ..stages.join import sorted_merge_join
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+            .map_batches(lambda b: pa.table({
+                "o_orderkey": b.column("l_orderkey"),
+                "max_shipdate": b.column("l_shipdate")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+    max_ship = sorted_group_aggregate(line, ["o_orderkey"],
+                                      [("max_shipdate", "max")])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    joined = sorted_merge_join(orders, max_ship, on="o_orderkey")
+
+    def late_ones(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("max_shipdate"), b.column("o_orderdate"))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "n_late": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    late = joined.map_batches(late_ones, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_group_aggregate(late, ["o_orderpriority"],
+                                  [("n_late", "sum")])
+
+
+def returned_item_revenue(sf_dir: str, start: str = "1997-01-01",
+                          k: int = 20):
+    """TPC-H Q10-shaped: the ``k`` customers with the highest revenue
+    from RETURNED lineitems of orders placed in one quarter, with their
+    nation attached.
+
+    Plan: both fact scans filter before any exchange (return flag on
+    lineitem, the quarter on orders); lineitem⋈orders and agg⋈customer
+    run as sorted-merge joins; the 25-row nation dimension broadcasts;
+    the final LIMIT is a ``global_topk`` (no full sort).  Revenue is
+    exact integer cents; ``c_acctbal`` passes through untouched from
+    parquet on both engines, so the float column is bitwise-safe."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import global_topk
+
+    lo = pd.Timestamp(start)
+    hi = lo + pd.DateOffset(months=3)
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "c_custkey": t.column("o_custkey")})
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+              .map_batches(prep_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("l_returnflag"), pa.scalar("R"))
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "revenue_cents": _cents(rev)})
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_extendedprice", "l_discount"])
+            .map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    joined = sorted_merge_join(line, orders, on="o_orderkey")
+    per_cust = sorted_group_aggregate(
+        joined.drop_columns(["o_orderkey"]), ["c_custkey"],
+        [("revenue_cents", "sum")])
+
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name", "c_acctbal",
+                                     "c_nationkey"]))
+    named = sorted_merge_join(per_cust, cust, on="c_custkey")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = nat.rename_columns(["c_nationkey", "n_name"])
+    out = broadcast_join(named, nat, on="c_nationkey")
+    top = global_topk(out, [("revenue_cents", "descending"),
+                            ("c_custkey", "ascending")], k)
+    return top.select(["c_custkey", "c_name", "c_acctbal", "n_name",
+                       "revenue_cents"])
+
+
+def brand_supplier_counts(sf_dir: str, max_size: int = 15):
+    """TPC-H Q16-shaped: per (brand, type, size) of the qualifying part
+    catalogue, how many DISTINCT suppliers have actually shipped the
+    part — excluding 'complaint' suppliers (negative account balance,
+    the testdata stand-in for Q16's comment-pattern filter).
+
+    Plan: lineitem reduces to distinct (partkey, suppkey) pairs FIRST
+    (the only fact-sized exchange); the excluded-supplier set is tiny
+    (balance < 0) and broadcasts as an Arrow is_in mask; part attributes
+    join in with a second sorted-merge join (part is a dimension but
+    scales with the catalogue — no broadcast assumption); the distinct
+    supplier count is a second groupby over pair-distinct rows, so
+    COUNT(DISTINCT) stays additive."""
+    from ..stages.join import sorted_merge_join
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp.column("s_acctbal"), pa.scalar(0.0)))
+    bad_keys = pa.array(sorted(bad.column("s_suppkey").to_pylist()),
+                        type=pa.int64())
+
+    def prep_pairs(b: pa.Table) -> pa.Table:
+        m = pc.invert(pc.is_in(b.column("l_suppkey"), value_set=bad_keys))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"p_partkey": t.column("l_partkey"),
+                         "s_suppkey": t.column("l_suppkey"),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    pairs = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_suppkey"])
+             .map_batches(prep_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    distinct_pairs = sorted_group_aggregate(
+        pairs, ["p_partkey", "s_suppkey"], [("one", "min")])
+
+    def prep_part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.less_equal(b.column("p_size"),
+                                  pa.scalar(max_size, type=pa.int32())),
+                    pc.invert(pc.equal(b.column("p_type"),
+                                       pa.scalar("STANDARD"))))
+        t = b.filter(pc.fill_null(m, False))
+        return t.select(["p_partkey", "p_brand", "p_type", "p_size"])
+
+    part = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand", "p_type",
+                                     "p_size"])
+            .map_batches(prep_part, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    attributed = sorted_merge_join(distinct_pairs, part, on="p_partkey")
+    # (brand,type,size,suppkey) may repeat across partkeys — distinct again,
+    # then the count per (brand,type,size) is a plain additive sum
+    dedup2 = sorted_group_aggregate(
+        attributed.drop_columns(["p_partkey"]),
+        ["p_brand", "p_type", "p_size", "s_suppkey"], [("one", "min")])
+    return sorted_group_aggregate(
+        dedup2.drop_columns(["s_suppkey"]).map_batches(
+            lambda b: b.set_column(b.schema.get_field_index("one"),
+                                   "supplier_cnt", b.column("one")),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["p_brand", "p_type", "p_size"], [("supplier_cnt", "sum")])
+
+
+def disjunctive_part_revenue(sf_dir: str):
+    """TPC-H Q19-shaped: revenue from lineitems matching an OR of three
+    (brand, size-cap, quantity-range) clauses — the disjunctive-
+    predicate join.  The part side prunes to the three brands BEFORE
+    broadcast (a constant-factor slice of the catalogue: small by
+    construction), the clause masks evaluate vectorized per batch, and
+    the global sum accumulates as per-block integer partials (one
+    result row — no exchange at all)."""
+    from ..stages.broadcast import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keep = part.filter(pc.is_in(part.column("p_brand"),
+                                value_set=pa.array(["Brand#11", "Brand#12",
+                                                    "Brand#13"])))
+    keep = keep.rename_columns(["l_partkey", "p_brand", "p_size"])
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+    enriched = broadcast_join(line, keep, on="l_partkey")
+
+    def clause(b, brand, size_cap, q_lo, q_hi):
+        return pc.and_(pc.and_(
+            pc.equal(b.column("p_brand"), pa.scalar(brand)),
+            pc.less_equal(b.column("p_size"),
+                          pa.scalar(size_cap, type=pa.int32()))),
+            pc.and_(pc.greater_equal(b.column("l_quantity"),
+                                     pa.scalar(float(q_lo))),
+                    pc.less_equal(b.column("l_quantity"),
+                                  pa.scalar(float(q_hi)))))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.or_(clause(b, "Brand#11", 5, 1, 11),
+                          clause(b, "Brand#12", 10, 10, 20)),
+                   clause(b, "Brand#13", 15, 20, 30))
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        s = pc.sum(_cents(rev)).as_py() or 0
+        return pa.table({"revenue_cents": pa.array([s], type=pa.int64()),
+                         "n_items": pa.array([t.num_rows], type=pa.int64())})
+
+    parts = enriched.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    return pa.table({
+        "revenue_cents": pa.array(
+            [sum(r["revenue_cents"] for r in parts)], type=pa.int64()),
+        "n_items": pa.array(
+            [sum(r["n_items"] for r in parts)], type=pa.int64())})
+
+
+def part_copurchase_hops(sf_dir: str, max_hops: int = 3,
+                         min_count: int = 2, seed_mod: int = 101):
+    """Multi-source BFS (min-hop labels) over the co-purchase graph:
+    starting from the seed parts (``p_partkey % seed_mod == 0``), the
+    minimum number of co-purchase edges (support ≥ ``min_count``) to
+    reach each part, capped at ``max_hops``.
+
+    Frontier-relaxation plan (the same 1-join + 1-min-agg-per-round
+    shape as :mod:`kgray.pipelines.cluster`'s connected components):
+    at round h only the hop-(h−1) frontier joins the edge set — a node
+    re-reached later keeps its smaller label through the min aggregate,
+    and no labels table, frontier, or edge list ever lands on the
+    driver.  The edge set is pinned once (consumed every round).  The
+    oracle is a DuckDB ``WITH RECURSIVE`` breadth-first query — the
+    exactness gate covers an *iterative* pipeline, not just one-shot
+    SQL shapes."""
+    from ..stages.join import sorted_merge_join
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges_ab = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def both_ways(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        return pa.table({"src": pa.chunked_array([a, c]),
+                         "dst": pa.chunked_array([c, a])})
+
+    edges = edges_ab.map_batches(both_ways, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = part.column("p_partkey").to_numpy()
+    seed_keys = pa.array(pk[pk % seed_mod == 0], type=pa.int64())
+    labels = rd.from_arrow(pa.table({
+        "node": seed_keys,
+        "hop": pa.array(np.zeros(len(seed_keys), dtype=np.int64))}))
+
+    for h in range(1, max_hops + 1):
+        frontier = (labels.filter(expr=f"hop == {h - 1}")
+                    .map_batches(lambda b: pa.table({
+                        "src": b.column("node")}),
+                        batch_format="pyarrow", zero_copy_batch=True))
+        cand = sorted_merge_join(frontier, edges, on="src")
+        cand = cand.map_batches(lambda b, _h=h: pa.table({
+            "node": b.column("dst"),
+            "hop": pa.array(np.full(b.num_rows, _h, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        labels = sorted_group_aggregate(labels.union(cand), ["node"],
+                                        [("hop", "min")],
+                                        precombine=True).materialize()
+    return labels.map_batches(lambda b: pa.table({
+        "p_partkey": b.column("node"), "hop": b.column("hop")}),
         batch_format="pyarrow", zero_copy_batch=True)

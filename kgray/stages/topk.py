@@ -26,7 +26,7 @@ from ._runs import edge_interior_exchange, nullsafe_sort
 from ._runs import edge_mask as _null_safe_edge_mask
 from ._runs import run_starts
 
-__all__ = ["grouped_topk"]
+__all__ = ["grouped_topk", "global_topk"]
 
 
 def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
@@ -102,3 +102,41 @@ def grouped_topk(ds, group: str, order_col: str, tiebreak: str, k: int,
 
 def _empty(out_cols, types) -> pa.Table:
     return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+
+
+def global_topk(ds, keys, k: int):
+    """Distributed GLOBAL top-k: the first ``k`` rows of ``ds`` under the
+    total order ``keys = [(col, "ascending"|"descending"), ...]``.
+
+    The scale shape for ``ORDER BY ... LIMIT k`` when k ≪ rows: each
+    block ships only its own local top-k (Arrow C++ ``sort_by`` +
+    slice — never a Python row loop), so the driver merges at most
+    k·n_blocks survivor rows instead of running a full all-to-all sort
+    the way ``ds.sort().limit(k)`` would.  ``keys`` must form a total
+    order (include a unique tiebreak column) so the result is
+    deterministic and matches a SQL ``ORDER BY ... LIMIT k`` oracle
+    bit-for-bit.  Nulls sort last (Arrow default) — callers with
+    nullable keys should filter or coalesce first if SQL NULLS FIRST
+    semantics are needed.
+
+    Returns a ``pyarrow.Table`` (result-sized: ≤ k rows).
+    """
+    import ray
+
+    keys = [(c, o) for c, o in keys]
+
+    def _local(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.sort_by(keys).slice(0, k)
+
+    small = ds.map_batches(_local, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # survivors are ≤ k rows/block — driver merge is result-sized
+    tabs = [t for t in ray.get(small.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        sch = ds.schema()
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
+    merged = pa.concat_tables(tabs, promote_options="permissive")
+    return merged.sort_by(keys).slice(0, k)
