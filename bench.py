@@ -238,6 +238,7 @@ def run_bench() -> dict:
           lambda: relational.disjunctive_part_revenue(sf_dir))
     timed("part_copurchase_hops",
           lambda: relational.part_copurchase_hops(sf_dir))
+    timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
+__all__ = ["read_documents", "token_stats", "quality_scores", "lang_id", "bigram_logprob",
            "chunk_documents", "token_fuzzy_pairs_d2",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
@@ -1097,3 +1097,94 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, stride: int = 48):
 
     return read_documents(sf_dir, columns=("doc_id", "text")).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_logprob(sf_dir: str):
+    """Per-document average CONDITIONAL bigram log-probability under the
+    corpus' own bigram LM — the sequence-aware upgrade of
+    :func:`unigram_logprob` (docs whose word ORDER is implausible score
+    low even when every individual word is common; the shape of a
+    KenLM-style quality filter).
+
+    Model: P(w2|w1) = c(w1,w2) / c(w1·), where c(w1·) sums bigram
+    counts by prefix — every observed bigram has c ≥ 1, so no smoothing
+    is needed for scoring the training corpus itself.
+
+    Same exactness discipline as the unigram: per-bigram log-probs are
+    quantized to integer micro-nats (``floor(ln(c12/c1) * 1e6)``, libm
+    ``math.log`` over DISTINCT (c12, c1) pairs — bitwise equal to
+    DuckDB's ``ln``), summed per doc as order-independent int64, ONE
+    IEEE division at the end.
+
+    Distribution: flat (doc_id, w1, w2, tf) rows → bigram counts via a
+    composite-key ``sorted_group_aggregate`` → prefix counts from the
+    (already reduced) bigram table → TWO large×large sorted-merge joins
+    (one on the composite (w1, w2) key, one on the prefix) — the
+    vocabulary² side never broadcasts.  Docs with < 2 tokens emit no
+    bigrams and drop out (mirrored by the oracle's generate_series
+    bound)."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, w1s, w2s, tfs = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            for (a, b), n in Counter(zip(toks, toks[1:])).items():
+                doc_ids.append(d)
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "w1": pa.array(w1s, type=pa.string()),
+                         "w2": pa.array(w2s, type=pa.string()),
+                         "tf": pa.array(tfs, type=pa.int64())})
+
+    tf_ds = (read_documents(sf_dir)
+             .map_batches(tf_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+
+    cnt2 = sorted_group_aggregate(
+        tf_ds.map_batches(lambda b: pa.table({
+            "w1": b.column("w1"), "w2": b.column("w2"),
+            "c12": b.column("tf")}), batch_format="pyarrow"),
+        ["w1", "w2"], [("c12", "sum")]).materialize()
+    cnt1 = sorted_group_aggregate(
+        cnt2.map_batches(lambda b: pa.table({
+            "w1": b.column("w1"), "c1": b.column("c12")}),
+            batch_format="pyarrow"),
+        "w1", [("c1", "sum")])
+
+    joined = sorted_merge_join(tf_ds, cnt2, on=["w1", "w2"])
+    joined = sorted_merge_join(joined.drop_columns(["w2"]), cnt1, on="w1")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        c12 = batch.column("c12").to_numpy(zero_copy_only=False)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False)
+        pairs = np.stack([c12, c1], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        lp = np.array([math.log(float(a) / float(b)) for a, b in uniq],
+                      dtype=np.float64)
+        micro = np.floor(lp * 1e6).astype(np.int64)[inv]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(tf, type=pa.int64()),
+            "logprob_micronats": pa.array(tf * micro, type=pa.int64())})
+
+    sums = sorted_group_aggregate(
+        joined.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "doc_id", [("n_bigrams", "sum"), ("logprob_micronats", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(batch.column("logprob_micronats"),
+                                pa.float64()),
+                        pc.cast(batch.column("n_bigrams"), pa.float64()))
+        return batch.append_column("avg_logprob_micronats", avg)
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
