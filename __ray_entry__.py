@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": lambda sf: dedup.embedding_lsh_pairs(
             sf, threshold=0.45, n_bits=192, band_bits=6),
         "neardup_clusters": cluster.neardup_clusters,
+        "semantic_dedup": dedup.semantic_dedup,
         # --- similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -454,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
                      "corpus_curation", "page_site_counts",
-                     "bpe_merges", "bpe_token_counts")
+                     "bpe_merges", "bpe_token_counts", "semantic_dedup")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

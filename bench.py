@@ -239,6 +239,7 @@ def run_bench() -> dict:
     timed("part_copurchase_hops",
           lambda: relational.part_copurchase_hops(sf_dir))
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))
+    timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

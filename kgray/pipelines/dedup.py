@@ -45,7 +45,7 @@ __all__ = ["exact_dedup", "shingle_set", "jaccard_pairs_bruteforce",
            "minhash_signatures", "minhash_lsh_pairs", "simhash64",
            "simhash_signatures", "simhash_pairs", "embedding_neardup_pairs",
            "embedding_lsh_pairs", "dedup_lines", "dedup_lines_ds",
-           "incremental_dedup"]
+           "incremental_dedup", "semantic_dedup"]
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -991,3 +991,113 @@ def incremental_dedup(sf_dir: str, recrawl_permille: int = 100):
 
     return out.map_batches(classify, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
+                   tau_num: int = 2, tau_den: int = 5):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    as duplicates only vectors whose cosine similarity to an EARLIER
+    (lower vec_id) vector *within the same cluster* reaches
+    ``tau_num / tau_den`` — pairwise work is confined to clusters, so
+    the quadratic term is (n/k)² per cluster instead of n² global.
+
+    Determinism discipline: clustering is the exact fixed-point
+    :func:`kgray.pipelines.ann.embedding_kmeans` (bit-identical across
+    parallelism); similarity decisions are EXACT integer arithmetic on
+    the same 2²⁰ fixed-point quantization — ``cos(a,b) ≥ p/q  ⇔
+    dot ≥ 0 ∧ q²·dot² ≥ p²·|a|²·|b|²`` evaluated in arbitrary-precision
+    Python ints for the (rare) candidate pairs that a float64 matmul
+    pre-filter (with a safety margin) surfaces.  No BLAS rounding can
+    flip a verdict, so the output is a pure function of the data.
+
+    Scale shape: assignment join is a sorted-merge join; clusters
+    co-locate via the standard sorted-run exchange (complete runs
+    resolve vectorized in-block; the ≤ 2 boundary clusters per block
+    ship rows to a driver merge).  The SemDeDup contract — one cluster
+    fits one worker — is the paper's own operating point (k grows with
+    the corpus); raise ``k`` to bound cluster size.
+
+    Output: (vec_id, cluster, kept) for every vector.
+    """
+    import pyarrow.compute as pc
+
+    from .ann import _KM_SCALE, embedding_kmeans
+    from ..stages._runs import (edge_interior_exchange, edge_mask,
+                                nullsafe_sort, run_starts)
+    from ..stages.join import sorted_merge_join
+
+    assign = embedding_kmeans(sf_dir, k=k, iters=iters)
+
+    def quantize(b: pa.Table) -> pa.Table:
+        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.rint(X * _KM_SCALE).astype(np.int64)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "q": pa.array(list(q), type=pa.list_(pa.int64()))})
+
+    emb = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+           .map_batches(quantize, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    joined = sorted_merge_join(emb, assign, on="vec_id")
+    srt = nullsafe_sort(joined, ["cluster", "vec_id"])
+
+    p2 = tau_num * tau_num
+    q2 = tau_den * tau_den
+    # float pre-filter threshold with margin: exact check confirms
+    thresh = tau_num / tau_den
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        """kept flags for COMPLETE cluster runs of a (cluster, vec_id)-
+        sorted table."""
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "kept": pa.array([], type=pa.bool_())})
+        clusters = t.column("cluster")
+        starts = run_starts(clusters)
+        bounds = np.r_[starts, t.num_rows]
+        Q = np.array(t.column("q").to_pylist(), dtype=np.int64)
+        kept = np.ones(t.num_rows, dtype=bool)
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            Qc = Q[lo:hi]
+            Qf = Qc.astype(np.float64)
+            n2f = (Qf * Qf).sum(axis=1)
+            n2f[n2f == 0] = 1.0
+            G = Qf @ Qf.T
+            C = G / np.sqrt(np.outer(n2f, n2f))
+            jj, ii = np.where(np.triu(C >= thresh - 1e-9, 1))
+            if jj.size == 0:
+                continue
+            n2_exact = [int(x) for x in (Qc.astype(object) ** 2).sum(axis=1)]
+            for a, b in zip(jj, ii):        # a < b: b is the later vec
+                dot = int(np.dot(Qc[a].astype(object), Qc[b].astype(object)))
+                if dot >= 0 and q2 * dot * dot >= p2 * n2_exact[a] * n2_exact[b]:
+                    kept[lo + b] = False
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cluster": t.column("cluster"),
+                         "kept": pa.array(kept)})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return batch.select(["vec_id", "cluster", "q"]).filter(
+            edge_mask(batch.column("cluster")))
+
+    def interior(batch: pa.Table) -> pa.Table:
+        inner = batch.filter(pc.invert(edge_mask(batch.column("cluster"))))
+        return _resolve(inner)
+
+    def merge(edge_tables) -> pa.Table:
+        et = pa.concat_tables(edge_tables, promote_options="permissive")
+        idx = pc.sort_indices(et, sort_keys=[("cluster", "ascending"),
+                                             ("vec_id", "ascending")])
+        return _resolve(et.take(idx))
+
+    return edge_interior_exchange(srt, edge_rows, interior, merge)

@@ -505,3 +505,98 @@ def test_embedding_kmeans_matches_serial_oracle(ray_session):
     assert got.vec_id.tolist() == ids.tolist()
     assert got.cluster.tolist() == want.tolist()
     assert len(set(got.cluster)) == k
+
+
+def test_semantic_dedup_matches_serial_oracle(ray_session, tmp_path):
+    """SemDeDup kept-flags equal a serial arbitrary-precision oracle
+    applied to the pipeline's own cluster assignment, and the exact
+    >=-threshold boundary (cos == tau precisely) marks the LATER
+    vector as a duplicate — no float rounding may flip it."""
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.ann import _KM_SCALE
+    from kgray.pipelines.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    ids, vecs = [], []
+    # group A: positive e0/e1 quadrant; group B: negative — k=2 separates
+    for i in range(30):
+        v = np.r_[1.0, 0.8, 0.1 * rng.standard_normal(dim - 2)]
+        vecs.append(v + 0.3 * rng.standard_normal(dim))
+        ids.append(i)
+    for i in range(30, 60):
+        v = np.r_[-1.0, -0.9, 0.1 * rng.standard_normal(dim - 2)]
+        vecs.append(v + 0.3 * rng.standard_normal(dim))
+        ids.append(i)
+    # planted near-dups inside group A (cos ~ 0.999 >> tau)
+    for j in range(5):
+        ids.append(100 + j)
+        vecs.append(np.asarray(vecs[j]) * 1.7)
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64()))}),
+        tmp_path / "embeddings.parquet")
+
+    got = semantic_dedup(str(tmp_path), k=2, iters=4,
+                         tau_num=3, tau_den=5).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    assert got.vec_id.tolist() == sorted(ids)
+
+    # serial oracle: exact integer cosine test against EARLIER members
+    # of the same (pipeline-assigned) cluster
+    Q = {i: np.rint(np.asarray(v) * _KM_SCALE).astype(np.int64)
+         for i, v in zip(ids, vecs)}
+    cl = dict(zip(got.vec_id, got.cluster))
+    p2, q2 = 9, 25
+
+    def dup_of_earlier(v):
+        qv = [int(x) for x in Q[v]]
+        n2v = sum(x * x for x in qv)
+        for u in sorted(ids):
+            if u >= v or cl[u] != cl[v]:
+                continue
+            qu = [int(x) for x in Q[u]]
+            dot = sum(x * y for x, y in zip(qu, qv))
+            if dot >= 0 and q2 * dot * dot >= p2 * n2v * sum(x * x for x in qu):
+                return True
+        return False
+
+    want = [not dup_of_earlier(v) for v in sorted(ids)]
+    assert got.kept.tolist() == want
+
+    kept = dict(zip(got.vec_id, got.kept))
+    # planted scaled copies have an earlier cos≈1 twin — always dropped
+    for j in range(5):
+        assert not kept[100 + j]
+    assert any(got.kept) and not all(got.kept)
+
+
+def test_semantic_dedup_exact_threshold_boundary(ray_session, tmp_path):
+    """cos == tau EXACTLY (3/5, exactly representable after the 2^20
+    quantization) must mark the later vector as a duplicate (>=), and
+    a vector one quantization unit BELOW the threshold must be kept —
+    decisions are exact-integer, no float rounding may flip either."""
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.dedup import semantic_dedup
+
+    # all coordinates dyadic with denominator 2^20 → quantization is identity
+    a = [0.75, 1.0, 0.0, 0.0]             # q = (786432, 1048576)
+    b_at = [1.0, 0.0, 0.0, 0.0]           # cos(a,·) == 3/5 EXACTLY → dup
+    # reflection of b_at across a, second coord nudged down one
+    # quantization unit: cos(a,·) = 0.5999997… < 3/5 → kept; its dot
+    # with b_at is negative, so b_at can't anchor it either
+    b_below = [-0.21875, 786431.0 / (1 << 20), 0.0, 0.0]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([a, b_at, b_below],
+                              type=pa.list_(pa.float64()))}),
+        tmp_path / "embeddings.parquet")
+
+    got = semantic_dedup(str(tmp_path), k=1, iters=1,
+                         tau_num=3, tau_den=5).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    assert got.kept.tolist() == [True, False, True]
