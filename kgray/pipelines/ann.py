@@ -19,6 +19,9 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.veccol import (col_vector, list_col_matrix,
+                                 matrix_to_list_col)
+
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
            "build_ivf_index", "ivf_probe_plan", "embedding_kmeans",
            "embedding_quantize", "embedding_dim_stats"]
@@ -33,8 +36,8 @@ __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
 
 def load_embeddings(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = col_vector(tbl["vec_id"], np.int64)
+    E = list_col_matrix(tbl["embedding"])
     return ids, E
 
 
@@ -60,8 +63,8 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids, Qm = ray.get(q_ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        B = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        B = _normalize(list_col_matrix(batch.column("embedding")))
         C = Qm @ B.T                                   # [nq, batch]
         out_q, out_n, out_c = [], [], []
         kk = min(k + 1, C.shape[1])                    # +1 in case self is here
@@ -115,7 +118,7 @@ def _sample_embeddings(sf_dir: str, limit: int = 100_000):
     got_ids, got_E, n = [], [], 0
     for rb in pf.iter_batches(batch_size=8192, columns=["vec_id", "embedding"]):
         got_ids.append(np.asarray(rb.column("vec_id"), dtype=np.int64))
-        got_E.append(np.array(rb.column("embedding").to_pylist(), dtype=np.float64))
+        got_E.append(list_col_matrix(rb.column("embedding")))
         n += rb.num_rows
         if n >= limit:
             break
@@ -142,7 +145,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         Cm = ray.get(c_ref)
-        B = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        B = _normalize(list_col_matrix(batch.column("embedding")))
         a = np.argmax(B @ Cm.T, axis=1).astype(np.int64)
         return (batch.append_column("cluster", pa.array(a))
                      .append_column("cl", pa.array(a)))
@@ -205,9 +208,9 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids, Qm, want = ray.get(ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        B = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-        assign = np.asarray(batch.column("cl").to_pylist(), dtype=np.int64)
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        B = _normalize(list_col_matrix(batch.column("embedding")))
+        assign = col_vector(batch.column("cl"), np.int64)
         out_q, out_n, out_c = [], [], []
         for c in np.unique(assign):
             q_rows = want.get(int(c))
@@ -270,11 +273,11 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
                           columns=["vec_id", "embedding"])
 
     def quantize(b: pa.Table) -> pa.Table:
-        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        X = list_col_matrix(b.column("embedding"))
         q = np.rint(X * _KM_SCALE).astype(np.int64)
         return pa.table({
             "vec_id": b.column("vec_id"),
-            "q": pa.array(list(q), type=pa.list_(pa.int64()))})
+            "q": matrix_to_list_col(q, pa.int64())})
 
     qds = raw.map_batches(quantize, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
@@ -283,7 +286,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     seed_tbl = pa.concat_tables(
         [t for t in ray.get(qds.sort("vec_id").limit(k).to_arrow_refs())
          if t.num_rows])
-    C_int = np.array(seed_tbl.column("q").to_pylist(), dtype=np.int64)
+    C_int = list_col_matrix(seed_tbl.column("q"), np.int64)
     C = C_int.astype(np.float64)            # in quantized units
     dim = C.shape[1]
 
@@ -298,14 +301,14 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
 
         def partial(b: pa.Table) -> pa.Table:
             Cb = ray.get(c_ref)
-            Xq = np.array(b.column("q").to_pylist(), dtype=np.int64)
+            Xq = list_col_matrix(b.column("q"), np.int64)
             a = assign(Xq, Cb)
             sums = np.zeros((k, dim), dtype=np.int64)
             np.add.at(sums, a, Xq)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
             return pa.table({
                 "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                "s": pa.array(list(sums), type=pa.list_(pa.int64())),
+                "s": matrix_to_list_col(sums, pa.int64()),
                 "n": pa.array(cnt)})
 
         sums = np.zeros((k, dim), dtype=np.int64)
@@ -319,7 +322,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
             # cluster ids; np.add.at accumulates duplicates exactly
             idx = np.asarray(t.column("cluster"))
             np.add.at(sums, idx,
-                      np.array(t.column("s").to_pylist(), dtype=np.int64))
+                      list_col_matrix(t.column("s"), np.int64))
             np.add.at(cnt, idx, np.asarray(t.column("n")))
         nz = cnt > 0
         # exact integer sums -> one float division: order-independent
@@ -330,7 +333,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
 
     def final_assign(b: pa.Table) -> pa.Table:
         Cb = ray.get(c_ref)
-        Xq = np.array(b.column("q").to_pylist(), dtype=np.int64)
+        Xq = list_col_matrix(b.column("q"), np.int64)
         return pa.table({
             "vec_id": b.column("vec_id"),
             "cluster": pa.array(assign(Xq, Cb).astype(np.int64))})
@@ -358,7 +361,7 @@ def embedding_quantize(sf_dir: str):
                           columns=["vec_id", "embedding"])
 
     def minmax(b: pa.Table) -> pa.Table:
-        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        X = list_col_matrix(b.column("embedding"))
         return pa.table({
             "mn": pa.array([X.min(axis=0)], type=pa.list_(pa.float64())),
             "mx": pa.array([X.max(axis=0)], type=pa.list_(pa.float64()))})
@@ -368,23 +371,22 @@ def embedding_quantize(sf_dir: str):
                                      zero_copy_batch=True).to_arrow_refs()):
         if t.num_rows == 0:
             continue
-        bm = np.array(t.column("mn").to_pylist(), dtype=np.float64)
-        bx = np.array(t.column("mx").to_pylist(), dtype=np.float64)
+        bm = list_col_matrix(t.column("mn"))
+        bx = list_col_matrix(t.column("mx"))
         mn = bm.min(axis=0) if mn is None else np.minimum(mn, bm.min(axis=0))
         mx = bx.max(axis=0) if mx is None else np.maximum(mx, bx.max(axis=0))
     rng_ref = ray.put((mn, mx))
 
     def quant(b: pa.Table) -> pa.Table:
         mn, mx = ray.get(rng_ref)
-        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        X = list_col_matrix(b.column("embedding"))
         span = mx - mn
         with np.errstate(divide="ignore", invalid="ignore"):
             q = np.floor((X - mn) * 255.0 / span + 0.5)
         q = np.where(span == 0.0, 0.0, q)
         q = np.clip(q, 0, 255).astype(np.int64)
         return pa.table({"vec_id": b.column("vec_id"),
-                         "qvec": pa.array(list(q),
-                                          type=pa.list_(pa.int64()))})
+                         "qvec": matrix_to_list_col(q, pa.int64())})
 
     return raw.map_batches(quant, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -410,7 +412,7 @@ def embedding_dim_stats(sf_dir: str):
                              "sum_q": pa.array([], type=pa.int64()),
                              "min_q": pa.array([], type=pa.int64()),
                              "max_q": pa.array([], type=pa.int64())})
-        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        X = list_col_matrix(b.column("embedding"))
         Q = np.floor(X * 65536.0 + 0.5).astype(np.int64)
         d = Q.shape[1]
         return pa.table({

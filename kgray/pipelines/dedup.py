@@ -39,6 +39,9 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.veccol import (col_vector, list_col_matrix,
+                                 matrix_to_list_col)
+
 from ..functions.hashing import stable_hash64
 
 __all__ = ["exact_dedup", "shingle_set", "jaccard_pairs_bruteforce",
@@ -645,8 +648,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
     """(vec_a, vec_b) with cosine ≥ threshold — block-wise matmul
     against a broadcast normalized matrix (no pairwise shuffle)."""
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = col_vector(tbl["vec_id"], np.int64)
+    E = list_col_matrix(tbl["embedding"])
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     En = E / norms
@@ -654,8 +657,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4):
 
     def fn(batch: pa.Table) -> pa.Table:
         all_ids, allE = ray.get(mat_ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        B = list_col_matrix(batch.column("embedding"))
         bn = np.linalg.norm(B, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
         B = B / bn
@@ -710,8 +713,8 @@ def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
 
     def to_bands(batch: pa.Table) -> pa.Table:
         Hm = ray.get(H_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = col_vector(batch.column("vec_id"), np.int64)
+        E = list_col_matrix(batch.column("embedding"))
         bits = (E @ Hm) > 0                                   # [n, n_bits]
         weights = (1 << np.arange(band_bits, dtype=np.int64))
         band_ids, vals, dids = [], [], []
@@ -744,10 +747,8 @@ def embedding_lsh_pairs(embeddings_ds_or_sf, threshold: float = 0.9,
 
     if _use_join_verify(verify, need.size):
         def check(batch: pa.Table) -> pa.Table:
-            A = np.array(batch.column("embedding_a").to_pylist(),
-                         dtype=np.float64)
-            B = np.array(batch.column("embedding_b").to_pylist(),
-                         dtype=np.float64)
+            A = list_col_matrix(batch.column("embedding_a"))
+            B = list_col_matrix(batch.column("embedding_b"))
             if A.size == 0:
                 return batch.select(["id_a", "id_b"])
             na = np.linalg.norm(A, axis=1, keepdims=True)
@@ -1033,11 +1034,11 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
     assign = embedding_kmeans(sf_dir, k=k, iters=iters)
 
     def quantize(b: pa.Table) -> pa.Table:
-        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        X = list_col_matrix(b.column("embedding"))
         q = np.rint(X * _KM_SCALE).astype(np.int64)
         return pa.table({
             "vec_id": b.column("vec_id"),
-            "q": pa.array(list(q), type=pa.list_(pa.int64()))})
+            "q": matrix_to_list_col(q, pa.int64())})
 
     emb = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
@@ -1061,7 +1062,7 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
         clusters = t.column("cluster")
         starts = run_starts(clusters)
         bounds = np.r_[starts, t.num_rows]
-        Q = np.array(t.column("q").to_pylist(), dtype=np.int64)
+        Q = list_col_matrix(t.column("q"), np.int64)
         kept = np.ones(t.num_rows, dtype=bool)
         for i in range(len(starts)):
             lo, hi = bounds[i], bounds[i + 1]
