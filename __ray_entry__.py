@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_pq_topk": ann.ann_pq_topk,
+        "pq_codes": ann.pq_codes,
         "embedding_kmeans": ann.embedding_kmeans,
         "embedding_quantize": ann.embedding_quantize,
         # --- relational surface (SQL-oracled, integer-cents math)
@@ -455,7 +457,8 @@ def oracle_sql() -> dict[str, str]:
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
                      "corpus_curation", "page_site_counts",
-                     "bpe_merges", "bpe_token_counts", "semantic_dedup")
+                     "bpe_merges", "bpe_token_counts", "semantic_dedup",
+                     "ann_pq_topk", "pq_codes")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

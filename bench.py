@@ -240,6 +240,7 @@ def run_bench() -> dict:
           lambda: relational.part_copurchase_hops(sf_dir))
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))
     timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
+    timed("ann_pq_topk", lambda: ann.ann_pq_topk(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -23,6 +23,7 @@ from ..functions.veccol import (col_vector, list_col_matrix,
                                  matrix_to_list_col)
 
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
+           "train_pq_codebook", "pq_codes", "ann_pq_topk",
            "build_ivf_index", "ivf_probe_plan", "embedding_kmeans",
            "embedding_quantize", "embedding_dim_stats"]
 
@@ -428,3 +429,167 @@ def embedding_dim_stats(sf_dir: str):
                                   [("n", "sum"), ("sum_q", "sum"),
                                    ("min_q", "min"), ("max_q", "max")],
                                   precombine=False)
+
+
+# --------------------------------------------------------------------------- product quantization
+
+_PQ_SCALE = 1 << 20          # fixed-point quantization of NORMALIZED vectors
+
+
+def _pq_quantize(M: np.ndarray) -> np.ndarray:
+    return np.rint(_normalize(M) * _PQ_SCALE).astype(np.int64)
+
+
+def train_pq_codebook(sf_dir: str, m: int = 8, n_centroids: int = 16,
+                      sample: int = 100_000, iters: int = 10) -> np.ndarray:
+    """Per-subspace codebooks for product quantization (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search"):
+    normalized vectors are split into ``m`` contiguous subspaces and
+    each is k-means'd independently on a deterministic row sample
+    (first ``sample`` rows; seeds = first ``n_centroids`` sample rows).
+    Centroids are rounded to the same 2^20 fixed-point grid as the
+    vectors, so every downstream distance is EXACT int64 arithmetic —
+    codes and ADC scores are pure functions of the data, immune to
+    BLAS summation order.
+
+    Returns int64 ``[m, n_centroids, dim/m]``.  Codebook size is the
+    100-TB point: 16 centroids x 8 subspaces compresses a 64-dim
+    float64 vector (512 B) to 8 code bytes — the whole corpus's codes
+    fit in memory at scales where raw vectors cannot.
+    """
+    _, S = _sample_embeddings(sf_dir, sample)
+    Sq = _pq_quantize(S)
+    dim = Sq.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    books = np.empty((m, n_centroids, sd), dtype=np.int64)
+    for j in range(m):
+        X = Sq[:, j * sd:(j + 1) * sd].astype(np.float64)
+        C = X[:n_centroids].copy()
+        for _ in range(iters):
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            a = np.argmin(d, axis=1)              # ties -> lowest code
+            for c in range(n_centroids):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j] = np.rint(C).astype(np.int64)
+    return books
+
+
+def _pq_encode(Xq: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Exact-integer nearest-centroid codes: ``[n, dim]`` quantized
+    vectors -> ``[n, m]`` codes (ties to the lowest code id)."""
+    n = Xq.shape[0]
+    m, _, sd = books.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        X = Xq[:, j * sd:(j + 1) * sd]
+        C = books[j]
+        d = ((X * X).sum(axis=1)[:, None] + (C * C).sum(axis=1)[None, :]
+             - 2 * (X @ C.T))                    # int64 exact
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_codes(sf_dir: str, m: int = 8, n_centroids: int = 16):
+    """(vec_id, code): the PQ-compressed corpus — one streaming pass,
+    codebook broadcast once via ``ray.put``.  The ``m`` sub-codes are
+    packed 8 bits each into ONE int64 (requires ``n_centroids <= 256``,
+    ``m <= 8``) — the contiguous-bytes layout a PQ index actually
+    stores, 64x smaller than the float64 vector it replaces."""
+    if n_centroids > 256 or m > 8:
+        raise ValueError("packed codes need n_centroids <= 256 and m <= 8")
+    books = train_pq_codebook(sf_dir, m=m, n_centroids=n_centroids)
+    b_ref = ray.put(books)
+    shifts = (8 * np.arange(m, dtype=np.int64))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bk = ray.get(b_ref)
+        Xq = _pq_quantize(list_col_matrix(batch.column("embedding")))
+        packed = (_pq_encode(Xq, bk) << shifts[None, :]).sum(axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code": pa.array(packed, type=pa.int64())})
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(encode, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+                m: int = 8, n_centroids: int = 16, rerank_mult: int = 8):
+    """(query_id, rank, neighbor_id, dist): approximate top-k by
+    asymmetric distance with exact rerank — every corpus vector is
+    first scored through its PQ codes only (``sum_j LUT[j, code_j]``
+    where LUT holds the exact int64 squared distances of the query
+    subvector to every centroid); the per-block ADC shortlist
+    (``rerank_mult * k`` rows) is then reranked by the exact integer
+    squared L2 in the quantized normalized space.  At 100 TB the cheap
+    ADC pass is what touches every row (codes are ~64x smaller than
+    vectors — in a code-only deployment the rerank would fetch just
+    the shortlist's raw vectors); exact work is O(shortlist), not O(n).
+    Deterministic: exact integer scores at both stages, ties by
+    ascending neighbor id; self excluded.  Recall@k against the exact
+    brute force is pinned by the companion test.
+    """
+    books = train_pq_codebook(sf_dir, m=m, n_centroids=n_centroids)
+    ids, E = load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    q_ids = ids[order[:n_queries]]
+    Qq = _pq_quantize(E[order[:n_queries]])
+    sd = books.shape[2]
+    # LUT[q, j, c] = ||Q_sub - C_c||^2, exact int64
+    nq = len(q_ids)
+    lut = np.empty((nq, books.shape[0], n_centroids), dtype=np.int64)
+    for j in range(books.shape[0]):
+        Xs = Qq[:, j * sd:(j + 1) * sd]
+        C = books[j]
+        lut[:, j, :] = ((Xs * Xs).sum(axis=1)[:, None]
+                        + (C * C).sum(axis=1)[None, :] - 2 * (Xs @ C.T))
+    ref = ray.put((q_ids, lut, books))
+
+    q_ref = ray.put(Qq)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, L, bk = ray.get(ref)
+        Qm = ray.get(q_ref)
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        Xq = _pq_quantize(list_col_matrix(batch.column("embedding")))
+        codes = _pq_encode(Xq, bk)
+        out_q, out_n, out_d = [], [], []
+        short = min(rerank_mult * k + 1, len(bids))
+        cols = np.arange(codes.shape[1])
+        for qi in range(L.shape[0]):
+            adc = L[qi][cols, codes].sum(axis=1)          # [batch] int64
+            idx = np.lexsort((bids, adc))[:short]         # ADC shortlist
+            diff = Xq[idx] - Qm[qi][None, :]
+            exact = (diff * diff).sum(axis=1)             # int64 exact
+            keep = np.lexsort((bids[idx], exact))[:min(k + 1, short)]
+            for j in keep:
+                if bids[idx[j]] == qids[qi]:
+                    continue
+                out_q.append(int(qids[qi]))
+                out_n.append(int(bids[idx[j]]))
+                out_d.append(int(exact[j]))
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "dist": pa.array(out_d, type=pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dist", "neighbor_id"],
+                            ascending=[True, True]).head(k)
+        df = df.reset_index(drop=True)
+        return pd.DataFrame({"query_id": df["query_id"],
+                             "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+                             "neighbor_id": df["neighbor_id"],
+                             "dist": df["dist"]})
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(local_topk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))

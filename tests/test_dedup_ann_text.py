@@ -600,3 +600,59 @@ def test_semantic_dedup_exact_threshold_boundary(ray_session, tmp_path):
                          tau_num=3, tau_den=5).to_pandas() \
         .sort_values("vec_id", ignore_index=True)
     assert got.kept.tolist() == [True, False, True]
+
+
+def test_pq_codes_match_serial_oracle(ray_session):
+    """PQ codes equal a serial same-rules NumPy oracle (codebook
+    training is deterministic; encode is exact-int argmin, ties to the
+    lowest code), and the codebook lives on the 2^20 integer grid."""
+    from kgray.pipelines.ann import (_PQ_SCALE, _normalize, _pq_encode,
+                                     load_embeddings, pq_codes,
+                                     train_pq_codebook)
+
+    books = train_pq_codebook(SF, m=8, n_centroids=16)
+    assert books.dtype == np.int64
+    got = pq_codes(SF, m=8, n_centroids=16).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+
+    ids, E = load_embeddings(SF)
+    order = np.argsort(ids)
+    Xq = np.rint(_normalize(E[order]) * _PQ_SCALE).astype(np.int64)
+    codes = _pq_encode(Xq, books)
+    want = (codes << (8 * np.arange(8, dtype=np.int64))[None, :]).sum(axis=1)
+
+    assert got.vec_id.tolist() == ids[order].tolist()
+    assert got.code.tolist() == want.tolist()
+    # unpacking recovers the per-subspace codes
+    unpacked = (got.code.to_numpy()[:, None] >> (8 * np.arange(8))) & 0xFF
+    np.testing.assert_array_equal(unpacked, codes)
+    # codebook training is a pure function of the data
+    books2 = train_pq_codebook(SF, m=8, n_centroids=16)
+    np.testing.assert_array_equal(books, books2)
+
+
+def test_ann_pq_rerank_recall(ray_session):
+    """ADC shortlist + exact rerank recovers the exact brute-force
+    top-10 with recall >= 0.8 per query, and every reported distance
+    is the true exact integer distance in the quantized space."""
+    from kgray.pipelines.ann import (_PQ_SCALE, _normalize,
+                                     ann_pq_topk, ann_topk_bruteforce,
+                                     load_embeddings)
+
+    k = 10
+    pq = ann_pq_topk(SF, k=k).to_pandas()
+    bf = ann_topk_bruteforce(SF, k=k).to_pandas()
+    ids, E = load_embeddings(SF)
+    Xq = {i: v for i, v in zip(
+        ids, np.rint(_normalize(E) * _PQ_SCALE).astype(np.int64))}
+    for q in bf.query_id.unique():
+        got = pq[pq.query_id == q]
+        want = set(bf[bf.query_id == q].neighbor_id)
+        assert len(got) == k
+        assert len(set(got.neighbor_id) & want) / len(want) >= 0.8
+        for _, r in got.iterrows():
+            d = Xq[r.neighbor_id].astype(object) - Xq[q].astype(object)
+            assert int(r.dist) == int((d * d).sum())
+        # ranks are 1..k ordered by (dist, neighbor_id)
+        assert got.sort_values(["dist", "neighbor_id"]).rank(
+            method="first").iloc[:, 1].is_monotonic_increasing
