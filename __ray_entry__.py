@@ -220,8 +220,9 @@ _R3_WINDOW = [
     # set ops
     "users_both_active", "buyers_never_active",
     "purchases_except_views_all", "purchases_intersect_views_all",
-    # windows/rollups/pivots over the event stream
-    "events_hourly", "events_hopping", "events_rollup", "events_cube",
+    # windows/rollups/pivots over the event stream (events_hourly
+    # rotated out r3 — driver-green r2 — for the new interval join)
+    "purchase_view_attribution", "events_hopping", "events_rollup", "events_cube",
     "events_grouping_sets", "priority_status_pivot",
     "priority_status_unpivot",
     # sessionization / ordered aggregation / funnel / retention
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         # --- composite-key join (r3): two-column-key fact×fact exchange
         "user_day_purchase_views": relational.user_day_purchase_views,
+        "purchase_view_attribution": relational.purchase_view_attribution,
         "binary_features": _binary_features,
         "image_features": lambda sf: __import__(
             "kgray.pipelines.multimodal", fromlist=["image_features"]
@@ -883,6 +885,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY ROLLUP(1, 2)
+        """,
+        "purchase_view_attribution": """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id AS user_id,
+                   (CAST(epoch_us(p.ts) AS BIGINT)
+                    - CAST(epoch_us(v.ts) AS BIGINT)) AS lag_us
+            FROM events p JOIN events v ON p.user_id = v.user_id
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+              AND v.ts <= p.ts
+              AND v.ts >= p.ts - INTERVAL 60 MINUTE
         """,
         "user_day_purchase_views": """
             WITH p AS (SELECT user_id,

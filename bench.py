@@ -241,6 +241,8 @@ def run_bench() -> dict:
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))
     timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
     timed("ann_pq_topk", lambda: ann.ann_pq_topk(sf_dir))
+    timed("purchase_view_attribution",
+          lambda: relational.purchase_view_attribution(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -3431,3 +3431,37 @@ def part_copurchase_hops(sf_dir: str, max_hops: int = 3,
     return labels.map_batches(lambda b: pa.table({
         "p_partkey": b.column("node"), "hop": b.column("hop")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def purchase_view_attribution(sf_dir: str, window_min: int = 60):
+    """Ad-attribution interval join: every purchase paired with the
+    SAME user's view events in the trailing ``window_min`` minutes
+    (inclusive both ends) — the stream-stream windowed join shape.
+    Both sides are event-table-sized: neither broadcasts.  The scan is
+    pushed (event_type filter + 4-column projection at the read);
+    pairing runs through the sorted-run exchange of
+    :func:`kgray.stages.intervaljoin.windowed_pair_join` (complete
+    user runs pair in-block via two searchsorted + a vectorized
+    position explode).  lag_us = purchase.ts - view.ts is exact int64
+    microseconds, so the DuckDB BETWEEN-join oracle matches bitwise.
+    """
+    import pyarrow.dataset as pds
+
+    from ..stages.intervaljoin import windowed_pair_join
+
+    cols = ["event_id", "ts", "user_id"]
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pds.field("event_type") == "purchase")
+    views = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pds.field("event_type") == "view")
+    pairs = windowed_pair_join(purchases, views, key="user_id", ts="ts",
+                               id_col="event_id",
+                               window=window_min * 60 * 1_000_000)
+    return pairs.map_batches(lambda b: pa.table({
+        "purchase_id": b.column("left_id"),
+        "view_id": b.column("right_id"),
+        "user_id": b.column("key"),
+        "lag_us": b.column("lag")}),
+        batch_format="pyarrow", zero_copy_batch=True)
