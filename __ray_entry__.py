@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- composite-key join (r3): two-column-key fact×fact exchange
         "user_day_purchase_views": relational.user_day_purchase_views,
         "purchase_view_attribution": relational.purchase_view_attribution,
+        "purchase_last_touch": relational.purchase_last_touch,
         "binary_features": _binary_features,
         "image_features": lambda sf: __import__(
             "kgray.pipelines.multimodal", fromlist=["image_features"]
@@ -885,6 +886,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events
             GROUP BY ROLLUP(1, 2)
+        """,
+        "purchase_last_touch": """
+            WITH pairs AS (
+                SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                       p.user_id AS user_id,
+                       (CAST(epoch_us(p.ts) AS BIGINT)
+                        - CAST(epoch_us(v.ts) AS BIGINT)) AS lag_us
+                FROM events p JOIN events v ON p.user_id = v.user_id
+                WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+                  AND v.ts <= p.ts
+                  AND v.ts >= p.ts - INTERVAL 1440 MINUTE)
+            SELECT purchase_id, view_id, user_id, lag_us
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY purchase_id
+                      ORDER BY lag_us ASC, view_id ASC) AS rn
+                  FROM pairs)
+            WHERE rn = 1
         """,
         "purchase_view_attribution": """
             SELECT p.event_id AS purchase_id, v.event_id AS view_id,

@@ -243,6 +243,8 @@ def run_bench() -> dict:
     timed("ann_pq_topk", lambda: ann.ann_pq_topk(sf_dir))
     timed("purchase_view_attribution",
           lambda: relational.purchase_view_attribution(sf_dir))
+    timed("purchase_last_touch",
+          lambda: relational.purchase_last_touch(sf_dir))
 
     result = {
         "metric": "kg_pipeline_sec",

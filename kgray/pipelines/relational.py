@@ -3465,3 +3465,21 @@ def purchase_view_attribution(sf_dir: str, window_min: int = 60):
         "user_id": b.column("key"),
         "lag_us": b.column("lag")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def purchase_last_touch(sf_dir: str, window_min: int = 1440):
+    """Last-touch attribution: for every purchase, the single most
+    recent same-user view inside the trailing window — the canonical
+    composition of the stream-stream interval join with the per-group
+    top-1 exchange (pairs are window-bounded; the top-1 reduces them
+    before anything else moves).  Ties at equal lag break to the
+    lowest view_id, mirrored in the oracle's ROW_NUMBER ordering.
+    """
+    from ..stages.topk import grouped_topk
+
+    pairs = purchase_view_attribution(sf_dir, window_min=window_min)
+    top = grouped_topk(pairs, group="purchase_id", order_col="lag_us",
+                       tiebreak="view_id", k=1, descending=False)
+    return top.map_batches(lambda b: b.select(
+        ["purchase_id", "view_id", "user_id", "lag_us"]),
+        batch_format="pyarrow", zero_copy_batch=True)
