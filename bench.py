@@ -198,6 +198,8 @@ def run_bench() -> dict:
           lambda: relational.event_type_transitions(sf_dir))
     from kgray.pipelines import curation as _cur
     timed("corpus_curation", lambda: _cur.curation_report(sf_dir))
+    timed("corpus_curation_sem",
+          lambda: _cur.curation_semantic_report(sf_dir))
     timed("orders_monthly_seasonality",
           lambda: relational.orders_monthly_seasonality(sf_dir))
     timed("orders_quarter_growth",

@@ -91,13 +91,20 @@ def _dedup_keep_ids(ds):
 
 
 def curate_documents(sf_dir: str, budget: int = 256, n_shards: int = 8,
-                     decontam_n: int = 8, eval_permille: int = 50):
+                     decontam_n: int = 8, eval_permille: int = 50,
+                     semantic: bool = False, semantic_k: int = 8):
     """Run the full curation pipeline; returns
     ``(packed_dataset, report_dict)``.
 
     ``packed``: (doc_id, shard, n_tokens, bin_id, bin_pos) — the packed
     sequences over the SURVIVING documents.  ``report``: per-stage
-    retention counts."""
+    retention counts.
+
+    ``semantic=True`` inserts a SemDeDup stage after exact dedup:
+    documents whose embedding (``embeddings.parquet``, vec_id == doc_id)
+    was marked a semantic duplicate are dropped via the anti semi-join
+    against the (small) not-kept id set — the exchange carries only
+    duplicate ids, never text."""
     import ray
 
     from ..functions.sampling import _md5_bucket
@@ -125,6 +132,22 @@ def curate_documents(sf_dir: str, budget: int = 256, n_shards: int = 8,
     deduped = semi_join(filtered, winners, on="doc_id",
                         bloom_bits=1 << 20).materialize()
     report["n_deduped"] = deduped.count()
+
+    if semantic:
+        # SemDeDup: duplicates are the minority, so the ANTI side of
+        # the semi-join is the not-kept set (small); survivors stream
+        from .dedup import semantic_dedup
+
+        def _not_kept(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({"doc_id": b.filter(
+                pc.invert(b.column("kept"))).column("vec_id")})
+
+        dropped = semantic_dedup(sf_dir, k=semantic_k).map_batches(
+            _not_kept, batch_format="pyarrow", zero_copy_batch=True)
+        deduped = semi_join(deduped, dropped, on="doc_id", anti=True,
+                            bloom_bits=1 << 20).materialize()
+        report["n_semantic"] = deduped.count()
 
     # decontamination: eval split = md5 bucket < eval_permille over the
     # RAW corpus (the benchmark set exists independently of curation)
@@ -177,4 +200,12 @@ def curation_report(sf_dir: str):
     pipeline (one row per surviving doc with its bin assignment) —
     deterministic, fixture-oracled."""
     packed, _ = curate_documents(sf_dir)
+    return packed
+
+
+def curation_semantic_report(sf_dir: str):
+    """queries() surface: the packed output with the SemDeDup stage
+    enabled — deterministic, fixture-oracled separately from the
+    exact-only composition."""
+    packed, _ = curate_documents(sf_dir, semantic=True)
     return packed

@@ -44,7 +44,7 @@ FIXTURE_QUERIES = [
     "event_user_distinct_hll", "entity_pagerank",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
     "image_features", "audio_features", "video_features",
-    "corpus_curation", "page_site_counts",
+    "corpus_curation", "corpus_curation_sem", "page_site_counts",
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
 ]
 

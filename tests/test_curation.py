@@ -50,3 +50,24 @@ def test_curation_planted_filters(ray_session, tmp_path):
     assert 1 not in ids           # dup lost to min-doc_id winner 0
     assert 2 not in ids and 3 not in ids
     assert 0 in ids and 4 in ids
+
+
+def test_semantic_stage_retention(ray_session):
+    """The SemDeDup stage drops exactly the not-kept ids that survived
+    the earlier stages, and only that stage differs from the exact-only
+    composition."""
+    from kgray.pipelines.curation import curate_documents
+    from kgray.pipelines.dedup import semantic_dedup
+
+    sf = "/root/testdata/sf0.01"
+    _, base = curate_documents(sf)
+    packed, rep = curate_documents(sf, semantic=True)
+    assert rep["n_input"] == base["n_input"]
+    assert rep["n_deduped"] == base["n_deduped"]
+    assert rep["n_semantic"] < rep["n_deduped"]          # non-vacuous
+
+    sd = semantic_dedup(sf).to_pandas()
+    dropped = set(sd[~sd.kept].vec_id)
+    # every packed doc survived the semantic filter
+    ids = set(packed.to_pandas().doc_id)
+    assert not (ids & dropped)
