@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_sem": lambda sf: __import__(
             "kgray.pipelines.curation", fromlist=["curation_semantic_report"]
         ).curation_semantic_report(sf),
+        "doc_quality_scores": lambda sf: __import__(
+            "kgray.pipelines.quality_model", fromlist=["doc_quality_scores"]
+        ).doc_quality_scores(sf),
         "orders_monthly_seasonality": relational.orders_monthly_seasonality,
         "orders_quarter_growth": relational.orders_quarter_growth,
         "user_weekly_streaks": relational.user_weekly_streaks,
@@ -463,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
                      "corpus_curation", "corpus_curation_sem", "page_site_counts",
+                     "doc_quality_scores",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
                      "ann_pq_topk", "pq_codes")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))

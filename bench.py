@@ -200,6 +200,9 @@ def run_bench() -> dict:
     timed("corpus_curation", lambda: _cur.curation_report(sf_dir))
     timed("corpus_curation_sem",
           lambda: _cur.curation_semantic_report(sf_dir))
+    timed("doc_quality_scores", lambda: __import__(
+        "kgray.pipelines.quality_model",
+        fromlist=["doc_quality_scores"]).doc_quality_scores(sf_dir))
     timed("orders_monthly_seasonality",
           lambda: relational.orders_monthly_seasonality(sf_dir))
     timed("orders_quarter_growth",
