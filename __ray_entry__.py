@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": relational.event_value_stats,
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "user_rolling_value": relational.user_rolling_value,
+        "user_rolling_median": relational.user_rolling_median,
         "user_first_last_event": relational.user_first_last_event,
         "user_latest_event": relational.user_latest_event,
         "type_value_mode": relational.type_value_mode,
@@ -1337,6 +1338,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
+        """,
+        "user_rolling_median": """
+            WITH c AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(quantile_disc(cents, 0.5) OVER w AS BIGINT)
+                       AS roll_med
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         """,
         "user_rolling_value": """
             WITH c AS (

@@ -3483,3 +3483,27 @@ def purchase_last_touch(sf_dir: str, window_min: int = 1440):
     return top.map_batches(lambda b: b.select(
         ["purchase_id", "view_id", "user_id", "lag_us"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_rolling_median(sf_dir: str, k: int = 5):
+    """Rolling MEDIAN (order-statistic window,
+    ``stages/rolling.py:grouped_rolling_quantile``): each event's
+    discrete median over its 5 preceding events plus itself, per user
+    ordered by (ts, event_id).  Exact int64 — quantile_disc picks an
+    ELEMENT, never interpolates — so the window oracle matches bitwise;
+    exchange ships ≤ k carry values per block."""
+    from ..stages.rolling import grouped_rolling_quantile
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts", "value"])
+    cents = events.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"),
+        "event_id": b.column("event_id"),
+        "ts": b.column("ts"),
+        "cents": _cents(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_rolling_quantile(cents, "user_id", ["ts", "event_id"],
+                                   "cents", k, out_col="roll_med")
+    return out.map_batches(lambda b: b.select(
+        ["user_id", "event_id", "roll_med"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from ._runs import nullsafe_sort, run_starts
 
-__all__ = ["grouped_rolling"]
+__all__ = ["grouped_rolling", "grouped_rolling_quantile"]
 
 
 def grouped_rolling(ds, key: str, order_cols: list, value_col: str,
@@ -161,6 +161,123 @@ def grouped_rolling(ds, key: str, order_cols: list, value_col: str,
         cols[new_cols[4]] = pa.array(fsum[sl].astype(np.float64)
                                      / fn[sl].astype(np.float64),
                                      type=pa.float64())
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [roll_block.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def grouped_rolling_quantile(ds, key: str, order_cols: list,
+                             value_col: str, k: int,
+                             q_num: int = 1, q_den: int = 2,
+                             out_col: str = "roll_med"):
+    """Rolling ORDER STATISTIC over the same ``ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW`` frame: appends ``out_col`` = the frame's
+    ``quantile_disc(q_num/q_den)`` value (the element at sorted index
+    ``ceil(q·n) - 1`` — DuckDB's discrete-quantile rule, exact on
+    int64, no interpolation).
+
+    Same bounded exchange as :func:`grouped_rolling` (≤ k carry values
+    per block).  The steady-state kernel is fully vectorized: one
+    ``sliding_window_view`` + one ``np.sort(axis=1)`` + one column pick
+    per run (O(n·k log k)); only the ≤ k warm-up rows per run pay a
+    per-row partition.
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    assert k >= 0 and 0 < q_num <= q_den
+    schema = ds.schema()
+    assert out_col not in schema.names
+    out_cols = list(schema.names) + [out_col]
+    types = dict(zip(schema.names, schema.types))
+    types[out_col] = pa.int64()
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        keys = t.column(key)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = run_starts(keys)
+        last_start = int(starts[-1])
+        tail = vals[max(last_start, t.num_rows - k):] if k else \
+            np.array([], dtype=np.int64)
+        return (keys[0].as_py(), keys[t.num_rows - 1].as_py(),
+                len(starts) == 1, tail)
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    carries = []
+    for j, sj in enumerate(summaries):
+        if sj is None:
+            carries.append(np.array([], dtype=np.int64))
+            continue
+        first_key = sj[0]
+        parts, need = [], k
+        for i in range(j - 1, -1, -1):
+            if need <= 0:
+                break
+            si = summaries[i]
+            if si is None:
+                continue
+            if not _same(si[1], first_key):
+                break
+            tail = si[3][-need:] if need < len(si[3]) else si[3]
+            parts.append(tail)
+            need -= len(tail)
+            if not si[2]:
+                break
+        carries.append(np.concatenate(parts[::-1])
+                       if parts else np.array([], dtype=np.int64))
+
+    def _qidx(n: int) -> int:
+        return -(-(q_num * n) // q_den) - 1          # ceil(q*n) - 1
+
+    @ray.remote
+    def roll_block(t: pa.Table, carry: np.ndarray):
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        nc = len(carry)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.concatenate([carry, vals]) if nc else vals
+        starts = run_starts(t.column(key)).astype(np.int64)
+        ext_starts = np.concatenate([[0], starts[1:] + nc]) if nc else starts
+        m = len(v)
+        w = k + 1
+        med = np.empty(m, dtype=np.int64)
+        bounds = np.append(ext_starts, m)
+        for r in range(len(ext_starts)):
+            a, b = int(bounds[r]), int(bounds[r + 1])
+            seg = v[a:b]
+            warm = min(w - 1, b - a)
+            for i in range(warm):                     # expanding frames
+                fr = np.sort(seg[:i + 1])
+                med[a + i] = fr[_qidx(i + 1)]
+            if b - a >= w:
+                sw = np.sort(
+                    np.lib.stride_tricks.sliding_window_view(seg, w),
+                    axis=1)
+                med[a + w - 1:b] = sw[:, _qidx(w)]
+        sl = slice(nc, m)
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols[out_col] = pa.array(med[sl], type=pa.int64())
         return pa.table({c: cols[c] for c in out_cols})
 
     out_refs = [roll_block.remote(r, c) for r, c in zip(block_refs, carries)]

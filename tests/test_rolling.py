@@ -92,3 +92,37 @@ def test_first_last_value_matches_pandas(ray_session):
     exp_last = grp.transform("last")
     assert got["first_value"].tolist() == exp_first.tolist()
     assert got["last_value"].tolist() == exp_last.tolist()
+
+
+def test_rolling_quantile_matches_bruteforce(ray_session):
+    """grouped_rolling_quantile == a per-row sorted-frame oracle,
+    including a hot key spanning 16 blocks (carry crosses many block
+    boundaries), frames wider than the run, and q = 1/4 and 1/2."""
+    import math
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.stages.rolling import grouped_rolling_quantile
+
+    rng = np.random.default_rng(23)
+    keys = [7] * 200 + [1, 2, 3] * 20 + [None] * 5
+    rows = [(k, i, int(rng.integers(-50, 50)))
+            for i, k in enumerate(keys)]
+    t = pa.table({"k": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "o": pa.array([r[1] for r in rows], type=pa.int64()),
+                  "v": pa.array([r[2] for r in rows], type=pa.int64())})
+    for qn, qd, k in ((1, 2, 5), (1, 4, 3), (1, 2, 0)):
+        got = (grouped_rolling_quantile(rd.from_arrow(t).repartition(16),
+                                        "k", ["o"], "v", k,
+                                        q_num=qn, q_den=qd)
+               .to_pandas().sort_values(["k", "o"], ignore_index=True))
+        df = t.to_pandas().sort_values(["k", "o"], ignore_index=True)
+        want = []
+        for i in range(len(df)):
+            ki = df.k[i]
+            same = df[(df.k == ki) if ki == ki and ki is not None
+                      else df.k.isna()]
+            pos = same.index.get_loc(i)
+            fr = sorted(same.v.iloc[max(0, pos - k):pos + 1])
+            want.append(fr[math.ceil(qn * len(fr) / qd) - 1])
+        assert got.roll_med.tolist() == want, (qn, qd, k)
