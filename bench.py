@@ -154,6 +154,8 @@ def run_bench() -> dict:
           lambda: relational.event_value_moments(sf_dir))
     timed("user_trailing_value",
           lambda: relational.user_trailing_value(sf_dir))
+    timed("user_rolling_median",
+          lambda: relational.user_rolling_median(sf_dir))
     timed("purchases_except_views_all",
           lambda: relational.purchases_except_views_all(sf_dir))
     timed("local_supplier_volume",
