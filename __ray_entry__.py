@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "user_rolling_value": relational.user_rolling_value,
         "user_rolling_median": relational.user_rolling_median,
+        "top_revenue_suppliers": relational.top_revenue_suppliers,
+        "idle_rich_customers": relational.idle_rich_customers,
         "user_first_last_event": relational.user_first_last_event,
         "user_latest_event": relational.user_latest_event,
         "type_value_mode": relational.type_value_mode,
@@ -1338,6 +1340,40 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
+        """,
+        "top_revenue_suppliers": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice
+                            * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name, r.total_revenue_cents
+            FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+            WHERE r.total_revenue_cents =
+                  (SELECT MAX(total_revenue_cents) FROM rev)
+        """,
+        "idle_rich_customers": """
+            WITH cents AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                           AS bal
+                FROM customer),
+            pos AS (SELECT CAST(SUM(bal) AS BIGINT) AS s,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM cents WHERE bal > 0)
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(bal) AS BIGINT) AS totacctbal_cents
+            FROM cents, pos
+            WHERE bal * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = cents.c_custkey
+                                AND o.o_orderdate >= DATE '1998-01-01')
+            GROUP BY c_nationkey
         """,
         "user_rolling_median": """
             WITH c AS (

@@ -156,6 +156,10 @@ def run_bench() -> dict:
           lambda: relational.user_trailing_value(sf_dir))
     timed("user_rolling_median",
           lambda: relational.user_rolling_median(sf_dir))
+    timed("top_revenue_suppliers",
+          lambda: relational.top_revenue_suppliers(sf_dir))
+    timed("idle_rich_customers",
+          lambda: relational.idle_rich_customers(sf_dir))
     timed("purchases_except_views_all",
           lambda: relational.purchases_except_views_all(sf_dir))
     timed("local_supplier_volume",

@@ -3507,3 +3507,122 @@ def user_rolling_median(sf_dir: str, k: int = 5):
     return out.map_batches(lambda b: b.select(
         ["user_id", "event_id", "roll_med"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_revenue_suppliers(sf_dir: str, lo: str = "1996-01-01",
+                          hi: str = "1996-04-01"):
+    """TPC-H Q15 shape — maximum over an aggregate: per-supplier
+    revenue in a 3-month window, keep the supplier(s) hitting the
+    global MAX.  The revenue aggregate reduces lineitem to one row per
+    supplier; the MAX is a driver scalar over that reduced table (never
+    the raw stream); the winner set joins the supplier dim broadcast.
+    Exact integer cents end-to-end, so ties (if any) and the max are
+    exact — no epsilon comparisons.
+    """
+    import pyarrow.dataset as pds
+
+    from ..stages.broadcast import broadcast_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "revenue_cents": _cents(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= pd.Timestamp(lo))
+                & (pds.field("l_shipdate") < pd.Timestamp(hi))))
+    per_supp = sorted_group_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"], [("revenue_cents", "sum")],
+        precombine=True).materialize()
+    best = max(t["revenue_cents"].to_pylist()[0]
+               for t in ray.get(per_supp.map_batches(
+                   lambda b: pa.table({"revenue_cents": pa.array(
+                       [pc.max(b.column("revenue_cents")).as_py()
+                        if b.num_rows else None], type=pa.int64())}),
+                   batch_format="pyarrow").to_arrow_refs())
+               if t.num_rows and t["revenue_cents"][0].as_py() is not None)
+    winners = per_supp.filter(expr=f"revenue_cents == {best}") \
+        .map_batches(lambda b: pa.table({
+            "s_suppkey": b.column("l_suppkey"),
+            "total_revenue_cents": b.column("revenue_cents")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    out = broadcast_join(winners, supp, on="s_suppkey")
+    return out.map_batches(lambda b: b.select(
+        ["s_suppkey", "s_name", "total_revenue_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def idle_rich_customers(sf_dir: str, since: str = "1998-01-01"):
+    """TPC-H Q22 shape — global scalar subquery + anti join: customers
+    whose balance exceeds the average POSITIVE balance and who placed
+    no order since ``since``, counted per nation.  The scalar is
+    (sum_cents, n) over the reduced positive set — the comparison is
+    the exact integer cross-multiplication ``cents·n > sum_cents`` (no
+    division, nothing to round); the no-recent-orders test is the
+    bloom-prefiltered anti semi-join against a date-pushed orders scan
+    (the testdata has no order-less customers, so the recency window is
+    what makes the anti join non-vacuous).
+    """
+    import ray as _ray
+
+    from ..stages.semijoin import semi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"]).materialize()
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal"))
+        m = pc.greater(cents, pa.scalar(0, type=pa.int64()))
+        kept = pc.filter(cents, m)
+        return pa.table({
+            "s": pa.array([pc.sum(kept).as_py() or 0], type=pa.int64()),
+            "n": pa.array([len(kept)], type=pa.int64())})
+
+    s = n = 0
+    for t in _ray.get(cust.map_batches(pos_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                      .to_arrow_refs()):
+        for row in t.to_pylist():
+            s += row["s"]
+            n += row["n"]
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal"))
+        # cents > s/n  <=>  cents*n > s   (n > 0; exact int64)
+        m = pc.greater(pc.multiply(cents, pa.scalar(n, type=pa.int64())),
+                       pa.scalar(s, type=pa.int64()))
+        kept = b.filter(m)
+        return pa.table({"c_custkey": kept.column("c_custkey"),
+                         "c_nationkey": kept.column("c_nationkey"),
+                         "acctbal_cents": _cents(kept.column("c_acctbal"))})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    import pyarrow.dataset as pds
+
+    ords = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+                           filter=pds.field("o_orderdate")
+                           >= pd.Timestamp(since))
+    # the filtered key column is tiny and semi_join consumes it twice
+    # (bloom pass + exchange) — pin it so the pushed scan runs once
+    ords = ords.map_batches(lambda b: pa.table({
+        "c_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    no_orders = semi_join(rich_ds, ords, on="c_custkey", anti=True,
+                          bloom_bits=1 << 20)
+    out = sorted_group_aggregate(
+        no_orders.map_batches(lambda b: pa.table({
+            "c_nationkey": b.column("c_nationkey"),
+            "numcust": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "totacctbal_cents": b.column("acctbal_cents")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["c_nationkey"], [("numcust", "sum"), ("totacctbal_cents", "sum")],
+        precombine=True)
+    return out
