@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": text.heavy_hitter_tokens,
         "duplicate_ngram_fraction": text.duplicate_ngram_fraction,
         "jsonl_token_stats": text.jsonl_token_stats,
+        "ipc_token_stats": text.ipc_token_stats,
         "doc_splits": text.doc_splits,
         "unigram_logprob": text.unigram_logprob,
         "bigram_logprob": text.bigram_logprob,
@@ -713,6 +714,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value_cents
             FROM events
             GROUP BY 1, 2
+        """,
+        "ipc_token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS n_tokens,
+                   len(text) AS n_chars
+            FROM documents
         """,
         "jsonl_token_stats": f"""
             SELECT doc_id,

@@ -1188,3 +1188,25 @@ def bigram_logprob(sf_dir: str):
 
     return sums.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def ipc_token_stats(sf_dir: str):
+    """token_stats over the Arrow-IPC twin of the documents table
+    (``sources/ipcsrc.py``) — same SQL oracle as ``token_stats`` over
+    the parquet view, so the driver's value hash proves source parity
+    (IPC decode == parquet read, byte-for-byte)."""
+    from ..sources.ipcsrc import documents_to_ipc, read_documents_ipc
+
+    idir = documents_to_ipc(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [_tokens(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array([len(t) for t in toks], type=pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        })
+
+    return read_documents_ipc(idir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

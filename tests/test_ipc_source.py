@@ -1,0 +1,45 @@
+"""Arrow IPC source: round-trip parity with parquet + cache
+fingerprint invalidation + atomic publish."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_ipc_twin_round_trip(ray_session, tmp_path):
+    from kgray.sources.ipcsrc import documents_to_ipc, read_documents_ipc
+
+    sf = "/root/testdata/sf0.001"
+    d = documents_to_ipc(sf, root=str(tmp_path / "ipc"))
+    got = read_documents_ipc(d).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    want = pq.read_table(f"{sf}/documents.parquet").to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert got.equals(want[got.columns.tolist()])
+    # projection
+    got2 = read_documents_ipc(d, columns=["doc_id"]).to_pandas()
+    assert got2.columns.tolist() == ["doc_id"]
+    assert len(got2) == len(want)
+
+
+def test_ipc_cache_fingerprint(ray_session, tmp_path):
+    """Regenerated source data at the same path invalidates the twin
+    (the r2 ADVICE staleness rule)."""
+    import pyarrow.parquet as pqw
+    from kgray.sources.ipcsrc import documents_to_ipc, read_documents_ipc
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    root = str(tmp_path / "ipc")
+    t1 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "text": pa.array(["a", "b"])})
+    pqw.write_table(t1, sf / "documents.parquet")
+    d = documents_to_ipc(str(sf), root=root)
+    assert read_documents_ipc(d).count() == 2
+    # overwrite source; twin must regenerate, not serve stale rows
+    t2 = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                   "text": pa.array(["a", "b", "c"])})
+    pqw.write_table(t2, sf / "documents.parquet")
+    d = documents_to_ipc(str(sf), root=root)
+    assert read_documents_ipc(d).count() == 3
