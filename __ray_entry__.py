@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": lambda sf: __import__(
             "kgray.pipelines.quality_model", fromlist=["doc_quality_scores"]
         ).doc_quality_scores(sf),
+        "dsir_selected": lambda sf: __import__(
+            "kgray.pipelines.dsir", fromlist=["dsir_select"]
+        ).dsir_select(sf),
         "orders_monthly_seasonality": relational.orders_monthly_seasonality,
         "orders_quarter_growth": relational.orders_quarter_growth,
         "user_weekly_streaks": relational.user_weekly_streaks,
@@ -470,7 +473,7 @@ def oracle_sql() -> dict[str, str]:
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
                      "corpus_curation", "corpus_curation_sem", "page_site_counts",
-                     "doc_quality_scores",
+                     "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
                      "ann_pq_topk", "pq_codes")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))

@@ -209,6 +209,8 @@ def run_bench() -> dict:
     timed("doc_quality_scores", lambda: __import__(
         "kgray.pipelines.quality_model",
         fromlist=["doc_quality_scores"]).doc_quality_scores(sf_dir))
+    timed("dsir_selected", lambda: __import__(
+        "kgray.pipelines.dsir", fromlist=["dsir_select"]).dsir_select(sf_dir))
     timed("orders_monthly_seasonality",
           lambda: relational.orders_monthly_seasonality(sf_dir))
     timed("orders_quarter_growth",

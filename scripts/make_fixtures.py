@@ -45,7 +45,7 @@ FIXTURE_QUERIES = [
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
     "image_features", "audio_features", "video_features",
     "corpus_curation", "corpus_curation_sem", "page_site_counts",
-    "doc_quality_scores",
+    "doc_quality_scores", "dsir_selected",
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
 ]
 
