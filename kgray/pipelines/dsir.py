@@ -78,10 +78,8 @@ def _is_target(urls, langs) -> np.ndarray:
 
 
 def _pages_ds(sf_dir: str):
-    from ..sources.derived import corpus_for_sf
-    from .kg import page_files
-    return rd.read_parquet(page_files(corpus_for_sf(sf_dir)),
-                           columns=["url", "text", "lang"])
+    from ..sources.derived import pages_dataset
+    return pages_dataset(sf_dir)
 
 
 def _count_partial(b: pa.Table) -> pa.Table:

@@ -88,10 +88,8 @@ def _train_ids_mask(urls) -> np.ndarray:
 
 
 def _pages_ds(sf_dir: str):
-    from ..sources.derived import corpus_for_sf
-    from .kg import page_files
-    return rd.read_parquet(page_files(corpus_for_sf(sf_dir)),
-                           columns=["url", "text", "lang"])
+    from ..sources.derived import pages_dataset
+    return pages_dataset(sf_dir)
 
 
 def _epoch_partial(b: pa.Table, wq: np.ndarray) -> pa.Table:

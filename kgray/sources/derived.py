@@ -135,3 +135,14 @@ def models_for_corpus(corpus_dir: str, tagger: str = "hmm") -> str:
         with open(marker, "w") as f:
             json.dump(paths, f)
     return model_dir
+
+
+def pages_dataset(sf_dir: str, columns=("url", "text", "lang")):
+    """Dataset over the derived web corpus's pages (the shared reader
+    for every pipeline that scores/classifies pages)."""
+    import ray.data as rd
+
+    from ..pipelines.kg import page_files
+
+    return rd.read_parquet(page_files(corpus_for_sf(sf_dir)),
+                           columns=list(columns))

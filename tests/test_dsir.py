@@ -51,15 +51,21 @@ def test_scores_match_serial_dot(ray_session):
 
 
 def test_selection_enriches_target(ray_session):
-    """The top slice is strongly enriched in the target language (the
-    whole point of DSIR): zh fraction in the selection >= 5x the
-    corpus base rate."""
+    """The top slice is strongly enriched in the target language AMONG
+    PAGES OUTSIDE THE md5 TARGET SAMPLE — i.e. DSIR generalizes, it
+    doesn't just re-select the sample it memorized: held-out zh
+    fraction in the selection >= 5x the held-out base rate."""
     from kgray.pipelines import dsir
+    from kgray.functions.sampling import _md5_bucket
 
     sel = dsir.dsir_select(SF, keep_permille=100).to_pandas()
     pages = dsir._pages_ds(SF).to_pandas().set_index("url")
-    base = (pages.lang == "zh").mean()
-    got = (pages.lang.reindex(sel.url) == "zh").mean()
+    held = pages.index[_md5_bucket(pages.index.tolist(), 1000)
+                       >= dsir.TARGET_SAMPLE_PERMILLE]
+    base = (pages.lang.reindex(held) == "zh").mean()
+    sel_held = [u for u in sel.url if u in set(held)]
+    assert len(sel_held) > 0
+    got = (pages.lang.reindex(sel_held) == "zh").mean()
     assert got >= 5 * base, (got, base)
     # deterministic order: score desc, url asc
     s = sel.sort_values(["dsir_score", "url"],
