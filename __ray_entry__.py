@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_mask": text.dedup_substring_mask,
         "logline_stats": relational.logline_stats,
         "orders_cdc_latest": relational.orders_cdc_latest,
+        "orders_scd2": relational.orders_scd2,
         "pareto_orders": relational.pareto_orders,
         "embedding_dim_stats": ann.embedding_dim_stats,
         "user_value_twap": relational.user_value_twap,
@@ -2044,6 +2045,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value_cents,
                    MAX(user_id) AS max_user
             FROM events GROUP BY event_type
+        """,
+        "orders_scd2": """
+            WITH h AS (SELECT o_orderkey, o_totalprice,
+                              CAST(('0x' || substr(md5(CAST(o_orderkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM orders),
+            base AS (SELECT o_orderkey, 0 AS version, 'U' AS op,
+                            CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT) AS price_cents
+                     FROM orders),
+            chg AS (SELECT o_orderkey, 1 AS version,
+                           CASE WHEN hb < 100 THEN 'D' ELSE 'U' END AS op,
+                           CAST(FLOOR((o_totalprice + 10.0) * 100.0 + 0.5)
+                                AS BIGINT) AS price_cents
+                    FROM h WHERE hb < 300),
+            allr AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            closed AS (SELECT *, LEAD(version) OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY version) AS valid_to
+                       FROM allr)
+            SELECT o_orderkey, CAST(version AS BIGINT) AS valid_from,
+                   CAST(valid_to AS BIGINT) AS valid_to, price_cents,
+                   (valid_to IS NULL) AS is_current
+            FROM closed WHERE op = 'U'
         """,
         "orders_cdc_latest": """
             WITH h AS (SELECT o_orderkey, o_totalprice,

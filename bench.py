@@ -185,6 +185,7 @@ def run_bench() -> dict:
           lambda: text.dedup_substring_mask(sf_dir))
     timed("logline_stats", lambda: relational.logline_stats(sf_dir))
     timed("orders_cdc_latest", lambda: relational.orders_cdc_latest(sf_dir))
+    timed("orders_scd2", lambda: relational.orders_scd2(sf_dir))
     from kgray.pipelines import multimodal as _mm
     timed("image_features", lambda: _mm.image_features(sf_dir))
     timed("audio_features", lambda: _mm.audio_features(sf_dir))

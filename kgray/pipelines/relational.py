@@ -3626,3 +3626,61 @@ def idle_rich_customers(sf_dir: str, since: str = "1998-01-01"):
         ["c_nationkey"], [("numcust", "sum"), ("totacctbal_cents", "sum")],
         precombine=True)
     return out
+
+
+def orders_scd2(sf_dir: str):
+    """SCD Type-2 dimension build: turn the same deterministic orders
+    changelog as ``orders_cdc_latest`` into validity INTERVALS — one
+    row per (key, version) with ``valid_from`` = its version and
+    ``valid_to`` = the next version of the same key (NULL while
+    current), plus ``is_current``.  The interval close is exactly one
+    LEAD exchange (``stages/scan.py:grouped_lead``: one carried value
+    per block, no self-join); the history never materializes pairs.
+    Delete rows close their predecessor but carry no current row —
+    SQL mirrors with LEAD + a final filter.
+    """
+    from ..functions.sampling import _md5_bucket
+    from ..stages.scan import grouped_lead
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "version": pa.array(np.zeros(n, dtype=np.int64)),
+            "op": pa.array(["U"] * n, type=pa.string()),
+            "price_cents": _cents(b.column("o_totalprice"))})
+
+    def change_rows(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("o_orderkey").to_pylist(), 1000)
+        t = b.filter(pa.array(h < 300))
+        hh = h[h < 300]
+        ops = np.where(hh < 100, "D", "U")
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "version": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "op": pa.array(ops.tolist(), type=pa.string()),
+            "price_cents": _cents(pc.add(t.column("o_totalprice"),
+                                         pa.scalar(10.0)))})
+
+    scan = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    hist = (scan().map_batches(base_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(scan().map_batches(change_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+    closed = grouped_lead(hist, "o_orderkey", ["version"], "version",
+                          out_name="valid_to")
+    # delete rows close their predecessor's interval but are not
+    # themselves dimension rows
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("op"), pa.scalar("U"))
+        t = b.filter(keep)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "valid_from": t.column("version"),
+            "valid_to": t.column("valid_to"),
+            "price_cents": t.column("price_cents"),
+            "is_current": pc.is_null(t.column("valid_to"))})
+
+    return closed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
