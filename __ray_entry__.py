@@ -361,6 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_intersect_views_all":
             relational.purchases_intersect_views_all,
         "local_supplier_volume": relational.local_supplier_volume,
+        "nation_pair_volume": relational.nation_pair_volume,
+        "market_share": relational.market_share,
+        "customer_order_dist": relational.customer_order_dist,
+        "small_qty_part_revenue": relational.small_qty_part_revenue,
         "user_funnel_counts": relational.user_funnel_counts,
         "weekly_retention": relational.weekly_retention,
         "events_hourly_dense": relational.events_hourly_dense,
@@ -1505,6 +1509,89 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name, CAST(SUM(cents) AS BIGINT) AS revenue_cents
             FROM rev GROUP BY n_name
+        """,
+        "nation_pair_volume": """
+            WITH pairs AS (
+                SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                           AS l_year,
+                       CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+                    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+                  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM pairs GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "market_share": """
+            WITH f AS (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 100.0 + 0.5) AS BIGINT) AS cents,
+                       CASE WHEN n2.n_name = 'NATION_8'
+                            THEN 1 ELSE 0 END AS is_t
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                JOIN region r ON n1.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                WHERE r.r_name = 'ASIA' AND p.p_type = 'MEDIUM'
+                  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(cents * is_t) AS BIGINT) AS nation_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(CAST(SUM(cents * is_t) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+                       AS mkt_share
+            FROM f GROUP BY o_year
+        """,
+        "customer_order_dist": """
+            WITH co AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM co GROUP BY c_count
+        """,
+        "small_qty_part_revenue": """
+            WITH l AS (
+                SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                           AS price_cents
+                FROM lineitem
+            ), t AS (
+                SELECT l_partkey, SUM(qty) AS sum_qty,
+                       COUNT(*) AS n_line
+                FROM l GROUP BY l_partkey
+            )
+            SELECT p.p_brand,
+                   CAST(SUM(l.price_cents) AS BIGINT)
+                       AS small_revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_small
+            FROM l
+            JOIN t ON l.l_partkey = t.l_partkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE 5 * l.qty * t.n_line < t.sum_qty
+            GROUP BY p.p_brand
         """,
         "user_funnel_counts": """
             WITH v AS (

@@ -164,6 +164,13 @@ def run_bench() -> dict:
           lambda: relational.purchases_except_views_all(sf_dir))
     timed("local_supplier_volume",
           lambda: relational.local_supplier_volume(sf_dir))
+    timed("nation_pair_volume",
+          lambda: relational.nation_pair_volume(sf_dir))
+    timed("market_share", lambda: relational.market_share(sf_dir))
+    timed("customer_order_dist",
+          lambda: relational.customer_order_dist(sf_dir))
+    timed("small_qty_part_revenue",
+          lambda: relational.small_qty_part_revenue(sf_dir))
     timed("user_funnel_counts",
           lambda: relational.user_funnel_counts(sf_dir))
     timed("weekly_retention", lambda: relational.weekly_retention(sf_dir))

@@ -3684,3 +3684,333 @@ def orders_scd2(sf_dir: str):
 
     return closed.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Round-3 (resumed session): remaining feasible TPC-H decision-support
+# shapes over the tables this corpus actually has (no partsupp /
+# shipmode / receiptdate columns exist, so Q9/Q11/Q12/Q20/Q21 are out
+# of reach by schema; Q7/Q8/Q13/Q17 below complete the family).
+# --------------------------------------------------------------------------
+
+
+def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_3",
+                       nation_b: str = "NATION_8"):
+    """TPC-H Q7-shaped bilateral trade volume: revenue per
+    (supp_nation, cust_nation, ship year) for lineitems shipped
+    1995-1996 where the supplier sits in one of the two nations and the
+    customer in the other.
+
+    Plan: both nation filters are applied on the *dimension* side
+    before any exchange (suppliers via broadcast map, customers via a
+    pre-filtered shuffle side), so out-of-pair rows never enter the
+    two fact joins (lineitem⋈orders and orders⋈customer, both shuffle
+    ``sorted_merge_join``).  Nation names attach to the aggregated
+    (≤ 2 pairs × years) result on the driver."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    keys = {k for k, v in name_of.items() if v in (nation_a, nation_b)}
+    keyset = pa.array(sorted(keys), type=pa.int32())
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("c_nationkey"), value_set=keyset)
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"o_custkey": t.column("c_custkey"),
+                         "cust_nat": t.column("c_nationkey")})
+
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(prep_cust, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+              .map_batches(lambda b: pa.table(
+                  {"l_orderkey": b.column("o_orderkey"),
+                   "o_custkey": b.column("o_custkey")}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    ord_nat = sorted_merge_join(orders, cust, on="o_custkey")
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(hi)))
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+            "cents": _cents(rev)})
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate", "l_extendedprice",
+                                     "l_discount"])
+            .map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp.column("s_nationkey"),
+                                value_set=keyset))
+    supp = supp.rename_columns(["l_suppkey", "supp_nat"])
+    line = broadcast_join(line, supp, on="l_suppkey")
+
+    both = sorted_merge_join(line.drop_columns(["l_suppkey"]), ord_nat,
+                             on="l_orderkey")
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(pc.cast(b.column("supp_nat"), pa.int32()),
+                         b.column("cust_nat"))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"supp_nat": pc.cast(t.column("supp_nat"),
+                                             pa.int32()),
+                         "cust_nat": t.column("cust_nat"),
+                         "l_year": t.column("l_year"),
+                         "cents": t.column("cents")})
+
+    pairs = both.map_batches(cross_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg = sorted_group_aggregate(pairs, ["supp_nat", "cust_nat", "l_year"],
+                                 [("cents", "sum")])
+    out = agg.take_all()  # ≤ 2 pairs × years — result-sized
+    tbl = pa.table({
+        "supp_nation": pa.array([name_of[r["supp_nat"]] for r in out]),
+        "cust_nation": pa.array([name_of[r["cust_nat"]] for r in out]),
+        "l_year": pa.array([r["l_year"] for r in out], type=pa.int64()),
+        "revenue_cents": pa.array([r["cents"] for r in out],
+                                  type=pa.int64())})
+    return tbl.sort_by([("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"),
+                        ("l_year", "ascending")])
+
+
+def market_share(sf_dir: str, nation: str = "NATION_8",
+                 region: str = "ASIA", ptype: str = "MEDIUM"):
+    """TPC-H Q8-shaped market share: within ``region``'s market for
+    parts of type ``ptype`` (orders 1995-1996), the revenue share
+    supplied by ``nation``, per order year.
+
+    Numerator and denominator are exact int64 cents aggregated
+    distributively; the share is ONE double division per year
+    (CAST(BIGINT AS DOUBLE)/CAST(BIGINT AS DOUBLE) mirrored in the
+    oracle), so the floats match bitwise."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nat.join(reg, keys="n_regionkey", right_keys="r_regionkey")
+    region_keys = pa.array(sorted(
+        dim.filter(pc.equal(dim.column("r_name"), pa.scalar(region)))
+        .column("n_nationkey").to_pylist()), type=pa.int32())
+    target_key = nat.filter(pc.equal(nat.column("n_name"),
+                                     pa.scalar(nation)))\
+        .column("n_nationkey").to_pylist()[0]
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys = pa.array(sorted(
+        part.filter(pc.equal(part.column("p_type"), pa.scalar(ptype)))
+        .column("p_partkey").to_pylist()), type=pa.int64())
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("c_nationkey"), value_set=region_keys)
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"o_custkey": t.column("c_custkey")})
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({
+            "l_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64())})
+
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(prep_cust, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+              .map_batches(prep_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    ord_reg = sorted_merge_join(orders, cust, on="o_custkey")
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("l_partkey"), value_set=pkeys)
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "cents": _cents(rev)})
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_suppkey", "l_extendedprice",
+                                     "l_discount"])
+            .map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.rename_columns(["l_suppkey", "s_nat"])
+    line = broadcast_join(line, supp, on="l_suppkey")
+
+    both = sorted_merge_join(
+        line.drop_columns(["l_suppkey"]),
+        ord_reg.drop_columns(["o_custkey"]), on="l_orderkey")
+
+    def tag(b: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.equal(pc.cast(b.column("s_nat"), pa.int32()),
+                                pa.scalar(target_key, type=pa.int32())),
+                       pa.int64())
+        return pa.table({
+            "o_year": b.column("o_year"),
+            "nation_cents": pc.multiply(b.column("cents"), is_t),
+            "total_cents": b.column("cents")})
+
+    tagged = both.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = sorted_group_aggregate(tagged, ["o_year"],
+                                 [("nation_cents", "sum"),
+                                  ("total_cents", "sum")])
+
+    def share(b: pa.Table) -> pa.Table:
+        num = pc.cast(b.column("nation_cents"), pa.float64())
+        den = pc.cast(b.column("total_cents"), pa.float64())
+        return pa.table({"o_year": b.column("o_year"),
+                         "nation_cents": b.column("nation_cents"),
+                         "total_cents": b.column("total_cents"),
+                         "mkt_share": pc.divide(num, den)})
+
+    return (agg.map_batches(share, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort("o_year"))
+
+
+def customer_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped distribution: for every customer, the number of
+    their non-URGENT orders (0 for customers with none — the LEFT join
+    is the point of the query), then the histogram (c_count, custdist).
+
+    Plan: orders pre-aggregate to (custkey, count) — the exchange
+    carries one row per customer with orders, never raw orders — then a
+    LEFT shuffle ``sorted_merge_join`` from customers fills the zero
+    bucket, and a second small aggregate builds the histogram."""
+    from ..stages.join import sorted_merge_join
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(b.column("o_orderpriority"), pa.scalar("1-URGENT"))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"c_custkey": t.column("o_custkey"),
+                         "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    counts = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+        .map_batches(prep_orders, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["c_custkey"], [("n", "sum")])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    left = sorted_merge_join(cust, counts, on="c_custkey", how="left")
+
+    def zero_fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(pc.cast(b.column("n"), pa.int64()), 0),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    hist = sorted_group_aggregate(
+        left.map_batches(zero_fill, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["c_count"], [("one", "sum")])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": b.column("c_count"),
+                         "custdist": b.column("one")})
+
+    return (hist.map_batches(rename, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+def small_qty_part_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity analysis, generalized to every
+    brand: revenue from lineitems whose quantity is below 20% of their
+    part's average quantity, aggregated per brand.
+
+    The threshold predicate is exact integer arithmetic — quantities
+    are integral, so ``qty < 0.2 * avg(qty)``  ⇔  ``5·qty·n < Σqty``
+    (both sides int64; the oracle uses the same integer form, making
+    the comparison bitwise-portable instead of trusting float
+    division).  Plan: per-part (Σqty, n) pre-aggregate, shuffle join
+    back onto lineitem on partkey, brand from a broadcast dim."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            "price_cents": _cents(b.column("l_extendedprice")),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    scan = lambda: (  # noqa: E731
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"])
+        .map_batches(prep_line, batch_format="pyarrow",
+                     zero_copy_batch=True))
+
+    thresholds = sorted_group_aggregate(scan(), ["l_partkey"],
+                                        [("qty", "sum"), ("n", "sum")])
+
+    def rename_thr(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "sum_qty": b.column("qty"),
+                         "n_line": b.column("n")})
+
+    thr = thresholds.map_batches(rename_thr, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = sorted_merge_join(scan(), thr, on="l_partkey")
+
+    def small_only(b: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(b.column("qty"), pa.scalar(5)),
+                          b.column("n_line"))
+        t = b.filter(pc.less(lhs, b.column("sum_qty")))
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "price_cents": t.column("price_cents"),
+                         "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    small = joined.map_batches(small_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    part = part.rename_columns(["l_partkey", "p_brand"])
+    branded = broadcast_join(small, part, on="l_partkey")
+    agg = sorted_group_aggregate(branded.drop_columns(["l_partkey"]),
+                                 ["p_brand"],
+                                 [("price_cents", "sum"), ("n", "sum")])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": b.column("p_brand"),
+                         "small_revenue_cents": b.column("price_cents"),
+                         "n_small": b.column("n")})
+
+    return (agg.map_batches(rename, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort("p_brand"))

@@ -1,0 +1,95 @@
+"""Round-3 resumed session: the remaining feasible TPC-H shapes
+(Q7 nation-pair volume, Q8 market share, Q13 order-count distribution,
+Q17 small-quantity revenue) — DuckDB parity at sf0.001 plus the
+shape-specific invariants (Q13's LEFT-join zero bucket, Q8's exact
+num/den decomposition, Q17's integer threshold equivalence)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _to_pandas(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def _parity(ray_fn, con, name):
+    import __ray_entry__ as entrymod
+
+    got = _norm(_to_pandas(ray_fn(SF)))
+    exp = _norm(con.sql(entrymod.oracle_sql()[name]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True,
+                                  check_exact=True)
+    return got
+
+
+def test_nation_pair_volume_parity(ray_session, con):
+    from kgray.pipelines.relational import nation_pair_volume
+
+    got = _parity(nation_pair_volume, con, "nation_pair_volume")
+    # only the two cross pairs may appear, never a same-nation pair
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+
+
+def test_market_share_parity(ray_session, con):
+    from kgray.pipelines.relational import market_share
+
+    got = _parity(market_share, con, "market_share")
+    assert (got["nation_cents"] <= got["total_cents"]).all()
+    # the share is exactly the one double division of the int columns
+    assert (got["mkt_share"] ==
+            got["nation_cents"].astype(float)
+            / got["total_cents"].astype(float)).all()
+
+
+def test_customer_order_dist_parity(ray_session, con):
+    from kgray.pipelines.relational import customer_order_dist
+
+    got = _parity(customer_order_dist, con, "customer_order_dist")
+    # LEFT-join semantics: total customers across buckets == |customer|
+    n_cust = con.sql("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert got["custdist"].sum() == n_cust
+    # the zero bucket exists iff some customer has no non-URGENT order
+    n_with = con.sql("""
+        SELECT COUNT(DISTINCT o_custkey) FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+          AND o_custkey IN (SELECT c_custkey FROM customer)
+    """).fetchone()[0]
+    zero_rows = got.loc[got["c_count"] == 0, "custdist"]
+    assert (zero_rows.iloc[0] if len(zero_rows) else 0) == n_cust - n_with
+
+
+def test_small_qty_part_revenue_parity(ray_session, con):
+    from kgray.pipelines.relational import small_qty_part_revenue
+
+    got = _parity(small_qty_part_revenue, con, "small_qty_part_revenue")
+    # integer predicate 5*qty*n < sum_qty is exactly qty < 0.2*avg for
+    # integral quantities: cross-check the row count against the float
+    # form (safe here because no qty*5*n ever ties a non-integral bound)
+    n_float = con.sql("""
+        WITH t AS (
+            SELECT l_partkey, AVG(l_quantity) AS a
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) FROM lineitem l JOIN t USING (l_partkey)
+        WHERE l.l_quantity < 0.2 * t.a
+    """).fetchone()[0]
+    assert got["n_small"].sum() == n_float
