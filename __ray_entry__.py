@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_volume": relational.nation_pair_volume,
         "market_share": relational.market_share,
         "customer_order_dist": relational.customer_order_dist,
+        "purchase_value_by_engagement":
+            relational.purchase_value_by_engagement,
         "small_qty_part_revenue": relational.small_qty_part_revenue,
         "user_funnel_counts": relational.user_funnel_counts,
         "weekly_retention": relational.weekly_retention,
@@ -1571,6 +1573,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_count AS BIGINT) AS c_count,
                    CAST(COUNT(*) AS BIGINT) AS custdist
             FROM co GROUP BY c_count
+        """,
+        "purchase_value_by_engagement": """
+            WITH v AS (
+                SELECT user_id, COUNT(*) AS n_views FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), p AS (
+                SELECT user_id,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT CAST(v.n_views // 10 AS BIGINT) AS tier,
+                   CAST(SUM(p.cents) AS BIGINT) AS purchase_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM p JOIN v USING (user_id)
+            GROUP BY tier
         """,
         "small_qty_part_revenue": """
             WITH l AS (

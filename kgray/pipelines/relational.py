@@ -4014,3 +4014,51 @@ def small_qty_part_revenue(sf_dir: str):
     return (agg.map_batches(rename, batch_format="pyarrow",
                             zero_copy_batch=True)
             .sort("p_brand"))
+
+
+def purchase_value_by_engagement(sf_dir: str, hot_threshold: int = 10):
+    """Purchase revenue bucketed by the buyer's view-engagement tier —
+    a fact×aggregate join routed through ``skew_split_join``
+    (`stages/skewjoin.py`): users with ≥ ``hot_threshold`` purchases
+    take the broadcast fan-out path (their rows never enter the
+    shuffle), the long tail takes the sorted-merge exchange.  The two
+    plans are value-identical, so the threshold is purely a
+    skew-mitigation knob (at sf0.001 nobody is hot → pure shuffle; at
+    sf0.01+ most buyers are hot → mostly broadcast)."""
+    from ..stages.skewjoin import skew_split_join
+
+    def prep_purchases(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"),
+                              pa.scalar("purchase")))
+        return pa.table({"user_id": t.column("user_id"),
+                         "cents": _cents(t.column("value"))})
+
+    def prep_views(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), pa.scalar("view")))
+        return pa.table({"user_id": t.column("user_id"),
+                         "n_views": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    scan = lambda cols: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/events.parquet", columns=cols)
+    purchases = scan(["user_id", "event_type", "value"]).map_batches(
+        prep_purchases, batch_format="pyarrow", zero_copy_batch=True)
+    views = sorted_group_aggregate(
+        scan(["user_id", "event_type"]).map_batches(
+            prep_views, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n_views", "sum")])
+
+    joined = skew_split_join(purchases, views, on="user_id",
+                             hot_threshold=hot_threshold)
+
+    def tiered(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "tier": pc.divide(b.column("n_views"), pa.scalar(10)),
+            "purchase_cents": b.column("cents"),
+            "n_purchases": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    agg = sorted_group_aggregate(
+        joined.map_batches(tiered, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["tier"], [("purchase_cents", "sum"), ("n_purchases", "sum")])
+    return agg.sort("tier")
