@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
         ).entity_pagerank(sf, iters=5),
+        "copurchase_kcore": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["copurchase_kcore"]
+        ).copurchase_kcore(sf),
         "event_user_distinct_hll": relational.event_user_distinct_hll,
         "events_hash_sample": relational.events_hash_sample,
         "user_event_sample": relational.user_event_sample,
@@ -482,7 +485,7 @@ def oracle_sql() -> dict[str, str]:
                      "corpus_curation", "corpus_curation_sem", "page_site_counts",
                      "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
-                     "ann_pq_topk", "pq_codes")
+                     "ann_pq_topk", "pq_codes", "copurchase_kcore")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

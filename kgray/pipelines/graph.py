@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["pagerank", "entity_pagerank"]
+__all__ = ["pagerank", "entity_pagerank", "kcore", "copurchase_kcore"]
 
 UNIT = 10 ** 12
 
@@ -41,6 +41,10 @@ UNIT = 10 ** 12
 # iteration) is the scale path.  Both plans run the SAME integer
 # arithmetic, so their outputs are bit-identical (pinned by test).
 _DENSE_MAX_NODES = 2_000_000
+
+# kcore's dense-peel switch: edge LIST must fit the driver (16 bytes/edge
+# → ~80 MB at the limit); above it the per-round semi-join plan runs
+_KCORE_DENSE_MAX_EDGES = 5_000_000
 
 
 def pagerank(edges, iters: int = 10, d_num: int = 17, d_den: int = 20,
@@ -241,3 +245,117 @@ def entity_pagerank(sf_dir: str, iters: int = 10):
         "src": b.column("subj"), "dst": b.column("obj")}),
         batch_format="pyarrow")
     return pagerank(edges, iters=iters)
+
+
+def kcore(edges, k: int, max_rounds: int = 60, plan: str = "auto"):
+    """k-core of an UNDIRECTED graph: the maximal subgraph where every
+    node has degree ≥ k, computed by peeling to the fixpoint.
+
+    ``edges``: Dataset (``src``, ``dst``), each undirected edge ONCE
+    (``src < dst``), no self-loops.  Returns (``node``, ``core_degree``)
+    for nodes surviving in the k-core — ``core_degree`` is the node's
+    degree WITHIN the core, a pure function of the graph (peeling order
+    never changes the fixpoint, so the output is partitioning-exact and
+    plan-independent).
+
+    ``plan="shuffle"`` (the scale path) per round — all edge/node-sized,
+    never fact-sized:
+      degrees = one aggregate over both endpoints;
+      dead    = nodes with degree < k (driver sees only the COUNT);
+      edges   = two distributed semi-joins against the alive node set.
+    Rounds are bounded by the peeling depth (≤ longest degeneracy
+    chain); each round materializes the shrunk edge set so lineage
+    stays O(1).  At web scale the alive set stays a Dataset end to end
+    — nothing node-sized is ever collected to the driver.
+
+    ``plan="dense"``: at or below ``_KCORE_DENSE_MAX_EDGES`` edges
+    (``auto``'s switch — same rule class as pagerank's) the edge list
+    collects once and peels vectorized (np.bincount per round) — the
+    peeling depth then costs microseconds per round instead of a sort
+    exchange.  Identical output (pinned by test)."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.semijoin import semi_join
+
+    assert plan in ("auto", "dense", "shuffle")
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b.column("src").to_numpy(zero_copy_only=False),
+            b.column("dst").to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(v, type=pa.int64()),
+                         "core_degree": pa.array(
+                             np.ones(len(v), dtype=np.int64))})
+
+    def empty_result() -> pa.Table:
+        # NB Ray 2.49 `from_arrow(empty).to_pandas()` drops the schema
+        # (0 columns) — consumers of a possibly-empty core must check
+        # num_rows before touching columns (see test_kcore.py)
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "core_degree": pa.array([], type=pa.int64())})
+
+    edges = edges.materialize()
+    if plan == "dense" or (plan == "auto"
+                           and edges.count() <= _KCORE_DENSE_MAX_EDGES):
+        import ray
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(empty_result())
+        et = pa.concat_tables(tabs, promote_options="permissive")
+        s = et.column("src").to_numpy(zero_copy_only=False)
+        d = et.column("dst").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([s, d]),
+                               return_inverse=True)
+        si, di = inv[:len(s)], inv[len(s):]
+        alive_e = np.ones(len(s), dtype=bool)
+        while True:
+            deg = np.bincount(si[alive_e], minlength=len(nodes)) \
+                + np.bincount(di[alive_e], minlength=len(nodes))
+            dead = (deg > 0) & (deg < k)
+            if not dead.any():
+                break
+            alive_e &= ~(dead[si] | dead[di])
+        keep = deg >= k
+        if not keep.any():
+            return rd.from_arrow(empty_result())
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[keep], type=pa.int64()),
+            "core_degree": pa.array(deg[keep].astype(np.int64))}))
+
+    for _ in range(max_rounds):
+        if edges.count() == 0:
+            return rd.from_arrow(empty_result())
+        deg = sorted_group_aggregate(
+            edges.map_batches(endpoints, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["node"], [("core_degree", "sum")]).materialize()
+        n_dead = deg.filter(expr=f"core_degree < {int(k)}").count()
+        if n_dead == 0:
+            return deg
+        alive = deg.filter(expr=f"core_degree >= {int(k)}")
+        src_keys = alive.map_batches(
+            lambda b: pa.table({"src": b.column("node")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        dst_keys = alive.map_batches(
+            lambda b: pa.table({"dst": b.column("node")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        edges = semi_join(semi_join(edges, src_keys, on="src"),
+                          dst_keys, on="dst").materialize()
+    raise RuntimeError(f"kcore: no fixpoint after {max_rounds} rounds")
+
+
+def copurchase_kcore(sf_dir: str, k: int = 3, min_count: int = 2):
+    """k-core of the thresholded co-purchase graph — the standard
+    'dense habitat' reduction before community/motif analysis (and the
+    iterative-peeling counterpart of the one-shot degree histogram).
+    Fixture-oracled (peeling is not SQL-expressible without recursion);
+    pinned vs a serial brute-force peeler in ``test_kcore.py``."""
+    from .relational import _copurchase_pair_counts, _unpack_pair
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .map_batches(lambda b: pa.table({
+                 "src": b.column("part_a"), "dst": b.column("part_b")}),
+                 batch_format="pyarrow", zero_copy_batch=True))
+    return kcore(edges, k=k).sort("node")

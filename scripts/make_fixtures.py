@@ -47,6 +47,7 @@ FIXTURE_QUERIES = [
     "corpus_curation", "corpus_curation_sem", "page_site_counts",
     "doc_quality_scores", "dsir_selected",
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
+    "copurchase_kcore",
 ]
 
 
@@ -72,6 +73,7 @@ def _canonical(result) -> pa.Table:
 
 def main():
     verify = "--verify" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
 
     import ray
     if not ray.is_initialized():
@@ -86,6 +88,8 @@ def main():
     os.makedirs(FIXDIR, exist_ok=True)
     bad = []
     for name in FIXTURE_QUERIES:
+        if only and name not in only:
+            continue
         got = _canonical(qs[name](SF))
         path = os.path.join(FIXDIR, f"{name}.parquet")
         if verify:
