@@ -200,30 +200,36 @@ _R3_WINDOW = [
     # KG core (flagship — always first)
     "kg_graph", "kg_mentions", "hmm_tags_valid", "crf_tags_valid",
     "transformer_tags_valid", "extract_invariant", "kg_entities",
-    # joins (incl. the new composite-key exchange)
+    # joins (incl. the new composite-key exchange and the resumed-
+    # session TPC-H Q7/Q8/Q13/Q17 + skew-join + k-core additions;
+    # rotated out for them — each family keeps a representative:
+    # events_recent_orders, customer_order_quartiles,
+    # user_first_last_event, type_value_mode,
+    # purchases_intersect_views_all, events_grouping_sets)
     "user_day_purchase_views", "order_priority_revenue",
     "events_orders_daily", "local_supplier_volume", "large_orders",
-    "bucketed_order_revenue",
+    "bucketed_order_revenue", "nation_pair_volume", "market_share",
+    "customer_order_dist", "small_qty_part_revenue",
+    "purchase_value_by_engagement", "copurchase_kcore",
     # as-of / interval / rolling windows
-    "events_asof_orders", "events_recent_orders",
+    "events_asof_orders",
     "events_recent_order_value", "user_trailing_value",
     "user_rolling_value",
     # scan windows (running/lag/lead/rank/first-last)
     "user_running_value", "user_event_gaps", "user_next_event_gap",
     "customer_order_ranks", "customer_order_seq",
-    "customer_order_quartiles", "user_first_last_event",
     "user_latest_event",
     # top-k / quantiles / stats
     "priority_top_orders", "events_value_quantiles",
-    "events_value_quantiles_cont", "type_user_counts", "type_value_mode",
+    "events_value_quantiles_cont", "type_user_counts",
     "event_value_stats", "lineitem_qty_price_corr", "event_value_moments",
     # set ops
     "users_both_active", "buyers_never_active",
-    "purchases_except_views_all", "purchases_intersect_views_all",
+    "purchases_except_views_all",
     # windows/rollups/pivots over the event stream (events_hourly
     # rotated out r3 — driver-green r2 — for the new interval join)
     "purchase_view_attribution", "events_hopping", "events_rollup", "events_cube",
-    "events_grouping_sets", "priority_status_pivot",
+    "priority_status_pivot",
     "priority_status_unpivot",
     # sessionization / ordered aggregation / funnel / retention
     "user_sessions", "user_event_type_seq", "user_type_value_share",
