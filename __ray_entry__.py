@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_pq_topk": ann.ann_pq_topk,
+        "ann_hnsw_topk": ann.ann_hnsw_topk,
         "pq_codes": ann.pq_codes,
         "embedding_kmeans": ann.embedding_kmeans,
         "embedding_quantize": ann.embedding_quantize,
@@ -491,7 +492,8 @@ def oracle_sql() -> dict[str, str]:
                      "corpus_curation", "corpus_curation_sem", "page_site_counts",
                      "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
-                     "ann_pq_topk", "pq_codes", "copurchase_kcore")
+                     "ann_pq_topk", "pq_codes", "copurchase_kcore",
+                     "ann_hnsw_topk")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

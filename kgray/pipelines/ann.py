@@ -24,6 +24,7 @@ from ..functions.veccol import (col_vector, list_col_matrix,
 
 __all__ = ["load_embeddings", "ann_topk_bruteforce", "ann_ivf_topk",
            "train_pq_codebook", "pq_codes", "ann_pq_topk",
+           "build_nsw_graph", "ann_hnsw_topk",
            "build_ivf_index", "ivf_probe_plan", "embedding_kmeans",
            "embedding_quantize", "embedding_dim_stats"]
 
@@ -593,3 +594,159 @@ def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                          zero_copy_batch=True)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# Graph ANN (HNSW family): deterministic single-layer NSW
+# --------------------------------------------------------------------------
+
+def _nsw_search(Xq: np.ndarray, nbrs: np.ndarray, q: np.ndarray,
+                ef: int, entry: int = 0):
+    """Greedy beam search over the NSW graph with EXACT int64 squared
+    L2 on the 2^20 grid.  Fully deterministic: heap keys are
+    (dist, position) — equal-distance candidates expand lowest-position
+    first, and evictions drop the (dist, position)-largest.  Returns
+    up to ``ef`` (dist, position) pairs sorted ascending."""
+    import heapq
+
+    def dist_to(pos_arr: np.ndarray) -> np.ndarray:
+        diff = Xq[pos_arr] - q[None, :]
+        return (diff * diff).sum(axis=1)
+
+    d0 = int(dist_to(np.array([entry]))[0])
+    visited = {entry}
+    cand = [(d0, entry)]                       # min-heap: closest first
+    best = [(-d0, -entry)]                     # max-heap over (d, pos)
+    while cand:
+        d, u = heapq.heappop(cand)
+        if len(best) >= ef and (d, u) > (-best[0][0], -best[0][1]):
+            break                              # no candidate can improve
+        vs = nbrs[u]
+        vs = vs[vs >= 0]
+        new = np.array([v for v in vs if v not in visited], dtype=np.int64)
+        if len(new) == 0:
+            continue
+        visited.update(int(v) for v in new)
+        ds = dist_to(new)
+        for dv, v in sorted(zip(ds.tolist(), new.tolist())):
+            if len(best) < ef or (dv, v) < (-best[0][0], -best[0][1]):
+                heapq.heappush(cand, (dv, v))
+                heapq.heappush(best, (-dv, -v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-nd, -nv) for nd, nv in best)
+
+
+def build_nsw_graph(Xq: np.ndarray, M: int = 8,
+                    ef_construction: int = 48) -> np.ndarray:
+    """Deterministic navigable-small-world graph (the HNSW family —
+    Malkov & Yashunin 2018 — without the layer hierarchy: at the
+    corpus sizes one driver-side index covers, a single layer with a
+    fixed entry point reaches the same neighborhoods; the hierarchy
+    only shortcuts the first hops).
+
+    Nodes insert in position order (positions = ascending vec_id);
+    each new node links to its ``M`` beam-search-nearest predecessors
+    and back-links prune to the M closest by the same exact-int rule —
+    every comparison is int64-with-position-tiebreak, so the graph is
+    a pure function of the data.  Returns int64 ``[n, M]`` neighbor
+    positions (-1 padding)."""
+    n = len(Xq)
+    nbrs = np.full((n, M), -1, dtype=np.int64)
+
+    def select(a: int, cand: np.ndarray, m: int) -> np.ndarray:
+        """Malkov & Yashunin's select-neighbors heuristic (Alg. 4):
+        scanning candidates by ascending distance to ``a``, keep c only
+        if it is closer to ``a`` than to every already-kept neighbor —
+        this is what preserves the long-range inter-cluster links a
+        plain keep-M-closest prune destroys (graph fragments into
+        cluster islands; caught by the recall test).  Pruned candidates
+        backfill remaining slots (keepPrunedConnections).  All
+        comparisons int64 with position tie-breaks."""
+        diff = Xq[cand] - Xq[a][None, :]
+        d = (diff * diff).sum(axis=1)
+        order = np.lexsort((cand, d))
+        kept, spare = [], []
+        for j in order:
+            c = int(cand[j])
+            dc = Xq[kept] - Xq[c][None, :] if kept else None
+            if kept and (dc * dc).sum(axis=1).min() <= d[j]:
+                spare.append(c)                # closer to a kept nbr
+            else:
+                kept.append(c)
+            if len(kept) == m:
+                return np.array(kept, dtype=np.int64)
+        return np.array(kept + spare[:m - len(kept)], dtype=np.int64)
+
+    def connect(a: int, b: int):
+        row = nbrs[a]
+        if b in row:
+            return
+        free = np.flatnonzero(row < 0)
+        if len(free):
+            row[free[0]] = b
+            return
+        keep = select(a, np.append(row, b), len(row))
+        nbrs[a, :] = -1
+        nbrs[a, :len(keep)] = keep
+
+    for i in range(1, n):
+        res = _nsw_search(Xq, nbrs, Xq[i], ef_construction, entry=0)
+        cand = np.array([v for _, v in res], dtype=np.int64)
+        for v in select(i, cand, M):
+            connect(i, int(v))
+            connect(int(v), i)
+    return nbrs
+
+
+def ann_hnsw_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+                  M: int = 8, ef_construction: int = 48,
+                  ef_search: int = 64, sample: int = 100_000):
+    """(query_id, rank, neighbor_id, dist): approximate top-k via the
+    NSW graph — the ONLY ANN path here that never scans the corpus at
+    query time: the index (graph + 2^20-grid vectors, ~(8·M + 8·dim)
+    bytes/node) broadcasts once via ``ray.put`` and each query walks
+    O(ef·M) nodes.  The QUERIES are the streaming Dataset; corpus I/O
+    is zero per query.  Index build is driver-side over the
+    deterministic sample (same contract as the IVF/PQ codebook
+    training); beyond driver memory the graph shards per IVF partition
+    with one router search per probe (documented, not needed at these
+    scales).  Deterministic: exact int64 distances, position
+    tie-breaks; recall vs brute force pinned by test."""
+    ids, E = _sample_embeddings(sf_dir, sample)
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    Xq = _pq_quantize(E[order])
+    nbrs = build_nsw_graph(Xq, M=M, ef_construction=ef_construction)
+
+    q_ids = ids_s[:n_queries]
+    idx_ref = ray.put((ids_s, Xq, nbrs))
+
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(q_ids, type=pa.int64()),
+        "qpos": pa.array(np.arange(len(q_ids)), type=pa.int64())}))
+
+    def search(batch: pa.Table) -> pa.Table:
+        sids, X, G = ray.get(idx_ref)
+        out_q, out_r, out_n, out_d = [], [], [], []
+        for qid, qpos in zip(batch.column("query_id").to_pylist(),
+                             batch.column("qpos").to_pylist()):
+            res = _nsw_search(X, G, X[qpos], max(ef_search, k + 1))
+            rank = 0
+            for d, pos in res:
+                if sids[pos] == qid:
+                    continue
+                rank += 1
+                if rank > k:
+                    break
+                out_q.append(qid)
+                out_r.append(rank)
+                out_n.append(int(sids[pos]))
+                out_d.append(int(d))
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "rank": pa.array(out_r, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "dist": pa.array(out_d, type=pa.int64())})
+
+    return queries.map_batches(search, batch_format="pyarrow",
+                               zero_copy_batch=True)
