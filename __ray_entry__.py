@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_kcore": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_kcore"]
         ).copurchase_kcore(sf),
+        "customer_golden_records": lambda sf: __import__(
+            "kgray.pipelines.er", fromlist=["customer_golden_records"]
+        ).customer_golden_records(sf),
         "event_user_distinct_hll": relational.event_user_distinct_hll,
         "events_hash_sample": relational.events_hash_sample,
         "user_event_sample": relational.user_event_sample,
@@ -493,7 +496,7 @@ def oracle_sql() -> dict[str, str]:
                      "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
                      "ann_pq_topk", "pq_codes", "copurchase_kcore",
-                     "ann_hnsw_topk")
+                     "ann_hnsw_topk", "customer_golden_records")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

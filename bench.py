@@ -175,6 +175,9 @@ def run_bench() -> dict:
           lambda: relational.purchase_value_by_engagement(sf_dir))
     timed("copurchase_kcore", lambda: _graph.copurchase_kcore(sf_dir))
     timed("ann_hnsw_topk", lambda: ann.ann_hnsw_topk(sf_dir))
+    from kgray.pipelines import er as _er
+    timed("customer_golden_records",
+          lambda: _er.customer_golden_records(sf_dir))
     timed("user_funnel_counts",
           lambda: relational.user_funnel_counts(sf_dir))
     timed("weekly_retention", lambda: relational.weekly_retention(sf_dir))

@@ -47,7 +47,7 @@ FIXTURE_QUERIES = [
     "corpus_curation", "corpus_curation_sem", "page_site_counts",
     "doc_quality_scores", "dsir_selected",
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
-    "copurchase_kcore", "ann_hnsw_topk",
+    "copurchase_kcore", "ann_hnsw_topk", "customer_golden_records",
 ]
 
 
