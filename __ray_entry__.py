@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "bucketed_order_revenue": relational.bucketed_order_revenue,
         "csv_event_stats": relational.csv_event_stats,
+        "evolved_event_stats": relational.evolved_event_stats,
         "part_copurchase_topk": relational.part_copurchase_topk,
         "events_value_outliers": relational.events_value_outliers,
         "events_value_trend": relational.events_value_trend,
@@ -1132,6 +1133,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "evolved_event_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(CASE WHEN event_id % 3 <> 0
+                                   THEN props END) AS BIGINT) AS n_props
             FROM events GROUP BY event_type
         """,
         "bucketed_order_revenue": """

@@ -4062,3 +4062,31 @@ def purchase_value_by_engagement(sf_dir: str, hot_threshold: int = 10):
                            zero_copy_batch=True),
         ["tier"], [("purchase_cents", "sum"), ("n_purchases", "sum")])
     return agg.sort("tier")
+
+
+def evolved_event_stats(sf_dir: str):
+    """Per-type totals over the schema-EVOLVED events directory
+    (``sources/evolve.py``: epoch 0 lacks the ``props`` column, epoch 1
+    has it): the evolution-tolerant reader conforms both epochs to the
+    union schema (missing → typed nulls), and ``n_props`` counts
+    non-null props — nulls appearing exactly where the old schema had
+    no column.  The oracle reproduces the epoch rule over the original
+    parquet view (``event_id % 3``), so the driver's value hash proves
+    the union-by-name semantics end-to-end."""
+    from ..sources.evolve import events_to_evolved, read_events_evolved
+
+    ds = read_events_evolved(events_to_evolved(sf_dir),
+                             columns=["event_type", "value", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": _cents(b.column("value")),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_props": pc.cast(pc.invert(pc.is_null(b.column("props"))),
+                               pa.int64())})
+
+    return sorted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", [("value_cents", "sum"), ("n_events", "sum"),
+                       ("n_props", "sum")])
