@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_order_revenue": relational.bucketed_order_revenue,
         "csv_event_stats": relational.csv_event_stats,
         "evolved_event_stats": relational.evolved_event_stats,
+        "chars_zh_auc": text.chars_zh_auc,
         "part_copurchase_topk": relational.part_copurchase_topk,
         "events_value_outliers": relational.events_value_outliers,
         "events_value_trend": relational.events_value_trend,
@@ -1134,6 +1135,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "chars_zh_auc": """
+            WITH s AS (
+                SELECT n_chars AS score,
+                       CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS pos
+                FROM documents
+            ), g AS (
+                SELECT score, COUNT(*) AS n, SUM(pos) AS np
+                FROM s GROUP BY score
+            ), o AS (
+                SELECT n, np,
+                       SUM(n) OVER (ORDER BY score
+                                    ROWS UNBOUNDED PRECEDING) - n AS below
+                FROM g
+            ), tot AS (
+                SELECT SUM(pos) AS p, COUNT(*) - SUM(pos) AS q FROM s
+            )
+            SELECT CAST(SUM(o.np * (2 * o.below + o.n + 1))
+                        - tot.p * (tot.p + 1) AS DOUBLE)
+                       / CAST(2 * tot.p * tot.q AS DOUBLE) AS auc,
+                   CAST(tot.p AS BIGINT) AS n_pos,
+                   CAST(tot.q AS BIGINT) AS n_neg
+            FROM o, tot GROUP BY tot.p, tot.q
         """,
         "evolved_event_stats": """
             SELECT event_type,

@@ -180,6 +180,7 @@ def run_bench() -> dict:
           lambda: _er.customer_golden_records(sf_dir))
     timed("evolved_event_stats",
           lambda: relational.evolved_event_stats(sf_dir))
+    timed("chars_zh_auc", lambda: text.chars_zh_auc(sf_dir))
     timed("user_funnel_counts",
           lambda: relational.user_funnel_counts(sf_dir))
     timed("weekly_retention", lambda: relational.weekly_retention(sf_dir))

@@ -1210,3 +1210,25 @@ def ipc_token_stats(sf_dir: str):
 
     return read_documents_ipc(idir, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chars_zh_auc(sf_dir: str):
+    """Exact ROC AUC (midrank-tied Mann-Whitney, `stages/metrics.py`)
+    of document length as a predictor of lang == 'zh' — the
+    acceptance-metric shape every model-based filter needs, over a
+    SQL-expressible score so the driver's value hash verifies the AUC
+    machinery itself bitwise (integer rank sums, ONE IEEE division)."""
+    from ..stages.metrics import exact_auc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "score": b.column("n_chars"),
+            "label": pc.cast(pc.equal(b.column("lang"), pa.scalar("zh")),
+                             pa.int64())})
+
+    return exact_auc(ds.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     score_col="score", label_col="label")
