@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_event_stats": relational.csv_event_stats,
         "evolved_event_stats": relational.evolved_event_stats,
         "chars_zh_auc": text.chars_zh_auc,
+        "order_price_global_rank": relational.order_price_global_rank,
         "part_copurchase_topk": relational.part_copurchase_topk,
         "events_value_outliers": relational.events_value_outliers,
         "events_value_trend": relational.events_value_trend,
@@ -1135,6 +1136,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "order_price_global_rank": """
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS total_cents,
+                   CAST(RANK() OVER w AS BIGINT) AS rank,
+                   PERCENT_RANK() OVER w AS percent_rank,
+                   CUME_DIST() OVER w AS cume_dist
+            FROM orders
+            WINDOW w AS (ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                       AS BIGINT))
         """,
         "chars_zh_auc": """
             WITH s AS (

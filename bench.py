@@ -93,6 +93,43 @@ def run_bench() -> dict:
             res.to_pandas()                             # consume lazily-built Datasets
         queries[name] = round(time.perf_counter() - t, 3)
 
+    # ---- representative operator pipelines, timed in crash-isolated
+    # subprocess slices: Ray 2.49 intermittently dies on internal CHECKs
+    # (reference_count.cc:581 / task_manager.cc:930) in single sessions
+    # that execute many hundreds of Datasets (NOTES.md #63).  Each slice
+    # is a fresh Ray session; completed timings stream line-by-line so a
+    # crashed slice loses nothing already measured, and the remainder
+    # respawns.
+    ray.shutdown()                          # free all CPUs for the slices
+    names: list = []
+    _run_all_queries(sf_dir, lambda name, fn: names.append(name))
+    queries.update(_run_query_slices(sf_dir, names))
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "triples": n_triples,
+        "pages_per_sec": round(n_pages / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+        # ambient-load context: this is a SHARED box (co-tenant spikes
+        # slow individual queries 3-5x in bad windows; see NOTES.md) —
+        # the stamp makes a polluted artifact self-documenting
+        "loadavg_end": _loadavg1(),
+    }
+    return result
+
+
+def _run_all_queries(sf_dir: str, timed):
+    """Every timed operator pipeline, in a stable order.  ``timed`` is
+    called as ``timed(name, thunk)`` — pass a collector that ignores
+    the thunk to enumerate names without executing anything."""
+    from kgray.pipelines import ann, dedup, relational, text
+
     timed("dedup_exact", lambda: dedup.exact_dedup(sf_dir))
     timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(sf_dir))
     timed("simhash_pairs", lambda: dedup.simhash_pairs(sf_dir))
@@ -181,6 +218,8 @@ def run_bench() -> dict:
     timed("evolved_event_stats",
           lambda: relational.evolved_event_stats(sf_dir))
     timed("chars_zh_auc", lambda: text.chars_zh_auc(sf_dir))
+    timed("order_price_global_rank",
+          lambda: relational.order_price_global_rank(sf_dir))
     timed("user_funnel_counts",
           lambda: relational.user_funnel_counts(sf_dir))
     timed("weekly_retention", lambda: relational.weekly_retention(sf_dir))
@@ -277,24 +316,80 @@ def run_bench() -> dict:
     timed("purchase_last_touch",
           lambda: relational.purchase_last_touch(sf_dir))
 
-    result = {
-        "metric": "kg_pipeline_sec",
-        "value": round(headline, 3),
-        "unit": "sec",
-        "queries": queries,
-        "sf": os.path.basename(os.path.normpath(sf_dir)),
-        "num_cpus": num_cpus,
-        "pages": n_pages,
-        "triples": n_triples,
-        "pages_per_sec": round(n_pages / headline, 1),
-        "triples_per_sec": round(n_triples / headline, 1),
-        # ambient-load context: this is a SHARED box (co-tenant spikes
-        # slow individual queries 3-5x in bad windows; see NOTES.md) —
-        # the stamp makes a polluted artifact self-documenting
-        "loadavg_end": _loadavg1(),
-    }
+
+def _run_query_slices(sf_dir: str, names: list,
+                      slice_size: int = 24, max_respawns: int = 8) -> dict:
+    """Run the named queries in subprocess slices, harvesting one JSON
+    line per completed query.  A slice that dies mid-way (Ray CHECK
+    crash) keeps its completed timings; the remainder respawns in a
+    fresh process.  If the SAME head query kills two consecutive
+    slices, it is recorded as null and skipped (no such query is known;
+    the crashes observed are position-random)."""
+    out: dict = {}
+    pending = list(names)
+    respawns = 0
+    last_failed_head = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    while pending:
+        batch = pending[:slice_size]
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--bench-slice", ",".join(batch)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=here)
+        for line in proc.stdout:
+            line = line.strip()
+            if not line.startswith('{"q":'):
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            out[rec["q"]] = rec["sec"]
+        rc = proc.wait()
+        pending = [n for n in pending if n not in out]
+        if rc != 0 and pending:
+            head = pending[0]
+            if head == last_failed_head:
+                out[head] = None            # poisoned twice — skip it
+                pending = pending[1:]
+                last_failed_head = None
+                continue
+            last_failed_head = head
+            respawns += 1
+            if respawns > max_respawns:
+                for n in pending:
+                    out[n] = None
+                break
+        else:
+            last_failed_head = None
+    return out
+
+
+def run_bench_slice(names: list) -> None:
+    """--bench-slice worker: own Ray session, one JSON line per query."""
+    import ray
+
+    sf_dir = _sf_dir()
+    ray.init(address="local", num_cpus=_num_cpus(),
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    _quiet()
+    only = set(names)
+
+    def timed(name, fn):
+        if name not in only:
+            return
+        t = time.perf_counter()
+        res = fn()
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        print(json.dumps({"q": name,
+                          "sec": round(time.perf_counter() - t, 3)}),
+              flush=True)
+
+    _run_all_queries(sf_dir, timed)
     ray.shutdown()
-    return result
 
 
 def run_scaling_worker() -> dict:
@@ -467,7 +562,10 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-worker" in sys.argv:
+    if "--bench-slice" in sys.argv:
+        run_bench_slice(sys.argv[sys.argv.index("--bench-slice") + 1]
+                        .split(","))
+    elif "--scaling-worker" in sys.argv:
         print(json.dumps(run_scaling_worker()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

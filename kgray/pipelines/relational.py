@@ -4090,3 +4090,20 @@ def evolved_event_stats(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "event_type", [("value_cents", "sum"), ("n_events", "sum"),
                        ("n_props", "sum")])
+
+
+def order_price_global_rank(sf_dir: str):
+    """Global (unpartitioned) window ranks over every order's price —
+    ``RANK / PERCENT_RANK / CUME_DIST OVER (ORDER BY cents)`` with no
+    PARTITION BY (``stages/globalrank.py``: per-distinct-value
+    reduction + block-prefix offsets + one row-sized join back; each
+    float is ONE mirrored IEEE division)."""
+    from ..stages.globalrank import global_rank
+
+    ds = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+          .map_batches(lambda b: pa.table({
+              "o_orderkey": b.column("o_orderkey"),
+              "total_cents": _cents(b.column("o_totalprice"))}),
+              batch_format="pyarrow", zero_copy_batch=True))
+    return global_rank(ds, "total_cents")

@@ -64,13 +64,16 @@ def exact_auc(ds, score_col: str, label_col: str):
 
     @ray.remote
     def block_total(t: pa.Table) -> int:
+        # Ray emits schema-LESS empty blocks after a sort — guard both
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return 0
         return int(pc.sum(t.column("n")).as_py() or 0)
 
     @ray.remote
     def block_partial(t: pa.Table, off: int):
         """(2·Σ_pos avgrank, Σ n_pos, Σ n) for one sorted block whose
         first row has ``off`` rows below it globally."""
-        if t.num_rows == 0:
+        if t.num_rows == 0 or "n" not in t.schema.names:
             return 0, 0, 0
         n = t.column("n").to_numpy(zero_copy_only=False)
         npos = t.column("n_pos").to_numpy(zero_copy_only=False)
