@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_event_stats": relational.evolved_event_stats,
         "chars_zh_auc": text.chars_zh_auc,
         "order_price_global_rank": relational.order_price_global_rank,
+        "priority_counts_ivm": relational.priority_counts_ivm,
         "part_copurchase_topk": relational.part_copurchase_topk,
         "events_value_outliers": relational.events_value_outliers,
         "events_value_trend": relational.events_value_trend,
@@ -1136,6 +1137,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "priority_counts_ivm": """
+            WITH h AS (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 1000 AS hb
+                FROM orders
+            ), final AS (
+                -- full recompute over the post-changelog state: deletes
+                -- (hb<100) gone, updates (100<=hb<300) reprioritized at
+                -- price+10 — the oracle enforces the incremental
+                -- maintenance law bitwise
+                SELECT CASE WHEN hb >= 100 AND hb < 300
+                            THEN '1-URGENT' ELSE o_orderpriority
+                       END AS o_orderpriority,
+                       CASE WHEN hb >= 100 AND hb < 300
+                            THEN o_totalprice + 10.0 ELSE o_totalprice
+                       END AS price
+                FROM h WHERE hb >= 100
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM final GROUP BY o_orderpriority
         """,
         "order_price_global_rank": """
             SELECT o_orderkey,

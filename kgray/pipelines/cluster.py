@@ -51,11 +51,57 @@ def _label_sum(labels) -> int:
     return sum(r["s"] for r in parts)
 
 
+# dense-plan switch (same rule class as pagerank's / kcore's): at or
+# below this many PAIRS the edge list collects once and a driver-side
+# union-find resolves in microseconds — each distributed label round
+# costs two full exchanges (~2-4 s of fixed overhead each), which
+# dwarfs small inputs.  min-label union-find and min-label propagation
+# compute the SAME fixpoint, so the plans are output-identical (pinned
+# by the fixture oracles that predate this switch).
+_CC_DENSE_MAX_PAIRS = 2_000_000
+
+
+def _cc_dense(pairs, id_a: str, id_b: str):
+    tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64())}))
+    et = pa.concat_tables(tabs, promote_options="permissive")
+    a = pc.cast(et.column(id_a), pa.int64()).to_numpy(zero_copy_only=False)
+    b = pc.cast(et.column(id_b), pa.int64()).to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ai, bi = inv[:len(a)], inv[len(a):]
+    for x, y in zip(ai.tolist(), bi.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by smaller POSITION == smaller node id (nodes sorted)
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, type=pa.int64()),
+        "cluster_id": pa.array(nodes[roots], type=pa.int64())}))
+
+
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iters: int = 50):
+                         max_iters: int = 50, plan: str = "auto"):
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id of the connected component."""
+    assert plan in ("auto", "dense", "shuffle")
     pairs = _as_dataset(pairs)
+    if plan != "shuffle":
+        pairs = pairs.materialize()
+        if plan == "dense" or pairs.count() <= _CC_DENSE_MAX_PAIRS:
+            return _cc_dense(pairs, id_a, id_b)
 
     def to_edges(b: pa.Table) -> pa.Table:
         return pa.table({"a": pc.cast(b.column(id_a), pa.int64()),

@@ -35,7 +35,6 @@ engine's existing exchanges:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -127,13 +126,15 @@ def match_rule(name_a: str, name_b: str, cents_a: int,
     return 2 * inter >= union
 
 
-def er_match_pairs(sf_dir: str):
+def er_match_pairs(sf_dir: str, records=None):
     """(id_a, id_b) matched record pairs, id_a < id_b — one sort
     exchange on the block key, quadratic work only inside each
-    (bounded) block."""
+    (bounded) block.  Pass a pinned ``records`` Dataset to share one
+    materialization across the resolution pipeline (NOTES #61)."""
     from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
 
-    srt = er_records(sf_dir).sort(["block", "rec_id"])
+    srt = (er_records(sf_dir) if records is None else records) \
+        .sort(["block", "rec_id"])
 
     def _pairs(t: pa.Table) -> pa.Table:
         blocks = t.column("block")
@@ -176,9 +177,13 @@ def customer_golden_records(sf_dir: str):
     from ..stages.join import sorted_merge_join
     from .cluster import connected_components
 
-    labels = connected_components(er_match_pairs(sf_dir))
+    # one materialization serves the pair builder, the label join and
+    # the name fetch — er_records re-derives (parquet + per-key md5)
+    # per consumer otherwise (measured 3x at sf0.1)
+    records = er_records(sf_dir).materialize()
+    labels = connected_components(er_match_pairs(sf_dir, records=records))
     labeled = sorted_merge_join(
-        er_records(sf_dir),
+        records,
         labels.map_batches(lambda b: pa.table({
             "rec_id": b.column("node"),
             "cluster_id": b.column("cluster_id")}),
@@ -201,7 +206,7 @@ def customer_golden_records(sf_dir: str):
                                  [("rec_id", "min"), ("acctbal_cents", "max"),
                                   ("one", "sum")])
 
-    names = er_records(sf_dir).map_batches(
+    names = records.map_batches(
         lambda b: pa.table({"rec_id": b.column("rec_id"),
                             "canonical_name": b.column("name")}),
         batch_format="pyarrow", zero_copy_batch=True)

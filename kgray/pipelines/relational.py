@@ -4107,3 +4107,61 @@ def order_price_global_rank(sf_dir: str):
               "total_cents": _cents(b.column("o_totalprice"))}),
               batch_format="pyarrow", zero_copy_batch=True))
     return global_rank(ds, "total_cents")
+
+
+def priority_counts_ivm(sf_dir: str):
+    """Incremental view maintenance WITH RETRACTIONS: a per-priority
+    (count, revenue) materialized view maintained under a changelog of
+    updates and deletes via SIGNED deltas — each changed order emits a
+    retraction of its old contribution (−1, −cents) and, for updates,
+    an insertion of the new one — and the view refresh is ONE small
+    aggregate merge of base partials ∪ delta partials (never a
+    rescan).  The insert-only law is ``events_hourly_incremental``;
+    this is the general Z-set form (deletes make counts go DOWN).
+
+    The changelog rule mirrors :func:`orders_cdc_latest` (md5 buckets:
+    <100 delete, 100-299 reprioritize to 1-URGENT at price+10).  The
+    driver's oracle computes the FULL RECOMPUTE over the post-change
+    state — so the value-hash gate enforces the maintenance law
+    itself, bitwise."""
+    from ..functions.sampling import _md5_bucket
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "total_cents": _cents(b.column("o_totalprice"))})
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("o_orderkey").to_pylist(), 1000)
+        t = b.filter(pa.array(h < 300))
+        hh = h[h < 300]
+        # retraction of every changed row's old contribution
+        retract = pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "n_orders": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "total_cents": pc.negate_checked(
+                _cents(t.column("o_totalprice")))})
+        # re-insertion for updates only (hb in [100, 300))
+        upd = t.filter(pa.array(hh >= 100))
+        insert = pa.table({
+            "o_orderpriority": pa.array(["1-URGENT"] * upd.num_rows,
+                                        type=pa.string()),
+            "n_orders": pa.array(np.ones(upd.num_rows, dtype=np.int64)),
+            "total_cents": _cents(pc.add(upd.column("o_totalprice"),
+                                         pa.scalar(10.0)))})
+        return pa.concat_tables([retract, insert])
+
+    scan = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    signed = (scan().map_batches(base_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .union(scan().map_batches(delta_rows, batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+    view = sorted_group_aggregate(signed, ["o_orderpriority"],
+                                  [("n_orders", "sum"),
+                                   ("total_cents", "sum")])
+    # groups retracted to zero leave the view (Z-set support rule)
+    return (view.filter(expr="n_orders > 0")
+            .sort("o_orderpriority"))

@@ -117,7 +117,10 @@ def skew_split_join(left, right, on: str, hot_threshold: int,
     if not hot_keys:
         return sorted_merge_join(left, right, on=on)
 
-    hot_arr = np.sort(np.asarray(hot_keys))
+    # pin the right side: it is consumed THREE times below (hot
+    # collect, cold stream, schema probe) and an unpinned derived
+    # right re-executes its whole lineage per consumer (NOTES #61)
+    right = right.materialize()
     key_type = right.schema().base_schema.field(on).type
     hot_pa = pa.array(hot_keys, type=key_type)
 

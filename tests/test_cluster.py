@@ -77,3 +77,36 @@ def test_neardup_clusters_e2e(ray_session):
     # the keeper is a member of its own cluster
     keepers = set(got.loc[got["doc_id"] == got["cluster_id"], "doc_id"])
     assert keepers == set(oracle.values())
+
+
+def test_connected_components_plans_identical(ray_session):
+    """Dense union-find and shuffle min-label propagation compute the
+    same fixpoint — bitwise plan equality on a multi-component graph
+    with chains (diameter > 2) and singleton-edge stars."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.pipelines.cluster import connected_components
+
+    rng = np.random.default_rng(17)
+    # chain kept short: the shuffle plan is O(diameter) exchange
+    # rounds by design (shallow-cluster workload) — diameter 12 still
+    # needs many multi-exchange rounds without making the test minutes
+    edges = {(int(i), int(i + 1)) for i in range(0, 12, 1)}       # chain
+    edges |= {(100, int(x)) for x in range(101, 110)}             # star
+    edges |= {(int(a), int(b)) for a, b in rng.integers(200, 230,
+                                                        (30, 2))
+              if a != b}
+    tbl = pa.table({
+        "id_a": pa.array([min(e) for e in sorted(edges)], type=pa.int64()),
+        "id_b": pa.array([max(e) for e in sorted(edges)], type=pa.int64())})
+    outs = {}
+    for plan in ("dense", "shuffle"):
+        df = connected_components(rd.from_arrow(tbl).repartition(7),
+                                  plan=plan).to_pandas()
+        outs[plan] = df.sort_values("node", ignore_index=True)
+    assert outs["dense"].equals(outs["shuffle"])
+    # chain resolves to one component rooted at its min
+    assert (outs["dense"].set_index("node").loc[range(0, 13),
+            "cluster_id"] == 0).all()
