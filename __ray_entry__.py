@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": relational.brand_supplier_counts,
         "disjunctive_part_revenue": relational.disjunctive_part_revenue,
         "part_copurchase_hops": relational.part_copurchase_hops,
+        "part_copurchase_cheapest": relational.part_copurchase_cheapest,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -2430,5 +2431,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hop
             FROM bfs GROUP BY node
+        """,
+        "part_copurchase_cheapest": """
+            -- Bellman-Ford as chained rounds (d1..d3), NOT recursive
+            -- path enumeration: each round is the exact min-plus
+            -- recurrence the distributed plan runs, integer-exact
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT a AS src, b AS dst, 1000000 // c AS w
+                FROM counted WHERE c >= 2
+                UNION ALL
+                SELECT b AS src, a AS dst, 1000000 // c AS w
+                FROM counted WHERE c >= 2
+            ), d0 AS (
+                SELECT p_partkey AS node, CAST(0 AS BIGINT) AS cost
+                FROM part WHERE p_partkey % 101 = 0
+            ), d1 AS (
+                SELECT node, MIN(cost) AS cost FROM (
+                    SELECT node, cost FROM d0
+                    UNION ALL
+                    SELECT e.dst AS node, d.cost + e.w AS cost
+                    FROM d0 d JOIN edges e ON e.src = d.node
+                ) GROUP BY node
+            ), d2 AS (
+                SELECT node, MIN(cost) AS cost FROM (
+                    SELECT node, cost FROM d1
+                    UNION ALL
+                    SELECT e.dst AS node, d.cost + e.w AS cost
+                    FROM d1 d JOIN edges e ON e.src = d.node
+                ) GROUP BY node
+            ), d3 AS (
+                SELECT node, MIN(cost) AS cost FROM (
+                    SELECT node, cost FROM d2
+                    UNION ALL
+                    SELECT e.dst AS node, d.cost + e.w AS cost
+                    FROM d2 d JOIN edges e ON e.src = d.node
+                ) GROUP BY node
+            )
+            SELECT node AS p_partkey, CAST(cost AS BIGINT) AS min_cost
+            FROM d3
         """,
     }

@@ -4165,3 +4165,65 @@ def priority_counts_ivm(sf_dir: str):
     # groups retracted to zero leave the view (Z-set support rule)
     return (view.filter(expr="n_orders > 0")
             .sort("o_orderpriority"))
+
+
+def part_copurchase_cheapest(sf_dir: str, max_hops: int = 3,
+                             min_count: int = 2, seed_mod: int = 101):
+    """Hop-bounded WEIGHTED shortest path (min-plus Bellman-Ford) over
+    the co-purchase graph: cheapest total edge cost from the seed parts
+    (``p_partkey % seed_mod == 0``) to every part reachable within
+    ``max_hops`` edges, where traversing an edge of support ``c`` costs
+    ``1_000_000 // c`` (stronger ties are cheaper; integer division
+    keeps every cost exact int64).
+
+    :func:`part_copurchase_hops` is the UNWEIGHTED special case; the
+    weighted relaxation is the genuinely new exchange: each round joins
+    the FULL label set (not just a frontier — a node's cost can improve
+    at any round through a longer-but-cheaper path) with the pinned
+    edge set and folds ``min(cost)``, i.e. exactly the Bellman-Ford
+    recurrence d_k(v) = min(d_{k-1}(v), min_u d_{k-1}(u) + w(u,v)).
+    The oracle mirrors the same recurrence as ``max_hops`` chained
+    CTE rounds — no recursive path enumeration, so it cannot blow up
+    on hub-heavy graphs, and every intermediate is integer-exact."""
+    from ..stages.join import sorted_merge_join
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges_ab = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def both_ways(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        n = b.column("n_copurchase").to_numpy(zero_copy_only=False)
+        w = pa.array(np.concatenate([1_000_000 // n, 1_000_000 // n]),
+                     type=pa.int64())
+        return pa.table({"src": pa.chunked_array([a, c]),
+                         "dst": pa.chunked_array([c, a]),
+                         "w": w})
+
+    edges = edges_ab.map_batches(both_ways, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = part.column("p_partkey").to_numpy()
+    seed_keys = pa.array(pk[pk % seed_mod == 0], type=pa.int64())
+    labels = rd.from_arrow(pa.table({
+        "node": seed_keys,
+        "cost": pa.array(np.zeros(len(seed_keys), dtype=np.int64))}))
+
+    for _ in range(max_hops):
+        relax_in = labels.map_batches(lambda b: pa.table({
+            "src": b.column("node"), "cost": b.column("cost")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cand = sorted_merge_join(relax_in, edges, on="src")
+        cand = cand.map_batches(lambda b: pa.table({
+            "node": b.column("dst"),
+            "cost": pc.add_checked(b.column("cost"), b.column("w"))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        labels = sorted_group_aggregate(labels.union(cand), ["node"],
+                                        [("cost", "min")],
+                                        precombine=True).materialize()
+    return labels.map_batches(lambda b: pa.table({
+        "p_partkey": b.column("node"), "min_cost": b.column("cost")}),
+        batch_format="pyarrow", zero_copy_batch=True)
