@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_part_revenue": relational.disjunctive_part_revenue,
         "part_copurchase_hops": relational.part_copurchase_hops,
         "part_copurchase_cheapest": relational.part_copurchase_cheapest,
+        "events_ab_ztest": relational.events_ab_ztest,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -2475,5 +2476,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS p_partkey, CAST(cost AS BIGINT) AS min_cost
             FROM d3
+        """,
+        "events_ab_ztest": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2 AS variant,
+                       CAST(FLOOR("value" * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), m AS (
+                SELECT event_type, variant,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(cents AS HUGEINT)) AS s,
+                       SUM(CAST(cents AS HUGEINT) * cents) AS q
+                FROM v GROUP BY event_type, variant
+            ), w AS (
+                SELECT a.event_type,
+                       a.n AS n_a, b.n AS n_b,
+                       CAST(a.s AS DOUBLE) / a.n AS mean_a,
+                       CAST(b.s AS DOUBLE) / b.n AS mean_b,
+                       CASE WHEN a.n <= 1 THEN NULL
+                            ELSE CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                                 / CAST(a.n * (CAST(a.n AS HUGEINT) - 1)
+                                        AS DOUBLE) END AS va,
+                       CASE WHEN b.n <= 1 THEN NULL
+                            ELSE CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                                 / CAST(b.n * (CAST(b.n AS HUGEINT) - 1)
+                                        AS DOUBLE) END AS vb
+                FROM m a JOIN m b ON a.event_type = b.event_type
+                WHERE a.variant = 0 AND b.variant = 1
+            )
+            SELECT event_type, n_a, n_b, mean_a, mean_b,
+                   CASE WHEN va IS NULL OR vb IS NULL
+                             OR va / n_a + vb / n_b <= 0 THEN NULL
+                        ELSE (mean_b - mean_a)
+                             / SQRT(va / n_a + vb / n_b) END AS z_score
+            FROM w
         """,
     }

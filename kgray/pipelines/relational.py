@@ -4227,3 +4227,89 @@ def part_copurchase_cheapest(sf_dir: str, max_hops: int = 3,
     return labels.map_batches(lambda b: pa.table({
         "p_partkey": b.column("node"), "min_cost": b.column("cost")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_ab_ztest(sf_dir: str):
+    """Two-sample Welch z-test per event type over a deterministic
+    hash-assigned experiment split (variant = md5(user_id) % 2 — the
+    same engine-portable assignment rule as ``hash_sample``, so a rerun
+    or a different engine computes the identical split).
+
+    The experimentation-analytics shape: exact integer moments
+    (n, Σcents, Σcents²) reduce per (event_type, variant) through the
+    standard decimal128 partial plan; the Welch statistic is finalized
+    driver-side from exact Python ints with the oracle's IEEE step
+    order (cast → divide → add → sqrt → divide), so the z-score is
+    bit-identical to the SQL.  n ≤ 1 on either arm or a zero pooled
+    standard error yields NULL (both sides).  The reduced table is
+    result-sized (n_event_types rows)."""
+    import math
+
+    from ..functions.sampling import _md5_bucket
+    from ..stages.stats import _DEC, _sq_dec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "variant": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=_DEC),
+                "q": pa.array([], type=_DEC)})
+        cents = _cents(batch.column("value")).combine_chunks()
+        var = _md5_bucket(batch.column("user_id").to_pylist(), 2)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "variant": pa.array(var, type=pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "s": pc.cast(cents, _DEC),
+            "q": _sq_dec(cents)})
+        g = t.group_by(["event_type", "variant"],
+                       use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "variant": g.column("variant"),
+                         "n": g.column("n_sum"),
+                         "s": g.column("s_sum"),
+                         "q": g.column("q_sum")})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = sorted_group_aggregate(partials, ["event_type", "variant"],
+                                    [("n", "sum"), ("s", "sum"),
+                                     ("q", "sum")], precombine=False)
+
+    arms = {}
+    for r in merged.take_all():       # result-sized: n_types × 2 rows
+        arms[(r["event_type"], int(r["variant"]))] = (
+            int(r["n"]), int(r["s"]), int(r["q"]))
+
+    def _var(n: int, s: int, q: int):
+        if n <= 1:
+            return None
+        return float(n * q - s * s) / float(n * (n - 1))
+
+    rows = []
+    for et in sorted({k[0] for k in arms}):
+        if (et, 0) not in arms or (et, 1) not in arms:
+            continue
+        na, sa, qa = arms[(et, 0)]
+        nb, sb, qb = arms[(et, 1)]
+        mean_a = float(sa) / float(na)
+        mean_b = float(sb) / float(nb)
+        va, vb = _var(na, sa, qa), _var(nb, sb, qb)
+        if va is None or vb is None or va / float(na) + vb / float(nb) <= 0:
+            z = None
+        else:
+            z = (mean_b - mean_a) / math.sqrt(va / float(na)
+                                              + vb / float(nb))
+        rows.append((et, na, nb, mean_a, mean_b, z))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_a": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_b": pa.array([r[2] for r in rows], type=pa.int64()),
+        "mean_a": pa.array([r[3] for r in rows], type=pa.float64()),
+        "mean_b": pa.array([r[4] for r in rows], type=pa.float64()),
+        "z_score": pa.array([r[5] for r in rows], type=pa.float64())})
