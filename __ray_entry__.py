@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_hops": relational.part_copurchase_hops,
         "part_copurchase_cheapest": relational.part_copurchase_cheapest,
         "events_ab_ztest": relational.events_ab_ztest,
+        "orders_range_checksums": relational.orders_range_checksums,
+        "source_capped_docs": text.source_capped_docs,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -2512,5 +2514,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (mean_b - mean_a)
                              / SQRT(va / n_a + vb / n_b) END AS z_score
             FROM w
+        """,
+        "orders_range_checksums": """
+            WITH fp AS (
+                SELECT o_orderkey // 1000 AS bucket,
+                       CAST(('0x' || substr(md5(
+                           CAST(o_orderkey AS VARCHAR) || '|' ||
+                           CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT) AS VARCHAR) || '|' ||
+                           o_orderpriority), 1, 12)) AS BIGINT) AS f
+                FROM orders
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(f) AS BIGINT) AS fp_sum
+            FROM fp GROUP BY bucket
+        """,
+        "source_capped_docs": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) AS hv
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY hv, doc_id) AS sample_rank
+                FROM h
+            )
+            SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 15
         """,
     }

@@ -4313,3 +4313,52 @@ def events_ab_ztest(sf_dir: str):
         "mean_a": pa.array([r[3] for r in rows], type=pa.float64()),
         "mean_b": pa.array([r[4] for r in rows], type=pa.float64()),
         "z_score": pa.array([r[5] for r in rows], type=pa.float64())})
+
+
+def orders_range_checksums(sf_dir: str, bucket_keys: int = 1000):
+    """Anti-entropy range checksums (the Merkle-tree leaf level of a
+    replication audit): one row per ``o_orderkey // bucket_keys`` range
+    with the row count and the SUM of per-row 48-bit md5 fingerprints
+    of the canonical row encoding ``orderkey|cents|priority``.
+
+    Comparing two replicas (or a table vs its CDC-reconstructed state)
+    then touches only the mismatching ranges instead of every row.  The
+    fingerprint sum is order-independent and exact: 2^48 per row ×
+    ≤ ``bucket_keys`` rows per range (o_orderkey is unique) stays far
+    under int64, and the md5-derived fingerprint matches DuckDB's
+    ``substr(md5(...), 1, 12)`` bitwise, so the checksum itself is
+    engine-portable — the property an anti-entropy protocol needs."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "fp_sum": pa.array([], type=pa.int64())})
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("o_totalprice")).to_numpy(
+            zero_copy_only=False)
+        prio = b.column("o_orderpriority").to_pylist()
+        fp = np.fromiter(
+            (int(hashlib.md5(f"{int(k)}|{int(c)}|{p}".encode())
+                 .hexdigest()[:12], 16)
+             for k, c, p in zip(keys, cents, prio)),
+            dtype=np.int64, count=b.num_rows)
+        t = pa.table({
+            "bucket": pa.array(keys // bucket_keys, type=pa.int64()),
+            "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "fp_sum": pa.array(fp, type=pa.int64())})
+        g = t.group_by("bucket", use_threads=False).aggregate(
+            [("n_rows", "sum"), ("fp_sum", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "n_rows": g.column("n_rows_sum"),
+                         "fp_sum": g.column("fp_sum_sum")})
+
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice",
+                                  "o_orderpriority"])
+    partials = od.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_group_aggregate(partials, ["bucket"],
+                                  [("n_rows", "sum"), ("fp_sum", "sum")],
+                                  precombine=False)

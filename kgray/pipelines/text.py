@@ -1232,3 +1232,21 @@ def chars_zh_auc(sf_dir: str):
     return exact_auc(ds.map_batches(prep, batch_format="pyarrow",
                                     zero_copy_batch=True),
                      score_col="score", label_col="label")
+
+
+def source_capped_docs(sf_dir: str, cap: int = 15):
+    """Domain balancing by ABSOLUTE cap: at most ``cap`` documents per
+    ``source``, chosen by smallest md5(doc_id) — the deterministic
+    reservoir of ``functions/sampling.py:group_sample``.  The cap is
+    the other half of the data-mixing toolkit next to
+    :func:`kgray.functions.sampling.mixture_sample`'s proportional
+    rates: a crawl where one domain contributes 10⁶× the median needs
+    a hard per-domain ceiling, not a global rate.  Output carries the
+    1-based ``sample_rank`` (the row's position in its domain's
+    deterministic order), so downstream stages can tighten the cap
+    without resampling."""
+    from ..functions.sampling import group_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return group_sample(docs, group="source", key_col="doc_id", k=cap)
