@@ -211,21 +211,26 @@ _R3_WINDOW = [
     "bucketed_order_revenue", "nation_pair_volume", "market_share",
     "customer_order_dist", "small_qty_part_revenue",
     "purchase_value_by_engagement", "copurchase_kcore",
-    # as-of / interval / rolling windows
+    # as-of / interval / rolling windows (user_trailing_value rotated
+    # out r3 — rolling family keeps user_rolling_value — for the
+    # weighted-shortest-path exchange)
     "events_asof_orders",
-    "events_recent_order_value", "user_trailing_value",
+    "events_recent_order_value", "part_copurchase_cheapest",
     "user_rolling_value",
     # scan windows (running/lag/lead/rank/first-last)
     "user_running_value", "user_event_gaps", "user_next_event_gap",
     "customer_order_ranks", "customer_order_seq",
     "user_latest_event",
-    # top-k / quantiles / stats
-    "priority_top_orders", "events_value_quantiles",
+    # top-k / quantiles / stats (events_value_quantiles rotated out r3
+    # — quantile family keeps the _cont interpolation variant — for
+    # the Welch z-test)
+    "priority_top_orders", "events_ab_ztest",
     "events_value_quantiles_cont", "type_user_counts",
     "event_value_stats", "lineitem_qty_price_corr", "event_value_moments",
-    # set ops
+    # set ops (purchases_except_views_all rotated out r3 — EXCEPT ALL
+    # family keeps two representatives — for the retraction IVM)
     "users_both_active", "buyers_never_active",
-    "purchases_except_views_all",
+    "priority_counts_ivm",
     # windows/rollups/pivots over the event stream (events_hourly
     # rotated out r3 — driver-green r2 — for the new interval join)
     "purchase_view_attribution", "events_hopping", "events_rollup", "events_cube",
@@ -458,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_ztest": relational.events_ab_ztest,
         "orders_range_checksums": relational.orders_range_checksums,
         "source_capped_docs": text.source_capped_docs,
+        "part_similarity_topk": relational.part_similarity_topk,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -2544,5 +2550,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r WHERE sample_rank <= 15
+        """,
+        "part_similarity_topk": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a AS part_a, b AS part_b, c FROM counted WHERE c >= 2
+                UNION ALL
+                SELECT b AS part_a, a AS part_b, c FROM counted WHERE c >= 2
+            ), deg AS (
+                SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS d
+                FROM lineitem GROUP BY 1
+            ), scored AS (
+                SELECT p.part_a, p.part_b, CAST(p.c AS BIGINT) AS c_ab,
+                       CAST(p.c AS DOUBLE)
+                       / (SQRT(CAST(da.d AS DOUBLE))
+                          * SQRT(CAST(db.d AS DOUBLE))) AS cosine
+                FROM pairs p
+                JOIN deg da ON da.pk = p.part_a
+                JOIN deg db ON db.pk = p.part_b
+            ), r AS (
+                SELECT part_a, part_b, c_ab, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY part_a
+                           ORDER BY cosine DESC, part_b) AS sim_rank
+                FROM scored
+            )
+            SELECT part_a, part_b, c_ab, cosine,
+                   CAST(sim_rank AS BIGINT) AS sim_rank
+            FROM r WHERE sim_rank <= 5
         """,
     }

@@ -4362,3 +4362,72 @@ def orders_range_checksums(sf_dir: str, bucket_keys: int = 1000):
     return sorted_group_aggregate(partials, ["bucket"],
                                   [("n_rows", "sum"), ("fp_sum", "sum")],
                                   precombine=False)
+
+
+def part_similarity_topk(sf_dir: str, k: int = 5, min_count: int = 2):
+    """Item-item collaborative-filtering similarity: for every part,
+    the top-``k`` most similar parts by binary cosine over the
+    order×part bipartite incidence — score(a,b) = c_ab /
+    (√deg_a · √deg_b) with c_ab the co-purchase pair count (support ≥
+    ``min_count``) and deg the part's lineitem count.
+
+    Plan: the shared pair-count exchange (no quadratic self-join),
+    degrees as one small aggregate, two sorted-merge joins to attach
+    both endpoint degrees (scale-safe: the degree table is
+    dimension-sized but never broadcast), the IEEE-mirrored score per
+    row (divide / sqrt are elementwise, so vectorization cannot change
+    the bits), then one grouped_topk exchange.  Ties on equal scores
+    break by part_b ascending — the same total order as the oracle's
+    ROW_NUMBER."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    total = _copurchase_pair_counts(sf_dir)
+    pairs = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        n = b.column("n_copurchase").combine_chunks()
+        return pa.table({"part_a": pa.chunked_array([a, c]),
+                         "part_b": pa.chunked_array([c, a]),
+                         "c_ab": pa.chunked_array([n, n])})
+
+    sym = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    deg = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+        .map_batches(lambda b: pa.table({
+            "part_a": b.column("l_partkey"),
+            "deg_a": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["part_a"], [("deg_a", "sum")]).materialize()
+
+    with_a = sorted_merge_join(sym, deg, on="part_a")
+    deg_b = deg.map_batches(lambda b: pa.table({
+        "part_b": b.column("part_a"), "deg_b": b.column("deg_a")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_ab = sorted_merge_join(with_a, deg_b, on="part_b")
+
+    def score(b: pa.Table) -> pa.Table:
+        c = b.column("c_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        da = b.column("deg_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        db = b.column("deg_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = c / (np.sqrt(da) * np.sqrt(db))
+        return pa.table({"part_a": b.column("part_a"),
+                         "part_b": b.column("part_b"),
+                         "c_ab": b.column("c_ab"),
+                         "cosine": pa.array(s, type=pa.float64())})
+
+    scored = with_ab.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    top = grouped_topk(scored, group="part_a", order_col="cosine",
+                       tiebreak="part_b", k=k, descending=True)
+    return top.map_batches(lambda b: pa.table({
+        "part_a": b.column("part_a"), "part_b": b.column("part_b"),
+        "c_ab": b.column("c_ab"), "cosine": b.column("cosine"),
+        "sim_rank": b.column("rank")}),
+        batch_format="pyarrow", zero_copy_batch=True)
