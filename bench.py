@@ -315,6 +315,16 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.purchase_view_attribution(sf_dir))
     timed("purchase_last_touch",
           lambda: relational.purchase_last_touch(sf_dir))
+    timed("priority_counts_ivm",
+          lambda: relational.priority_counts_ivm(sf_dir))
+    timed("part_copurchase_cheapest",
+          lambda: relational.part_copurchase_cheapest(sf_dir))
+    timed("events_ab_ztest", lambda: relational.events_ab_ztest(sf_dir))
+    timed("orders_range_checksums",
+          lambda: relational.orders_range_checksums(sf_dir))
+    timed("source_capped_docs", lambda: text.source_capped_docs(sf_dir))
+    timed("part_similarity_topk",
+          lambda: relational.part_similarity_topk(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,
