@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_checksums": relational.orders_range_checksums,
         "source_capped_docs": text.source_capped_docs,
         "part_similarity_topk": relational.part_similarity_topk,
+        "weighted_doc_sample": text.weighted_doc_sample,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -2582,5 +2583,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT part_a, part_b, c_ab, cosine,
                    CAST(sim_rank AS BIGINT) AS sim_rank
             FROM r WHERE sim_rank <= 5
+        """,
+        "weighted_doc_sample": """
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) + 1)
+                       / 4294967296.0 AS u
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_chars, LN(u) / n_chars AS es_key FROM h
+            ), r AS (
+                SELECT doc_id, n_chars, es_key,
+                       ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id)
+                           AS sample_rank
+                FROM s
+            )
+            SELECT doc_id, n_chars, es_key,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 100
         """,
     }

@@ -325,6 +325,7 @@ def _run_all_queries(sf_dir: str, timed):
     timed("source_capped_docs", lambda: text.source_capped_docs(sf_dir))
     timed("part_similarity_topk",
           lambda: relational.part_similarity_topk(sf_dir))
+    timed("weighted_doc_sample", lambda: text.weighted_doc_sample(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1250,3 +1250,47 @@ def source_capped_docs(sf_dir: str, cap: int = 15):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source"])
     return group_sample(docs, group="source", key_col="doc_id", k=cap)
+
+
+def weighted_doc_sample(sf_dir: str, k: int = 100):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): the ``k`` documents with the largest key ``ln(u) / w`` where
+    ``u ∈ (0, 1]`` is the deterministic md5(doc_id) uniform and ``w =
+    n_chars`` the weight — each doc's inclusion probability is
+    proportional to its weight, the classic one-pass distributed
+    weighted reservoir (ln(u)/w orders identically to the paper's
+    u^(1/w) and avoids pow).
+
+    Determinism discipline matches ``functions/sampling.py``: u is a
+    pure function of the data (md5, +1 so ln(0) is unreachable), the
+    key is ONE mirrored IEEE expression (exact int→double, libm log,
+    one division — math.log per row, NOT np.log, whose SIMD paths can
+    differ from libm by ULPs), and selection composes the global_topk
+    exchange (each block ships ≤ k survivors; no all-to-all)."""
+    import math as _math
+
+    from ..functions.sampling import _md5_bucket
+    from ..stages.topk import global_topk
+
+    def add_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64()),
+                             "es_key": pa.array([], type=pa.float64())})
+        hv = _md5_bucket(b.column("doc_id").to_pylist(), 1 << 32)
+        w = b.column("n_chars").to_pylist()
+        key = [_math.log((int(h) + 1) / 4294967296.0) / float(ww)
+               for h, ww in zip(hv, w)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": b.column("n_chars"),
+                         "es_key": pa.array(key, type=pa.float64())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    top = global_topk(docs.map_batches(add_key, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      [("es_key", "descending"), ("doc_id", "ascending")],
+                      k)
+    return top.append_column(
+        "sample_rank", pa.array(np.arange(1, top.num_rows + 1,
+                                          dtype=np.int64)))
