@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_capped_docs": text.source_capped_docs,
         "part_similarity_topk": relational.part_similarity_topk,
         "weighted_doc_sample": text.weighted_doc_sample,
+        "events_out_of_order": relational.events_out_of_order,
     }
     assert all(k in q for k in _R3_WINDOW), \
         [k for k in _R3_WINDOW if k not in q]
@@ -2602,5 +2603,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, es_key,
                    CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r WHERE sample_rank <= 100
+        """,
+        "events_out_of_order": """
+            -- arrival sequence = event_id + bounded md5 jitter (the
+            -- generated stream is perfectly time-ordered, so the
+            -- deterministic jitter simulates an out-of-order ingest)
+            WITH a AS (
+                SELECT user_id, event_id,
+                       event_id
+                       + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 200 AS arr,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ), w AS (
+                SELECT user_id, event_id, ts_us,
+                       MAX(ts_us) OVER (
+                           PARTITION BY user_id ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm_us
+                FROM a
+            )
+            SELECT user_id, event_id, ts_us, wm_us,
+                   wm_us - ts_us AS late_us
+            FROM w WHERE ts_us < wm_us
         """,
     }

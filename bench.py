@@ -326,6 +326,8 @@ def _run_all_queries(sf_dir: str, timed):
     timed("part_similarity_topk",
           lambda: relational.part_similarity_topk(sf_dir))
     timed("weighted_doc_sample", lambda: text.weighted_doc_sample(sf_dir))
+    timed("events_out_of_order",
+          lambda: relational.events_out_of_order(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

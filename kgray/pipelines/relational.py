@@ -4431,3 +4431,57 @@ def part_similarity_topk(sf_dir: str, k: int = 5, min_count: int = 2):
         "c_ab": b.column("c_ab"), "cosine": b.column("cosine"),
         "sim_rank": b.column("rank")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_out_of_order(sf_dir: str, jitter: int = 200):
+    """Late-data detection (the watermark primitive of a streaming
+    ingest): per user, an event is LATE when its event time precedes
+    the maximum event time among the user's earlier ARRIVALS.  The
+    synthetic stream is generated perfectly time-ordered (0 late rows
+    — verified), so the arrival sequence simulates a bounded-jitter
+    ingest deterministically: ``arr = event_id + md5(event_id) %
+    jitter`` (ties broken by event_id) — the md5-derived reorder is a
+    pure function of the data, identical across runs and engines, and
+    bounded by ``jitter`` positions, exactly the disorder a watermark
+    with bounded lateness is designed for.
+
+    One ``grouped_running_max`` exchange (exclusive prefix max, one
+    carried scalar per boundary run); output is only the late rows
+    with their watermark and lateness, exact int64 µs."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.scan import grouped_running_max
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "arr": pa.array([], type=pa.int64()),
+                             "ts_us": pa.array([], type=pa.int64())})
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        j = _md5_bucket(eid.tolist(), jitter)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "arr": pa.array(eid + j, type=pa.int64()),
+            "ts_us": pc.cast(b.column("ts"), pa.int64())})
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "event_id", "ts"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    wm = grouped_running_max(ev, "user_id", ["arr", "event_id"], "ts_us",
+                             out_name="wm_us")
+
+    def late(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.less(b.column("ts_us"), b.column("wm_us")),
+                         False)
+        t = b.filter(m)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts_us"),
+            "wm_us": t.column("wm_us"),
+            "late_us": pc.subtract_checked(t.column("wm_us"),
+                                           t.column("ts_us"))})
+
+    return wm.map_batches(late, batch_format="pyarrow",
+                          zero_copy_batch=True)

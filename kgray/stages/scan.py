@@ -633,3 +633,101 @@ def grouped_first_last(ds, key: str, order_cols: list, value_col: str,
     out_refs = [fl_block.remote(r, f, b)
                 for r, f, b in zip(block_refs, fwd, bwd)]
     return rd.from_arrow_refs(out_refs)
+
+
+def grouped_running_max(ds, key: str, order_cols: list, value_col: str,
+                        out_name: str = "prev_max"):
+    """Append ``out_name``: the EXCLUSIVE running int64 max of
+    ``value_col`` within ``key`` ordered by ``order_cols`` — SQL
+    ``MAX(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``; each key's first row gets
+    NULL.  The watermark primitive of late-data detection: with event
+    time as the value and arrival order as the sort, ``v < prev_max``
+    is exactly "arrived behind the watermark".
+
+    Same carry-threading exchange as :func:`grouped_running_sum` (the
+    fold is max instead of sum — still associative, one scalar carried
+    per boundary run); per-run prefix maxes are numpy slices, never a
+    Python loop over rows."""
+    import ray
+    import ray.data as rd
+
+    _MIN = np.iinfo(np.int64).min
+    schema = ds.schema()
+    assert out_name not in schema.names
+    out_cols = list(schema.names) + [out_name]
+    types = dict(zip(schema.names, schema.types))
+    types[out_name] = pa.int64()
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        [key] + list(order_cols)).materialize()
+
+    block_refs = srt.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({c: pa.array([], type=types[c]) for c in out_cols}))
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        if t.num_rows == 0 or key not in t.schema.names:
+            return None
+        keys = t.column(key)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = run_starts(keys)
+        first_end = int(starts[1]) if len(starts) > 1 else t.num_rows
+        last_start = int(starts[-1])
+        return (keys[0].as_py(), keys[t.num_rows - 1].as_py(),
+                int(vals[:first_end].max()), int(vals[last_start:].max()))
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    def _same(a, b):
+        return (a is None and b is None) or a == b
+
+    carries = [_MIN] * len(summaries)
+    for j, sj in enumerate(summaries):
+        if sj is None:
+            continue
+        first_key = sj[0]
+        acc = _MIN
+        for i in range(j - 1, -1, -1):
+            si = summaries[i]
+            if si is None:
+                continue
+            i_first, i_last, i_first_max, i_last_max = si
+            if not _same(i_last, first_key):
+                break
+            if _same(i_first, i_last):
+                acc = max(acc, i_first_max)
+                continue                 # run may extend further back
+            acc = max(acc, i_last_max)
+            break
+        carries[j] = acc
+
+    @ray.remote
+    def scan_block(t: pa.Table, carry: int):
+        if t.num_rows == 0 or key not in t.schema.names:
+            return pa.table({c: pa.array([], type=types[c])
+                             for c in out_cols})
+        vals = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = run_starts(t.column(key))
+        bounds = np.r_[starts, t.num_rows]
+        prev = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(len(starts)):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            prev[s] = _MIN
+            if e - s > 1:
+                prev[s + 1:e] = np.maximum.accumulate(vals[s:e - 1])
+        first_end = int(starts[1]) if len(starts) > 1 else t.num_rows
+        prev[:first_end] = np.maximum(prev[:first_end], carry)
+        cols = {c: t.column(c) for c in t.schema.names}
+        # _MIN marks "no prior row" → SQL NULL
+        cols[out_name] = pa.array(prev, type=pa.int64(),
+                                  mask=(prev == _MIN))
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [scan_block.remote(r, c) for r, c in zip(block_refs, carries)]
+    return rd.from_arrow_refs(out_refs)

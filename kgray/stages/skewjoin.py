@@ -117,9 +117,14 @@ def skew_split_join(left, right, on: str, hot_threshold: int,
     if not hot_keys:
         return sorted_merge_join(left, right, on=on)
 
-    # pin the right side: it is consumed THREE times below (hot
-    # collect, cold stream, schema probe) and an unpinned derived
-    # right re-executes its whole lineage per consumer (NOTES #61)
+    # pin the right side: it is consumed TWICE below (hot collect,
+    # cold stream) and an unpinned derived right re-executes its whole
+    # lineage per consumer (NOTES #61).  Scale tradeoff: the pin costs
+    # one object-store copy of the right side (spills past memory);
+    # skew_split_join's right is the aggregate/dimension side of a
+    # fact×aggregate join by contract (see purchase_value_by_engagement)
+    # — for a fact-sized right at 100 TB prefer the plain sorted-merge
+    # join, where each side is scanned exactly once.
     right = right.materialize()
     key_type = right.schema().base_schema.field(on).type
     hot_pa = pa.array(hot_keys, type=key_type)
