@@ -98,10 +98,17 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     cluster_id = min node id of the connected component."""
     assert plan in ("auto", "dense", "shuffle")
     pairs = _as_dataset(pairs)
-    if plan != "shuffle":
-        pairs = pairs.materialize()
-        if plan == "dense" or pairs.count() <= _CC_DENSE_MAX_PAIRS:
-            return _cc_dense(pairs, id_a, id_b)
+    if plan == "dense":
+        return _cc_dense(pairs.materialize(), id_a, id_b)
+    if plan == "auto":
+        # early-exit size probe: limit() stops the stream as soon as
+        # threshold+1 rows exist, so an over-threshold input is never
+        # pinned (the shuffle path below pins only the adjacency,
+        # exactly as before the dense plan existed); an under-threshold
+        # input re-executes its (small) lineage once for the pin
+        probe = pairs.limit(_CC_DENSE_MAX_PAIRS + 1).count()
+        if probe <= _CC_DENSE_MAX_PAIRS:
+            return _cc_dense(pairs.materialize(), id_a, id_b)
 
     def to_edges(b: pa.Table) -> pa.Table:
         return pa.table({"a": pc.cast(b.column(id_a), pa.int64()),

@@ -1279,7 +1279,11 @@ def weighted_doc_sample(sf_dir: str, k: int = 100):
                              "es_key": pa.array([], type=pa.float64())})
         hv = _md5_bucket(b.column("doc_id").to_pylist(), 1 << 32)
         w = b.column("n_chars").to_pylist()
-        key = [_math.log((int(h) + 1) / 4294967296.0) / float(ww)
+        # w == 0 → NULL key (the oracle's LN(u)/0 is NULL in DuckDB);
+        # nulls sort last on both sides, so zero-weight docs are never
+        # selected while ≥ k positive-weight docs exist
+        key = [None if not ww else
+               _math.log((int(h) + 1) / 4294967296.0) / float(ww)
                for h, ww in zip(hv, w)]
         return pa.table({"doc_id": b.column("doc_id"),
                          "n_chars": b.column("n_chars"),

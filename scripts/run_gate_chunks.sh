@@ -16,7 +16,7 @@ for ((i=0; i<total; i+=40)); do
   chunk="${arr[@]:i:40}"
   echo "=== chunk starting at $i ==="
   python scripts/check_queries.py /root/testdata/sf0.01 $chunk 2>/dev/null | grep -E "^\[FAIL|failures$|^[0-9]+ failures"
-  s=$?
+  s=${PIPESTATUS[0]}
   if [ $s -ne 0 ]; then rc=1; echo "CHUNK at $i EXIT $s"; fi
 done
 echo "overall rc: $rc"
