@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_sample": text.source_mix_sample,
         "packed_documents": pack.pack_documents,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
+        "jaccard_prefix_pairs": dedup.jaccard_prefix_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup_pairs,
@@ -831,6 +832,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(text)
         """,
         "jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        """,
+        # prefix filtering is exact: the scale path must reproduce the
+        # brute-force oracle bit-for-bit (same SQL as jaccard_pairs)
+        "jaccard_prefix_pairs": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks
                        FROM documents WHERE len(trim(text)) > 0),
             s AS (SELECT doc_id,

@@ -483,6 +483,16 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                                    zero_copy_batch=True).materialize()
     pairs_ds = _bucket_pairs(bands_ds, ["band", "band_hash"],
                              "doc_id", max_bucket=max_bucket).materialize()
+    return _jaccard_verify(pairs_ds, sf_dir, threshold, k, verify)
+
+
+def _jaccard_verify(pairs_ds, sf_dir: str, threshold: float, k: int,
+                    verify: str) -> pa.Table:
+    """Exact shingle-Jaccard verification of candidate ``{id_a, id_b}``
+    pairs (the plan-switched tail shared by :func:`minhash_lsh_pairs`
+    and :func:`jaccard_prefix_pairs`): semi-join-filter the corpus to
+    candidate ids, rebuild their shingle sets, and keep pairs at
+    Jaccard ≥ threshold.  Returns the sorted ``(doc_a, doc_b)`` table."""
     need = _distinct_ids(pairs_ds)
     if not need.size:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
@@ -528,6 +538,130 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
                 if _jaccard_ok(sh_map.get(a, set()), sh_map.get(b, set()))]
     return pa.table({"doc_a": pa.array([a for a, _ in rows], type=pa.int64()),
                      "doc_b": pa.array([b for _, b in rows], type=pa.int64())})
+
+
+def jaccard_prefix_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
+                         verify: str = "auto"):
+    """EXACT all-pairs shingle-Jaccard ≥ threshold via prefix filtering
+    (PPJoin-family, Chaudhuri et al. SSJoin / Xiao et al.) — the scale
+    path with *exact* semantics: same output (and the same SQL oracle)
+    as :func:`jaccard_pairs_bruteforce`, unlike
+    :func:`minhash_lsh_pairs`, whose banding can miss true pairs.
+
+    Prefix law: fix ONE global total order on shingles — document
+    frequency ascending, shingle ascending (rarest first).  A pair at
+    Jaccard ≥ t has |A∩B| ≥ ⌈t·|A|⌉, so if A's first
+    p = |A| − ⌈t·|A|⌉ + 1 shingles miss ALL of A∩B, the ⌈t·|A|⌉
+    common shingles must fit in the remaining ⌈t·|A|⌉ − 1 slots —
+    contradiction.  Hence min(A∩B) sits inside BOTH prefixes and
+    emitting only prefix postings loses no true pair.  ⌈t·L⌉ is
+    computed in exact rational arithmetic on the float's exact value
+    (a float ceil at an integer boundary would shorten the prefix by
+    one and silently drop pairs).
+
+    Plan (all distributed): shingle explode → df aggregate →
+    LARGE×LARGE df join back on shingle (the vocabulary is never
+    broadcast) → sorted-run re-exchange on doc_id → per-run
+    (df, shingle)-ordered prefix → postings (sh_hash, doc_id) →
+    :func:`_bucket_pairs` candidate pairs (max_bucket unbounded:
+    exactness forbids the min-id star; the df-ascending order puts
+    rare shingles in prefixes, so posting lists stay near-singleton —
+    the classic ppjoin bound; a 64-bit sh_hash collision only ADDS
+    candidates, which exact verification discards) →
+    :func:`_jaccard_verify`.  A further refinement (not needed for
+    correctness) would thread |doc| through the postings and skip
+    pairs with min·1.0 < t·max before verification.
+    """
+    from fractions import Fraction
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import polyhash64_batch
+    from ..stages._runs import edge_interior_exchange, edge_mask, nullsafe_sort
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    frac = Fraction(threshold)          # exact rational of the float
+    num, den = frac.numerator, frac.denominator
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        dids, shs = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            if len(toks) < k:
+                continue
+            for s in shingle_set(toks, k):
+                dids.append(did)
+                shs.append(s)
+        return pa.table({"doc_id": pa.array(dids, type=pa.int64()),
+                         "shingle": pa.array(shs, type=pa.string())})
+
+    # consumed twice (df aggregate + join left side): pin the explode
+    rows = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(to_rows, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize())
+
+    df_ds = sorted_group_aggregate(
+        rows.map_batches(lambda b: pa.table({
+            "shingle": b.column("shingle"),
+            "df": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "shingle", [("df", "sum")])
+
+    srt = nullsafe_sort(sorted_merge_join(rows, df_ds, on="shingle"),
+                        ["doc_id"])
+
+    _EMPTY_POST = pa.table({"sh_hash": pa.array([], type=pa.int64()),
+                            "doc_id": pa.array([], type=pa.int64())})
+
+    def _postings(t: pa.Table) -> pa.Table:
+        """Prefix postings of every COMPLETE doc run in ``t``."""
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dfv = t.column("df").to_numpy(zero_copy_only=False)
+        sh = np.asarray(t.column("shingle").to_pylist(), dtype=object)
+        order = np.lexsort((sh, dfv, did))
+        did_o, sh_o = did[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, did_o[1:] != did_o[:-1]])
+        lens = np.diff(np.append(starts, did_o.size))
+        # p = L − ⌈t·L⌉ + 1 in exact ints (one op per RUN, not per row)
+        p = np.array([int(l) - (-((-num * int(l)) // den)) + 1
+                      for l in lens], dtype=np.int64)
+        pos = np.arange(did_o.size) - np.repeat(starts, lens)
+        keep = pos < np.repeat(p, lens)
+        kept = pa.array(sh_o[keep].tolist(), type=pa.string())
+        h = polyhash64_batch(kept).view(np.int64)
+        return pa.table({"sh_hash": pa.array(h, type=pa.int64()),
+                         "doc_id": pa.array(did_o[keep], type=pa.int64())})
+
+    def edge_fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(edge_mask(b.column("doc_id").combine_chunks()))
+
+    def interior_fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_POST
+        m = edge_mask(b.column("doc_id").combine_chunks())
+        interior = b.filter(pc.invert(m))
+        if interior.num_rows == 0:
+            return _EMPTY_POST
+        return _postings(interior)
+
+    def merge(edge_tables) -> pa.Table:
+        # boundary docs' rows, complete by the sorted-run contract;
+        # _postings lexsorts on doc_id itself, no pre-sort needed
+        return _postings(pa.concat_tables(edge_tables))
+
+    postings = edge_interior_exchange(srt, edge_fn, interior_fn,
+                                      merge).materialize()
+    if postings.count() == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    pairs_ds = _bucket_pairs(postings, ["sh_hash"], "doc_id",
+                             max_bucket=1 << 62).materialize()
+    return _jaccard_verify(pairs_ds, sf_dir, threshold, k, verify)
 
 
 # --------------------------------------------------------------------------- simhash

@@ -656,3 +656,27 @@ def test_ann_pq_rerank_recall(ray_session):
         # ranks are 1..k ordered by (dist, neighbor_id)
         assert got.sort_values(["dist", "neighbor_id"]).rank(
             method="first").iloc[:, 1].is_monotonic_increasing
+
+
+def test_jaccard_prefix_matches_bruteforce(ray_session):
+    """Prefix filtering is EXACT: identical pair set to brute force at
+    several thresholds — including t=0.5, where t·L hits integer
+    boundaries (a float ceil there would shorten prefixes by one and
+    silently drop true pairs)."""
+    from kgray.pipelines import dedup
+
+    for t in (0.5, 0.35, 0.8):
+        brute = dedup.jaccard_pairs_bruteforce(SF, threshold=t)
+        pref = dedup.jaccard_prefix_pairs(SF, threshold=t)
+        assert brute.equals(pref), t
+    assert dedup.jaccard_pairs_bruteforce(SF, threshold=0.5).num_rows > 0
+
+
+def test_jaccard_prefix_join_verify_plan(ray_session):
+    """Forced hash-join verification returns the same pairs as the
+    driver-map plan through the new prefix caller."""
+    from kgray.pipelines import dedup
+
+    d = dedup.jaccard_prefix_pairs(SF, threshold=0.5, verify="driver")
+    j = dedup.jaccard_prefix_pairs(SF, threshold=0.5, verify="join")
+    assert d.equals(j)
