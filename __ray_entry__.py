@@ -415,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logline_stats": relational.logline_stats,
         "orders_cdc_latest": relational.orders_cdc_latest,
         "orders_scd2": relational.orders_scd2,
+        "lineitem_scd2_pit": relational.lineitem_scd2_pit,
+        "waiting_suppliers": relational.waiting_suppliers,
         "pareto_orders": relational.pareto_orders,
         "embedding_dim_stats": ann.embedding_dim_stats,
         "user_value_twap": relational.user_value_twap,
@@ -2287,6 +2289,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(valid_to AS BIGINT) AS valid_to, price_cents,
                    (valid_to IS NULL) AS is_current
             FROM closed WHERE op = 'U'
+        """,
+        "lineitem_scd2_pit": """
+            WITH h AS (SELECT o_orderkey, o_totalprice,
+                              CAST(('0x' || substr(md5(CAST(o_orderkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM orders),
+            base AS (SELECT o_orderkey, 0 AS version, 'U' AS op,
+                            CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT) AS price_cents
+                     FROM orders),
+            chg AS (SELECT o_orderkey, 1 AS version,
+                           CASE WHEN hb < 100 THEN 'D' ELSE 'U' END AS op,
+                           CAST(FLOOR((o_totalprice + 10.0) * 100.0 + 0.5)
+                                AS BIGINT) AS price_cents
+                    FROM h WHERE hb < 300),
+            allr AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            closed AS (SELECT *, LEAD(version) OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY version) AS valid_to
+                       FROM allr),
+            dim AS (SELECT o_orderkey, CAST(version AS BIGINT) AS valid_from,
+                           CAST(valid_to AS BIGINT) AS valid_to, price_cents
+                    FROM closed WHERE op = 'U'),
+            f AS (SELECT l_orderkey AS o_orderkey,
+                         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                         CAST(l_linenumber % 2 AS BIGINT) AS v_asof
+                  FROM lineitem)
+            SELECT f.o_orderkey, f.l_linenumber, f.v_asof, d.price_cents
+            FROM f JOIN dim d ON d.o_orderkey = f.o_orderkey
+                AND d.valid_from <= f.v_asof
+                AND (d.valid_to IS NULL OR f.v_asof < d.valid_to)
+        """,
+        "waiting_suppliers": """
+            WITH lo AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(l_shipdate > o_orderdate + INTERVAL 75 DAY
+                            AS BIGINT) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'),
+            ps AS (SELECT l_orderkey, l_suppkey, MAX(late) AS late
+                   FROM lo GROUP BY l_orderkey, l_suppkey),
+            po AS (SELECT l_orderkey,
+                          COUNT(*) AS n_supp,
+                          SUM(late) AS n_late,
+                          MIN(CASE WHEN late = 1 THEN l_suppkey END)
+                              AS late_supp
+                   FROM ps GROUP BY l_orderkey)
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM po JOIN supplier ON s_suppkey = late_supp
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 50
         """,
         "orders_cdc_latest": """
             WITH h AS (SELECT o_orderkey, o_totalprice,

@@ -57,7 +57,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_lineitem_consistency", "user_day_purchase_views",
            "shipping_priority_topk", "late_order_priority_counts",
            "returned_item_revenue", "brand_supplier_counts",
-           "disjunctive_part_revenue", "part_copurchase_hops"]
+           "disjunctive_part_revenue", "part_copurchase_hops",
+           "lineitem_scd2_pit", "waiting_suppliers"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -3686,12 +3687,160 @@ def orders_scd2(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def lineitem_scd2_pit(sf_dir: str):
+    """Point-in-time (temporal) join: each lineitem fact, stamped with
+    the deterministic as-of version ``v_asof = l_linenumber % 2``,
+    picks up the :func:`orders_scd2` dimension row in effect at that
+    version — the standard fact→slowly-changing-dimension enrichment
+    every warehouse load runs.
+
+    Composition (no interval explode, no inequality shuffle join): the
+    LEAD-closed SCD2 dimension → backward as-of join on
+    (o_orderkey, valid_from ≤ v_asof) (``stages/asof.py``, one sorted
+    exchange) → validity filter ``valid_to IS NULL OR v_asof <
+    valid_to``.  A key deleted before v_asof ends with a closed final
+    interval, so its facts drop out — matching the SQL range-join
+    oracle's inner semantics.  At scale this is the cheapest PIT plan:
+    an as-of join ships one carried dim row per (key, block) instead
+    of exploding validity ranges.
+    """
+    from ..stages.asof import asof_join
+
+    dim = orders_scd2(sf_dir).map_batches(
+        lambda b: b.select(["o_orderkey", "valid_from", "valid_to",
+                            "price_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def facts(b: pa.Table) -> pa.Table:
+        ln = pc.cast(b.column("l_linenumber"), pa.int64())
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "l_linenumber": ln,
+            "v_asof": pc.bit_wise_and(ln, pa.scalar(1, type=pa.int64()))})
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_linenumber"])
+          .map_batches(facts, batch_format="pyarrow", zero_copy_batch=True))
+    j = asof_join(li, dim, key="o_orderkey", left_t="v_asof",
+                  right_t="valid_from")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(b.column("price_cents")),
+            pc.fill_null(pc.less(b.column("v_asof"),
+                                 b.column("valid_to")), True))
+        return b.filter(ok).select(
+            ["o_orderkey", "l_linenumber", "v_asof", "price_cents"])
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # Round-3 (resumed session): remaining feasible TPC-H decision-support
 # shapes over the tables this corpus actually has (no partsupp /
-# shipmode / receiptdate columns exist, so Q9/Q11/Q12/Q20/Q21 are out
-# of reach by schema; Q7/Q8/Q13/Q17 below complete the family).
+# shipmode / receiptdate columns exist, so Q9/Q11/Q20 are out of reach
+# by schema; Q7/Q8/Q13/Q17 below complete the family, and
+# waiting_suppliers adapts Q21's EXISTS/NOT-EXISTS shape with
+# late := l_shipdate > o_orderdate + 75 days standing in for the
+# missing receipt/commit dates).
 # --------------------------------------------------------------------------
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 75, k_top: int = 50):
+    """TPC-H Q21 shape adapted to this schema (no receipt/commit dates,
+    so late := l_shipdate > o_orderdate + late_days): suppliers who
+    were the ONLY late supplier in a finished ('F') multi-supplier
+    order, counted per supplier (``numwait``), global top-k.
+
+    The classic EXISTS / NOT-EXISTS pair collapses into one per-order
+    aggregate: ``n_supp > 1`` ⇔ EXISTS another supplier in the order;
+    ``n_late = 1`` with this supplier late ⇔ NOT EXISTS another late
+    supplier.  Plan: lineitem ⋈ finished orders (``auto_join``:
+    broadcast under the row cap, sorted-merge above) → per-(order,
+    supplier) any-late reduce → per-order (n_supp, n_late,
+    conditional-min late supplier via an int64-max sentinel) → filter
+    → per-supplier count → broadcast supplier-name join → total-order
+    top-k (numwait desc, s_name).  Both key exchanges run on
+    already-reduced rows, never the raw lineitem stream.
+    """
+    import pyarrow.dataset as pds
+
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import auto_join
+
+    _SENT = (1 << 62)
+    late_us = late_days * 86_400 * 1_000_000
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "ship_us": pc.cast(b.column("l_shipdate"), pa.int64())})
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+          .map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"],
+                              filter=(pds.field("o_orderstatus") == "F"))
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": b.column("o_orderkey"),
+                  "odate_us": pc.cast(b.column("o_orderdate"), pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    joined = auto_join(li, orders, on="o_orderkey")
+
+    def late_flag(b: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(
+            b.column("ship_us"),
+            pc.add(b.column("odate_us"),
+                   pa.scalar(late_us, type=pa.int64()))), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "late": late})
+
+    per_os = sorted_group_aggregate(
+        joined.map_batches(late_flag, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderkey", "l_suppkey"], [("late", "max")])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        late = b.column("late")
+        is_late = pc.equal(late, pa.scalar(1, type=pa.int64()))
+        supp_if_late = pc.if_else(is_late, b.column("l_suppkey"),
+                                  pa.scalar(_SENT, type=pa.int64()))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "n_supp": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_late": late,
+            "late_supp": supp_if_late})
+
+    per_order = sorted_group_aggregate(
+        per_os.map_batches(order_rows, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderkey"], [("n_supp", "sum"), ("n_late", "sum"),
+                         ("late_supp", "min")])
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b.column("n_supp"), pa.scalar(1)),
+                       pc.equal(b.column("n_late"), pa.scalar(1)))
+        t = b.filter(keep)
+        return pa.table({"s_suppkey": t.column("late_supp"),
+                         "numwait": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    per_supp = sorted_group_aggregate(
+        per_order.map_batches(qualify, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["s_suppkey"], [("numwait", "sum")])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    out = broadcast_join(per_supp, supp, on="s_suppkey")
+    return (out.map_batches(lambda b: b.select(
+        ["s_suppkey", "s_name", "numwait"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(k_top))
 
 
 def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_3",
