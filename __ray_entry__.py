@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2": relational.orders_scd2,
         "lineitem_scd2_pit": relational.lineitem_scd2_pit,
         "waiting_suppliers": relational.waiting_suppliers,
+        "orders_snapshot_diff": relational.orders_snapshot_diff,
         "pareto_orders": relational.pareto_orders,
         "embedding_dim_stats": ann.embedding_dim_stats,
         "user_value_twap": relational.user_value_twap,
@@ -2321,6 +2322,36 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN dim d ON d.o_orderkey = f.o_orderkey
                 AND d.valid_from <= f.v_asof
                 AND (d.valid_to IS NULL OR f.v_asof < d.valid_to)
+        """,
+        "orders_snapshot_diff": """
+            WITH h AS (SELECT o_orderkey, o_totalprice,
+                              CAST(('0x' || substr(md5(CAST(o_orderkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM orders),
+            a AS (SELECT o_orderkey AS key,
+                         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                             AS price_cents_a
+                  FROM orders),
+            b AS (SELECT o_orderkey AS key,
+                         CASE WHEN hb < 300
+                              THEN CAST(FLOOR((o_totalprice + 10.0) * 100.0
+                                              + 0.5) AS BIGINT)
+                              ELSE CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                        AS BIGINT) END AS price_cents_b
+                  FROM h WHERE hb >= 100
+                  UNION ALL
+                  SELECT o_orderkey + 10000000,
+                         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  FROM h WHERE hb >= 900)
+            SELECT COALESCE(a.key, b.key) AS key,
+                   CASE WHEN a.key IS NULL THEN 'added'
+                        WHEN b.key IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   a.price_cents_a, b.price_cents_b
+            FROM a FULL JOIN b ON a.key = b.key
+            WHERE a.key IS NULL OR b.key IS NULL
+               OR a.price_cents_a <> b.price_cents_b
         """,
         "waiting_suppliers": """
             WITH lo AS (

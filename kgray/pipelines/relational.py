@@ -58,7 +58,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "shipping_priority_topk", "late_order_priority_counts",
            "returned_item_revenue", "brand_supplier_counts",
            "disjunctive_part_revenue", "part_copurchase_hops",
-           "lineitem_scd2_pit", "waiting_suppliers"]
+           "lineitem_scd2_pit", "waiting_suppliers",
+           "orders_snapshot_diff"]
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -3745,6 +3746,72 @@ def lineitem_scd2_pit(sf_dir: str):
 # late := l_shipdate > o_orderdate + 75 days standing in for the
 # missing receipt/commit dates).
 # --------------------------------------------------------------------------
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation (data diff): classify every key as
+    ``added`` / ``removed`` / ``changed`` between two deterministic
+    snapshots of the orders table — the regression check a pipeline
+    runs after a backfill or engine migration.
+
+    Snapshot B mutates A by the CDC twin's md5 rules plus inserts:
+    hb < 100 removed, 100 ≤ hb < 300 repriced (+10.00), hb ≥ 900 also
+    cloned to a fresh key (key + 10,000,000).  The diff is ONE
+    full-outer sorted-merge exchange on the key plus a vectorized
+    in-block classify; unchanged keys — the 100 TB bulk — are filtered
+    inside each block and never reach the driver or the output.
+    """
+    from ..functions.sampling import _md5_bucket
+    from ..stages.join import sorted_merge_join
+
+    def snap_a(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("o_orderkey"),
+                         "price_cents_a": _cents(b.column("o_totalprice"))})
+
+    def snap_b(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("o_orderkey").to_pylist(), 1000)
+        kept = b.filter(pa.array(h >= 100))
+        hk = h[h >= 100]
+        repriced = pc.if_else(
+            pa.array((hk >= 100) & (hk < 300)),
+            _cents(pc.add(kept.column("o_totalprice"), pa.scalar(10.0))),
+            _cents(kept.column("o_totalprice")))
+        cloned = b.filter(pa.array(h >= 900))
+        survivors = pa.table({"key": kept.column("o_orderkey"),
+                              "price_cents_b": repriced})
+        inserts = pa.table({
+            "key": pc.add(cloned.column("o_orderkey"),
+                          pa.scalar(10_000_000, type=pa.int64())),
+            "price_cents_b": _cents(cloned.column("o_totalprice"))})
+        return pa.concat_tables([survivors, inserts]).combine_chunks()
+
+    scan = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    a = scan().map_batches(snap_a, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bds = scan().map_batches(snap_b, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    j = sorted_merge_join(a, bds, on="key", how="outer")
+
+    def classify(b: pa.Table) -> pa.Table:
+        pa_, pb = b.column("price_cents_a"), b.column("price_cents_b")
+        added = pc.is_null(pa_)
+        removed = pc.is_null(pb)
+        changed = pc.fill_null(pc.not_equal(pa_, pb), False)
+        keep = pc.or_(pc.or_(added, removed), changed)
+        t = b.filter(keep)
+        ct = pc.if_else(pc.is_null(t.column("price_cents_a")),
+                        pa.scalar("added"),
+                        pc.if_else(pc.is_null(t.column("price_cents_b")),
+                                   pa.scalar("removed"),
+                                   pa.scalar("changed")))
+        return pa.table({"key": t.column("key"),
+                         "change_type": ct,
+                         "price_cents_a": t.column("price_cents_a"),
+                         "price_cents_b": t.column("price_cents_b")})
+
+    return j.map_batches(classify, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def waiting_suppliers(sf_dir: str, late_days: int = 75, k_top: int = 50):

@@ -140,3 +140,20 @@ def test_lineitem_scd2_pit_parity(ray_session, con):
     v1 = li[li["ln"] % 2 == 1]
     v1_deleted = v1["l_orderkey"].isin(set(deleted)).sum()
     assert len(got) == v0 + len(v1) - v1_deleted
+
+
+def test_orders_snapshot_diff_parity(ray_session, con):
+    """Diff parity plus the rule-derived composition: removed = hb<100
+    keys, added = hb>=900 clones, changed = 100<=hb<300 repriced keys —
+    and no key classified twice."""
+    from kgray.pipelines.relational import orders_snapshot_diff
+
+    got = _parity(orders_snapshot_diff, con, "orders_snapshot_diff")
+    hb = con.sql("""
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000 AS hb FROM orders""").df()["hb"]
+    counts = got["change_type"].value_counts()
+    assert counts.get("removed", 0) == (hb < 100).sum()
+    assert counts.get("added", 0) == (hb >= 900).sum()
+    assert counts.get("changed", 0) == ((hb >= 100) & (hb < 300)).sum()
+    assert not got.duplicated(["key"]).any()
