@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hnsw_topk": ann.ann_hnsw_topk,
         "pq_codes": ann.pq_codes,
         "embedding_kmeans": ann.embedding_kmeans,
+        "embedding_pca": ann.embedding_pca,
         "embedding_quantize": ann.embedding_quantize,
         # --- relational surface (SQL-oracled, integer-cents math)
         "pricing_summary": relational.pricing_summary,
@@ -507,7 +508,7 @@ def oracle_sql() -> dict[str, str]:
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
-                     "embedding_kmeans",
+                     "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",

@@ -180,6 +180,7 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.bucketed_order_revenue(sf_dir))
     timed("csv_event_stats", lambda: relational.csv_event_stats(sf_dir))
     timed("embedding_kmeans", lambda: ann.embedding_kmeans(sf_dir))
+    timed("embedding_pca", lambda: ann.embedding_pca(sf_dir))
     timed("part_copurchase_topk",
           lambda: relational.part_copurchase_topk(sf_dir))
     timed("events_value_outliers",

@@ -750,3 +750,100 @@ def ann_hnsw_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
 
     return queries.map_batches(search, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def embedding_pca(sf_dir: str, n_components: int = 2):
+    """Distributed PCA over the embedding column: per-vector projections
+    onto the top principal components — the dimensionality-reduction
+    pass a curation pipeline runs before clustering/visualization.
+
+    Determinism law (same as :func:`embedding_kmeans` / the exact VAR
+    operators): vectors quantize ONCE to fixed-point int64
+    ``q = rint(x * 2^20)``; each batch emits one partial row carrying
+    ``(n, Σq, Σqqᵀ)`` as exact int64 (a batch of ≤2^13 rows × entries
+    ≤2^43 stays far inside int64); the driver folds the block-count-
+    sized partial set in arbitrary-precision Python ints, so the
+    scatter matrix is bit-identical regardless of block arrival order,
+    parallelism, or retries.  The (dim×dim) eigensolve runs once on the
+    driver — dim is 64, the matrix is tiny; components take the
+    canonical sign (largest-|coordinate| entry positive, first index on
+    ties) and order by eigenvalue descending (index ascending on exact
+    ties).
+
+    The projection pass is ALSO exact-integer per row:
+    ``y_q = q · Wq`` with ``Wq = rint(W * 2^20)`` (≤2^46 per dot), so
+    per-row outputs cannot drift with batch shape (a float dgemm's
+    accumulation blocking is not guaranteed batch-size-invariant);
+    the final float is one scalar multiply + subtract of the
+    driver-computed mean offset per cell.
+
+    Output: one row per vector — (vec_id, pc_1..pc_k as float64).
+    """
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        X = list_col_matrix(b.column("embedding"))
+        q = np.rint(X * _KM_SCALE).astype(np.int64)
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "q": matrix_to_list_col(q, pa.int64())})
+
+    qds = raw.map_batches(quantize, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def scatter_partial(b: pa.Table) -> pa.Table:
+        Q = list_col_matrix(b.column("q"), dtype=np.int64)
+        s = Q.sum(axis=0, dtype=np.int64)
+        ss = (Q.T @ Q).reshape(-1)            # int64 exact at batch size
+        return pa.table({
+            "n": pa.array([b.num_rows], type=pa.int64()),
+            "s": matrix_to_list_col(s[None, :], pa.int64()),
+            "ss": matrix_to_list_col(ss[None, :], pa.int64())})
+
+    parts = [t for t in ray.get(
+        qds.map_batches(scatter_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    dim = len(parts[0]["s"][0])
+    n = sum(int(x) for t in parts for x in t["n"].to_pylist())
+    s = [0] * dim
+    ss = [0] * (dim * dim)
+    for t in parts:
+        for row in t["s"].to_pylist():
+            s = [a + int(v) for a, v in zip(s, row)]
+        for row in t["ss"].to_pylist():
+            ss = [a + int(v) for a, v in zip(ss, row)]
+
+    # cov from exact ints (one float conversion per cell, n-1 divisor)
+    S = np.array(ss, dtype=np.float64).reshape(dim, dim)
+    sv = np.array(s, dtype=np.float64)
+    cov = (S - np.outer(sv, sv) / n) / ((n - 1) * float(_KM_SCALE) ** 2)
+    evals, evecs = np.linalg.eigh(cov)            # ascending
+    order = np.argsort(-evals, kind="stable")
+    W = evecs[:, order[:n_components]]
+    for c in range(W.shape[1]):                   # canonical sign
+        j = int(np.argmax(np.abs(W[:, c])))
+        if W[j, c] < 0:
+            W[:, c] = -W[:, c]
+    Wq = np.rint(W * _KM_SCALE).astype(np.int64)
+    mu = sv / n                                    # in quantized units
+    # driver-computed per-component centering offset, float64
+    off = (mu @ Wq.astype(np.float64)) / (float(_KM_SCALE) ** 2)
+    wq_ref = ray.put(Wq)
+    off_ref = ray.put(off)
+    inv = 1.0 / (float(_KM_SCALE) ** 2)
+
+    def project(b: pa.Table) -> pa.Table:
+        Wq_ = ray.get(wq_ref)
+        off_ = ray.get(off_ref)
+        Q = list_col_matrix(b.column("q"), dtype=np.int64)
+        Yq = Q @ Wq_                               # exact int64 per cell
+        cols = {"vec_id": b.column("vec_id")}
+        for c in range(Wq_.shape[1]):
+            cols[f"pc_{c + 1}"] = pa.array(
+                Yq[:, c].astype(np.float64) * inv - off_[c],
+                type=pa.float64())
+        return pa.table(cols)
+
+    return qds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -39,6 +39,7 @@ FIXTURE_QUERIES = [
     "extract_invariant", "kg_entities", "binary_features",
     "winnowing_fingerprints", "minhash_lsh_pairs", "simhash_pairs",
     "embedding_lsh_pairs", "ann_ivf_topk", "embedding_kmeans",
+    "embedding_pca",
     "ann_pq_topk", "pq_codes",
     "neardup_clusters",
     "event_user_distinct_hll", "entity_pagerank",

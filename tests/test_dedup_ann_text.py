@@ -680,3 +680,68 @@ def test_jaccard_prefix_join_verify_plan(ray_session):
     d = dedup.jaccard_prefix_pairs(SF, threshold=0.5, verify="driver")
     j = dedup.jaccard_prefix_pairs(SF, threshold=0.5, verify="join")
     assert d.equals(j)
+
+
+def test_embedding_pca_matches_serial_oracle(ray_session):
+    """embedding_pca must equal a serial replay of its own exact
+    integer law bit-for-bit (quantize -> exact int64 scatter -> driver
+    eigh -> quantized-component integer projection), and the float
+    result must agree with a plain float64 PCA to the documented
+    2^-20 component-quantization tolerance."""
+    import pyarrow.parquet as pq
+
+    from kgray.functions.veccol import list_col_matrix
+    from kgray.pipelines.ann import _KM_SCALE, embedding_pca
+
+    got = embedding_pca(SF, n_components=2).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    X = list_col_matrix(tbl.column("embedding"))[order]
+    ids = ids[order]
+    q = np.rint(X * _KM_SCALE).astype(np.int64)
+
+    # serial replay of the exact-int law (arbitrary-precision sums)
+    n, dim = q.shape
+    s = q.sum(axis=0, dtype=object)
+    ss = np.empty((dim, dim), dtype=object)
+    qo = q.astype(object)
+    for i in range(dim):
+        ss[i] = (qo[:, i][:, None] * qo).sum(axis=0)
+    S = ss.astype(np.float64)
+    sv = s.astype(np.float64)
+    cov = (S - np.outer(sv, sv) / n) / ((n - 1) * float(_KM_SCALE) ** 2)
+    evals, evecs = np.linalg.eigh(cov)
+    o = np.argsort(-evals, kind="stable")
+    W = evecs[:, o[:2]]
+    for c in range(2):
+        j = int(np.argmax(np.abs(W[:, c])))
+        if W[j, c] < 0:
+            W[:, c] = -W[:, c]
+    Wq = np.rint(W * _KM_SCALE).astype(np.int64)
+    off = (sv / n) @ Wq.astype(np.float64) / (float(_KM_SCALE) ** 2)
+    inv = 1.0 / (float(_KM_SCALE) ** 2)
+    Y = (q @ Wq).astype(np.float64) * inv - off
+
+    assert got.vec_id.tolist() == ids.tolist()
+    # bitwise: the distributed path runs the identical integer ops
+    assert got.pc_1.to_numpy().tolist() == Y[:, 0].tolist()
+    assert got.pc_2.to_numpy().tolist() == Y[:, 1].tolist()
+
+    # agreement with an unquantized float64 PCA within the grid bound
+    Xc = X - X.mean(axis=0)
+    covf = Xc.T @ Xc / (n - 1)
+    ef, Vf = np.linalg.eigh(covf)
+    of = np.argsort(-ef, kind="stable")
+    Wf = Vf[:, of[:2]]
+    for c in range(2):
+        j = int(np.argmax(np.abs(Wf[:, c])))
+        if Wf[j, c] < 0:
+            Wf[:, c] = -Wf[:, c]
+    Yf = Xc @ Wf
+    assert np.abs(got[["pc_1", "pc_2"]].to_numpy() - Yf).max() < 1e-4
+    # components actually separate variance: pc_1 var > pc_2 var
+    assert got.pc_1.var() > got.pc_2.var()
