@@ -463,6 +463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         "brand_supplier_counts": relational.brand_supplier_counts,
         "disjunctive_part_revenue": relational.disjunctive_part_revenue,
+        # --- r3 s3: Q9/Q2 shapes + PERCENT_RANK/CUME_DIST windows
+        "nation_year_profit": relational.nation_year_profit,
+        "top_part_supplier": relational.top_part_supplier,
+        "order_value_percent_rank": relational.order_value_percent_rank,
         "part_copurchase_hops": relational.part_copurchase_hops,
         "part_copurchase_cheapest": relational.part_copurchase_cheapest,
         "events_ab_ztest": relational.events_ab_ztest,
@@ -2523,6 +2527,53 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#13' AND p.p_size <= 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "nation_year_profit": """
+            WITH rev AS (
+                SELECT n.n_name,
+                       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE p.p_name LIKE '%gear%'
+            )
+            SELECT n_name, o_year,
+                   CAST(SUM(cents) AS BIGINT) AS profit_cents
+            FROM rev GROUP BY n_name, o_year
+        """,
+        "top_part_supplier": """
+            WITH totals AS (
+                SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice
+                            * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS total_cents
+                FROM lineitem
+                WHERE l_partkey IN
+                      (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY total_cents DESC, s_suppkey) AS rn
+                FROM totals
+            )
+            SELECT r.p_partkey, p.p_name, r.s_suppkey, s.s_name,
+                   r.total_cents
+            FROM r JOIN part p ON r.p_partkey = p.p_partkey
+                   JOIN supplier s ON r.s_suppkey = s.s_suppkey
+            WHERE rn = 1
+        """,
+        "order_value_percent_rank": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) AS cume_dist
+            FROM orders
         """,
         "part_copurchase_hops": """
             WITH RECURSIVE counted AS (

@@ -307,6 +307,12 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.brand_supplier_counts(sf_dir))
     timed("disjunctive_part_revenue",
           lambda: relational.disjunctive_part_revenue(sf_dir))
+    timed("nation_year_profit",
+          lambda: relational.nation_year_profit(sf_dir))
+    timed("top_part_supplier",
+          lambda: relational.top_part_supplier(sf_dir))
+    timed("order_value_percent_rank",
+          lambda: relational.order_value_percent_rank(sf_dir))
     timed("part_copurchase_hops",
           lambda: relational.part_copurchase_hops(sf_dir))
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))

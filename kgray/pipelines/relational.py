@@ -4701,3 +4701,177 @@ def events_out_of_order(sf_dir: str, jitter: int = 200):
 
     return wm.map_batches(late, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def nation_year_profit(sf_dir: str, pattern: str = "gear"):
+    """TPC-H Q9-shaped: revenue by supplier nation and order year for
+    lineitems of parts whose name contains ``pattern`` (the testdata
+    stand-in for Q9's profit expression — no partsupp/supplycost table
+    exists, so profit reduces to discounted revenue).
+
+    Plan: the part filter runs driver-side over the catalogue's two
+    needed columns and ships as a broadcast ``is_in`` mask — lineitems
+    of non-matching parts never enter any exchange; lineitem⋈orders
+    (the only fact×fact hop) is a shuffle sorted-merge join; the
+    supplier→nation map and nation names broadcast.  Revenue is exact
+    integer cents; year extraction is mirrored by the oracle's
+    EXTRACT."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.join import sorted_merge_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    keep = part.filter(pc.match_substring(part.column("p_name"), pattern))
+    keep_keys = pa.array(sorted(keep.column("p_partkey").to_pylist()),
+                         type=pa.int64())
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("l_partkey"), value_set=keep_keys)
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "profit_cents": _cents(rev)})
+
+    line = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"])
+            .map_batches(prep_line, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                                           pa.int64())})
+
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"])
+              .map_batches(prep_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    joined = sorted_merge_join(line, orders, on="o_orderkey")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    sn = supp.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+    sn = sn.select(["s_suppkey", "n_name"]).rename_columns(
+        ["l_suppkey", "n_name"])
+    named = broadcast_join(joined.drop_columns(["o_orderkey"]), sn,
+                           on="l_suppkey")
+    return sorted_group_aggregate(
+        named.drop_columns(["l_suppkey"]), ["n_name", "o_year"],
+        [("profit_cents", "sum")])
+
+
+def top_part_supplier(sf_dir: str, part_type: str = "SMALL"):
+    """TPC-H Q2-shaped groupwise-argmin: for every part of
+    ``part_type``, the single supplier with the highest shipped revenue
+    for that part (ties broken by the lower suppkey), with part and
+    supplier names attached.
+
+    Plan: the (partkey, suppkey) revenue totals are the only fact-sized
+    exchange (map-side precombine shrinks it); the per-part winner is a
+    ``grouped_topk`` k=1 on the REDUCED totals table — never a
+    self-join back against lineitem (the classic Q2 correlated-subquery
+    trap); part/supplier attributes broadcast."""
+    from ..stages.broadcast import broadcast_join
+    from ..stages.topk import grouped_topk
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_type"])
+    keep = part.filter(pc.equal(part.column("p_type"), pa.scalar(part_type)))
+    keep_keys = pa.array(sorted(keep.column("p_partkey").to_pylist()),
+                         type=pa.int64())
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("l_partkey"), value_set=keep_keys)
+        t = b.filter(pc.fill_null(m, False))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"p_partkey": t.column("l_partkey"),
+                         "s_suppkey": t.column("l_suppkey"),
+                         "total_cents": _cents(rev)})
+
+    totals = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey", "s_suppkey"], [("total_cents", "sum")])
+    winners = grouped_topk(totals, "p_partkey", "total_cents",
+                           "s_suppkey", k=1).drop_columns(["rank"])
+
+    named = broadcast_join(winners,
+                           keep.select(["p_partkey", "p_name"]),
+                           on="p_partkey")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    return broadcast_join(named, supp, on="s_suppkey").select_columns(
+        ["p_partkey", "p_name", "s_suppkey", "s_name", "total_cents"])
+
+
+def order_value_percent_rank(sf_dir: str):
+    """SQL ``PERCENT_RANK()`` / ``CUME_DIST()`` over order value within
+    each order priority — one row per order.
+
+    Plan: ranks are computed on the REDUCED distinct-(priority, value)
+    table, never per row: peer counts come from one streaming
+    aggregate, count-≤ from a running sum over the distinct values
+    (carry exchange), and group sizes from a 5-row broadcast; orders
+    then join back on the composite (priority, value) key — equal
+    values share one rank row, so the join's right side is
+    distinct-sized.  Division happens operand-for-operand as the
+    oracle does it (small-int doubles, exact)."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.scan import grouped_running_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "o_totalprice": b.column("o_totalprice"),
+                         "one": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64))})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority",
+                                      "o_totalprice"])
+    peers = sorted_group_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority", "o_totalprice"], [("one", "sum")])
+    cum = grouped_running_sum(peers, "o_orderpriority", ["o_totalprice"],
+                              "one", out_name="n_le")
+
+    # group sizes from their own one-pass scan (5 rows out) — reading
+    # orders again is cheaper than re-executing the peers exchange,
+    # which grouped_running_sum above already consumes
+    sizes = {r["o_orderpriority"]: int(r["one"]) for r in
+             sorted_group_aggregate(
+                 orders.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .drop_columns(["o_totalprice"]),
+                 ["o_orderpriority"], [("one", "sum")]).take_all()}
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "o_totalprice": pa.array([], pa.float64()),
+                             "pct_rank": pa.array([], pa.float64()),
+                             "cume_dist": pa.array([], pa.float64())})
+        prio = b.column("o_orderpriority").to_pylist()
+        n_le = b.column("n_le").to_numpy(zero_copy_only=False)
+        peer = b.column("one").to_numpy(zero_copy_only=False)
+        n = np.array([sizes[p] for p in prio], dtype=np.int64)
+        rank = n_le - peer + 1
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "o_totalprice": b.column("o_totalprice"),
+                         "pct_rank": pa.array(pct, type=pa.float64()),
+                         "cume_dist": pa.array(n_le / n,
+                                               type=pa.float64())})
+
+    dist = cum.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return sorted_merge_join(orders, dist,
+                             on=["o_orderpriority", "o_totalprice"])

@@ -157,3 +157,52 @@ def test_orders_snapshot_diff_parity(ray_session, con):
     assert counts.get("added", 0) == (hb >= 900).sum()
     assert counts.get("changed", 0) == ((hb >= 100) & (hb < 300)).sum()
     assert not got.duplicated(["key"]).any()
+
+
+def test_nation_year_profit_parity(ray_session, con):
+    """Q9 shape at sf0.001 — every (nation, year) cell bitwise, plus
+    the grouping is genuinely two-dimensional (multiple years per
+    nation)."""
+    from kgray.pipelines.relational import nation_year_profit
+
+    _parity(lambda sf: nation_year_profit(sf), con, "nation_year_profit")
+    got = _to_pandas(nation_year_profit(SF))
+    assert got.groupby("n_name")["o_year"].nunique().max() > 1
+
+
+def test_top_part_supplier_parity(ray_session, con):
+    """Q2 groupwise-argmax shape: one winner per qualifying part, max
+    total with the lower-suppkey tiebreak."""
+    from kgray.pipelines.relational import top_part_supplier
+
+    _parity(lambda sf: top_part_supplier(sf), con, "top_part_supplier")
+    got = _to_pandas(top_part_supplier(SF))
+    assert got.p_partkey.is_unique and len(got) > 0
+
+
+def test_order_value_percent_rank_parity(ray_session, con):
+    """PERCENT_RANK/CUME_DIST parity incl. the n=1 group and tied
+    values (peers must share both statistics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.relational import order_value_percent_rank
+
+    _parity(lambda sf: order_value_percent_rank(sf), con,
+            "order_value_percent_rank")
+
+    # synthetic: a singleton group and a fully-tied group
+    tmp = "/tmp/kgray_pctrank_edge"
+    import os
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "o_orderpriority": pa.array(["solo", "tied", "tied", "tied", "mix"]),
+        "o_totalprice": pa.array([9.0, 5.0, 5.0, 5.0, 1.0]),
+    }), f"{tmp}/orders.parquet")
+    got = _to_pandas(order_value_percent_rank(tmp)) \
+        .sort_values("o_orderkey", ignore_index=True)
+    assert got.loc[0, "pct_rank"] == 0.0 and got.loc[0, "cume_dist"] == 1.0
+    assert (got.loc[1:3, "pct_rank"] == 0.0).all()
+    assert (got.loc[1:3, "cume_dist"] == 1.0).all()
