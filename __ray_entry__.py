@@ -211,16 +211,20 @@ _R3_WINDOW = [
     "bucketed_order_revenue", "nation_pair_volume", "market_share",
     "customer_order_dist", "small_qty_part_revenue",
     "purchase_value_by_engagement", "copurchase_kcore",
+    "nation_year_profit",
     # as-of / interval / rolling windows (user_trailing_value rotated
     # out r3 — rolling family keeps user_rolling_value — for the
     # weighted-shortest-path exchange)
     "events_asof_orders",
     "events_recent_order_value", "part_copurchase_cheapest",
     "user_rolling_value",
-    # scan windows (running/lag/lead/rank/first-last)
+    # scan windows (running/lag/lead/rank/first-last; user_latest_event
+    # and customer_order_seq rotated out r3-s3 — both r2-green, family
+    # kept by customer_order_ranks/user_running_value — for the Q9
+    # five-table join and the PERCENT_RANK/CUME_DIST distinct-level
+    # rank exchange)
     "user_running_value", "user_event_gaps", "user_next_event_gap",
-    "customer_order_ranks", "customer_order_seq",
-    "user_latest_event",
+    "customer_order_ranks", "order_value_percent_rank",
     # top-k / quantiles / stats (events_value_quantiles rotated out r3
     # — quantile family keeps the _cont interpolation variant — for
     # the Welch z-test)
