@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_profit": relational.nation_year_profit,
         "top_part_supplier": relational.top_part_supplier,
         "order_value_percent_rank": relational.order_value_percent_rank,
+        "events_user_time_rect": relational.events_user_time_rect,
         "part_copurchase_hops": relational.part_copurchase_hops,
         "part_copurchase_cheapest": relational.part_copurchase_cheapest,
         "events_ab_ztest": relational.events_ab_ztest,
@@ -2570,6 +2571,15 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN part p ON r.p_partkey = p.p_partkey
                    JOIN supplier s ON r.s_suppkey = s.s_suppkey
             WHERE rn = 1
+        """,
+        "events_user_time_rect": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COALESCE(SUM(CAST(FLOOR(value * 100.0 + 0.5)
+                        AS BIGINT)), 0) AS BIGINT) AS sum_value_cents
+            FROM events
+            WHERE user_id BETWEEN 30 AND 59
+              AND ts >= TIMESTAMP '2024-01-10'
+              AND ts <  TIMESTAMP '2024-01-17'
         """,
         "order_value_percent_rank": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,

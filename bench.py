@@ -313,6 +313,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.top_part_supplier(sf_dir))
     timed("order_value_percent_rank",
           lambda: relational.order_value_percent_rank(sf_dir))
+    timed("events_user_time_rect",
+          lambda: relational.events_user_time_rect(sf_dir))
     timed("part_copurchase_hops",
           lambda: relational.part_copurchase_hops(sf_dir))
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))

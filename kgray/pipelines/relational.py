@@ -4875,3 +4875,69 @@ def order_value_percent_rank(sf_dir: str):
                            zero_copy_batch=True)
     return sorted_merge_join(orders, dist,
                              on=["o_orderpriority", "o_totalprice"])
+
+
+def events_user_time_rect(sf_dir: str, user_lo: int = 30, user_hi: int = 59,
+                          ts_lo: str = "2024-01-10",
+                          ts_hi: str = "2024-01-17"):
+    """Rectangle query over the event stream — (user band × time band)
+    — served from a Z-ORDER layout: events are laid out once sorted by
+    the morton interleave of (user_id, ts_us), so every file's footer
+    min/max is tight on BOTH dimensions and the rectangle prunes at
+    file granularity in each (``stages/layout.py:write_zorder_layout``;
+    the prune is asserted by test, and a plain single-column range
+    layout demonstrably cannot prune the second dimension).  Same
+    atomic-rename + content-fingerprint cache discipline as
+    ``orders_price_band``.  Output: exact event count + value cents
+    sum over the rectangle."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..stages.layout import read_zrect, write_zorder_layout
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:10]
+    out = f"/tmp/kgray_zorder/events_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        src = (rd.read_parquet(src_path,
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+               .map_batches(lambda b: pa.table({
+                   "event_id": b.column("event_id"),
+                   "user_id": b.column("user_id"),
+                   "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                   "value_cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .repartition(16))
+        write_zorder_layout(src, ["user_id", "ts_us"], tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+
+    lo_us = int(pd.Timestamp(ts_lo).value // 1000)
+    hi_us = int(pd.Timestamp(ts_hi).value // 1000) - 1   # closed band
+    rect = read_zrect(out, {"user_id": (user_lo, user_hi),
+                            "ts_us": (lo_us, hi_us)})
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_events": pa.array([b.num_rows], type=pa.int64()),
+            "sum_value_cents": pa.array(
+                [pc.sum(b.column("value_cents")).as_py() or 0],
+                type=pa.int64())})
+
+    parts = rect.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    return pa.table({
+        "n_events": pa.array([sum(r["n_events"] for r in parts)],
+                             type=pa.int64()),
+        "sum_value_cents": pa.array(
+            [sum(r["sum_value_cents"] for r in parts)],
+            type=pa.int64())})
