@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_splits": text.doc_splits,
         "unigram_logprob": text.unigram_logprob,
         "bigram_logprob": text.bigram_logprob,
+        "bigram_kn_logprob": text.bigram_kn_logprob,
         "decontaminate": text.decontaminate,
         "pii_scrub": text.pii_scrub,
         "entity_pagerank": lambda sf: __import__(
@@ -670,6 +671,37 @@ def oracle_sql() -> dict[str, str]:
                                                / CAST(c1 AS DOUBLE)) * 1e6)
                                       AS BIGINT) AS c
                   FROM tf JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1))
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(c) AS BIGINT) AS logprob_micronats,
+                   CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                       AS avg_logprob_micronats
+            FROM s GROUP BY doc_id
+        """,
+        "bigram_kn_logprob": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+            tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM b GROUP BY 1, 2, 3),
+            cnt2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+                     FROM tf GROUP BY 1, 2),
+            cnt1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                            CAST(COUNT(*) AS BIGINT) AS n1p
+                     FROM cnt2 GROUP BY 1),
+            cw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc
+                    FROM cnt2 GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM cnt2),
+            s AS (SELECT tf.doc_id, tf.tf,
+                         tf.tf * CAST(FLOOR(ln(
+                             (GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                              / CAST(c1 AS DOUBLE))
+                             + ((0.75 * CAST(n1p AS DOUBLE))
+                                / CAST(c1 AS DOUBLE))
+                               * (CAST(nc AS DOUBLE) / CAST(tt AS DOUBLE))
+                         ) * 1e6) AS BIGINT) AS c
+                  FROM tf JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+                          JOIN cw2 USING (w2) CROSS JOIN tot)
             SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
                    CAST(SUM(c) AS BIGINT) AS logprob_micronats,
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)

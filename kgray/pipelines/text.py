@@ -19,7 +19,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["read_documents", "token_stats", "quality_scores", "lang_id", "bigram_logprob",
+__all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
+           "bigram_logprob", "bigram_kn_logprob",
            "chunk_documents", "token_fuzzy_pairs_d2",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
@@ -1298,3 +1299,122 @@ def weighted_doc_sample(sf_dir: str, k: int = 100):
     return top.append_column(
         "sample_rank", pa.array(np.arange(1, top.num_rows + 1,
                                           dtype=np.int64)))
+
+
+def bigram_kn_logprob(sf_dir: str, discount: float = 0.75):
+    """Per-document average INTERPOLATED KNESER-NEY bigram
+    log-probability — the standard smoothed n-gram LM (Kneser & Ney
+    1995; KenLM's default) whose continuation probability separates
+    "common word" from "word that starts many contexts":
+
+        P(w2|w1) = max(c12 − D, 0)/c1  +  (D·N1+(w1·)/c1) · Pcont(w2)
+        Pcont(w2) = N1+(·w2) / T
+
+    with D = ``discount``, N1+(w1·)/N1+(·w2) the distinct-successor /
+    distinct-predecessor type counts and T the total bigram type count.
+
+    Exactness discipline (same as :func:`bigram_logprob`): every
+    per-bigram probability is a pure function of FIVE integers
+    (c12, c1, n1p, nc, T) — the float expression is composed
+    operand-for-operand as the oracle writes it, ``math.log`` (libm ==
+    DuckDB ``ln`` bitwise) evaluates once per DISTINCT tuple, and docs
+    accumulate order-independent integer micro-nats.
+
+    Distribution: all model tables derive from the reduced bigram-type
+    table (vocab²-sized, never broadcast); scoring is three
+    large×large sorted-merge joins — composite (w1,w2), then w1, then
+    w2; T is the only driver scalar."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, w1s, w2s, tfs = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            for (a, b), n in Counter(zip(toks, toks[1:])).items():
+                doc_ids.append(d)
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "w1": pa.array(w1s, type=pa.string()),
+                         "w2": pa.array(w2s, type=pa.string()),
+                         "tf": pa.array(tfs, type=pa.int64())})
+
+    tf_ds = (read_documents(sf_dir)
+             .map_batches(tf_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+
+    cnt2 = sorted_group_aggregate(
+        tf_ds.map_batches(lambda b: pa.table({
+            "w1": b.column("w1"), "w2": b.column("w2"),
+            "c12": b.column("tf")}), batch_format="pyarrow"),
+        ["w1", "w2"], [("c12", "sum")]).materialize()
+
+    def with_one(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(
+            np.ones(b.num_rows, dtype=np.int64)))
+
+    typed = cnt2.map_batches(with_one, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cnt1 = sorted_group_aggregate(
+        typed.map_batches(lambda b: pa.table({
+            "w1": b.column("w1"), "c1": b.column("c12"),
+            "n1p": b.column("one")}), batch_format="pyarrow"),
+        "w1", [("c1", "sum"), ("n1p", "sum")]).materialize()
+    cntw2 = sorted_group_aggregate(
+        typed.map_batches(lambda b: pa.table({
+            "w2": b.column("w2"), "nc": b.column("one")}),
+            batch_format="pyarrow"),
+        "w2", [("nc", "sum")])
+
+    # T = total bigram types — fold reduced-table partials; cnt1 is
+    # pinned, so the second consumption costs no recompute
+    T = sum(r["n"] for r in cnt1.map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [int(pc.sum(b.column("n1p")).as_py() or 0)],
+            type=pa.int64())}), batch_format="pyarrow").take_all())
+
+    joined = sorted_merge_join(tf_ds, cnt2, on=["w1", "w2"])
+    joined = sorted_merge_join(joined, cnt1, on="w1")
+    joined = sorted_merge_join(joined.drop_columns(["w1"]), cntw2,
+                               on="w2")
+
+    D = float(discount)
+    Tf = float(T)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        cols = np.stack([batch.column(c).to_numpy(zero_copy_only=False)
+                         for c in ("c12", "c1", "n1p", "nc")], axis=1)
+        uniq, inv = np.unique(cols, axis=0, return_inverse=True)
+        c12f = uniq[:, 0].astype(np.float64)
+        c1f = uniq[:, 1].astype(np.float64)
+        n1pf = uniq[:, 2].astype(np.float64)
+        ncf = uniq[:, 3].astype(np.float64)
+        # operand-for-operand the oracle's expression
+        p = (np.maximum(c12f - D, 0.0) / c1f) \
+            + ((D * n1pf) / c1f) * (ncf / Tf)
+        micro = np.array([math.floor(math.log(v) * 1e6) for v in p],
+                         dtype=np.int64)[inv]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(tf, type=pa.int64()),
+            "logprob_micronats": pa.array(tf * micro, type=pa.int64())})
+
+    sums = sorted_group_aggregate(
+        joined.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "doc_id", [("n_bigrams", "sum"), ("logprob_micronats", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(batch.column("logprob_micronats"),
+                                pa.float64()),
+                        pc.cast(batch.column("n_bigrams"), pa.float64()))
+        return batch.append_column("avg_logprob_micronats", avg)
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
