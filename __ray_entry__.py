@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_part_supplier": relational.top_part_supplier,
         "order_value_percent_rank": relational.order_value_percent_rank,
         "events_user_time_rect": relational.events_user_time_rect,
+        "user_active_spans": relational.user_active_spans,
         "part_copurchase_hops": relational.part_copurchase_hops,
         "part_copurchase_cheapest": relational.part_copurchase_cheapest,
         "events_ab_ztest": relational.events_ab_ztest,
@@ -2603,6 +2604,32 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN part p ON r.p_partkey = p.p_partkey
                    JOIN supplier s ON r.s_suppkey = s.s_suppkey
             WHERE rn = 1
+        """,
+        "user_active_spans": """
+            WITH iv AS (SELECT user_id,
+                               CAST(epoch_us(ts) AS BIGINT) AS s,
+                               CAST(epoch_us(ts) AS BIGINT) + 300000000
+                                   AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         CASE WHEN prev_max IS NULL OR s > prev_max
+                              THEN 1 ELSE 0 END AS brk
+                  FROM m),
+            i AS (SELECT user_id, s, e,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS island
+                  FROM g),
+            isl AS (SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+                    FROM i GROUP BY 1, 2)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(e1 - s0) AS BIGINT) AS active_us
+            FROM isl GROUP BY user_id
         """,
         "events_user_time_rect": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -315,6 +315,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.order_value_percent_rank(sf_dir))
     timed("events_user_time_rect",
           lambda: relational.events_user_time_rect(sf_dir))
+    timed("user_active_spans",
+          lambda: relational.user_active_spans(sf_dir))
     timed("part_copurchase_hops",
           lambda: relational.part_copurchase_hops(sf_dir))
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))

@@ -4941,3 +4941,100 @@ def events_user_time_rect(sf_dir: str, user_lo: int = 30, user_hi: int = 59,
         "sum_value_cents": pa.array(
             [sum(r["sum_value_cents"] for r in parts)],
             type=pa.int64())})
+
+
+def user_active_spans(sf_dir: str, dur_s: int = 300):
+    """Interval-union coverage (sweep line): each event opens a
+    ``dur_s``-second activity interval; per user, the number of merged
+    activity islands and the total UNION length in µs — the classic
+    "how long was the user actually active" statistic, where naive
+    SUM(duration) double-counts overlaps.
+
+    Distribution: sort co-locates each user's interval starts; a block
+    resolves its complete runs fully vectorized (fixed duration makes
+    the running max-end equal the previous end, so island breaks are
+    one ``s[1:] > s[:-1] + dur`` compare); boundary runs pre-merge to
+    their ISLANDS before shipping — the shipment is union-output-sized
+    (never raw event counts), and islands re-merge associatively on
+    the driver."""
+    from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
+
+    dur = int(dur_s) * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "s": pc.cast(b.column("ts"), pa.int64())})
+
+    srt = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"])
+           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .sort(["user_id", "s"]))
+
+    def _island_rows(t: pa.Table) -> pa.Table:
+        """(user_id, s0, e1) per merged island of the sorted rows."""
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "s0": pa.array([], type=pa.int64()),
+                             "e1": pa.array([], type=pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        brk = np.r_[True, (u[1:] != u[:-1]) | (s[1:] > s[:-1] + dur)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(s)] - 1
+        return pa.table({"user_id": pa.array(u[starts], type=pa.int64()),
+                         "s0": pa.array(s[starts], type=pa.int64()),
+                         "e1": pa.array(s[ends] + dur, type=pa.int64())})
+
+    def _stats(islands: pa.Table) -> pa.Table:
+        if islands.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_islands": pa.array([], type=pa.int64()),
+                             "active_us": pa.array([], type=pa.int64())})
+        u = islands.column("user_id").to_numpy(zero_copy_only=False)
+        s0 = islands.column("s0").to_numpy(zero_copy_only=False)
+        e1 = islands.column("e1").to_numpy(zero_copy_only=False)
+        starts = run_starts(islands.column("user_id"))
+        bounds = np.r_[starts, len(u)]
+        lens = e1 - s0
+        cum = np.r_[0, np.cumsum(lens)]
+        return pa.table({
+            "user_id": pa.array(u[starts], type=pa.int64()),
+            "n_islands": pa.array(np.diff(bounds), type=pa.int64()),
+            "active_us": pa.array(cum[bounds[1:]] - cum[bounds[:-1]],
+                                  type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return _island_rows(batch.filter(edge_mask(batch.column("user_id"))))
+
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(edge_mask(batch.column("user_id"))))
+        return _stats(_island_rows(t))
+
+    def merge_fn(edge_tables):
+        t = pa.concat_tables(edge_tables)
+        t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                                 ("s0", "ascending")]))
+        # re-merge: islands from adjacent blocks may chain
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s0 = t.column("s0").to_numpy(zero_copy_only=False)
+        e1 = t.column("e1").to_numpy(zero_copy_only=False)
+        uid, a, b = [], [], []
+        cu = cs = ce = None
+        for i in range(len(u)):
+            if cu == u[i] and s0[i] <= ce:
+                ce = max(ce, int(e1[i]))
+                continue
+            if cu is not None:
+                uid.append(cu)
+                a.append(cs)
+                b.append(ce)
+            cu, cs, ce = int(u[i]), int(s0[i]), int(e1[i])
+        if cu is not None:
+            uid.append(cu)
+            a.append(cs)
+            b.append(ce)
+        return _stats(pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                                "s0": pa.array(a, type=pa.int64()),
+                                "e1": pa.array(b, type=pa.int64())}))
+
+    return edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
