@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_kn_logprob": text.bigram_kn_logprob,
         "decontaminate": text.decontaminate,
         "pii_scrub": text.pii_scrub,
+        "kg_transe_embeddings": lambda sf: __import__(
+            "kgray.pipelines.kgemb", fromlist=["kg_transe_embeddings"]
+        ).kg_transe_embeddings(sf),
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
         ).entity_pagerank(sf, iters=5),
@@ -521,7 +524,8 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "event_user_distinct_hll",
-                     "entity_pagerank", "events_value_quantiles_approx",
+                     "entity_pagerank", "kg_transe_embeddings",
+                     "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",
                      "corpus_curation", "corpus_curation_sem", "page_site_counts",

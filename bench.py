@@ -168,6 +168,9 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: text.duplicate_ngram_fraction(sf_dir))
     from kgray.pipelines import graph as _graph
     timed("entity_pagerank", lambda: _graph.entity_pagerank(sf_dir))
+    timed("kg_transe_embeddings", lambda: __import__(
+        "kgray.pipelines.kgemb", fromlist=["kg_transe_embeddings"]
+    ).kg_transe_embeddings(sf_dir))
     from kgray.pipelines import cluster as _cluster
     from kgray.pipelines import pack as _pack
     timed("neardup_clusters", lambda: _cluster.neardup_clusters(sf_dir))

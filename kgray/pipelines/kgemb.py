@@ -1,0 +1,209 @@
+"""TransE-lite knowledge-graph embeddings over the extracted triples —
+distributed, margin-based translation training (Bordes et al. 2013,
+"Translating Embeddings for Modeling Multi-relational Data") run
+ENTIRELY in exact int64 arithmetic so the trained vectors are a pure
+function of the triple set: bit-identical across block splits, worker
+counts, and retries (the same distributed-training law as
+``pipelines/quality_model.py`` / ``training.py`` — quantize every
+per-example contribution BEFORE any reduction).
+
+The model: entity/relation vectors on a ``2^SCALE_BITS`` fixed-point
+grid; score of (h, r, t) is the squared L2 translation error
+``d = |h + r − t|²`` (exact int64 — dim·(4·S)² ≪ 2^63).  Each epoch is
+one synchronous batch-GD pass:
+
+  * negatives: the tail is corrupted to a deterministically hashed
+    entity (``polyhash64(subj|pred|obj|epoch) % n``) — reproducible
+    negative sampling without any RNG state;
+  * the margin test ``γ² + d_pos − d_neg > 0`` is an exact integer
+    predicate (no float ever decides which examples are active);
+  * per-triple gradients (±2·diff vectors) accumulate into per-block
+    int64 partial tables keyed by entity/relation index; the driver
+    folds the block partials (integer sums commute) and applies
+    ``emb −= grad_sum >> lr_shift`` (arithmetic shift = floor — still
+    exact integers on the grid).
+
+Plan note (mirrors ``graph.pagerank``'s dense plan): the embedding
+tables broadcast per epoch via ``ray.put`` and gradients return as
+sparse (index, vector) partials — right-sized while the entity
+vocabulary fits a worker (~2M nodes × 16 dims ≈ 256 MB at the
+documented bound).  Beyond that, the scale path shards the tables by
+entity-hash and turns each epoch into gather/scatter sorted-merge
+joins on the same integer partials; the arithmetic is unchanged, so
+outputs stay bit-identical — same twin discipline as pagerank's
+dense/shuffle plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.hashing import polyhash64_batch
+
+__all__ = ["transe_train", "kg_transe_embeddings"]
+
+SCALE_BITS = 20
+_S = 1 << SCALE_BITS          # 1.0 on the grid
+
+
+def _init_vec(names: list, dim: int, salt: str) -> np.ndarray:
+    """Deterministic grid init in (−S/2, S/2): each coordinate from the
+    polynomial hash of ``name|salt|d`` — no RNG, no insertion order."""
+    out = np.empty((len(names), dim), dtype=np.int64)
+    for d in range(dim):
+        h = polyhash64_batch(pa.array([f"{n}|{salt}|{d}" for n in names]))
+        out[:, d] = (h % np.uint64(_S)).astype(np.int64) - (_S // 2)
+    return out
+
+
+def transe_train(triples, dim: int = 16, epochs: int = 60,
+                 lr_shift: int = 4, margin_sq: int = 4 * _S * _S):
+    """Train TransE-lite on a Dataset of (subj, pred, obj) string
+    triples (duplicates count once).  Returns
+    ``(entities, ent_emb, relations, rel_emb)`` — name lists plus
+    int64 grid arrays, a pure function of the distinct triple set."""
+    from ..stages.aggregate import sorted_group_aggregate
+
+    distinct = sorted_group_aggregate(
+        triples.map_batches(lambda b: pa.table({
+            "subj": b.column("subj"), "pred": b.column("pred"),
+            "obj": b.column("obj"),
+            "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["subj", "pred", "obj"], [("__one", "min")]) \
+        .drop_columns(["__one"]).materialize()
+
+    # vocab driver-side, sorted (index assignment independent of block
+    # arrival); entity table is node-sized — see module plan note
+    ents, rels = set(), set()
+    for t in ray.get(distinct.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        ents.update(t.column("subj").to_pylist())
+        ents.update(t.column("obj").to_pylist())
+        rels.update(t.column("pred").to_pylist())
+    entities = sorted(ents)
+    relations = sorted(rels)
+    e_idx = {e: i for i, e in enumerate(entities)}
+    r_idx = {r: i for i, r in enumerate(relations)}
+    n_ent = len(entities)
+    if n_ent == 0:
+        return [], np.zeros((0, dim), np.int64), [], \
+            np.zeros((0, dim), np.int64)
+
+    ent_emb = _init_vec(entities, dim, "ent")
+    rel_emb = _init_vec(relations, dim, "rel")
+
+    # index the triples once (distributed, reused every epoch)
+    eref = ray.put(e_idx)
+    rref = ray.put(r_idx)
+
+    def index_batch(b: pa.Table) -> pa.Table:
+        ei = ray.get(eref)
+        ri = ray.get(rref)
+        subj = b.column("subj").to_pylist()
+        pred = b.column("pred").to_pylist()
+        obj = b.column("obj").to_pylist()
+        neg_salt = [f"{s}|{p}|{o}" for s, p, o in zip(subj, pred, obj)]
+        return pa.table({
+            "h": pa.array([ei[s] for s in subj], type=pa.int64()),
+            "r": pa.array([ri[p] for p in pred], type=pa.int64()),
+            "t": pa.array([ei[o] for o in obj], type=pa.int64()),
+            "nsalt": pa.array(neg_salt, type=pa.string())})
+
+    indexed = distinct.map_batches(index_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+    for ep in range(epochs):
+        we = ray.put(ent_emb)
+        wr = ray.put(rel_emb)
+
+        def grad_partial(b: pa.Table, _ep=ep) -> pa.Table:
+            E = ray.get(we)
+            R = ray.get(wr)
+            if b.num_rows == 0:
+                return pa.table({"kind": pa.array([], type=pa.int64()),
+                                 "idx": pa.array([], type=pa.int64()),
+                                 "g": pa.array([], type=pa.list_(
+                                     pa.int64()))})
+            h = b.column("h").to_numpy(zero_copy_only=False)
+            r = b.column("r").to_numpy(zero_copy_only=False)
+            t = b.column("t").to_numpy(zero_copy_only=False)
+            neg = (polyhash64_batch(
+                pc.binary_join_element_wise(
+                    b.column("nsalt"), pa.scalar(str(_ep)),
+                    "|").combine_chunks())
+                % np.uint64(len(E))).astype(np.int64)
+            dp = E[h] + R[r] - E[t]                      # int64 vecs
+            dn = E[h] + R[r] - E[neg]
+            d_pos = np.einsum("ij,ij->i", dp, dp)
+            d_neg = np.einsum("ij,ij->i", dn, dn)
+            act = (margin_sq + d_pos - d_neg) > 0        # exact predicate
+            if not act.any():
+                return pa.table({"kind": pa.array([], type=pa.int64()),
+                                 "idx": pa.array([], type=pa.int64()),
+                                 "g": pa.array([], type=pa.list_(
+                                     pa.int64()))})
+            dpa, dna = dp[act], dn[act]
+            ge = np.zeros_like(E)
+            gr = np.zeros_like(R)
+            np.add.at(ge, h[act], 2 * (dpa - dna))       # ∂(d+ − d−)/∂h
+            np.add.at(gr, r[act], 2 * (dpa - dna))
+            np.add.at(ge, t[act], -2 * dpa)
+            np.add.at(ge, neg[act], 2 * dna)
+            ei = np.flatnonzero(np.any(ge != 0, axis=1))
+            ri = np.flatnonzero(np.any(gr != 0, axis=1))
+            kind = np.r_[np.zeros(len(ei), np.int64),
+                         np.ones(len(ri), np.int64)]
+            idx = np.r_[ei, ri]
+            rows = [ge[i].tolist() for i in ei] + [gr[i].tolist()
+                                                   for i in ri]
+            return pa.table({"kind": pa.array(kind, type=pa.int64()),
+                             "idx": pa.array(idx, type=pa.int64()),
+                             "g": pa.array(rows, type=pa.list_(
+                                 pa.int64()))})
+
+        ge_tot = np.zeros_like(ent_emb)
+        gr_tot = np.zeros_like(rel_emb)
+        for tbl in ray.get(indexed.map_batches(
+                grad_partial, batch_format="pyarrow",
+                zero_copy_batch=True).to_arrow_refs()):
+            if tbl.num_rows == 0 or "kind" not in tbl.schema.names:
+                continue
+            kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+            idx = tbl.column("idx").to_numpy(zero_copy_only=False)
+            from ..functions.veccol import list_col_matrix
+            g = list_col_matrix(tbl.column("g"), dtype=np.int64)
+            em = kind == 0
+            np.add.at(ge_tot, idx[em], g[em])
+            np.add.at(gr_tot, idx[~em], g[~em])
+        # integer floor-shift update keeps everything on the grid
+        ent_emb = ent_emb - (ge_tot >> lr_shift)
+        rel_emb = rel_emb - (gr_tot >> lr_shift)
+
+    return entities, ent_emb, relations, rel_emb
+
+
+def kg_transe_embeddings(sf_dir: str, dim: int = 16, epochs: int = 60):
+    """Registry entry: TransE-lite over the flagship pipeline's
+    canonical triples.  Long-format output — one row per (entity,
+    dimension) with the exact grid value — so the committed fixture is
+    a bitwise oracle."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
+    entities, ent_emb, _, _ = transe_train(graph, dim=dim, epochs=epochs)
+    n, d = ent_emb.shape
+    return pa.table({
+        "entity": pa.array(np.repeat(entities, d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+        "val_q": pa.array(ent_emb.reshape(-1), type=pa.int64())})
