@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_kn_logprob": text.bigram_kn_logprob,
         "decontaminate": text.decontaminate,
         "pii_scrub": text.pii_scrub,
+        "entity_hits": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["entity_hits"]
+        ).entity_hits(sf),
         "kg_transe_embeddings": lambda sf: __import__(
             "kgray.pipelines.kgemb", fromlist=["kg_transe_embeddings"]
         ).kg_transe_embeddings(sf),
@@ -525,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "kg_transe_embeddings",
+                     "entity_hits",
                      "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",

@@ -359,3 +359,215 @@ def copurchase_kcore(sf_dir: str, k: int = 3, min_count: int = 2):
                  "src": b.column("part_a"), "dst": b.column("part_b")}),
                  batch_format="pyarrow", zero_copy_batch=True))
     return kcore(edges, k=k).sort("node")
+
+
+# ------------------------------------------------------------------ HITS
+
+def _rescale_unit(x: np.ndarray) -> np.ndarray:
+    """Exact final normalization to sum ≈ UNIT: per-entry Python-int
+    ``x·UNIT // S`` (the int64 product would overflow; this runs ONCE
+    on the node-sized output, not per iteration)."""
+    s = int(x.sum())
+    if s <= 0:
+        return x
+    return np.array([int(v) * UNIT // s for v in x.tolist()],
+                    dtype=np.int64)
+
+
+def _shift_for(x: np.ndarray, bits: int = 40) -> int:
+    """Uniform right-shift keeping max(x) under 2^bits — HITS is
+    scale-invariant, so a shared shift preserves the fixpoint exactly
+    and is a pure function of the vector (plan-independent)."""
+    m = int(x.max()) if len(x) else 0
+    return max(0, m.bit_length() - bits)
+
+
+def hits(edges, iters: int = 20, plan: str = "auto"):
+    """Kleinberg HITS (hubs & authorities) over a directed edge Dataset
+    (``src``, ``dst``; duplicates count once) — deterministic integer
+    fixed point.  Instead of the textbook per-iteration L2
+    normalization (whose sqrt breaks integer exactness), magnitude is
+    controlled by a UNIFORM right-shift (scale invariance makes the
+    two equivalent up to the final normalization); the returned
+    ``hub_fp``/``auth_fp`` are rescaled once at the end to sum ≈ UNIT
+    with exact Python-int arithmetic.
+
+    Plans (same switch rule and bit-identity contract as
+    :func:`pagerank`, pinned by test): ``dense`` broadcasts the two
+    node vectors over integer-indexed pinned edge blocks (raw Ray
+    tasks — the per-iteration Dataset overhead dominates otherwise);
+    ``shuffle`` runs one sorted-merge join + one aggregate per
+    direction per iteration, all node/edge-sized."""
+    import ray
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    assert plan in ("auto", "dense", "shuffle")
+
+    edges = sorted_group_aggregate(
+        edges.map_batches(lambda b: pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], [("__one", "min")]).drop_columns(["__one"]) \
+        .materialize()
+
+    nodes_ds = sorted_group_aggregate(
+        edges.map_batches(lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column("src").combine_chunks(),
+                b.column("dst").combine_chunks()]),
+            "__one": pa.array(np.ones(2 * b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "node", [("__one", "min")]).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.string()),
+            "hub_fp": pa.array([], type=pa.int64()),
+            "auth_fp": pa.array([], type=pa.int64())}))
+
+    if plan == "dense" or (plan == "auto" and n_nodes <= _DENSE_MAX_NODES):
+        return _hits_dense(edges, nodes_ds, n_nodes, iters)
+    return _hits_shuffle(edges, nodes_ds, n_nodes, iters,
+                         sorted_group_aggregate, sorted_merge_join)
+
+
+def _hits_dense(edges, nodes_ds, n_nodes: int, iters: int):
+    import ray
+
+    nt = pa.concat_tables(
+        [t for t in ray.get(nodes_ds.to_arrow_refs())
+         if t.num_rows and "node" in t.schema.names])
+    nt = nt.take(pc.sort_indices(nt, sort_keys=[("node", "ascending")]))
+    nodes = nt.column("node")
+    index = {n: i for i, n in enumerate(nodes.to_pylist())}
+    idx_ref = ray.put(index)
+
+    def to_idx(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        si = np.array([ix[s] for s in batch.column("src").to_pylist()],
+                      dtype=np.int64)
+        di = np.array([ix[s] for s in batch.column("dst").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"si": pa.array(si), "di": pa.array(di)})
+
+    int_edges = edges.map_batches(to_idx, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    edge_block_refs = [r for r in int_edges.to_arrow_refs()]
+
+    @ray.remote
+    def push(batch: pa.Table, v: np.ndarray, forward: bool):
+        if batch.num_rows == 0 or "si" not in batch.schema.names:
+            return None
+        si = batch.column("si").to_numpy(zero_copy_only=False)
+        di = batch.column("di").to_numpy(zero_copy_only=False)
+        frm, to = (si, di) if forward else (di, si)
+        uniq, inv = np.unique(to, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, v[frm])
+        return uniq, sums
+
+    def sweep(v: np.ndarray, forward: bool) -> np.ndarray:
+        v_ref = ray.put(v)
+        parts = ray.get([push.remote(b, v_ref, forward)
+                         for b in edge_block_refs])
+        out = np.zeros(n_nodes, dtype=np.int64)
+        for p in parts:
+            if p is not None:
+                np.add.at(out, p[0], p[1])
+        return out >> np.int64(_shift_for(out))
+
+    h = np.full(n_nodes, 1 << 20, dtype=np.int64)
+    a = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        a = sweep(h, True)        # auth(v) = Σ hub(u) over u→v
+        h = sweep(a, False)       # hub(u)  = Σ auth(v) over u→v
+    return rd.from_arrow(pa.table({
+        "node": nodes,
+        "hub_fp": pa.array(_rescale_unit(h), type=pa.int64()),
+        "auth_fp": pa.array(_rescale_unit(a), type=pa.int64())}))
+
+
+def _hits_shuffle(edges, nodes_ds, n_nodes: int, iters: int,
+                  sorted_group_aggregate, sorted_merge_join):
+    """One sorted-merge join + one aggregate per direction per
+    iteration; the uniform shift comes from a node-sized max partial
+    (identical arithmetic to the dense plan — bit-equal, pinned by
+    test)."""
+    import ray
+
+    vec = nodes_ds.map_batches(lambda b: pa.table({
+        "node": b.column("node"),
+        "v": pa.array(np.full(b.num_rows, 1 << 20, dtype=np.int64))}),
+        batch_format="pyarrow").materialize()
+    auth = None
+
+    def sweep(v_ds, key_from: str, key_to: str):
+        contrib = sorted_merge_join(
+            edges,
+            v_ds.map_batches(lambda b: pa.table({
+                key_from: b.column("node"), "v": b.column("v")}),
+                batch_format="pyarrow"),
+            on=key_from)
+        summed = sorted_group_aggregate(
+            contrib.map_batches(lambda b: pa.table({
+                "node": b.column(key_to), "v": b.column("v")}),
+                batch_format="pyarrow"),
+            "node", [("v", "sum")])
+        # reindex over the full universe (nodes with no in/out edges
+        # keep 0) — a left join of the node table against the sums
+        from ..stages.join import sorted_merge_join as smj
+        full = smj(nodes_ds.map_batches(
+            lambda b: b.select(["node"]), batch_format="pyarrow"),
+            summed, on="node", how="left")
+        full = full.map_batches(lambda b: pa.table({
+            "node": b.column("node"),
+            "v": pc.fill_null(b.column("v"), 0)}),
+            batch_format="pyarrow").materialize()
+        mx = max((r["m"] for r in full.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [int(pc.max(b.column("v")).as_py() or 0)],
+                type=pa.int64())}), batch_format="pyarrow").take_all()),
+            default=0)
+        sh = max(0, int(mx).bit_length() - 40)
+        return full.map_batches(lambda b: pa.table({
+            "node": b.column("node"),
+            "v": pc.shift_right(b.column("v"), sh)}),
+            batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        auth = sweep(vec, "src", "dst")
+        vec = sweep(auth, "dst", "src")
+
+    ht = pa.concat_tables([t for t in ray.get(vec.to_arrow_refs())
+                           if t.num_rows and "node" in t.schema.names])
+    at = pa.concat_tables([t for t in ray.get(auth.to_arrow_refs())
+                           if t.num_rows and "node" in t.schema.names])
+    ht = ht.take(pc.sort_indices(ht, sort_keys=[("node", "ascending")]))
+    at = at.take(pc.sort_indices(at, sort_keys=[("node", "ascending")]))
+    h = ht.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    a = at.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "node": ht.column("node"),
+        "hub_fp": pa.array(_rescale_unit(h), type=pa.int64()),
+        "auth_fp": pa.array(_rescale_unit(a), type=pa.int64())}))
+
+
+def entity_hits(sf_dir: str, iters: int = 20):
+    """HITS over the extracted entity graph — 'which entities point at
+    the hubs, which collect the links'.  Deterministic fixed point
+    (fixture oracle; dense/shuffle plan equality pinned in tests)."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
+    edges = graph.map_batches(lambda b: pa.table({
+        "src": b.column("subj"), "dst": b.column("obj")}),
+        batch_format="pyarrow")
+    return hits(edges, iters=iters)
