@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "bucketed_order_revenue": relational.bucketed_order_revenue,
         "csv_event_stats": relational.csv_event_stats,
+        "sqlite_event_stats": relational.sqlite_event_stats,
         "evolved_event_stats": relational.evolved_event_stats,
         "chars_zh_auc": text.chars_zh_auc,
         "order_price_global_rank": relational.order_price_global_rank,
@@ -1214,6 +1215,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "csv_event_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "sqlite_event_stats": """
             SELECT event_type,
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n_events

@@ -183,6 +183,8 @@ def _run_all_queries(sf_dir: str, timed):
     timed("bucketed_order_revenue",
           lambda: relational.bucketed_order_revenue(sf_dir))
     timed("csv_event_stats", lambda: relational.csv_event_stats(sf_dir))
+    timed("sqlite_event_stats",
+          lambda: relational.sqlite_event_stats(sf_dir))
     timed("embedding_kmeans", lambda: ann.embedding_kmeans(sf_dir))
     timed("embedding_pca", lambda: ann.embedding_pca(sf_dir))
     timed("part_copurchase_topk",

@@ -5038,3 +5038,25 @@ def user_active_spans(sf_dir: str, dur_s: int = 300):
                                 "e1": pa.array(b, type=pa.int64())}))
 
     return edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+
+
+def sqlite_event_stats(sf_dir: str):
+    """Per-event-type totals computed over the SQLite twin of the
+    events table (``sources/sqlitesrc.py``) — same SQL oracle as over
+    the parquet view, so the driver's value hash proves SQLite source
+    parity end-to-end (per-shard-file read tasks → typed decode →
+    cents kernel → distributed aggregate)."""
+    from ..sources.sqlitesrc import events_to_sqlite, read_events_sqlite
+
+    ds = read_events_sqlite(events_to_sqlite(sf_dir))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": _cents(b.column("value")),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", [("value_cents", "sum"), ("n_events", "sum")],
+        precombine=True)

@@ -43,3 +43,21 @@ def test_ipc_cache_fingerprint(ray_session, tmp_path):
     pqw.write_table(t2, sf / "documents.parquet")
     d = documents_to_ipc(str(sf), root=root)
     assert read_documents_ipc(d).count() == 3
+
+
+def test_sqlite_source_parity(ray_session):
+    """The SQLite twin parses back value-identical to the parquet
+    events table (ids, types, and IEEE-exact REAL round-trip)."""
+    import pyarrow.parquet as pq
+
+    from kgray.sources.sqlitesrc import events_to_sqlite, read_events_sqlite
+
+    sf = "/root/testdata/sf0.001"
+    got = read_events_sqlite(events_to_sqlite(sf)).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    exp = pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "value"]).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
