@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_embeddings": lambda sf: __import__(
             "kgray.pipelines.kgemb", fromlist=["kg_transe_embeddings"]
         ).kg_transe_embeddings(sf),
+        "kg_link_prediction": lambda sf: __import__(
+            "kgray.pipelines.kgemb", fromlist=["kg_link_prediction"]
+        ).kg_link_prediction(sf),
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
         ).entity_pagerank(sf, iters=5),
@@ -529,7 +532,7 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "event_user_distinct_hll",
                      "entity_pagerank", "kg_transe_embeddings",
-                     "entity_hits",
+                     "entity_hits", "kg_link_prediction",
                      "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
                      "image_features", "audio_features", "video_features",

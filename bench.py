@@ -172,6 +172,9 @@ def _run_all_queries(sf_dir: str, timed):
         "kgray.pipelines.kgemb", fromlist=["kg_transe_embeddings"]
     ).kg_transe_embeddings(sf_dir))
     timed("entity_hits", lambda: _graph.entity_hits(sf_dir))
+    timed("kg_link_prediction", lambda: __import__(
+        "kgray.pipelines.kgemb", fromlist=["kg_link_prediction"]
+    ).kg_link_prediction(sf_dir))
     from kgray.pipelines import cluster as _cluster
     from kgray.pipelines import pack as _pack
     timed("neardup_clusters", lambda: _cluster.neardup_clusters(sf_dir))

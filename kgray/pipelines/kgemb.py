@@ -44,7 +44,7 @@ import ray.data as rd
 
 from ..functions.hashing import polyhash64_batch
 
-__all__ = ["transe_train", "kg_transe_embeddings"]
+__all__ = ["transe_train", "kg_transe_embeddings", "kg_link_prediction"]
 
 SCALE_BITS = 20
 _S = 1 << SCALE_BITS          # 1.0 on the grid
@@ -207,3 +207,120 @@ def kg_transe_embeddings(sf_dir: str, dim: int = 16, epochs: int = 60):
         "entity": pa.array(np.repeat(entities, d)),
         "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
         "val_q": pa.array(ent_emb.reshape(-1), type=pa.int64())})
+
+
+def _transe_model_for(sf_dir: str, dim: int = 16, epochs: int = 60):
+    """Train-once cache of the TransE model per sf corpus (atomic
+    rename + content fingerprint, the ``orders_price_band``
+    discipline).  The training itself is bit-deterministic, so the
+    cache can never serve a value a fresh run wouldn't produce."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|{dim}|{epochs}".encode()).hexdigest()[:10]
+    out = f"/tmp/kgray_transe/model_{tag}"
+    npz = os.path.join(out, "model.npz")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        corpus = corpus_for_sf(sf_dir)
+        model_dir = models_for_corpus(corpus, tagger="hmm")
+        graph = canonical_graph(
+            kg_dataset(page_files(corpus), corpus, model_dir,
+                       tagger="hmm"))
+        entities, ent_emb, relations, rel_emb = transe_train(
+            graph, dim=dim, epochs=epochs)
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        np.savez(os.path.join(tmp, "model.npz"),
+                 entities=np.array(entities, dtype=object),
+                 relations=np.array(relations, dtype=object),
+                 ent_emb=ent_emb, rel_emb=rel_emb)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    z = np.load(npz, allow_pickle=True)
+    return (list(z["entities"]), z["ent_emb"],
+            list(z["relations"]), z["rel_emb"])
+
+
+def kg_link_prediction(sf_dir: str, k: int = 3, dim: int = 16,
+                       epochs: int = 60):
+    """Tail prediction over the trained TransE model: for every
+    distinct (subj, pred) pair in the extracted graph, the ``k``
+    nearest candidate tails by exact integer translation distance
+    ``|E[h]+R[r]−E[t]|²`` (ties broken by entity name — fully
+    deterministic, fixture-oracled).
+
+    Distribution: the model broadcasts once (``ray.put``); each batch
+    of (subj, pred) pairs computes its distance matrix against the
+    entity table with one integer matmul-shaped kernel and emits only
+    its top-k rows — candidate generation never leaves the worker."""
+    import ray
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    entities, ent_emb, relations, rel_emb = _transe_model_for(
+        sf_dir, dim=dim, epochs=epochs)
+    e_idx = {e: i for i, e in enumerate(entities)}
+    r_idx = {r: i for i, r in enumerate(relations)}
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
+    pairs = sorted_group_aggregate(
+        graph.map_batches(lambda b: pa.table({
+            "subj": b.column("subj"), "pred": b.column("pred"),
+            "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["subj", "pred"], [("__one", "min")]).drop_columns(["__one"])
+
+    model_ref = ray.put((entities, ent_emb, rel_emb, e_idx, r_idx))
+
+    def topk(b: pa.Table) -> pa.Table:
+        ents, E, R, ei, ri = ray.get(model_ref)
+        if b.num_rows == 0:
+            return pa.table({"subj": pa.array([], pa.string()),
+                             "pred": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int64()),
+                             "tail": pa.array([], pa.string()),
+                             "dist_q": pa.array([], pa.int64())})
+        subj = b.column("subj").to_pylist()
+        pred = b.column("pred").to_pylist()
+        h = np.array([ei[s] for s in subj], dtype=np.int64)
+        r = np.array([ri[p] for p in pred], dtype=np.int64)
+        V = E[h] + R[r]                                   # [m, dim]
+        # exact integer distances: |v|² − 2 v·e + |e|² per candidate
+        e_sq = np.einsum("ij,ij->i", E, E)
+        d = (np.einsum("ij,ij->i", V, V)[:, None]
+             - 2 * (V @ E.T) + e_sq[None, :])             # [m, n] int64
+        # top-k with name tiebreak: entities are SORTED, so argsort on
+        # (distance, index) == (distance, name)
+        part = np.argsort(d, axis=1, kind="stable")[:, :k]
+        m = len(subj)
+        names = np.array(ents, dtype=object)
+        return pa.table({
+            "subj": pa.array(np.repeat(subj, k)),
+            "pred": pa.array(np.repeat(pred, k)),
+            "rank": pa.array(np.tile(np.arange(1, k + 1,
+                                               dtype=np.int64), m)),
+            "tail": pa.array(list(names[part.reshape(-1)])),
+            "dist_q": pa.array(np.take_along_axis(d, part,
+                                                  axis=1).reshape(-1),
+                               type=pa.int64())})
+
+    return pairs.map_batches(topk, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -43,7 +43,7 @@ FIXTURE_QUERIES = [
     "ann_pq_topk", "pq_codes",
     "neardup_clusters",
     "event_user_distinct_hll", "entity_pagerank", "kg_transe_embeddings",
-    "entity_hits",
+    "entity_hits", "kg_link_prediction",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
     "image_features", "audio_features", "video_features",
     "corpus_curation", "corpus_curation_sem", "page_site_counts",

@@ -70,3 +70,43 @@ def test_transe_empty_and_grid(ray_session):
     v = _init_vec(["a", "b", "c"], 6, "ent")
     assert v.dtype == np.int64
     assert (v >= -_S // 2).all() and (v < _S // 2).all()
+
+
+def test_link_prediction_recovers_structure(ray_session, tmp_path):
+    """On a corpus-free toy: predictions for (h, r) where (h, r, t) was
+    a training triple must rank the TRUE tail first for most pairs
+    (the model was shown the fact), and the output shape/tiebreak law
+    holds (k rows per pair, rank 1..k, distance non-decreasing)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from kgray.pipelines.kgemb import transe_train
+
+    tri, tbl = _toy()
+    ents, E, rels, R = transe_train(rd.from_arrow(tbl).repartition(3),
+                                    dim=8, epochs=80)
+    eidx = {e: i for i, e in enumerate(ents)}
+    ridx = {r: i for i, r in enumerate(rels)}
+    hits = 0
+    for s, p, o in tri:
+        v = E[eidx[s]] + R[ridx[p]]
+        d = ((E - v) ** 2).sum(axis=1)
+        top3 = np.argsort(d, kind="stable")[:3]
+        if eidx[o] in top3:
+            hits += 1
+    # hits@3 — 80 entities, random baseline 3/80 ≈ 0.04
+    assert hits / len(tri) > 0.7, hits
+
+
+def test_kg_link_prediction_output_law(ray_session):
+    """The registered query: k rows per (subj, pred), ranks 1..k,
+    per-pair distances non-decreasing, every tail a known entity."""
+    from kgray.pipelines.kgemb import kg_link_prediction
+
+    df = kg_link_prediction("/root/testdata/sf0.001", k=3).to_pandas()
+    g = df.groupby(["subj", "pred"])
+    assert (g.size() == 3).all()
+    assert (g["rank"].apply(lambda s: sorted(s.tolist()) == [1, 2, 3])).all()
+    assert (g["dist_q"].apply(lambda s: s.is_monotonic_increasing
+                              or sorted(s.tolist()) == s.tolist())).all()
