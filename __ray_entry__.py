@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": dedup.dedup_lines,
         "incremental_dedup": dedup.incremental_dedup,
         "source_mix_sample": text.source_mix_sample,
+        "lang_balanced_sample": text.lang_balanced_sample,
         "packed_documents": pack.pack_documents,
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
         "jaccard_prefix_pairs": dedup.jaccard_prefix_pairs,
@@ -881,6 +882,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r WHERE sample_rank <= 5
+        """,
+        "lang_balanced_sample": """
+            WITH m AS (SELECT MIN(n) AS m FROM (
+                           SELECT lang, COUNT(*) AS n
+                           FROM documents GROUP BY lang)),
+            h AS (SELECT doc_id, lang,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) AS hv
+                  FROM documents),
+            r AS (SELECT doc_id, lang,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY hv, doc_id) AS sample_rank
+                  FROM h)
+            SELECT doc_id, lang,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r, m WHERE sample_rank <= m.m
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -330,6 +330,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.part_copurchase_hops(sf_dir))
     timed("bigram_logprob", lambda: text.bigram_logprob(sf_dir))
     timed("bigram_kn_logprob", lambda: text.bigram_kn_logprob(sf_dir))
+    timed("lang_balanced_sample",
+          lambda: text.lang_balanced_sample(sf_dir))
     timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
     timed("ann_pq_topk", lambda: ann.ann_pq_topk(sf_dir))
     timed("purchase_view_attribution",

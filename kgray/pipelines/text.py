@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
-           "bigram_logprob", "bigram_kn_logprob",
+           "bigram_logprob", "bigram_kn_logprob", "lang_balanced_sample",
            "chunk_documents", "token_fuzzy_pairs_d2",
            "fingerprints", "token_topk", "subword_token_counts",
            "winnowing_fingerprints", "repetition_scores", "tfidf_top_terms",
@@ -1418,3 +1418,30 @@ def bigram_kn_logprob(sf_dir: str, discount: float = 0.75):
 
     return sums.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def lang_balanced_sample(sf_dir: str):
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents — the rebalancing step before training a
+    classifier on skewed data (cf. the quality model's unlearnable-
+    majority trap, NOTES #60).  Selection is the deterministic
+    md5-smallest rule (pure function of the data; no RNG, identical
+    across runs/engines).
+
+    Plan: class counts are one tiny aggregate (driver scalar ``m``);
+    the per-class smallest-m selection is ONE ``grouped_topk``
+    exchange — k rows per class per block ship, never raw classes."""
+    from ..functions.sampling import group_sample
+    from ..stages.aggregate import sorted_group_aggregate
+
+    counts = sorted_group_aggregate(
+        read_documents(sf_dir, columns=("doc_id", "lang"))
+        .map_batches(lambda b: pa.table({
+            "lang": b.column("lang"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "lang", [("n", "sum")])
+    m = min(r["n"] for r in counts.take_all())
+
+    docs = read_documents(sf_dir, columns=("doc_id", "lang"))
+    return group_sample(docs, group="lang", key_col="doc_id", k=int(m))

@@ -88,3 +88,24 @@ def test_kn_continuation_beats_raw_frequency(ray_session, tmp_path):
             for r in bigram_kn_logprob(sf).take_all()}
     # doc 10 = "the road here", doc 11 = "the francisco here"
     assert rows[10] > rows[11]
+
+
+def test_lang_balanced_sample_equal_classes(ray_session):
+    """Every language comes back with exactly min-class-count docs and
+    the selection is the md5-smallest rule (stable across runs)."""
+    import duckdb
+
+    from kgray.pipelines.text import lang_balanced_sample
+
+    sf = "/root/testdata/sf0.001"
+    df = lang_balanced_sample(sf).to_pandas()
+    counts = df.groupby("lang").size()
+    assert counts.nunique() == 1, counts.to_dict()
+    mn = duckdb.sql(
+        f"SELECT MIN(n) FROM (SELECT lang, COUNT(*) n FROM "
+        f"read_parquet('{sf}/documents.parquet') GROUP BY lang)"
+    ).fetchone()[0]
+    assert counts.iloc[0] == mn
+    df2 = lang_balanced_sample(sf).to_pandas()
+    assert df.sort_values(["lang", "doc_id"], ignore_index=True).equals(
+        df2.sort_values(["lang", "doc_id"], ignore_index=True))
