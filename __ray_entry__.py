@@ -209,15 +209,18 @@ _R3_WINDOW = [
     "user_day_purchase_views", "order_priority_revenue",
     "events_orders_daily", "local_supplier_volume", "large_orders",
     "bucketed_order_revenue", "nation_pair_volume", "market_share",
-    "customer_order_dist", "small_qty_part_revenue",
+    "customer_order_dist",
     "purchase_value_by_engagement", "copurchase_kcore",
     "nation_year_profit",
     # as-of / interval / rolling windows (user_trailing_value rotated
     # out r3 — rolling family keeps user_rolling_value — for the
     # weighted-shortest-path exchange)
-    "events_asof_orders",
-    "events_recent_order_value", "part_copurchase_cheapest",
-    "user_rolling_value",
+    # (events_recent_order_value and small_qty_part_revenue rotated out
+    # r3-s4 — both r2/r3-green, asof family keeps events_asof_orders and
+    # the join family keeps 11 others — for the TransE training law and
+    # the HITS dual-plan fixed point)
+    "events_asof_orders", "part_copurchase_cheapest",
+    "user_rolling_value", "kg_transe_embeddings", "entity_hits",
     # scan windows (running/lag/lead/rank/first-last; user_latest_event
     # and customer_order_seq rotated out r3-s3 — both r2-green, family
     # kept by customer_order_ranks/user_running_value — for the Q9
