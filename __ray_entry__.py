@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_order_revenue": relational.bucketed_order_revenue,
         "csv_event_stats": relational.csv_event_stats,
         "sqlite_event_stats": relational.sqlite_event_stats,
+        "orc_order_stats": relational.orc_order_stats,
         "evolved_event_stats": relational.evolved_event_stats,
         "chars_zh_auc": text.chars_zh_auc,
         "order_price_global_rank": relational.order_price_global_rank,
@@ -1248,6 +1249,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "orc_order_stats": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
         "priority_counts_ivm": """
             WITH h AS (

@@ -5060,3 +5060,28 @@ def sqlite_event_stats(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "event_type", [("value_cents", "sum"), ("n_events", "sum")],
         precombine=True)
+
+
+def orc_order_stats(sf_dir: str):
+    """Per-priority order totals computed over the ORC twin of the
+    orders table (``sources/orcsrc.py`` — the Hive/Spark lakehouse
+    interchange format, 8th ingest format) — same SQL oracle as over
+    the parquet view, so the driver's value hash proves ORC source
+    parity end-to-end (per-shard-file decode tasks with projection
+    pushed into the stripe read → cents kernel → distributed
+    aggregate)."""
+    from ..sources.orcsrc import orders_to_orc, read_orders_orc
+
+    ds = read_orders_orc(orders_to_orc(sf_dir),
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "price_cents": _cents(b.column("o_totalprice")),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderpriority", [("price_cents", "sum"), ("n_orders", "sum")],
+        precombine=True)

@@ -61,3 +61,44 @@ def test_sqlite_source_parity(ray_session):
         .sort_values("event_id", ignore_index=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_orc_twin_round_trip(ray_session, tmp_path):
+    """The ORC twin parses back value-identical to the parquet orders
+    table; projection is pushed into the stripe read."""
+    import pyarrow.parquet as pq
+
+    from kgray.sources.orcsrc import orders_to_orc, read_orders_orc
+
+    sf = "/root/testdata/sf0.001"
+    d = orders_to_orc(sf, root=str(tmp_path / "orc"))
+    got = read_orders_orc(d).to_pandas().sort_values(
+        "o_orderkey", ignore_index=True)
+    want = pq.read_table(f"{sf}/orders.parquet").to_pandas().sort_values(
+        "o_orderkey", ignore_index=True)
+    assert got.equals(want[got.columns.tolist()])
+    got2 = read_orders_orc(d, columns=["o_orderkey"]).to_pandas()
+    assert got2.columns.tolist() == ["o_orderkey"]
+    assert len(got2) == len(want)
+
+
+def test_orc_cache_fingerprint(ray_session, tmp_path):
+    """Regenerated orders.parquet at the same path invalidates the ORC
+    twin (fingerprint + atomic publish, the r2 ADVICE cache rule)."""
+    import pyarrow.parquet as pqw
+
+    from kgray.sources.orcsrc import orders_to_orc, read_orders_orc
+
+    sf = tmp_path / "sfY"
+    sf.mkdir()
+    root = str(tmp_path / "orc")
+    t1 = pa.table({"o_orderkey": pa.array([1, 2], type=pa.int64()),
+                   "o_totalprice": pa.array([1.5, 2.5])})
+    pqw.write_table(t1, sf / "orders.parquet")
+    d = orders_to_orc(str(sf), root=root)
+    assert read_orders_orc(d).count() == 2
+    t2 = pa.table({"o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                   "o_totalprice": pa.array([1.5, 2.5, 3.5])})
+    pqw.write_table(t2, sf / "orders.parquet")
+    d = orders_to_orc(str(sf), root=root)
+    assert read_orders_orc(d).count() == 3
