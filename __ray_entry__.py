@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_event_stats": relational.csv_event_stats,
         "sqlite_event_stats": relational.sqlite_event_stats,
         "orc_order_stats": relational.orc_order_stats,
+        "hive_event_stats": relational.hive_event_stats,
         "evolved_event_stats": relational.evolved_event_stats,
         "chars_zh_auc": text.chars_zh_auc,
         "order_price_global_rank": relational.order_price_global_rank,
@@ -1255,6 +1256,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "hive_event_stats": """
+            SELECT user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
         """,
         "priority_counts_ivm": """
             WITH h AS (

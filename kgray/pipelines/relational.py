@@ -5085,3 +5085,28 @@ def orc_order_stats(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "o_orderpriority", [("price_cents", "sum"), ("n_orders", "sum")],
         precombine=True)
+
+
+def hive_event_stats(sf_dir: str, event_type: str = "purchase"):
+    """Per-user totals for ONE event type over the hive-partitioned
+    twin of the events table (``sources/hivesrc.py``) — the partition
+    predicate is satisfied by DIRECTORY pruning (files of the other
+    four event types are never listed or opened; asserted by the
+    layout test).  Same SQL oracle as a WHERE filter over the flat
+    parquet view, so the driver's value hash proves the pruned hive
+    read is value-identical to the full-scan plan."""
+    from ..sources.hivesrc import events_to_hive, read_events_hive
+
+    ds = read_events_hive(events_to_hive(sf_dir), values=[event_type],
+                          columns=["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "value_cents": _cents(b.column("value")),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", [("value_cents", "sum"), ("n_events", "sum")],
+        precombine=True)

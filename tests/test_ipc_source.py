@@ -102,3 +102,58 @@ def test_orc_cache_fingerprint(ray_session, tmp_path):
     pqw.write_table(t2, sf / "orders.parquet")
     d = orders_to_orc(str(sf), root=root)
     assert read_orders_orc(d).count() == 3
+
+
+def test_hive_twin_round_trip_and_prune(ray_session, tmp_path):
+    """The hive twin re-attaches the partition column value-identically
+    to the flat parquet events table, and a partition predicate prunes
+    at the DIRECTORY level: files of other partitions are never kept."""
+    import pyarrow.parquet as pq
+
+    from kgray.sources.hivesrc import (events_to_hive, pruned_files,
+                                       read_events_hive)
+
+    sf = "/root/testdata/sf0.001"
+    d = events_to_hive(sf, root=str(tmp_path / "hive"))
+    want = pq.read_table(f"{sf}/events.parquet").to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    got = read_events_hive(d).to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    assert got[want.columns.tolist()].equals(want)
+    # the prune decision: one partition value keeps only its own files
+    kept, total = pruned_files(d, values=["purchase"])
+    n_parts = want["event_type"].nunique()
+    assert total == n_parts * 4 and len(kept) == 4
+    assert all("event_type=purchase" in f for f in kept)
+    # pruned read == WHERE filter over the flat view
+    got_p = read_events_hive(d, values=["purchase"]).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    want_p = want[want["event_type"] == "purchase"].reset_index(drop=True)
+    assert got_p[want_p.columns.tolist()].equals(want_p)
+    # projecting away the partition column skips the attach stage
+    got2 = read_events_hive(d, values=["purchase"],
+                            columns=["user_id", "value"]).to_pandas()
+    assert got2.columns.tolist() == ["user_id", "value"]
+    assert len(got2) == len(want_p)
+
+
+def test_hive_cache_fingerprint(ray_session, tmp_path):
+    """Regenerated events.parquet at the same path invalidates the hive
+    twin (fingerprint + atomic publish, the r2 ADVICE cache rule)."""
+    import pyarrow.parquet as pqw
+
+    from kgray.sources.hivesrc import events_to_hive, read_events_hive
+
+    sf = tmp_path / "sfZ"
+    sf.mkdir()
+    root = str(tmp_path / "hive")
+    t1 = pa.table({"event_id": pa.array([1, 2], type=pa.int64()),
+                   "event_type": pa.array(["a", "b"])})
+    pqw.write_table(t1, sf / "events.parquet")
+    d = events_to_hive(str(sf), root=root)
+    assert read_events_hive(d).count() == 2
+    t2 = pa.table({"event_id": pa.array([1, 2, 3], type=pa.int64()),
+                   "event_type": pa.array(["a", "b", "a"])})
+    pqw.write_table(t2, sf / "events.parquet")
+    d = events_to_hive(str(sf), root=root)
+    assert read_events_hive(d).count() == 3
