@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqlite_event_stats": relational.sqlite_event_stats,
         "orc_order_stats": relational.orc_order_stats,
         "hive_event_stats": relational.hive_event_stats,
+        "shipmode_priority_counts": relational.shipmode_priority_counts,
         "evolved_event_stats": relational.evolved_event_stats,
         "chars_zh_auc": text.chars_zh_auc,
         "order_price_global_rank": relational.order_price_global_rank,
@@ -1263,6 +1264,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        "shipmode_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l_returnflag
         """,
         "priority_counts_ivm": """
             WITH h AS (

@@ -351,6 +351,10 @@ def _run_all_queries(sf_dir: str, timed):
     timed("weighted_doc_sample", lambda: text.weighted_doc_sample(sf_dir))
     timed("events_out_of_order",
           lambda: relational.events_out_of_order(sf_dir))
+    timed("orc_order_stats", lambda: relational.orc_order_stats(sf_dir))
+    timed("hive_event_stats", lambda: relational.hive_event_stats(sf_dir))
+    timed("shipmode_priority_counts",
+          lambda: relational.shipmode_priority_counts(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

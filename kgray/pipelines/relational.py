@@ -5110,3 +5110,60 @@ def hive_event_stats(sf_dir: str, event_type: str = "purchase"):
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "user_id", [("value_cents", "sum"), ("n_events", "sum")],
         precombine=True)
+
+
+def shipmode_priority_counts(sf_dir: str, year: str = "1998"):
+    """TPC-H Q12-shaped CASE-split join: per lineitem return flag (the
+    ship-mode axis of this schema), how many lineitems shipped in one
+    year belong to critical-priority orders (``1-URGENT``/``2-HIGH``)
+    vs everything else.
+
+    Plan: the year predicate is pushed into the lineitem scan (row
+    groups outside never leave storage); orders project to two columns
+    and the priority CASE collapses to an int64 0/1 BEFORE the join, so
+    the exchange carries one byte-per-row of payload instead of the
+    priority string; the join is sorted-merge on ``o_orderkey``; the
+    final 3-row aggregate is map-side combined.  Completes the 22/22
+    TPC-H decision-support shape sweep."""
+    import pyarrow.dataset as pds
+
+    from ..stages.join import sorted_merge_join
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{int(year) + 1}-01-01")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+    line = line.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("l_orderkey"),
+                            "l_returnflag": b.column("l_returnflag")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_prio(b: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(b.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "is_high": pc.cast(hi_m, pa.int64())})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+            order_prio, batch_format="pyarrow", zero_copy_batch=True)
+    joined = sorted_merge_join(line, orders, on="o_orderkey")
+
+    def split(b: pa.Table) -> pa.Table:
+        high = b.column("is_high")
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "high_line_count": high,
+            "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), high)})
+
+    counted = joined.map_batches(split, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return sorted_group_aggregate(
+        counted, ["l_returnflag"],
+        [("high_line_count", "sum"), ("low_line_count", "sum")],
+        precombine=True)

@@ -206,3 +206,29 @@ def test_order_value_percent_rank_parity(ray_session, con):
     assert got.loc[0, "pct_rank"] == 0.0 and got.loc[0, "cume_dist"] == 1.0
     assert (got.loc[1:3, "pct_rank"] == 0.0).all()
     assert (got.loc[1:3, "cume_dist"] == 1.0).all()
+
+
+def test_shipmode_priority_counts_parity(ray_session, con):
+    """Q12 shape: sf0.001 parity at a NON-default year (the gate pins
+    the default), plus the CASE-split invariant high+low == join size."""
+    from kgray.pipelines.relational import shipmode_priority_counts
+
+    got = _norm(_to_pandas(shipmode_priority_counts(SF, year="1997")))
+    exp = _norm(con.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag""").df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True,
+                                  check_exact=True)
+    n_join = con.sql("""
+        SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'""").fetchone()[0]
+    assert int((got["high_line_count"] + got["low_line_count"]).sum()) \
+        == n_join
