@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs_bruteforce,
         "jaccard_prefix_pairs": dedup.jaccard_prefix_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "image_phash_pairs": lambda sf: __import__(
+            "kgray.pipelines.multimodal", fromlist=["image_phash_pairs"]
+        ).image_phash_pairs(sf),
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup_pairs,
         "embedding_lsh_pairs": lambda sf: dedup.embedding_lsh_pairs(
@@ -535,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
                      "extract_invariant", "kg_entities",
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
+                     "image_phash_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "event_user_distinct_hll",

@@ -355,6 +355,9 @@ def _run_all_queries(sf_dir: str, timed):
     timed("hive_event_stats", lambda: relational.hive_event_stats(sf_dir))
     timed("shipmode_priority_counts",
           lambda: relational.shipmode_priority_counts(sf_dir))
+    from kgray.pipelines import multimodal
+    timed("image_phash_pairs",
+          lambda: multimodal.image_phash_pairs(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

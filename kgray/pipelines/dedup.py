@@ -697,47 +697,58 @@ def simhash_signatures(sf_dir: str):
              .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512,
-                  verify: str = "auto"):
-    """Near-dup pairs with Hamming distance ≤ d via the pigeonhole
-    trick: split the 64-bit signature into d+1 chunks — any pair within
-    distance ≤ d must share at least one chunk exactly — groupby chunk
-    value yields candidates, then exact Hamming verify."""
+def hamming_lsh_pairs(sigs_ds, id_col: str, sig_col: str,
+                      out_a: str, out_b: str, max_hamming: int = 3,
+                      max_bucket: int = 512, verify: str = "auto"):
+    """EXACT near-dup pairs with Hamming distance ≤ d over ANY 64-bit
+    signature column (simhash of text, dHash of images, ...) via the
+    pigeonhole trick: split the signature into d+1 chunks — any pair
+    within distance ≤ d must share at least one chunk exactly — groupby
+    chunk value yields candidates (a complete set, so the LSH is exact,
+    not approximate), then exact Hamming verify.
+
+    ``sigs_ds`` must be a MATERIALIZED Dataset with columns
+    ``(id_col: int64, sig_col: int64)`` — it is consumed twice
+    (chunking + candidate fetch)."""
     n_chunks = min(max_hamming + 1, 16)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    # compute signatures ONCE (doc_id + int64) and reuse for the
-    # chunk-bucket pipeline; only *candidate* signatures are collected
-    # to the driver after bucketing
-    sigs_ds = simhash_signatures(sf_dir).materialize()
 
     def chunks_of(batch: pa.Table) -> pa.Table:
-        cidx, cval, dids = [], [], []
-        for did, s in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("simhash").to_pylist()):
-            u = s & ((1 << 64) - 1)
-            for ci in range(n_chunks):
-                lo, hi = bounds[ci], bounds[ci + 1]
-                cidx.append(ci)
-                cval.append((u >> lo) & ((1 << (hi - lo)) - 1))
-                dids.append(did)
-        # int64: for max_hamming <= 1 a chunk is >= 32 bits wide and its
-        # values overflow int32 (ADVICE round 1)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"chunk": pa.array([], type=pa.int32()),
+                             "val": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64())})
+        dids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+        u = batch.column(sig_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.int64).view(np.uint64)
+        cidx = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
+        # int64 vals: for max_hamming <= 1 a chunk is >= 32 bits wide
+        # and its values overflow int32 (ADVICE round 1)
+        vals = np.empty(n_chunks * n, dtype=np.int64)
+        for ci in range(n_chunks):
+            lo, hi = bounds[ci], bounds[ci + 1]
+            mask = np.uint64((1 << (hi - lo)) - 1)
+            vals[ci * n:(ci + 1) * n] = \
+                ((u >> np.uint64(lo)) & mask).view(np.int64)
         return pa.table({"chunk": pa.array(cidx, type=pa.int32()),
-                         "val": pa.array(cval, type=pa.int64()),
-                         "doc_id": pa.array(dids, type=pa.int64())})
+                         "val": pa.array(vals, type=pa.int64()),
+                         id_col: pa.array(np.tile(dids, n_chunks),
+                                          type=pa.int64())})
 
     chunks_ds = sigs_ds.map_batches(chunks_of, batch_format="pyarrow").materialize()
     pairs_ds = _bucket_pairs(chunks_ds, ["chunk", "val"],
-                             "doc_id", max_bucket=max_bucket).materialize()
+                             id_col, max_bucket=max_bucket).materialize()
     need = _distinct_ids(pairs_ds)
     if not need.size:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
+        return pa.table({out_a: pa.array([], type=pa.int64()),
+                         out_b: pa.array([], type=pa.int64()),
                          "hamming": pa.array([], type=pa.int64())})
     need_ref = ray.put(need)
 
     def candidate_sigs(batch: pa.Table) -> pa.Table:
-        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(ids_np, ray.get(need_ref))))
 
     cand_sigs = sigs_ds.map_batches(candidate_sigs, batch_format="pyarrow",
@@ -745,9 +756,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512,
 
     if _use_join_verify(verify, need.size):
         def check(batch: pa.Table) -> pa.Table:
-            a = batch.column("simhash_a").to_numpy(zero_copy_only=False) \
+            a = batch.column(f"{sig_col}_a").to_numpy(zero_copy_only=False) \
                      .astype(np.int64).view(np.uint64)
-            b = batch.column("simhash_b").to_numpy(zero_copy_only=False) \
+            b = batch.column(f"{sig_col}_b").to_numpy(zero_copy_only=False) \
                      .astype(np.int64).view(np.uint64)
             x = np.bitwise_xor(a, b)
             # vectorized popcount: 8 bytes per uint64 → bits → row sum
@@ -758,21 +769,34 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512,
             return out.append_column("hamming",
                                      pa.array(d[keep], type=pa.int64()))
 
-        verified = _verify_join(pairs_ds, cand_sigs, "doc_id", "simhash") \
+        verified = _verify_join(pairs_ds, cand_sigs, id_col, sig_col) \
             .map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
         rows = sorted((r["id_a"], r["id_b"], r["hamming"])
                       for r in verified.take_all())
     else:
-        sig_map = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        sig_map = {r[id_col]: r[sig_col] & ((1 << 64) - 1)
                    for r in cand_sigs.take_all()}
         rows = []
         for a, b in sorted(_collect_pairs(pairs_ds)):
             d = int(bin(sig_map[a] ^ sig_map[b]).count("1"))
             if d <= max_hamming:
                 rows.append((a, b, d))
-    return pa.table({"doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
-                     "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+    return pa.table({out_a: pa.array([r[0] for r in rows], type=pa.int64()),
+                     out_b: pa.array([r[1] for r in rows], type=pa.int64()),
                      "hamming": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = 512,
+                  verify: str = "auto"):
+    """Near-dup pairs with Hamming distance ≤ d over the text simhash —
+    the :func:`hamming_lsh_pairs` core with simhash signatures.
+    Signatures are computed ONCE (doc_id + int64) and reused for the
+    chunk-bucket pipeline; only *candidate* signatures are collected to
+    the driver after bucketing."""
+    return hamming_lsh_pairs(simhash_signatures(sf_dir).materialize(),
+                             "doc_id", "simhash", "doc_a", "doc_b",
+                             max_hamming=max_hamming,
+                             max_bucket=max_bucket, verify=verify)
 
 
 # --------------------------------------------------------------------------- embedding cosine near-dup

@@ -299,3 +299,107 @@ def video_features(sf_dir: str, concurrency: int | None = None,
         VideoFeaturizer, fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow", batch_size=64,
         concurrency=concurrency, num_cpus=1)
+
+
+# ------------------------------------------------------------------
+# Image perceptual-hash near-duplicates — the multimodal twin of text
+# simhash dedup: decode → grayscale → 9×8 thumbnail → 64-bit dHash →
+# the EXACT pigeonhole Hamming-LSH core shared with simhash
+# (`dedup.hamming_lsh_pairs`).  Catches re-encoded / brightness-shifted
+# copies that exact byte dedup misses.
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: integer BT.601 grayscale, 8×9
+    nearest-neighbor thumbnail, row-major adjacent-column comparisons.
+    Monotone brightness shifts (no clipping) preserve every comparison,
+    so a +c copy hashes IDENTICALLY — the canonical near-dup the hash
+    exists to catch.  Returned as a signed int64 (wrapped)."""
+    from ..kernels.codec import resize_nearest
+
+    px = img.astype(np.int64)
+    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    th = resize_nearest(gray, 8, 9)
+    bits = (th[:, 1:] > th[:, :-1]).astype(np.uint64).ravel()
+    sig = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def _neardup_base_img(base_id: int) -> np.ndarray:
+    """Deterministic base image with every channel in [20, 200] so a
+    +16 brightness copy never clips (dHash-invariant by construction)."""
+    h = 24 + (base_id * 13) % 17
+    w = 24 + (base_id * 7) % 23
+    rng = np.random.Generator(np.random.PCG64(0xD0D0 + base_id))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        20 + (yy * 180 // max(h - 1, 1)),
+        20 + (xx * 180 // max(w - 1, 1)),
+        rng.integers(20, 201, (h, w), dtype=np.int64),
+    ], axis=2).astype(np.uint8)
+    return img
+
+
+def synth_bmp_payload_neardup(doc_id: int) -> bytes:
+    """Near-dup-planted BMP synth: within each aligned group of 4 doc
+    ids, id%4==1 is a +16-brightness copy of the group base (dHash
+    distance 0, bytes different — exact dedup misses it), id%4==2
+    perturbs ONE thumbnail-sampled pixel of the base (distance ≤ 2),
+    ids 0 and 3 are unique images."""
+    from ..kernels.codec import encode_bmp
+
+    base_id, variant = doc_id // 4, doc_id % 4
+    if variant == 3:
+        img = _neardup_base_img(2 * base_id + 1)  # odd seeds: unique
+    else:
+        img = _neardup_base_img(2 * base_id)
+        if variant == 1:
+            img = img + np.uint8(16)              # in [36, 216]: no clip
+        elif variant == 2:
+            img = img.copy()
+            h, w = img.shape[:2]
+            # the source pixel the 8×9 thumbnail samples at cell (3, 4)
+            ys = min((3 * h) // 8, h - 1)
+            xs = min((4 * w) // 9, w - 1)
+            img[ys, xs] = (255, 255, 255)         # flips ≤ 2 dHash bits
+    return encode_bmp(img)
+
+
+class ImageDHasher:
+    """Actor-pool stage: binary BMP column → (doc_id, dhash int64)."""
+
+    def __init__(self):
+        from ..kernels.codec import decode_bmp
+        self._decode = decode_bmp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = [dhash64(self._decode(p))
+                for p in batch.column("payload").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "dhash": pa.array(sigs, type=pa.int64())})
+
+
+def image_dhash_signatures(sf_dir: str, concurrency: int | None = None):
+    """(doc_id, dhash) over the near-dup-planted BMP corpus — synthesize
+    → binary column through the object store → actor-pool decode+hash."""
+    if concurrency is None:
+        from .kg import _auto_concurrency
+        concurrency = _auto_concurrency()[0]
+    return _synth_binary_column(sf_dir, synth_bmp_payload_neardup) \
+        .map_batches(ImageDHasher, batch_format="pyarrow", batch_size=128,
+                     concurrency=concurrency, num_cpus=1)
+
+
+def image_phash_pairs(sf_dir: str, max_hamming: int = 3,
+                      max_bucket: int = 512, verify: str = "auto"):
+    """EXACT image near-duplicate pairs (Hamming ≤ d over dHash): the
+    pigeonhole chunk LSH guarantees candidate completeness, so this is
+    a complete pair list, not an approximation — pinned by the
+    brute-force parity test.  At 100 TB the payload column never
+    shuffles: only (doc_id, 64-bit hash) rows enter the exchange."""
+    from .dedup import hamming_lsh_pairs
+
+    sigs = image_dhash_signatures(sf_dir).materialize()
+    return hamming_lsh_pairs(sigs, "doc_id", "dhash", "doc_a", "doc_b",
+                             max_hamming=max_hamming,
+                             max_bucket=max_bucket, verify=verify)

@@ -145,3 +145,70 @@ def test_video_features_pipeline_matches_serial(ray_session, tmp_path):
             prev = a
         assert row.motion == motion
         assert row.motion > 0                  # frames really move
+
+
+# ------------------------------------------------------------------ dHash near-dup
+
+
+def test_dhash_brightness_invariance():
+    """A clip-free +c brightness copy hashes identically (monotone
+    shift preserves every adjacent comparison) — the canonical near-dup
+    exact byte dedup misses."""
+    import numpy as np
+
+    from kgray.pipelines.multimodal import _neardup_base_img, dhash64
+
+    for bid in range(6):
+        img = _neardup_base_img(bid)
+        assert dhash64(img) == dhash64(img + np.uint8(16))
+        assert dhash64(img) == dhash64(img + np.uint8(40))  # still <= 240
+
+
+def test_dhash_perturbed_pixel_bounded_distance():
+    """Perturbing one thumbnail-sampled pixel flips at most 2 bits (its
+    left and right comparisons)."""
+    import numpy as np
+
+    from kgray.kernels.codec import decode_bmp
+    from kgray.pipelines.multimodal import dhash64, synth_bmp_payload_neardup
+
+    for g in range(8):
+        a = dhash64(decode_bmp(synth_bmp_payload_neardup(4 * g)))
+        c = dhash64(decode_bmp(synth_bmp_payload_neardup(4 * g + 2)))
+        d = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+        assert d <= 2
+
+
+def test_image_phash_pairs_bruteforce_parity(ray_session):
+    """The pigeonhole Hamming-LSH pair list is EXACT: identical to the
+    O(n²) brute-force sweep over all 500 sf0.001 documents, and every
+    planted (base, +16-brightness) twin appears with distance 0."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kgray.kernels.codec import decode_bmp
+    from kgray.pipelines.multimodal import (dhash64, image_phash_pairs,
+                                            synth_bmp_payload_neardup)
+
+    sf = "/root/testdata/sf0.001"
+    t = image_phash_pairs(sf)
+    got = sorted(zip(t.column("doc_a").to_pylist(),
+                     t.column("doc_b").to_pylist(),
+                     t.column("hamming").to_pylist()))
+
+    ids = sorted(pq.read_table(f"{sf}/documents.parquet",
+                               columns=["doc_id"]).column("doc_id")
+                 .to_pylist())
+    sig = np.array([dhash64(decode_bmp(synth_bmp_payload_neardup(i)))
+                    for i in ids], dtype=np.int64).view(np.uint64)
+    x = sig[:, None] ^ sig[None, :]
+    d = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                      axis=2).sum(axis=2)
+    a_i, b_i = np.triu_indices(len(ids), 1)
+    want = sorted((ids[a], ids[b], int(d[a, b]))
+                  for a, b in zip(a_i, b_i) if d[a, b] <= 3)
+    assert got == want
+    got_set = {(a, b): h for a, b, h in got}
+    for base in range(0, max(ids) - 1, 4):
+        if base in ids and base + 1 in ids:
+            assert got_set.get((base, base + 1)) == 0
