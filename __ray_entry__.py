@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_kn_logprob": text.bigram_kn_logprob,
         "decontaminate": text.decontaminate,
         "pii_scrub": text.pii_scrub,
+        "nb_lang_predictions": text.nb_lang_predictions,
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -678,6 +679,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "nb_lang_predictions": f"""
+            WITH d AS (SELECT doc_id, lang, text FROM documents
+                       WHERE len(trim(text)) > 0),
+            t AS (SELECT doc_id, lang, unnest({_TOKS}) AS token FROM d),
+            tf AS (SELECT doc_id, lang, token,
+                          CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2, 3),
+            tc AS (SELECT token, lang, CAST(SUM(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY 1, 2),
+            langs AS (SELECT DISTINCT lang FROM d),
+            totals AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+                       FROM tc GROUP BY 1),
+            v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tc),
+            pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd,
+                           CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS ndocs
+                    FROM d GROUP BY 1),
+            s AS (SELECT tf.doc_id, l.lang,
+                         tf.tf * CAST(FLOOR(ln(
+                             CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+                             / CAST(totals.tot + v.v AS DOUBLE)) * 1e6)
+                                      AS BIGINT) AS c
+                  FROM (SELECT DISTINCT doc_id, token, tf FROM tf) tf
+                  CROSS JOIN langs l
+                  LEFT JOIN tc ON tc.token = tf.token AND tc.lang = l.lang
+                  JOIN totals ON totals.lang = l.lang CROSS JOIN v),
+            sc AS (SELECT s.doc_id, s.lang,
+                          CAST(FLOOR(ln(CAST(pri.nd AS DOUBLE)
+                                        / CAST(pri.ndocs AS DOUBLE)) * 1e6)
+                               AS BIGINT)
+                          + CAST(SUM(s.c) AS BIGINT) AS score
+                   FROM s JOIN pri ON pri.lang = s.lang
+                   GROUP BY s.doc_id, s.lang, pri.nd, pri.ndocs)
+            SELECT doc_id, lang AS pred_lang, score AS score_micronats
+            FROM sc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang ASC) = 1
         """,
         "bigram_logprob": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks

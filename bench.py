@@ -358,6 +358,8 @@ def _run_all_queries(sf_dir: str, timed):
     from kgray.pipelines import multimodal
     timed("image_phash_pairs",
           lambda: multimodal.image_phash_pairs(sf_dir))
+    timed("nb_lang_predictions",
+          lambda: text.nb_lang_predictions(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -27,7 +27,8 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "heavy_hitter_tokens", "jsonl_token_stats",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
            "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
-           "token_fuzzy_pairs", "dedup_substring_mask", "token_postings"]
+           "token_fuzzy_pairs", "dedup_substring_mask", "token_postings",
+           "nb_lang_predictions"]
 
 _WS = re.compile(r"\s+")
 
@@ -1445,3 +1446,127 @@ def lang_balanced_sample(sf_dir: str):
 
     docs = read_documents(sf_dir, columns=("doc_id", "lang"))
     return group_sample(docs, group="lang", key_col="doc_id", k=int(m))
+
+
+def nb_lang_predictions(sf_dir: str):
+    """Distributed multinomial Naive Bayes over the documents table:
+    train (class priors + add-1-smoothed per-class token likelihoods)
+    and score in one pipeline, with EVERY number exact — counts are
+    int64 partial sums, per-token log-likelihoods are quantized to
+    integer micro-nats (``floor(ln(x) * 1e6)`` via ``math.log``, libm
+    — bitwise equal to DuckDB ``ln``), so per-doc class scores are
+    order-independent int64 reductions and the argmax is deterministic
+    (ties break to the lexicographically first class, mirroring the
+    oracle's ``ORDER BY score DESC, lang ASC``).
+
+    Training IS counting for NB, so the distributed fit is exact by
+    construction — the same mergeable-partials law as the HMM counts
+    (A1–A4).  Plan: flat (doc_id, lang, token, tf) rows → per-class
+    token counts via ``sorted_group_aggregate`` → widened to one row
+    per token (class count columns) → LARGE×LARGE ``sorted_merge_join``
+    back onto doc tokens (vocabulary-sized right side; no broadcast
+    assumption) → vectorized micro-nat scoring per class → per-doc
+    int64 sums → argmax.  Class metadata (5 rows) is the only thing
+    the driver ever holds."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, lang_v, toks, tfs = [], [], [], []
+        for d, lg, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("lang").to_pylist(),
+                            batch.column("text").to_pylist()):
+            for tok, n in Counter(_tokens(t)).items():
+                doc_ids.append(d)
+                lang_v.append(lg)
+                toks.append(tok)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "lang": pa.array(lang_v, type=pa.string()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "tf": pa.array(tfs, type=pa.int64())})
+
+    docs = read_documents(sf_dir, columns=("doc_id", "text", "lang")) \
+        .map_batches(lambda b: b.filter(
+            pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(
+                b.column("text"))), 0)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    tf_ds = docs.map_batches(tf_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    # ---- class priors over the scored (non-empty) docs: tiny
+    pri_rows = sorted_group_aggregate(
+        docs.map_batches(lambda b: pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "lang", [("n_docs", "sum")]).take_all()
+    langs = sorted(r["lang"] for r in pri_rows)
+    n_docs_c = {r["lang"]: r["n_docs"] for r in pri_rows}
+    n_docs = sum(n_docs_c.values())
+
+    # ---- per-class token counts, then one wide row per token
+    tc = sorted_group_aggregate(
+        tf_ds.map_batches(lambda b: pa.table({
+            "token": b.column("token"), "lang": b.column("lang"),
+            "cnt": b.column("tf")}), batch_format="pyarrow"),
+        ["token", "lang"], [("cnt", "sum")]).materialize()
+    totals = {r["lang"]: r["cnt"]
+              for r in sorted_group_aggregate(
+                  tc, "lang", [("cnt", "sum")]).take_all()}
+
+    def widen(batch: pa.Table) -> pa.Table:
+        lv = batch.column("lang").to_numpy(zero_copy_only=False)
+        cv = batch.column("cnt").to_numpy(zero_copy_only=False)
+        cols = {"token": batch.column("token")}
+        for lg in langs:
+            cols[f"cnt_{lg}"] = pa.array(
+                np.where(lv == lg, cv, 0).astype(np.int64))
+        return pa.table(cols)
+
+    wide = sorted_group_aggregate(
+        tc.map_batches(widen, batch_format="pyarrow"),
+        "token", [(f"cnt_{lg}", "sum") for lg in langs]).materialize()
+    vocab_v = wide.count()
+
+    joined = sorted_merge_join(tf_ds.drop_columns(["lang"]), wide,
+                               on="token")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        cols = {"doc_id": batch.column("doc_id")}
+        for lg in langs:
+            cnt = batch.column(f"cnt_{lg}").to_numpy(zero_copy_only=False)
+            denom = float(totals[lg] + vocab_v)
+            uniq, inv = np.unique(cnt, return_inverse=True)
+            micro = np.array(
+                [math.floor(math.log(float(u + 1) / denom) * 1e6)
+                 for u in uniq], dtype=np.int64)[inv]
+            cols[f"score_{lg}"] = pa.array(tf * micro, type=pa.int64())
+        return pa.table(cols)
+
+    sums = sorted_group_aggregate(
+        joined.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "doc_id", [(f"score_{lg}", "sum") for lg in langs])
+
+    prior_micro = np.array(
+        [math.floor(math.log(float(n_docs_c[lg]) / float(n_docs)) * 1e6)
+         for lg in langs], dtype=np.int64)
+    lang_arr = np.array(langs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = np.stack([batch.column(f"score_{lg}")
+                      .to_numpy(zero_copy_only=False)
+                      for lg in langs], axis=1) + prior_micro[None, :]
+        best = np.argmax(s, axis=1)          # first max = lang-asc tie
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(lang_arr[best], type=pa.string()),
+            "score_micronats": pa.array(
+                s[np.arange(len(best)), best], type=pa.int64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -156,3 +156,79 @@ def test_pii_scrub_redacts_and_counts(ray_session):
     clean = got[~injected]
     assert (clean[["n_email", "n_ip", "n_phone"]] == 0).all().all()
     assert (clean.text_clean == docs.text[~injected]).all()
+
+
+def test_nb_lang_predictions_bruteforce(ray_session, tmp_path):
+    """Naive Bayes on a hand-checkable corpus: scores equal the serial
+    add-1-smoothed computation exactly (micro-nat for micro-nat), and
+    the argmax tie-breaks to the lexicographically first class."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.text import nb_lang_predictions
+
+    docs = [
+        (0, "a b a", "en"), (1, "a b", "en"), (2, "x y x", "zh"),
+        (3, "x y", "zh"), (4, "a x", "en"), (5, "  ", "zh"),  # empty: dropped
+        (6, "b b y", "de"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "lang": pa.array([d[2] for d in docs])}),
+        tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: (r["pred_lang"], r["score_micronats"])
+           for r in nb_lang_predictions(str(tmp_path)).take_all()}
+
+    # serial NB
+    kept = [d for d in docs if d[1].strip()]
+    langs = sorted({d[2] for d in kept})
+    nd = {lg: sum(1 for d in kept if d[2] == lg) for lg in langs}
+    cnt, tot = {}, {lg: 0 for lg in langs}
+    for _, text, lg in kept:
+        for tok in text.split():
+            cnt[(tok, lg)] = cnt.get((tok, lg), 0) + 1
+            tot[lg] += 1
+    vocab = len({t for (t, _) in cnt})
+    exp = {}
+    for did, text, _ in kept:
+        best = None
+        for lg in langs:
+            s = math.floor(math.log(nd[lg] / len(kept)) * 1e6)
+            for tok in text.split():
+                s += math.floor(math.log(
+                    (cnt.get((tok, lg), 0) + 1) / (tot[lg] + vocab)) * 1e6)
+            if best is None or s > best[1]:
+                best = (lg, s)
+        exp[did] = best
+    assert got == exp
+    assert 5 not in got                      # empty doc dropped
+
+
+def test_nb_lang_predictions_parallelism_invariant(ray_session):
+    """The distributed fit is exact: bitwise-identical predictions and
+    scores regardless of block structure (counts are mergeable int64
+    partials; micro-nat quantization happens before every reduction)."""
+    import pandas as pd
+
+    from kgray.pipelines.text import nb_lang_predictions
+
+    sf = "/root/testdata/sf0.001"
+    a = nb_lang_predictions(sf).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024   # force many tiny blocks
+        b = nb_lang_predictions(sf).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
