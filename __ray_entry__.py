@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         "pii_scrub": text.pii_scrub,
         "nb_lang_predictions": text.nb_lang_predictions,
+        "bm25_search": text.bm25_search,
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -679,6 +680,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "bm25_search": f"""
+            WITH q(query_id, token) AS (VALUES
+                (0, 'hash'), (0, 'join'), (0, 'merge'),
+                (1, 'batch'), (1, 'scan'), (1, 'filter'),
+                (2, 'customer'), (2, 'order'), (2, 'table')),
+            d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE len(trim(text)) > 0),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+            t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+            df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            sc AS (SELECT q.query_id, tf.doc_id,
+                          CAST(SUM(CAST(FLOOR(
+                              ln((CAST(c.n - df.df AS DOUBLE) + 0.5)
+                                 / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                              * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                                 / (CAST(tf.tf AS DOUBLE)
+                                    + 1.2 * (1.0 - 0.75 + 0.75
+                                             * (CAST(dl.dl AS DOUBLE)
+                                                / (CAST(c.s AS DOUBLE)
+                                                   / CAST(c.n AS DOUBLE))))))
+                              * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+                   FROM q JOIN tf USING (token) JOIN dl USING (doc_id)
+                        JOIN df USING (token) CROSS JOIN c
+                   GROUP BY 1, 2)
+            SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+                   score_micro FROM (
+                SELECT query_id, doc_id, score_micro,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_micro DESC, doc_id ASC)
+                           AS BIGINT) AS rank
+                FROM sc)
+            WHERE rank <= 10
         """,
         "nb_lang_predictions": f"""
             WITH d AS (SELECT doc_id, lang, text FROM documents

@@ -360,6 +360,7 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: multimodal.image_phash_pairs(sf_dir))
     timed("nb_lang_predictions",
           lambda: text.nb_lang_predictions(sf_dir))
+    timed("bm25_search", lambda: text.bm25_search(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1570,3 +1570,111 @@ def nb_lang_predictions(sf_dir: str):
 
     return sums.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "batch scan filter"),
+    (2, "customer order table"),
+]
+
+
+def bm25_search(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """BM25 ranking of the corpus against a FIXED small query set —
+    the retrieval op a training-data pipeline runs to mine domain
+    documents.
+
+    Scale shape: with a bounded query vocabulary (here 9 terms) the
+    token exchange disappears entirely — one streaming pass computes a
+    doc-sized WIDE row (doc length + tf of each query term), the term
+    document frequencies reduce to a 9-integer broadcast, and scoring
+    is vectorized per block with per-query ``global_topk`` (k·n_blocks
+    survivor rows, never a full sort).  The unbounded-vocabulary twin
+    is ``tfidf_top_terms``/``token_postings`` (large×large token
+    joins).
+
+    Determinism: tf/df/dl are exact int64; idf uses ``math.log`` on
+    the (tiny) distinct df values; the remaining float algebra is
+    elementwise IEEE mirrored operand-for-operand by the SQL oracle,
+    and each per-term contribution quantizes to integer micro-units
+    BEFORE the per-doc sum, so scores are order-independent exactly
+    like the LM/NB scorers."""
+    import math
+
+    from ..stages.topk import global_topk
+
+    terms = sorted({t for _, q in _BM25_QUERIES for t in q.split()})
+
+    def doc_stats(batch: pa.Table) -> pa.Table:
+        ids, dls = [], []
+        tfs = {t: [] for t in terms}
+        for d, txt in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _tokens(txt)
+            if not toks:
+                continue
+            c = Counter(toks)
+            ids.append(d)
+            dls.append(len(toks))
+            for t in terms:
+                tfs[t].append(c.get(t, 0))
+        cols = {"doc_id": pa.array(ids, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64())}
+        for i, t in enumerate(terms):
+            cols[f"tf_{i}"] = pa.array(tfs[t], type=pa.int64())
+        return pa.table(cols)
+
+    stats = read_documents(sf_dir).map_batches(
+        doc_stats, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    # corpus constants: one tiny partial-sum pass (never a shuffle)
+    def corpus_partial(batch: pa.Table) -> pa.Table:
+        cols = {"n_docs": pa.array([batch.num_rows], type=pa.int64()),
+                "sum_dl": pa.array([pc.sum(batch.column("dl")).as_py() or 0],
+                                   type=pa.int64())}
+        for i in range(len(terms)):
+            df_i = int(pc.sum(pc.cast(pc.greater(
+                batch.column(f"tf_{i}"), 0), pa.int64())).as_py() or 0)
+            cols[f"df_{i}"] = pa.array([df_i], type=pa.int64())
+        return pa.table(cols)
+
+    parts = stats.map_batches(corpus_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    avgdl = float(sum(r["sum_dl"] for r in parts)) / float(n_docs)
+    df = [sum(r[f"df_{i}"] for r in parts) for i in range(len(terms))]
+    idf = [math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in df]
+    term_idx = {t: i for i, t in enumerate(terms)}
+
+    out = []
+    for qid, qtext in _BM25_QUERIES:
+        q_terms = [term_idx[t] for t in qtext.split()]
+
+        def score(batch: pa.Table, q_terms=q_terms) -> pa.Table:
+            dl = batch.column("dl").to_numpy(zero_copy_only=False)
+            norm = k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl))
+            s = np.zeros(batch.num_rows, dtype=np.int64)
+            hit = np.zeros(batch.num_rows, dtype=bool)
+            for ti in q_terms:
+                tf = batch.column(f"tf_{ti}") \
+                          .to_numpy(zero_copy_only=False)
+                tfn = (tf * (k1 + 1.0)) / (tf + norm)
+                s += np.floor(idf[ti] * tfn * 1e6).astype(np.int64) \
+                    * (tf > 0)
+                hit |= tf > 0
+            t = pa.table({"doc_id": batch.column("doc_id"),
+                          "score_micro": pa.array(s, type=pa.int64())})
+            return t.filter(pa.array(hit))
+
+        top = global_topk(
+            stats.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            [("score_micro", "descending"), ("doc_id", "ascending")], k)
+        n = top.num_rows
+        out.append(pa.table({
+            "query_id": pa.array([qid] * n, type=pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "doc_id": top.column("doc_id"),
+            "score_micro": top.column("score_micro")}))
+    return pa.concat_tables(out)

@@ -232,3 +232,27 @@ def test_nb_lang_predictions_parallelism_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+
+
+def test_bm25_search_oracle_parity_sf0001(ray_session):
+    """BM25 at the OTHER scale (the gate pins sf0.01): score-for-score
+    vs the DuckDB oracle, ranks contiguous from 1 per query."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from kgray.pipelines.text import bm25_search
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    exp = con.sql(entrymod.oracle_sql()["bm25_search"]).df() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    got = bm25_search(sf).to_pandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=True, check_exact=True)
+    for qid, grp in got.groupby("query_id"):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+        assert (grp["score_micro"].diff().dropna() <= 0).all()
