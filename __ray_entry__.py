@@ -313,6 +313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_kcore": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_kcore"]
         ).copurchase_kcore(sf),
+        "entity_communities": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["entity_communities"]
+        ).entity_communities(sf),
         "customer_golden_records": lambda sf: __import__(
             "kgray.pipelines.er", fromlist=["customer_golden_records"]
         ).customer_golden_records(sf),
@@ -553,7 +556,8 @@ def oracle_sql() -> dict[str, str]:
                      "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
                      "ann_pq_topk", "pq_codes", "copurchase_kcore",
-                     "ann_hnsw_topk", "customer_golden_records")
+                     "ann_hnsw_topk", "customer_golden_records",
+                     "entity_communities")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

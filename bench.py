@@ -361,6 +361,8 @@ def _run_all_queries(sf_dir: str, timed):
     timed("nb_lang_predictions",
           lambda: text.nb_lang_predictions(sf_dir))
     timed("bm25_search", lambda: text.bm25_search(sf_dir))
+    timed("entity_communities",
+          lambda: _graph.entity_communities(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -571,3 +571,147 @@ def entity_hits(sf_dir: str, iters: int = 20):
         "src": b.column("subj"), "dst": b.column("obj")}),
         batch_format="pyarrow")
     return hits(edges, iters=iters)
+
+
+# ------------------------------------------------------------------ label propagation
+
+_LPA_DENSE_MAX_EDGES = 2_000_000
+
+
+def label_propagation(edges, rounds: int = 4, plan: str = "auto"):
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an UNDIRECTED graph: every node starts labeled with itself;
+    each round every node adopts the most frequent label among its
+    neighbors, ties to the LEXICOGRAPHICALLY SMALLEST label.  A FIXED
+    round count with synchronous updates makes the result a pure
+    function of the graph (classic async LPA is visit-order-dependent;
+    this variant is partitioning- and plan-independent, pinned by the
+    dense==shuffle test).
+
+    ``edges``: Dataset (``src``, ``dst``) string node keys.  Input is
+    normalized to distinct undirected pairs, self-loops dropped.
+    Returns (``node``, ``community``) — community = the surviving label.
+
+    ``plan="shuffle"`` (the scale path), per round: two sorted-merge
+    joins ship each endpoint's label across its edges (edge-sized),
+    one ``sorted_group_aggregate`` counts (node, label) votes, one
+    ``grouped_topk(k=1)`` takes the per-node argmax.  Nothing
+    node-sized ever collects to the driver.  ``plan="dense"`` below
+    ``_LPA_DENSE_MAX_EDGES``: one collect, vectorized np.lexsort
+    vote-counting per round — identical output."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    assert plan in ("auto", "dense", "shuffle")
+
+    def norm(b: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(b.column("src"), b.column("dst"))
+        hi = pc.max_element_wise(b.column("src"), b.column("dst"))
+        t = pa.table({"u": lo, "v": hi,
+                      "n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.filter(pc.fill_null(pc.not_equal(lo, hi), False))
+
+    und = sorted_group_aggregate(
+        edges.map_batches(norm, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["u", "v"], [("n", "sum")]).drop_columns(["n"]).materialize()
+
+    if plan == "dense" or (plan == "auto"
+                           and und.count() <= _LPA_DENSE_MAX_EDGES):
+        import ray
+        tabs = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], type=pa.string()),
+                "community": pa.array([], type=pa.string())}))
+        et = pa.concat_tables(tabs, promote_options="permissive")
+        u = np.asarray(et.column("u").to_pylist())
+        v = np.asarray(et.column("v").to_pylist())
+        names, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[:len(u)], inv[len(u):]
+        lab = np.arange(len(names), dtype=np.int64)
+        msg_node = np.concatenate([ui, vi])
+        msg_src = np.concatenate([vi, ui])
+        for _ in range(rounds):
+            ml = lab[msg_src]
+            order = np.lexsort((ml, msg_node))
+            nn, ll = msg_node[order], ml[order]
+            new_run = np.ones(len(nn), dtype=bool)
+            new_run[1:] = (nn[1:] != nn[:-1]) | (ll[1:] != ll[:-1])
+            starts = np.flatnonzero(new_run)
+            counts = np.diff(np.append(starts, len(nn)))
+            gn, gl = nn[starts], ll[starts]
+            o2 = np.lexsort((gl, -counts, gn))
+            first = np.ones(len(o2), dtype=bool)
+            sgn = gn[o2]
+            first[1:] = sgn[1:] != sgn[:-1]
+            sel = o2[first]
+            new_lab = lab.copy()
+            new_lab[gn[sel]] = gl[sel]
+            lab = new_lab
+        return rd.from_arrow(pa.table({
+            "node": pa.array(names, type=pa.string()),
+            "community": pa.array(names[lab], type=pa.string())}))
+
+    # distinct endpoint set as the initial self-labeling
+    nodes = sorted_group_aggregate(
+        und.map_batches(lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column("u").combine_chunks(),
+                b.column("v").combine_chunks()]),
+            "n": pa.array(np.ones(2 * b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], [("n", "sum")]).drop_columns(["n"]).materialize()
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "label": b.column("node")}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        to_v = sorted_merge_join(
+            und.map_batches(lambda b: pa.table({
+                "node": b.column("u"), "dst": b.column("v")}),
+                batch_format="pyarrow"),
+            labels, on="node").map_batches(
+                lambda b: pa.table({"node": b.column("dst"),
+                                    "label": b.column("label")}),
+                batch_format="pyarrow")
+        to_u = sorted_merge_join(
+            und.map_batches(lambda b: pa.table({
+                "node": b.column("v"), "dst": b.column("u")}),
+                batch_format="pyarrow"),
+            labels, on="node").map_batches(
+                lambda b: pa.table({"node": b.column("dst"),
+                                    "label": b.column("label")}),
+                batch_format="pyarrow")
+        votes = sorted_group_aggregate(
+            to_v.union(to_u).map_batches(lambda b: b.append_column(
+                "cnt", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+                batch_format="pyarrow"),
+            ["node", "label"], [("cnt", "sum")])
+        labels = grouped_topk(votes, "node", "cnt", "label", k=1) \
+            .drop_columns(["cnt", "rank"]).materialize()
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "community": b.column("label")}),
+        batch_format="pyarrow")
+
+
+def entity_communities(sf_dir: str, rounds: int = 4):
+    """Label-propagation communities over the extracted entity graph —
+    'which entities cluster together in the corpus'.  Deterministic
+    (synchronous, fixed rounds, lexicographic tie-break): fixture
+    oracle; dense==shuffle plan equality pinned in tests."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
+    edges = graph.map_batches(lambda b: pa.table({
+        "src": b.column("subj"), "dst": b.column("obj")}),
+        batch_format="pyarrow")
+    return label_propagation(edges, rounds=rounds)

@@ -51,6 +51,7 @@ FIXTURE_QUERIES = [
     "doc_quality_scores", "dsir_selected",
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
     "copurchase_kcore", "ann_hnsw_topk", "customer_golden_records",
+    "entity_communities",
 ]
 
 

@@ -71,3 +71,88 @@ def test_pagerank_dense_and_shuffle_plans_bit_identical(ray_session):
     shuffle = pagerank(ds, iters=4, plan="shuffle").to_pandas()
     k = lambda d: sorted(zip(d["node"], d["rank_fp"]))
     assert k(dense) == k(shuffle)
+
+
+# ------------------------------------------------------------------ label propagation
+
+
+def _lpa_toy_edges():
+    import pyarrow as pa
+    import ray.data as rd
+
+    def clique(pref, n):
+        names = [f"{pref}{i}" for i in range(n)]
+        return [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    edges = clique("a", 4) + clique("b", 5) + [("a0", "b0"), ("c0", "c1")]
+    return rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges]),
+        "dst": pa.array([e[1] for e in edges])}))
+
+
+def test_lpa_cliques_and_plan_equality(ray_session):
+    """Two bridged cliques resolve to two communities; an isolated edge
+    forms its own; the dense and shuffle plans agree row-for-row."""
+    from kgray.pipelines.graph import label_propagation
+
+    ds = _lpa_toy_edges()
+    dense = {r["node"]: r["community"]
+             for r in label_propagation(ds, plan="dense").take_all()}
+    shuf = {r["node"]: r["community"]
+            for r in label_propagation(ds, plan="shuffle").take_all()}
+    assert dense == shuf
+    assert len({dense[f"a{i}"] for i in range(4)}) == 1
+    assert len({dense[f"b{i}"] for i in range(5)}) == 1
+    # an isolated PAIR 2-cycles under synchronous updates (the known
+    # sync-LPA oscillation) — its labels stay within the pair but need
+    # not coincide; what matters is it never merges into a/b
+    assert {dense["c0"], dense["c1"]} <= {"c0", "c1"}
+    assert dense["a0"] != dense["b1"]
+
+
+def test_lpa_duplicate_and_self_edges_ignored(ray_session):
+    """Input normalization: duplicated/reversed edges count once,
+    self-loops never vote — the labeling is a pure function of the
+    distinct undirected pair set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.pipelines.graph import label_propagation
+
+    base = _lpa_toy_edges()
+    noisy_rows = base.take_all() + [
+        {"src": "b0", "dst": "a0"},          # reversed duplicate
+        {"src": "a1", "dst": "a1"},          # self-loop
+        {"src": "a2", "dst": "a3"},          # exact duplicate
+    ]
+    noisy = rd.from_arrow(pa.table({
+        "src": pa.array([r["src"] for r in noisy_rows]),
+        "dst": pa.array([r["dst"] for r in noisy_rows])}))
+    a = sorted((r["node"], r["community"])
+               for r in label_propagation(base, plan="dense").take_all())
+    b = sorted((r["node"], r["community"])
+               for r in label_propagation(noisy, plan="dense").take_all())
+    assert a == b
+
+
+def test_entity_communities_plan_equality_sf0001(ray_session):
+    """The gate query's two plans agree on the real entity graph."""
+    from kgray.pipelines.graph import entity_communities, label_propagation
+    from kgray.pipelines.kg import kg_dataset, page_files
+    from kgray.sources.derived import corpus_for_sf, models_for_corpus
+    from kgray.stages.canonical import canonical_graph
+    import pyarrow as pa
+
+    sf = "/root/testdata/sf0.001"
+    corpus = corpus_for_sf(sf)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
+    edges = graph.map_batches(lambda b: pa.table({
+        "src": b.column("subj"), "dst": b.column("obj")}),
+        batch_format="pyarrow").materialize()
+    dense = sorted((r["node"], r["community"]) for r in
+                   label_propagation(edges, plan="dense").take_all())
+    shuf = sorted((r["node"], r["community"]) for r in
+                  label_propagation(edges, plan="shuffle").take_all())
+    assert dense == shuf and len(dense) > 0
