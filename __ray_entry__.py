@@ -206,10 +206,17 @@ _R3_WINDOW = [
     # events_recent_orders, customer_order_quartiles,
     # user_first_last_event, type_value_mode,
     # purchases_intersect_views_all, events_grouping_sets)
+    # (r3-s5 rotation: events_orders_daily, customer_order_dist,
+    # user_next_event_gap, event_value_moments, events_cube and
+    # user_type_value_share rotate OUT — all driver-green earlier, each
+    # family keeps a representative — for the hive-pruned source, the
+    # Q12 CASE-split join, the image dHash Hamming-LSH, Naive Bayes,
+    # BM25 and label-propagation communities)
+    "hive_event_stats", "shipmode_priority_counts", "image_phash_pairs",
+    "nb_lang_predictions", "bm25_search", "entity_communities",
     "user_day_purchase_views", "order_priority_revenue",
-    "events_orders_daily", "local_supplier_volume", "large_orders",
+    "local_supplier_volume", "large_orders",
     "bucketed_order_revenue", "nation_pair_volume", "market_share",
-    "customer_order_dist",
     "purchase_value_by_engagement", "copurchase_kcore",
     "nation_year_profit",
     # as-of / interval / rolling windows (user_trailing_value rotated
@@ -226,25 +233,25 @@ _R3_WINDOW = [
     # kept by customer_order_ranks/user_running_value — for the Q9
     # five-table join and the PERCENT_RANK/CUME_DIST distinct-level
     # rank exchange)
-    "user_running_value", "user_event_gaps", "user_next_event_gap",
+    "user_running_value", "user_event_gaps",
     "customer_order_ranks", "order_value_percent_rank",
     # top-k / quantiles / stats (events_value_quantiles rotated out r3
     # — quantile family keeps the _cont interpolation variant — for
     # the Welch z-test)
     "priority_top_orders", "events_ab_ztest",
     "events_value_quantiles_cont", "type_user_counts",
-    "event_value_stats", "lineitem_qty_price_corr", "event_value_moments",
+    "event_value_stats", "lineitem_qty_price_corr",
     # set ops (purchases_except_views_all rotated out r3 — EXCEPT ALL
     # family keeps two representatives — for the retraction IVM)
     "users_both_active", "buyers_never_active",
     "priority_counts_ivm",
     # windows/rollups/pivots over the event stream (events_hourly
     # rotated out r3 — driver-green r2 — for the new interval join)
-    "purchase_view_attribution", "events_hopping", "events_rollup", "events_cube",
+    "purchase_view_attribution", "events_hopping", "events_rollup",
     "priority_status_pivot",
     "priority_status_unpivot",
     # sessionization / ordered aggregation / funnel / retention
-    "user_sessions", "user_event_type_seq", "user_type_value_share",
+    "user_sessions", "user_event_type_seq",
     "user_funnel_counts", "weekly_retention",
 ]
 
