@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": text.pii_scrub,
         "nb_lang_predictions": text.nb_lang_predictions,
         "bm25_search": text.bm25_search,
+        "mixture_token_budget": text.mixture_token_budget,
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -691,6 +692,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "mixture_token_budget": f"""
+            WITH w(source, p) AS (VALUES {", ".join(
+                f"('src{i}', {3 if i < 5 else 2 if i < 10 else 1})"
+                for i in range(20))}),
+            d AS (SELECT doc_id, source,
+                         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) AS h
+                  FROM documents WHERE len(trim(text)) > 0),
+            tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t
+                    FROM d GROUP BY 1),
+            led AS (SELECT tot.source, t,
+                           CAST((40000 * p) // 35 AS BIGINT) AS owed
+                    FROM tot JOIN w USING (source)),
+            led2 AS (SELECT source, t, owed, owed // t AS k,
+                            owed - (owed // t) * t AS rem FROM led),
+            full_e AS (SELECT doc_id, source, CAST(e AS BIGINT) AS epoch,
+                              n_tokens
+                       FROM d JOIN led2 USING (source),
+                            UNNEST(generate_series(0, CAST(k AS BIGINT) - 1))
+                            AS u(e)),
+            run AS (SELECT d.doc_id, d.source, d.n_tokens, led2.k, led2.rem,
+                           COALESCE(SUM(n_tokens) OVER (
+                               PARTITION BY d.source ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cumx
+                    FROM d JOIN led2 USING (source))
+            SELECT doc_id, source, epoch, n_tokens FROM full_e
+            UNION ALL
+            SELECT doc_id, source, CAST(k AS BIGINT) AS epoch, n_tokens
+            FROM run WHERE cumx < rem
         """,
         "bm25_search": f"""
             WITH q(query_id, token) AS (VALUES

@@ -363,6 +363,8 @@ def _run_all_queries(sf_dir: str, timed):
     timed("bm25_search", lambda: text.bm25_search(sf_dir))
     timed("entity_communities",
           lambda: _graph.entity_communities(sf_dir))
+    timed("mixture_token_budget",
+          lambda: text.mixture_token_budget(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

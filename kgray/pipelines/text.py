@@ -1678,3 +1678,99 @@ def bm25_search(sf_dir: str, k: int = 10, k1: float = 1.2, b: float = 0.75):
             "doc_id": top.column("doc_id"),
             "score_micro": top.column("score_micro")}))
     return pa.concat_tables(out)
+
+
+_MIX_WEIGHTS = {f"src{i}": (3 if i < 5 else 2 if i < 10 else 1)
+                for i in range(20)}
+_MIX_WEIGHT_TOTAL = 35
+
+
+def mixture_token_budget(sf_dir: str, budget: int = 40_000):
+    """Token-budget mixture planner with EPOCH REPETITION — the
+    Dolma/Pile-style mixing step that turns per-source target weights
+    plus a total token budget into a concrete training stream: each
+    source owes ``R_s = budget * w_s // W`` tokens; sources with more
+    tokens than that contribute a deterministic md5-hash-order PREFIX
+    (the same reservoir rule as ``hash_sample``), sources with fewer
+    repeat whole epochs (``R_s // T_s`` full copies) plus a prefix of
+    the remainder — one output row per (doc, epoch).
+
+    Every decision is a pure function of the data: token counts are
+    exact int64, the per-source ledger (20 rows) is the only
+    driver-side state, hash order is md5 (engine == DuckDB bitwise),
+    and the prefix rule is an EXCLUSIVE running sum < remainder —
+    computed distributed with the ``grouped_running_sum`` prefix-scan
+    exchange.  Fully SQL-oracled (window cumsum + generate_series
+    epochs)."""
+    import hashlib
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.scan import grouped_running_sum
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        ids, srcs, toks, hs = [], [], [], []
+        for d, s, t in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("source").to_pylist(),
+                           batch.column("text").to_pylist()):
+            n = len(_tokens(t))
+            if n == 0:
+                continue
+            ids.append(d)
+            srcs.append(s)
+            toks.append(n)
+            hs.append(int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "source": pa.array(srcs, type=pa.string()),
+                         "n_tokens": pa.array(toks, type=pa.int64()),
+                         "h": pa.array(hs, type=pa.int64())})
+
+    d = read_documents(sf_dir, columns=("doc_id", "text", "source")) \
+        .map_batches(doc_tokens, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    totals = {r["source"]: r["n_tokens"]
+              for r in sorted_group_aggregate(
+                  d.map_batches(lambda b: b.select(["source", "n_tokens"]),
+                                batch_format="pyarrow"),
+                  "source", [("n_tokens", "sum")]).take_all()}
+    # the 20-row ledger: owed tokens, full epochs, remainder prefix
+    k_map, rem_map = {}, {}
+    for s, t in totals.items():
+        owed = budget * _MIX_WEIGHTS.get(s, 0) // _MIX_WEIGHT_TOTAL
+        k_map[s] = owed // t
+        rem_map[s] = owed - k_map[s] * t
+
+    def full_epochs(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        k = np.array([k_map[s] for s in srcs], dtype=np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), k)
+        epoch = np.concatenate([np.arange(n, dtype=np.int64)
+                                for n in k]) if len(k) else \
+            np.array([], dtype=np.int64)
+        t = batch.take(pa.array(idx))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "epoch": pa.array(epoch, type=pa.int64()),
+                         "n_tokens": t.column("n_tokens")})
+
+    full = d.map_batches(full_epochs, batch_format="pyarrow")
+
+    run = grouped_running_sum(d, key="source", order_cols=["h", "doc_id"],
+                              value_col="n_tokens", out_name="cum")
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        cum = batch.column("cum").to_numpy(zero_copy_only=False)
+        ntok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        rem = np.array([rem_map[s] for s in srcs], dtype=np.int64)
+        keep = (cum - ntok) < rem                # EXCLUSIVE cumsum rule
+        t = batch.filter(pa.array(keep))
+        k = np.array([k_map[s] for s in t.column("source").to_pylist()],
+                     dtype=np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "epoch": pa.array(k, type=pa.int64()),
+                         "n_tokens": t.column("n_tokens")})
+
+    extra = run.map_batches(prefix_rows, batch_format="pyarrow")
+    return full.union(extra)

@@ -256,3 +256,37 @@ def test_bm25_search_oracle_parity_sf0001(ray_session):
     for qid, grp in got.groupby("query_id"):
         assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
         assert (grp["score_micro"].diff().dropna() <= 0).all()
+
+
+def test_mixture_token_budget_ledger(ray_session):
+    """Per-source delivered tokens land in [owed, owed + max_doc): the
+    prefix rule overshoots by at most one document; oversampled sources
+    (weight 3) run ≥ 2 full epochs while weight-1 sources never repeat;
+    no (doc, epoch) row duplicates."""
+    import duckdb
+    import pandas as pd
+
+    from kgray.pipelines.text import (_MIX_WEIGHT_TOTAL, _MIX_WEIGHTS,
+                                      mixture_token_budget)
+
+    sf = "/root/testdata/sf0.01"
+    got = mixture_token_budget(sf).to_pandas()
+    assert not got.duplicated(["doc_id", "epoch"]).any()
+
+    base = duckdb.sql(f"""
+        SELECT source, CAST(SUM(len(regexp_split_to_array(trim(text),
+               '\\s+'))) AS BIGINT) AS t,
+               CAST(MAX(len(regexp_split_to_array(trim(text),
+               '\\s+'))) AS BIGINT) AS mx
+        FROM read_parquet('{sf}/documents.parquet')
+        WHERE len(trim(text)) > 0 GROUP BY 1""").df().set_index("source")
+    delivered = got.groupby("source")["n_tokens"].sum()
+    for s, row in base.iterrows():
+        owed = 40_000 * _MIX_WEIGHTS[s] // _MIX_WEIGHT_TOTAL
+        dl = int(delivered.get(s, 0))
+        assert owed <= dl < owed + int(row["mx"]), (s, owed, dl)
+        max_epoch = int(got[got["source"] == s]["epoch"].max())
+        if _MIX_WEIGHTS[s] == 3:
+            assert max_epoch >= 2          # ~3400 owed vs ~1300 have
+        if _MIX_WEIGHTS[s] == 1:
+            assert max_epoch == 0          # under-budget: prefix only
