@@ -444,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kgray.pipelines.bpe", fromlist=["bpe_token_counts"]
         ).bpe_token_counts(sf),
         "copurchase_triangles": relational.copurchase_triangles,
+        "part_clustering_coefficient":
+            relational.part_clustering_coefficient,
         "revenue_forecast": relational.revenue_forecast,
         "promo_revenue_share": relational.promo_revenue_share,
         "large_orders": relational.large_orders,
@@ -2147,6 +2149,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        """,
+        "part_clustering_coefficient": """
+            WITH e AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            tri AS (
+                SELECT e1.a AS part_a, e1.b AS part_b, e2.b AS part_c
+                FROM e e1
+                JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+            ),
+            tn AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                       SELECT part_a AS part FROM tri
+                       UNION ALL SELECT part_b FROM tri
+                       UNION ALL SELECT part_c FROM tri)
+                   GROUP BY 1),
+            dg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                       SELECT a AS part FROM e
+                       UNION ALL SELECT b FROM e)
+                   GROUP BY 1)
+            SELECT dg.part, degree,
+                   CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+                   CASE WHEN degree * (degree - 1) > 0
+                        THEN CAST(2 * COALESCE(n_tri, 0) AS DOUBLE)
+                             / CAST(degree * (degree - 1) AS DOUBLE)
+                        ELSE 0.0 END AS clustering
+            FROM dg LEFT JOIN tn USING (part)
         """,
         "revenue_forecast": """
             SELECT CAST(COALESCE(SUM(CAST(FLOOR(

@@ -365,6 +365,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _graph.entity_communities(sf_dir))
     timed("mixture_token_budget",
           lambda: text.mixture_token_budget(sf_dir))
+    timed("part_clustering_coefficient",
+          lambda: relational.part_clustering_coefficient(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1261,7 +1261,7 @@ def part_copurchase_topk(sf_dir: str, k: int = 20):
                   descending=[True, False, False]).limit(k))
 
 
-def copurchase_triangles(sf_dir: str, min_count: int = 2):
+def copurchase_triangles(sf_dir: str, min_count: int = 2, edges=None):
     """Distributed triangle enumeration over the co-purchase graph
     (edges = part pairs co-purchased at least ``min_count`` times).
 
@@ -1281,13 +1281,14 @@ def copurchase_triangles(sf_dir: str, min_count: int = 2):
     the wedge fan-out sane (raise it for denser graphs)."""
     from ..stages.join import sorted_merge_join
 
-    total = _copurchase_pair_counts(sf_dir)
-    # pinned: consumed three ways (wedge left, wedge right, closing
-    # keys) — unpinned, each consumer would re-run the pair exchange
-    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
-                               zero_copy_batch=True)
-             .filter(expr=f"n_copurchase >= {int(min_count)}")
-             .materialize())
+    if edges is None:
+        total = _copurchase_pair_counts(sf_dir)
+        # pinned: consumed three ways (wedge left, wedge right, closing
+        # keys) — unpinned, each consumer would re-run the pair exchange
+        edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .filter(expr=f"n_copurchase >= {int(min_count)}")
+                 .materialize())
 
     left = edges.map_batches(lambda b: pa.table({
         "mid": b.column("part_b"), "part_a": b.column("part_a")}),
@@ -5167,3 +5168,67 @@ def shipmode_priority_counts(sf_dir: str, year: str = "1998"):
         counted, ["l_returnflag"],
         [("high_line_count", "sum"), ("low_line_count", "sum")],
         precombine=True)
+
+
+def part_clustering_coefficient(sf_dir: str, min_count: int = 2):
+    """Per-node local clustering coefficient of the thresholded
+    co-purchase graph: ``cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` —
+    the standard 'how clique-like is this node's neighborhood' motif
+    statistic on top of the triangle enumeration.
+
+    Plan: the thresholded edge set materializes ONCE and is shared by
+    the triangle two-join plan (``copurchase_triangles(edges=...)``)
+    and the degree aggregate; per-node triangle counts come from a
+    vertex explode of the enumerated (a<b<c) triangles; the final left
+    join zero-fills triangle-free nodes.  The coefficient is the one
+    IEEE division of exact integers (SQL-mirrored), so the gate is
+    bitwise."""
+    from ..stages.join import sorted_merge_join
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())
+    tris = copurchase_triangles(sf_dir, min_count=min_count, edges=edges)
+
+    def tri_nodes(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b.column("part_a").to_numpy(zero_copy_only=False),
+            b.column("part_b").to_numpy(zero_copy_only=False),
+            b.column("part_c").to_numpy(zero_copy_only=False)])
+        return pa.table({"part": pa.array(v, type=pa.int64()),
+                         "n_tri": pa.array(np.ones(len(v), dtype=np.int64))})
+
+    tri_cnt = sorted_group_aggregate(
+        tris.map_batches(tri_nodes, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["part"], [("n_tri", "sum")])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b.column("part_a").to_numpy(zero_copy_only=False),
+            b.column("part_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"part": pa.array(v, type=pa.int64()),
+                         "degree": pa.array(np.ones(len(v), dtype=np.int64))})
+
+    deg = sorted_group_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["part"], [("degree", "sum")])
+
+    joined = sorted_merge_join(deg, tri_cnt, on="part", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b.column("degree").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("n_tri"), 0).to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        cc = np.where(denom > 0, (2.0 * t) / denom.astype(np.float64), 0.0)
+        return pa.table({
+            "part": b.column("part"),
+            "degree": pa.array(d, type=pa.int64()),
+            "n_tri": pa.array(t, type=pa.int64()),
+            "clustering": pa.array(cc, type=pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

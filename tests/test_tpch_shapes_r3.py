@@ -232,3 +232,17 @@ def test_shipmode_priority_counts_parity(ray_session, con):
           AND l_shipdate < TIMESTAMP '1998-01-01'""").fetchone()[0]
     assert int((got["high_line_count"] + got["low_line_count"]).sum()) \
         == n_join
+
+
+def test_part_clustering_coefficient_invariants(ray_session):
+    """cc ∈ [0, 1]; Σ per-node triangle counts = 3 × enumerated
+    triangles; degree-1 nodes score exactly 0."""
+    from kgray.pipelines.relational import (copurchase_triangles,
+                                            part_clustering_coefficient)
+
+    got = _to_pandas(part_clustering_coefficient(SF))
+    n_tris = _to_pandas(copurchase_triangles(SF)).shape[0]
+    assert got["n_tri"].sum() == 3 * n_tris
+    assert ((got["clustering"] >= 0) & (got["clustering"] <= 1)).all()
+    assert (got.loc[got["degree"] == 1, "clustering"] == 0).all()
+    assert (got["degree"] >= 1).all()
