@@ -344,6 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_pairs": lambda sf: __import__(
             "kgray.pipelines.multimodal", fromlist=["image_phash_pairs"]
         ).image_phash_pairs(sf),
+        "audio_fingerprint_pairs": lambda sf: __import__(
+            "kgray.pipelines.multimodal",
+            fromlist=["audio_fingerprint_pairs"]
+        ).audio_fingerprint_pairs(sf),
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup_pairs,
         "embedding_lsh_pairs": lambda sf: dedup.embedding_lsh_pairs(
@@ -553,7 +557,7 @@ def oracle_sql() -> dict[str, str]:
                      "extract_invariant", "kg_entities",
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
-                     "image_phash_pairs",
+                     "image_phash_pairs", "audio_fingerprint_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "event_user_distinct_hll",

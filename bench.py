@@ -358,6 +358,8 @@ def _run_all_queries(sf_dir: str, timed):
     from kgray.pipelines import multimodal
     timed("image_phash_pairs",
           lambda: multimodal.image_phash_pairs(sf_dir))
+    timed("audio_fingerprint_pairs",
+          lambda: multimodal.audio_fingerprint_pairs(sf_dir))
     timed("nb_lang_predictions",
           lambda: text.nb_lang_predictions(sf_dir))
     timed("bm25_search", lambda: text.bm25_search(sf_dir))

@@ -403,3 +403,93 @@ def image_phash_pairs(sf_dir: str, max_hamming: int = 3,
     return hamming_lsh_pairs(sigs, "doc_id", "dhash", "doc_a", "doc_b",
                              max_hamming=max_hamming,
                              max_bucket=max_bucket, verify=verify)
+
+
+# ------------------------------------------------------------------
+# Audio fingerprint near-duplicates — the WAV twin of the image dHash
+# path, through the same exact pigeonhole Hamming-LSH core: decode →
+# 65-window energy envelope → 64-bit difference fingerprint.  A
+# re-amplified copy (gain change) scales every window energy by the
+# same factor, so adjacent-energy comparisons survive except where
+# requantization noise flips a near-tie — exactly the near-dup the
+# fingerprint exists to catch.
+
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio difference fingerprint: 65 equal time windows,
+    integer energy Σs² per window, bit i = E[i+1] > E[i].  Signed
+    int64 (wrapped)."""
+    s = samples.astype(np.int64)
+    n = len(s)
+    bounds = (np.arange(66, dtype=np.int64) * n) // 65
+    cum = np.concatenate([[0], np.cumsum(s * s)])
+    e = cum[bounds[1:]] - cum[bounds[:-1]]
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    sig = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def _neardup_base_wav(base_id: int) -> np.ndarray:
+    """Deterministic base clip: doc-dependent pitch/length sine plus
+    seeded noise, int16, headroom for gain variants."""
+    rate = 8000
+    n = 1300 + (base_id * 31) % 800
+    freq = 200.0 + (base_id * 17) % 800
+    t = np.arange(n, dtype=np.float64) / rate
+    rng = np.random.Generator(np.random.PCG64(0xAF90 + base_id))
+    wave_f = (0.5 * np.sin(2 * np.pi * freq * t)
+              + 0.08 * rng.standard_normal(n))
+    return np.clip(wave_f * 20000, -32768, 32767).astype(np.int16)
+
+
+def synth_wav_payload_neardup(doc_id: int) -> bytes:
+    """Near-dup-planted WAV synth: within each aligned group of 4 doc
+    ids, id%4==1 is an exact half-gain copy of the group base (integer
+    ``samples // 2`` — different bytes, near-identical envelope),
+    id%4==2 is a 1.5×-gain copy, ids 0 and 3 are unique clips."""
+    from ..kernels.codec import encode_wav
+
+    rate = 8000
+    base_id, variant = doc_id // 4, doc_id % 4
+    if variant == 3:
+        s = _neardup_base_wav(2 * base_id + 1)   # odd seeds: unique
+    else:
+        s = _neardup_base_wav(2 * base_id)
+        if variant == 1:
+            s = (s.astype(np.int32) // 2).astype(np.int16)
+        elif variant == 2:
+            s = np.clip(s.astype(np.int32) * 3 // 2,
+                        -32768, 32767).astype(np.int16)
+    return encode_wav(s, rate)
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: binary WAV column → (doc_id, afp int64)."""
+
+    def __init__(self):
+        from ..kernels.codec import decode_wav
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = [afp64(self._decode(p)[1][:, 0])
+                for p in batch.column("payload").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "afp": pa.array(sigs, type=pa.int64())})
+
+
+def audio_fingerprint_pairs(sf_dir: str, max_hamming: int = 3,
+                            max_bucket: int = 512, verify: str = "auto"):
+    """EXACT audio near-duplicate pairs (Hamming ≤ d over the energy
+    fingerprint) — complete by the pigeonhole candidate guarantee,
+    pinned by the brute-force parity test.  Payload bytes never enter
+    the exchange: only (doc_id, 64-bit fingerprint) rows shuffle."""
+    from .dedup import hamming_lsh_pairs
+    from .kg import _auto_concurrency
+
+    sigs = _synth_binary_column(sf_dir, synth_wav_payload_neardup) \
+        .map_batches(AudioFingerprinter, batch_format="pyarrow",
+                     batch_size=128, concurrency=_auto_concurrency()[0],
+                     num_cpus=1).materialize()
+    return hamming_lsh_pairs(sigs, "doc_id", "afp", "doc_a", "doc_b",
+                             max_hamming=max_hamming,
+                             max_bucket=max_bucket, verify=verify)

@@ -212,3 +212,52 @@ def test_image_phash_pairs_bruteforce_parity(ray_session):
     for base in range(0, max(ids) - 1, 4):
         if base in ids and base + 1 in ids:
             assert got_set.get((base, base + 1)) == 0
+
+
+def test_audio_fingerprint_pairs_bruteforce_parity(ray_session):
+    """The audio Hamming-LSH pair list is EXACT vs the O(n²) sweep,
+    and every planted gain-variant twin (half-gain and 1.5×-gain) is
+    found for all 125 groups."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kgray.kernels.codec import decode_wav
+    from kgray.pipelines.multimodal import (afp64, audio_fingerprint_pairs,
+                                            synth_wav_payload_neardup)
+
+    sf = "/root/testdata/sf0.001"
+    t = audio_fingerprint_pairs(sf)
+    got = sorted(zip(t.column("doc_a").to_pylist(),
+                     t.column("doc_b").to_pylist(),
+                     t.column("hamming").to_pylist()))
+    ids = sorted(pq.read_table(f"{sf}/documents.parquet",
+                               columns=["doc_id"]).column("doc_id")
+                 .to_pylist())
+    sig = np.array([afp64(decode_wav(synth_wav_payload_neardup(i))[1][:, 0])
+                    for i in ids], dtype=np.int64).view(np.uint64)
+    x = sig[:, None] ^ sig[None, :]
+    d = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                      axis=2).sum(axis=2)
+    a_i, b_i = np.triu_indices(len(ids), 1)
+    want = sorted((ids[a], ids[b], int(d[a, b]))
+                  for a, b in zip(a_i, b_i) if d[a, b] <= 3)
+    assert got == want
+    found = {(a, b) for a, b, _ in got}
+    n_groups = len(ids) // 4
+    assert all((4 * g, 4 * g + 1) in found for g in range(n_groups))
+    assert all((4 * g, 4 * g + 2) in found for g in range(n_groups))
+
+
+def test_afp64_gain_envelope_stability():
+    """An exact integer half-gain copy keeps the fingerprint within
+    the Hamming-3 near-dup radius (energy ratios are preserved up to
+    requantization noise)."""
+    import numpy as np
+
+    from kgray.pipelines.multimodal import _neardup_base_wav, afp64
+
+    for bid in range(8):
+        s = _neardup_base_wav(2 * bid)
+        half = (s.astype(np.int32) // 2).astype(np.int16)
+        d = bin((afp64(s) ^ afp64(half)) & ((1 << 64) - 1)).count("1")
+        assert d <= 3, (bid, d)
