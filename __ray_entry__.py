@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": ann.embedding_kmeans,
         "embedding_pca": ann.embedding_pca,
         "embedding_quantize": ann.embedding_quantize,
+        "knn_label_predictions": ann.knn_label_predictions,
         # --- relational surface (SQL-oracled, integer-cents math)
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1075,6 +1076,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "knn_label_predictions": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              label FROM embeddings),
+            nb AS (SELECT q.vec_id AS vid, e.label,
+                          row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, e.v)
+                                  DESC, e.vec_id) AS rn
+                   FROM e q JOIN e ON e.vec_id <> q.vec_id
+                   QUALIFY rn <= 5),
+            votes AS (SELECT vid, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+                      FROM nb GROUP BY 1, 2)
+            SELECT vid AS vec_id, CAST(label AS BIGINT) AS pred_label,
+                   n_votes
+            FROM votes
+            QUALIFY row_number() OVER (PARTITION BY vid
+                ORDER BY n_votes DESC, label ASC) = 1
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -369,6 +369,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: text.mixture_token_budget(sf_dir))
     timed("part_clustering_coefficient",
           lambda: relational.part_clustering_coefficient(sf_dir))
+    timed("knn_label_predictions",
+          lambda: ann.knn_label_predictions(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -847,3 +847,49 @@ def embedding_pca(sf_dir: str, n_components: int = 2):
 
     return qds.map_batches(project, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def knn_label_predictions(sf_dir: str, k: int = 5):
+    """k-nearest-neighbor label prediction over the embedding column:
+    each vector is classified by the majority label of its k nearest
+    OTHER vectors by cosine (neighbor ties → ascending vec_id, vote
+    ties → smallest label) — the standard embedding-space labeler a
+    curation pipeline uses to propagate sparse labels.
+
+    Plan: the corpus matrix broadcasts ONCE via ``ray.put`` (the
+    small-side rule: n×dim floats), the query side is the same table
+    STREAMING through ``map_batches`` — per batch one normalized
+    matmul, one lexsort row-slice, one bincount vote.  At 100 TB the
+    broadcast side is replaced by the IVF/PQ index (``ann_ivf_topk`` /
+    ``ann_pq_topk``) — this is their exact-oracle twin, and the whole
+    (query_id → neighbor → vote) composition is SQL-mirrored."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    all_ids = col_vector(tbl["vec_id"], np.int64)
+    all_labels = col_vector(tbl["label"], np.int64)
+    Mn = _normalize(list_col_matrix(tbl["embedding"]))
+    ref = ray.put((all_ids, all_labels, Mn))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ids_all, labs_all, M = ray.get(ref)
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        B = _normalize(list_col_matrix(batch.column("embedding")))
+        C = B @ M.T                                     # [batch, n]
+        out_id, out_lab, out_votes = [], [], []
+        for i in range(C.shape[0]):
+            scores = C[i]
+            order = np.lexsort((ids_all, -scores))
+            picked = [j for j in order[:k + 1] if ids_all[j] != bids[i]][:k]
+            labs = labs_all[picked]
+            uniq, cnt = np.unique(labs, return_counts=True)
+            best = uniq[np.argmax(cnt)]      # first max = smallest label
+            out_id.append(int(bids[i]))
+            out_lab.append(int(best))
+            out_votes.append(int(cnt.max()))
+        return pa.table({"vec_id": pa.array(out_id, type=pa.int64()),
+                         "pred_label": pa.array(out_lab, type=pa.int64()),
+                         "n_votes": pa.array(out_votes, type=pa.int64())})
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

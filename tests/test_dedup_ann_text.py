@@ -745,3 +745,35 @@ def test_embedding_pca_matches_serial_oracle(ray_session):
     assert np.abs(got[["pc_1", "pc_2"]].to_numpy() - Yf).max() < 1e-4
     # components actually separate variance: pc_1 var > pc_2 var
     assert got.pc_1.var() > got.pc_2.var()
+
+
+def test_knn_label_predictions_bruteforce_parity(ray_session):
+    """5-NN vote equals the serial O(n²) computation vector-for-vector
+    (self excluded, score-desc/id-asc neighbor order, count-desc/
+    label-asc vote tiebreak).  NB the synthetic labels are RANDOM with
+    respect to geometry (1-NN agreement ≈ chance — same unlearnability
+    as the documents' lang metadata, NOTES #60), so the pin is
+    exactness, not accuracy."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.ann import knn_label_predictions
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: (r["pred_label"], r["n_votes"])
+           for r in knn_label_predictions(sf).take_all()}
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    lab = np.array(t.column("label").to_pylist(), dtype=np.int64)
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    exp = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -C[i]))
+        picked = [j for j in order if ids[j] != ids[i]][:5]
+        uniq, cnt = np.unique(lab[picked], return_counts=True)
+        exp[int(ids[i])] = (int(uniq[np.argmax(cnt)]), int(cnt.max()))
+    assert got == exp
+    assert all(1 <= nv <= 5 for _, nv in got.values())
