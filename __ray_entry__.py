@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup_pairs,
         "embedding_lsh_pairs": lambda sf: dedup.embedding_lsh_pairs(
             sf, threshold=0.45, n_bits=192, band_bits=6),
+        "neardup_keep_best": lambda sf: __import__(
+            "kgray.pipelines.cluster", fromlist=["neardup_keep_best"]
+        ).neardup_keep_best(sf),
         "neardup_clusters": cluster.neardup_clusters,
         "semantic_dedup": dedup.semantic_dedup,
         # --- similarity search
@@ -561,7 +564,8 @@ def oracle_sql() -> dict[str, str]:
                      "image_phash_pairs", "audio_fingerprint_pairs",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
-                     "neardup_clusters", "event_user_distinct_hll",
+                     "neardup_clusters", "neardup_keep_best",
+                     "event_user_distinct_hll",
                      "entity_pagerank", "kg_transe_embeddings",
                      "entity_hits", "kg_link_prediction",
                      "events_value_quantiles_approx",

@@ -371,6 +371,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.part_clustering_coefficient(sf_dir))
     timed("knn_label_predictions",
           lambda: ann.knn_label_predictions(sf_dir))
+    timed("neardup_keep_best",
+          lambda: _cluster.neardup_keep_best(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

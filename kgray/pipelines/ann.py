@@ -826,9 +826,16 @@ def embedding_pca(sf_dir: str, n_components: int = 2):
         if W[j, c] < 0:
             W[:, c] = -W[:, c]
     Wq = np.rint(W * _KM_SCALE).astype(np.int64)
-    mu = sv / n                                    # in quantized units
-    # driver-computed per-component centering offset, float64
-    off = (mu @ Wq.astype(np.float64)) / (float(_KM_SCALE) ** 2)
+    # per-component centering offset THROUGH EXACT INTEGERS: sv and Wq
+    # are exact ints, so Σ sv·w is an arbitrary-precision int and the
+    # one float division makes `off` environment-independent.  (A BLAS
+    # `mu @ Wq` here drifted 1 ulp between driver processes with
+    # different thread environments and broke the bitwise gate — the
+    # same integer-finalize law as the quality-model gradients.)
+    off = np.array([
+        float(sum(int(a) * int(w) for a, w in zip(s, Wq[:, c])))
+        / (n * float(_KM_SCALE) ** 2)
+        for c in range(Wq.shape[1])], dtype=np.float64)
     wq_ref = ray.put(Wq)
     off_ref = ray.put(off)
     inv = 1.0 / (float(_KM_SCALE) ** 2)

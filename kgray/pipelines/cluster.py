@@ -180,3 +180,40 @@ def neardup_clusters(sf_dir: str, threshold: float = 0.5):
                             "cluster_id": b.column("cluster_id"),
                             "keep_doc_id": b.column("cluster_id")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def neardup_keep_best(sf_dir: str, threshold: float = 0.5):
+    """Near-dup cluster resolution with a QUALITY keep-rule: instead of
+    the min-id representative, each cluster keeps its LONGEST member
+    (most tokens; doc_id-asc tiebreak) — the 'keep the most complete
+    copy' heuristic real curation pipelines use, where near-duplicates
+    are truncations/boilerplate variants of each other.
+
+    One row per clustered document: ``(doc_id, cluster_id,
+    keep_doc_id, n_tokens)``.  Plan: the LSH→CC composition of
+    :func:`neardup_clusters`, one sorted-merge join to attach token
+    counts (doc-sized), one ``grouped_topk(k=1)`` per cluster for the
+    winner, one broadcast-back of the (tiny, cluster-count-sized)
+    winner map via a second join — all exchanges are cluster/doc-sized,
+    never corpus-content-sized."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+    from .text import token_stats
+
+    clusters = neardup_clusters(sf_dir, threshold=threshold) \
+        .drop_columns(["keep_doc_id"]).materialize()
+    toks = token_stats(sf_dir).map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_tokens": b.column("n_tokens")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_len = sorted_merge_join(clusters, toks, on="doc_id").materialize()
+
+    winners = grouped_topk(with_len, "cluster_id", "n_tokens", "doc_id",
+                           k=1).map_batches(
+        lambda b: pa.table({"cluster_id": b.column("cluster_id"),
+                            "keep_doc_id": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_merge_join(with_len, winners, on="cluster_id") \
+        .map_batches(lambda b: b.select(
+            ["doc_id", "cluster_id", "keep_doc_id", "n_tokens"]),
+            batch_format="pyarrow", zero_copy_batch=True)

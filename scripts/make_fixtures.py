@@ -42,7 +42,7 @@ FIXTURE_QUERIES = [
     "embedding_lsh_pairs", "ann_ivf_topk", "embedding_kmeans",
     "embedding_pca",
     "ann_pq_topk", "pq_codes",
-    "neardup_clusters",
+    "neardup_clusters", "neardup_keep_best",
     "event_user_distinct_hll", "entity_pagerank", "kg_transe_embeddings",
     "entity_hits", "kg_link_prediction",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",

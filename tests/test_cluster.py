@@ -110,3 +110,21 @@ def test_connected_components_plans_identical(ray_session):
     # chain resolves to one component rooted at its min
     assert (outs["dense"].set_index("node").loc[range(0, 13),
             "cluster_id"] == 0).all()
+
+
+def test_neardup_keep_best_longest_wins(ray_session):
+    """The keep rule: within every cluster, keep_doc_id is the member
+    with the most tokens (doc_id-asc tiebreak); cluster memberships
+    equal neardup_clusters'."""
+    from kgray.pipelines.cluster import neardup_clusters, neardup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    best = neardup_keep_best(sf).to_pandas()
+    ref = neardup_clusters(sf).to_pandas()
+    assert sorted(zip(best["doc_id"], best["cluster_id"])) \
+        == sorted(zip(ref["doc_id"], ref["cluster_id"]))
+    for cid, grp in best.groupby("cluster_id"):
+        w = grp.sort_values(["n_tokens", "doc_id"],
+                            ascending=[False, True]).iloc[0]
+        assert (grp["keep_doc_id"] == w["doc_id"]).all()
+        assert len(grp) >= 2                    # clustered docs only

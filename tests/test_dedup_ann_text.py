@@ -777,3 +777,42 @@ def test_knn_label_predictions_bruteforce_parity(ray_session):
         exp[int(ids[i])] = (int(uniq[np.argmax(cnt)]), int(cnt.max()))
     assert got == exp
     assert all(1 <= nv <= 5 for _, nv in got.values())
+
+
+def test_embedding_pca_blas_thread_independent():
+    """Regression pin (r3-s5): the PCA centering offset once went
+    through a BLAS dot whose last ulp varied with the driver's thread
+    environment, breaking the bitwise gate between processes.  The
+    offset now folds exact integers, so output is identical under
+    different OPENBLAS/OMP thread counts — asserted across two fresh
+    subprocesses."""
+    import os
+    import subprocess
+    import sys
+
+    script = """
+import os, ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from kgray.pipelines.ann import embedding_pca
+df = embedding_pca("/root/testdata/sf0.001").to_pandas() \\
+    .sort_values("vec_id", ignore_index=True)
+import hashlib
+print("HASH", hashlib.md5(df.to_csv(float_format="%.17g")
+                          .encode()).hexdigest())
+ray.shutdown()
+"""
+    hashes = []
+    for threads in ("1", "4"):
+        env = dict(os.environ, OPENBLAS_NUM_THREADS=threads,
+                   OMP_NUM_THREADS=threads)
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=300,
+                             cwd="/root/repo")
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("HASH ")]
+        assert lines, out.stderr[-2000:]
+        hashes.append(lines[0])
+    assert hashes[0] == hashes[1]
