@@ -47,6 +47,57 @@ def _kg_graph(sf_dir: str):
     return graph.drop_columns(["sample_urls"]).sort("subj")
 
 
+def _kg_graph_compacted(sf_dir: str):
+    """Lossless small-file compaction (OPTIMIZE) of the graph sink,
+    proven by parity: the canonical graph is written as a deliberately
+    fragmented hive layout (many files per ``subj_bucket``), every
+    bucket is compacted by ``stages/compact.py`` (one task per
+    partition, subj sort preserved), and the compacted layout is read
+    back — the oracle is the kg_graph FIXTURE itself, so the value hash
+    proves the maintenance op changed the files and nothing else."""
+    import glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.functions.hashing import polyhash64_batch
+    from kgray.pipelines.kg import kg_dataset, page_files
+    from kgray.sources.derived import corpus_for_sf, models_for_corpus
+    from kgray.stages.canonical import canonical_graph
+    from kgray.stages.compact import compact_partitioned
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    ds = kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm")
+    graph = canonical_graph(ds).drop_columns(["sample_urls"])
+
+    def add_bucket(batch):
+        b = (polyhash64_batch(batch.column("subj"))
+             % np.uint64(8)).astype(np.int32)
+        return batch.append_column("subj_bucket",
+                                   pa.array(b, type=pa.int32()))
+
+    out = tempfile.mkdtemp(prefix="kgray_compact_")
+    try:
+        (graph.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+         .sort(["subj_bucket", "subj"])
+         .repartition(48)           # deliberately fragmented sink
+         .write_parquet(out, partition_cols=["subj_bucket"]))
+        report = compact_partitioned(out, sort_keys=["subj"])
+        assert all(after <= before for _, before, after in report)
+        files = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+        tbl = pa.concat_tables([__import__("pyarrow.parquet",
+                                           fromlist=["read_table"])
+                                .read_table(f) for f in files],
+                               promote_options="permissive")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return tbl.sort_by([("subj", "ascending")])
+
+
 def _kg_mentions(sf_dir: str):
     from kgray.pipelines.kg import (_auto_concurrency, _model_paths,
                                     kg_dataset, page_files)
@@ -263,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- KG construction (non-SQL: Viterbi/linking; strong checks in tests/)
         "kg_graph": _kg_graph,
+        "kg_graph_compacted": _kg_graph_compacted,
         "kg_mentions": _kg_mentions,
         "hmm_tags_valid": _hmm_tags_valid,
         "crf_tags_valid": _crf_tags_valid,
@@ -579,6 +631,8 @@ def oracle_sql() -> dict[str, str]:
                      "entity_communities")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
+
+    fixture_oracles["kg_graph_compacted"] = _fx("kg_graph")
 
     return {
         **fixture_oracles,

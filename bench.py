@@ -373,6 +373,9 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: ann.knn_label_predictions(sf_dir))
     timed("neardup_keep_best",
           lambda: _cluster.neardup_keep_best(sf_dir))
+    import __ray_entry__ as _entry
+    timed("kg_graph_compacted",
+          lambda: _entry.queries()["kg_graph_compacted"](sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,
