@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_predictions": text.nb_lang_predictions,
         "bm25_search": text.bm25_search,
         "mixture_token_budget": text.mixture_token_budget,
+        "source_ngram_overlap": text.source_ngram_overlap,
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -757,6 +758,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "source_ngram_overlap": f"""
+            WITH t AS (SELECT source, {_TOKS} AS toks FROM documents
+                       WHERE len(trim(text)) > 0),
+            g AS (SELECT DISTINCT source,
+                         toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2] AS ngram
+                  FROM t, UNNEST(generate_series(1, len(toks) - 2))
+                       AS u(i))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.ngram = b.ngram
+                 AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "mixture_token_budget": f"""
             WITH w(source, p) AS (VALUES {", ".join(

@@ -376,6 +376,8 @@ def _run_all_queries(sf_dir: str, timed):
     import __ray_entry__ as _entry
     timed("kg_graph_compacted",
           lambda: _entry.queries()["kg_graph_compacted"](sf_dir))
+    timed("source_ngram_overlap",
+          lambda: text.source_ngram_overlap(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1774,3 +1774,61 @@ def mixture_token_budget(sf_dir: str, budget: int = 40_000):
 
     extra = run.map_batches(prefix_rows, batch_format="pyarrow")
     return full.union(extra)
+
+
+def source_ngram_overlap(sf_dir: str, n: int = 3):
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT token n-grams they share — the sweep a curation
+    pipeline runs to find sources that plagiarize/mirror each other
+    before assigning mixture weights (the pairwise generalization of
+    eval-set decontamination).
+
+    Plan: doc text reduces to DISTINCT (source, ngram) rows immediately
+    (map-side set per doc, then one ``sorted_group_aggregate``), so the
+    join input is vocabulary×source-sized, never corpus-sized; the
+    pair count is a self sorted-merge join on the ngram — per-ngram
+    fan-out is bounded by (#sources)², a constant — followed by one
+    result-sized aggregate.  Output: (source_a, source_b, n_shared)
+    for pairs sharing at least one n-gram."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def grams(batch: pa.Table) -> pa.Table:
+        srcs, gs = [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            for g in {" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)}:
+                srcs.append(s)
+                gs.append(g)
+        return pa.table({"source": pa.array(srcs, type=pa.string()),
+                         "ngram": pa.array(gs, type=pa.string()),
+                         "one": pa.array(np.ones(len(gs), dtype=np.int64))})
+
+    sg = sorted_group_aggregate(
+        read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(grams, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "ngram"], [("one", "sum")]).drop_columns(["one"]) \
+        .materialize()
+
+    left = sg.map_batches(lambda b: pa.table({
+        "ngram": b.column("ngram"), "source_a": b.column("source")}),
+        batch_format="pyarrow")
+    right = sg.map_batches(lambda b: pa.table({
+        "ngram": b.column("ngram"), "source_b": b.column("source")}),
+        batch_format="pyarrow")
+    pairs = sorted_merge_join(left, right, on="ngram")
+
+    def keep_lt(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("source_a"), b.column("source_b"))
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({
+            "source_a": t.column("source_a"),
+            "source_b": t.column("source_b"),
+            "n_shared": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        pairs.map_batches(keep_lt, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["source_a", "source_b"], [("n_shared", "sum")], precombine=True)

@@ -290,3 +290,28 @@ def test_mixture_token_budget_ledger(ray_session):
             assert max_epoch >= 2          # ~3400 owed vs ~1300 have
         if _MIX_WEIGHTS[s] == 1:
             assert max_epoch == 0          # under-budget: prefix only
+
+
+def test_source_ngram_overlap_planted(ray_session, tmp_path):
+    """Two sources sharing exactly one distinct trigram count 1;
+    within-source duplicates never inflate the distinct count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.text import source_ngram_overlap
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "source": pa.array(["sa", "sa", "sb", "sc"]),
+        "text": pa.array([
+            "common three gram plus noise",
+            "common three gram again here",     # sa dup of the shared gram
+            "common three gram different tail",
+            "totally unrelated words only now",
+        ])})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_ngram_overlap(str(tmp_path)).to_pandas()
+           .to_dict("records")}
+    assert got[("sa", "sb")] == 1          # only "common three gram"
+    assert ("sa", "sc") not in got and ("sb", "sc") not in got
