@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": text.bm25_search,
         "mixture_token_budget": text.mixture_token_budget,
         "source_ngram_overlap": text.source_ngram_overlap,
+        "events_cusum_peaks": relational.events_cusum_peaks,
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -758,6 +759,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "events_cusum_peaks": """
+            WITH e AS (SELECT event_type, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS vc
+                       FROM events),
+            tgt AS (SELECT event_type,
+                           CAST(SUM(vc) AS BIGINT)
+                               // CAST(COUNT(*) AS BIGINT) AS target
+                    FROM e GROUP BY 1),
+            d AS (SELECT e.event_type, e.event_id, e.ev_us,
+                         e.vc - tgt.target AS dv
+                  FROM e JOIN tgt USING (event_type)),
+            s AS (SELECT event_type, event_id, ev_us,
+                         CAST(SUM(dv) OVER (PARTITION BY event_type
+                              ORDER BY ev_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+                  FROM d),
+            m AS (SELECT event_type, event_id, ev_us, s,
+                         CAST(MIN(s) OVER (PARTITION BY event_type
+                              ORDER BY ev_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS BIGINT) AS min_prev
+                  FROM s),
+            c AS (SELECT event_type, event_id, ev_us,
+                         s - LEAST(0, COALESCE(min_prev, 0)) AS cusum_cents
+                  FROM m)
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY cusum_cents DESC, event_id)
+                        AS BIGINT) AS rank,
+                   event_id, ev_us, cusum_cents
+            FROM c
+            QUALIFY rank <= 10
         """,
         "source_ngram_overlap": f"""
             WITH t AS (SELECT source, {_TOKS} AS toks FROM documents

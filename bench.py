@@ -378,6 +378,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _entry.queries()["kg_graph_compacted"](sf_dir))
     timed("source_ngram_overlap",
           lambda: text.source_ngram_overlap(sf_dir))
+    timed("events_cusum_peaks",
+          lambda: relational.events_cusum_peaks(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

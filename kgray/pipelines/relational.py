@@ -5232,3 +5232,87 @@ def part_clustering_coefficient(sf_dir: str, min_count: int = 2):
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def events_cusum_peaks(sf_dir: str, k: int = 10):
+    """CUSUM drift detection per event type: the classic
+    ``s_i = max(0, s_{i-1} + (x_i − target))`` upper-CUSUM statistic
+    over each type's value stream in (ts, event_id) order, reported as
+    the top-``k`` peak rows per type — 'where did this metric drift
+    hardest above its mean'.
+
+    The recurrence LINEARIZES (Lindley): ``s_i = S_i − min(0,
+    min_{j<i} S_j)`` with ``S`` the prefix sum of deviations — so the
+    whole statistic composes from the two existing prefix-scan
+    exchanges: one ``grouped_running_sum`` for ``S`` and one EXCLUSIVE
+    ``grouped_running_max`` on ``−S`` for the prefix minimum, then a
+    vectorized finish and a ``grouped_topk``.  The per-type target is
+    the floor-mean in cents (one tiny aggregate, broadcast as a dict),
+    so everything stays exact int64 and the SQL window oracle is
+    bitwise."""
+    from ..stages.scan import grouped_running_max, grouped_running_sum
+    from ..stages.topk import grouped_topk
+
+    base = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+            .map_batches(lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "ev_us": pc.cast(b.column("ts"), pa.int64()),
+                "value_cents": _cents(b.column("value"))}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .materialize())
+
+    targets = {r["event_type"]: r["value_cents"] // r["n"]
+               for r in sorted_group_aggregate(
+                   base.map_batches(lambda b: b.append_column(
+                       "n", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+                       batch_format="pyarrow"),
+                   "event_type",
+                   [("value_cents", "sum"), ("n", "sum")]).take_all()}
+
+    def dev(b: pa.Table) -> pa.Table:
+        t = np.array([targets[s]
+                      for s in b.column("event_type").to_pylist()],
+                     dtype=np.int64)
+        v = b.column("value_cents").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "event_id": b.column("event_id"),
+            "ev_us": b.column("ev_us"),
+            "d": pa.array(v - t, type=pa.int64())})
+
+    s_ds = grouped_running_sum(
+        base.map_batches(dev, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="event_type", order_cols=["ev_us", "event_id"],
+        value_col="d", out_name="s")
+    neg = s_ds.map_batches(lambda b: b.append_column(
+        "neg_s", pc.negate_checked(b.column("s"))),
+        batch_format="pyarrow")
+    m_ds = grouped_running_max(neg, key="event_type",
+                               order_cols=["ev_us", "event_id"],
+                               value_col="neg_s", out_name="neg_min_prev")
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        nm = pc.fill_null(b.column("neg_min_prev"),
+                          pa.scalar(np.iinfo(np.int64).min + 1,
+                                    type=pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        min_prev = -nm                        # +huge for first rows
+        cusum = s - np.minimum(0, min_prev)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "event_id": b.column("event_id"),
+            "ev_us": b.column("ev_us"),
+            "cusum_cents": pa.array(cusum, type=pa.int64())})
+
+    peaks = grouped_topk(
+        m_ds.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "event_type", "cusum_cents", "event_id", k=k)
+    return peaks.map_batches(lambda b: b.select(
+        ["event_type", "rank", "event_id", "ev_us", "cusum_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)

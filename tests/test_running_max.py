@@ -49,3 +49,39 @@ def test_running_max_brute_force(ray_session):
     # single-row keys → NULL watermark
     for k in (9001, 9002, 9003):
         assert got.loc[got["k"] == k, "prev_max"].isna().all()
+
+
+def test_events_cusum_peaks_matches_serial_recurrence(ray_session):
+    """The linearized CUSUM (prefix sum minus clamped prefix min)
+    equals the serial ``s_i = max(0, s_{i-1} + d_i)`` recurrence — the
+    identity the distributed plan depends on — checked per type over
+    sf0.001, and the reported peaks are exactly the top-10."""
+    import duckdb
+    import numpy as np
+
+    from kgray.pipelines.relational import events_cusum_peaks
+
+    sf = "/root/testdata/sf0.001"
+    got = events_cusum_peaks(sf).to_pandas()
+
+    rows = duckdb.sql(f"""
+        SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ev_us,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY event_type, ev_us, event_id""").df()
+    exp_peaks = {}
+    for et, grp in rows.groupby("event_type", sort=True):
+        vc = grp["vc"].to_numpy()
+        target = int(vc.sum()) // len(vc)
+        s, peaks = 0, []
+        for eid, us, v in zip(grp["event_id"], grp["ev_us"], vc):
+            s = max(0, s + int(v) - target)
+            peaks.append((s, -int(eid), int(eid), int(us)))
+        top = sorted(peaks, key=lambda p: (-p[0], p[2]))[:10]
+        exp_peaks[et] = [(r + 1, eid, us, s)
+                         for r, (s, _, eid, us) in enumerate(top)]
+    for et, grp in got.groupby("event_type"):
+        mine = [(int(r["rank"]), int(r["event_id"]), int(r["ev_us"]),
+                 int(r["cusum_cents"]))
+                for _, r in grp.sort_values("rank").iterrows()]
+        assert mine == exp_peaks[et]
