@@ -265,10 +265,21 @@ _R3_WINDOW = [
     # BM25 and label-propagation communities)
     "hive_event_stats", "shipmode_priority_counts", "image_phash_pairs",
     "nb_lang_predictions", "bm25_search", "entity_communities",
+    # (r3-s5 second rotation: local_supplier_volume, large_orders,
+    # purchase_value_by_engagement, user_event_gaps, type_user_counts,
+    # lineitem_qty_price_corr, buyers_never_active, events_hopping and
+    # priority_status_unpivot rotate OUT — all driver- or gate-green,
+    # families keep representatives — for the audio fingerprint core,
+    # kNN labels, keep-best resolution, compaction parity, the n-gram
+    # contamination matrix, CUSUM, the mixture planner, clustering
+    # coefficients and the Q9 five-table join)
+    "audio_fingerprint_pairs", "knn_label_predictions",
+    "neardup_keep_best", "kg_graph_compacted", "source_ngram_overlap",
+    "events_cusum_peaks", "mixture_token_budget",
+    "part_clustering_coefficient", "events_out_of_order",
     "user_day_purchase_views", "order_priority_revenue",
-    "local_supplier_volume", "large_orders",
     "bucketed_order_revenue", "nation_pair_volume", "market_share",
-    "purchase_value_by_engagement", "copurchase_kcore",
+    "copurchase_kcore",
     "nation_year_profit",
     # as-of / interval / rolling windows (user_trailing_value rotated
     # out r3 — rolling family keeps user_rolling_value — for the
@@ -284,23 +295,19 @@ _R3_WINDOW = [
     # kept by customer_order_ranks/user_running_value — for the Q9
     # five-table join and the PERCENT_RANK/CUME_DIST distinct-level
     # rank exchange)
-    "user_running_value", "user_event_gaps",
-    "customer_order_ranks", "order_value_percent_rank",
+    "user_running_value", "customer_order_ranks", "order_value_percent_rank",
     # top-k / quantiles / stats (events_value_quantiles rotated out r3
     # — quantile family keeps the _cont interpolation variant — for
     # the Welch z-test)
     "priority_top_orders", "events_ab_ztest",
-    "events_value_quantiles_cont", "type_user_counts",
-    "event_value_stats", "lineitem_qty_price_corr",
+    "events_value_quantiles_cont", "event_value_stats",
     # set ops (purchases_except_views_all rotated out r3 — EXCEPT ALL
     # family keeps two representatives — for the retraction IVM)
-    "users_both_active", "buyers_never_active",
-    "priority_counts_ivm",
+    "users_both_active", "priority_counts_ivm",
     # windows/rollups/pivots over the event stream (events_hourly
     # rotated out r3 — driver-green r2 — for the new interval join)
-    "purchase_view_attribution", "events_hopping", "events_rollup",
+    "purchase_view_attribution", "events_rollup",
     "priority_status_pivot",
-    "priority_status_unpivot",
     # sessionization / ordered aggregation / funnel / retention
     "user_sessions", "user_event_type_seq",
     "user_funnel_counts", "weekly_retention",

@@ -5272,10 +5272,16 @@ def events_cusum_peaks(sf_dir: str, k: int = 10):
                    "event_type",
                    [("value_cents", "sum"), ("n", "sum")]).take_all()}
 
+    # vectorized dict lookup: the event stream is input-sized — no
+    # per-row Python (index_in against the 5-key target table)
+    t_keys = pa.array(sorted(targets), type=pa.string())
+    t_vals = np.array([targets[k] for k in sorted(targets)],
+                      dtype=np.int64)
+
     def dev(b: pa.Table) -> pa.Table:
-        t = np.array([targets[s]
-                      for s in b.column("event_type").to_pylist()],
-                     dtype=np.int64)
+        idx = pc.index_in(b.column("event_type"), value_set=t_keys) \
+            .to_numpy(zero_copy_only=False)
+        t = t_vals[idx]
         v = b.column("value_cents").to_numpy(zero_copy_only=False)
         return pa.table({
             "event_type": b.column("event_type"),
