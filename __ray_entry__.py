@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_token_budget": text.mixture_token_budget,
         "source_ngram_overlap": text.source_ngram_overlap,
         "events_cusum_peaks": relational.events_cusum_peaks,
+        "token_collocations": text.token_collocations,
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -766,6 +767,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "token_collocations": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE len(trim(text)) > 0),
+            b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                  FROM t, UNNEST(generate_series(1, len(toks) - 1))
+                       AS u(i)),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM b GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+                   FROM c12 GROUP BY 1),
+            c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2
+                   FROM c12 GROUP BY 1),
+            n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12),
+            s AS (SELECT w1, w2, c12,
+                         ln(CAST(c12 * n.n AS DOUBLE)
+                            / CAST(c1.c1 * c2.c2 AS DOUBLE)) AS pmi
+                  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2)
+                       CROSS JOIN n
+                  WHERE c12 >= 5)
+            SELECT w1, w2, c12, pmi FROM s
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
         """,
         "events_cusum_peaks": """
             WITH e AS (SELECT event_type, event_id,

@@ -380,6 +380,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: text.source_ngram_overlap(sf_dir))
     timed("events_cusum_peaks",
           lambda: relational.events_cusum_peaks(sf_dir))
+    timed("token_collocations",
+          lambda: text.token_collocations(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

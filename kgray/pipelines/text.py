@@ -1832,3 +1832,80 @@ def source_ngram_overlap(sf_dir: str, n: int = 3):
         pairs.map_batches(keep_lt, batch_format="pyarrow",
                           zero_copy_batch=True),
         ["source_a", "source_b"], [("n_shared", "sum")], precombine=True)
+
+
+def token_collocations(sf_dir: str, k: int = 50, min_count: int = 5):
+    """Top-k collocations (adjacent token pairs) by pointwise mutual
+    information with a support floor — the phrase-mining pass that
+    feeds tokenizer/vocab decisions.  PMI = ln(c12·N / (c1·c2)) with
+    every count an exact int64 from the same mergeable bigram/unigram
+    partials as the LM scorers; the log runs on integers mirrored
+    exactly by the oracle (libm == DuckDB ln), and the top-k is the
+    ``global_topk`` exchange under (pmi DESC, w1, w2).
+
+    Plan: one pass emits per-block bigram/unigram count partials; two
+    ``sorted_group_aggregate`` exchanges reduce them; the bigram table
+    joins its two unigram legs via sorted-merge joins (vocabulary-
+    sized, no broadcast assumption); scoring is vectorized; only
+    k·n_blocks survivor rows reach the driver."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import global_topk
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        w1s, w2s, ns = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            for (a, b), c in Counter(zip(toks, toks[1:])).items():
+                w1s.append(a)
+                w2s.append(b)
+                ns.append(c)
+        return pa.table({"w1": pa.array(w1s, type=pa.string()),
+                         "w2": pa.array(w2s, type=pa.string()),
+                         "c12": pa.array(ns, type=pa.int64())})
+
+    pairs = sorted_group_aggregate(
+        read_documents(sf_dir).map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2"], [("c12", "sum")]).materialize()
+    # unigram counts AS BIGRAM ENDPOINTS (left/right marginals of the
+    # pair table — the standard collocation normalization)
+    c1 = sorted_group_aggregate(
+        pairs.map_batches(lambda b: pa.table({
+            "w1": b.column("w1"), "c1": b.column("c12")}),
+            batch_format="pyarrow"),
+        ["w1"], [("c1", "sum")])
+    c2 = sorted_group_aggregate(
+        pairs.map_batches(lambda b: pa.table({
+            "w2": b.column("w2"), "c2": b.column("c12")}),
+            batch_format="pyarrow"),
+        ["w2"], [("c2", "sum")])
+    n_total = pairs.sum("c12")
+
+    strong = pairs.filter(expr=f"c12 >= {int(min_count)}")
+    j = sorted_merge_join(sorted_merge_join(strong, c1, on="w1"),
+                          c2, on="w2")
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = b.column("c12").to_numpy(zero_copy_only=False)
+        a = b.column("c1").to_numpy(zero_copy_only=False)
+        c = b.column("c2").to_numpy(zero_copy_only=False)
+        keys = {}
+        pmi = np.empty(len(c12), dtype=np.float64)
+        for i in range(len(c12)):
+            t = (int(c12[i]), int(a[i]), int(c[i]))
+            v = keys.get(t)
+            if v is None:
+                v = math.log(float(t[0] * n_total) / float(t[1] * t[2]))
+                keys[t] = v
+            pmi[i] = v
+        return pa.table({"w1": b.column("w1"), "w2": b.column("w2"),
+                         "c12": pa.array(c12, type=pa.int64()),
+                         "pmi": pa.array(pmi, type=pa.float64())})
+
+    return global_topk(j.map_batches(score, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                       [("pmi", "descending"), ("w1", "ascending"),
+                        ("w2", "ascending")], k)
