@@ -368,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ngram_overlap": text.source_ngram_overlap,
         "events_cusum_peaks": relational.events_cusum_peaks,
         "token_collocations": text.token_collocations,
+        "doc_redirect_resolution": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
+        ).doc_redirect_resolution(sf),
         "entity_hits": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_hits"]
         ).entity_hits(sf),
@@ -767,6 +770,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "doc_redirect_resolution": """
+            WITH RECURSIVE d AS (SELECT doc_id,
+                              CAST(ROW_NUMBER() OVER (ORDER BY doc_id)
+                                   AS BIGINT) AS rnk,
+                              CAST(('0x' || substr(md5(CAST(doc_id
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+                       FROM documents),
+            m AS (SELECT doc_id, rnk,
+                         CASE WHEN h % 4 = 0 OR rnk - 1 - (h % 3) < 1
+                              THEN rnk ELSE rnk - 1 - (h % 3) END AS nxt
+                  FROM d),
+            walk AS (
+                SELECT rnk AS start_rnk, nxt AS cur,
+                       CAST(CASE WHEN nxt = rnk THEN 0 ELSE 1 END
+                            AS BIGINT) AS hops
+                FROM m
+                UNION ALL
+                SELECT w.start_rnk, m2.nxt, w.hops + 1
+                FROM walk w JOIN m m2 ON m2.rnk = w.cur
+                WHERE m2.nxt <> m2.rnk
+            ),
+            fin AS (SELECT start_rnk, cur, hops FROM walk
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY start_rnk
+                        ORDER BY hops DESC) = 1)
+            SELECT d1.doc_id, d2.doc_id AS target_doc_id, fin.hops AS n_hops
+            FROM fin JOIN m d1 ON d1.rnk = fin.start_rnk
+                     JOIN m d2 ON d2.rnk = fin.cur
         """,
         "token_collocations": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents

@@ -382,6 +382,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.events_cusum_peaks(sf_dir))
     timed("token_collocations",
           lambda: text.token_collocations(sf_dir))
+    timed("doc_redirect_resolution",
+          lambda: _graph.doc_redirect_resolution(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -715,3 +715,98 @@ def entity_communities(sf_dir: str, rounds: int = 4):
         "src": b.column("subj"), "dst": b.column("obj")}),
         batch_format="pyarrow")
     return label_propagation(edges, rounds=rounds)
+
+
+# ------------------------------------------------------------------ pointer doubling
+
+def resolve_chains(mapping, max_rounds: int = 45):
+    """Alias/redirect CHAIN RESOLUTION by pointer doubling: given an
+    acyclic (node → next) mapping where terminals point to themselves,
+    return every node's terminal target and its hop distance in
+    O(log chain-length) rounds — the crawl-pipeline primitive for URL
+    redirect chains, alias tables, and symlink farms, where one-hop-at-
+    a-time resolution would need chain-length rounds.
+
+    ``mapping``: Dataset (``rank``: int64 dense key, ``nxt``: int64 —
+    ``nxt == rank`` marks a terminal).  Per round one edge-sized
+    sorted-merge self-join replaces every pointer with the pointer two
+    steps ahead (``nxt ← nxt.nxt``, ``hops += nxt.hops``); terminals
+    join themselves and stay fixed, so the exact fixpoint check is
+    'total hops unchanged' — a scalar per round, nothing node-sized on
+    the driver."""
+    from ..stages.join import sorted_merge_join
+
+    state = mapping.map_batches(lambda b: pa.table({
+        "rank": b.column("rank"),
+        "ptr": b.column("nxt"),
+        "hops": pc.cast(pc.not_equal(b.column("nxt"), b.column("rank")),
+                        pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    prev_total = -1
+    for _ in range(max_rounds):
+        total = state.sum("hops")
+        if total == prev_total:
+            return state
+        prev_total = total
+        pointee = state.map_batches(lambda b: pa.table({
+            "ptr": b.column("rank"),
+            "p_ptr": b.column("ptr"),
+            "p_hops": b.column("hops")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        state = sorted_merge_join(state, pointee, on="ptr").map_batches(
+            lambda b: pa.table({
+                "rank": b.column("rank"),
+                "ptr": b.column("p_ptr"),
+                "hops": pc.add(b.column("hops"), b.column("p_hops"))}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+    raise RuntimeError(f"resolve_chains: no fixpoint in {max_rounds} rounds")
+
+
+def doc_redirect_resolution(sf_dir: str):
+    """Deterministic redirect graph over the documents table, resolved
+    by :func:`resolve_chains`: each doc's rank (dense 1..n by doc_id,
+    via the global-rank exchange) points ``1 + md5(doc_id) % 3`` ranks
+    back unless the hash marks it terminal — acyclic by construction
+    (pointers strictly decrease).  Output: (doc_id, target_doc_id,
+    n_hops), SQL-oracled by a recursive CTE walking the same mapping
+    one hop at a time — log-rounds doubling vs linear recursion,
+    same answer."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.globalrank import global_rank
+    from ..stages.join import sorted_merge_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    ranked = global_rank(docs, "doc_id").drop_columns(
+        ["percent_rank", "cume_dist"]).materialize()
+
+    def to_mapping(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rnk = b.column("rank").to_numpy(zero_copy_only=False)
+        h = _md5_bucket(ids.tolist(), 1 << 32).astype(np.int64)
+        nxt = rnk - 1 - (h % 3)
+        terminal = (h % 4 == 0) | (nxt < 1)
+        return pa.table({
+            "rank": pa.array(rnk, type=pa.int64()),
+            "nxt": pa.array(np.where(terminal, rnk, nxt), type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64())})
+
+    mapping = ranked.map_batches(to_mapping, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    resolved = resolve_chains(mapping.drop_columns(["doc_id"]))
+
+    ids_by_rank = mapping.map_batches(lambda b: pa.table({
+        "rank": b.column("rank"), "doc_id": b.column("doc_id")}),
+        batch_format="pyarrow")
+    tgt_by_rank = mapping.map_batches(lambda b: pa.table({
+        "ptr": b.column("rank"), "target_doc_id": b.column("doc_id")}),
+        batch_format="pyarrow")
+    out = sorted_merge_join(
+        sorted_merge_join(resolved, ids_by_rank, on="rank"),
+        tgt_by_rank, on="ptr")
+    return out.map_batches(lambda b: pa.table({
+        "doc_id": b.column("doc_id"),
+        "target_doc_id": b.column("target_doc_id"),
+        "n_hops": b.column("hops")}),
+        batch_format="pyarrow", zero_copy_batch=True)

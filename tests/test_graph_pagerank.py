@@ -156,3 +156,33 @@ def test_entity_communities_plan_equality_sf0001(ray_session):
     shuf = sorted((r["node"], r["community"]) for r in
                   label_propagation(edges, plan="shuffle").take_all())
     assert dense == shuf and len(dense) > 0
+
+
+def test_redirect_resolution_serial_walk(ray_session):
+    """Pointer doubling (log rounds) equals the one-hop-at-a-time
+    serial walk node-for-node, including hop counts, on sf0.001
+    (chains up to ~16 hops resolve in ~5 doubling rounds)."""
+    import hashlib
+
+    from kgray.pipelines.graph import doc_redirect_resolution
+
+    t = doc_redirect_resolution("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    ids = sorted(t["doc_id"])
+    rnk = {d: i + 1 for i, d in enumerate(ids)}
+    by_rank = {i + 1: d for i, d in enumerate(ids)}
+    h = {d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+         for d in ids}
+
+    def nxt(r):
+        d = by_rank[r]
+        n = r - 1 - (h[d] % 3)
+        return r if (h[d] % 4 == 0 or n < 1) else n
+
+    assert t["n_hops"].max() >= 8          # non-vacuous chain depth
+    for row in t.itertuples():
+        cur, hops = rnk[row.doc_id], 0
+        while nxt(cur) != cur:
+            cur = nxt(cur)
+            hops += 1
+        assert (row.target_doc_id, row.n_hops) == (by_rank[cur], hops)
