@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_token_budget": text.mixture_token_budget,
         "source_ngram_overlap": text.source_ngram_overlap,
         "events_cusum_peaks": relational.events_cusum_peaks,
+        "events_benford_audit": relational.events_benford_audit,
+        "copurchase_triple_itemsets":
+            relational.copurchase_triple_itemsets,
         "token_collocations": text.token_collocations,
         "doc_redirect_resolution": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
@@ -770,6 +773,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "copurchase_triple_itemsets": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem)
+            SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                 JOIN op c ON b.o = c.o AND b.p < c.p
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        """,
+        "events_benford_audit": """
+            WITH v AS (SELECT event_type,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS vc
+                       FROM events),
+            c AS (SELECT event_type,
+                         CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT)
+                             AS digit,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM v WHERE vc > 0 GROUP BY 1, 2),
+            grid AS (SELECT t.event_type, d.digit
+                     FROM (SELECT DISTINCT event_type FROM c) t,
+                          (SELECT CAST(unnest(generate_series(1, 9))
+                                  AS BIGINT) AS digit) d),
+            tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+                    FROM c GROUP BY 1),
+            e AS (SELECT g.event_type, g.digit,
+                         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs,
+                         CAST(tot.total AS DOUBLE)
+                             * log10(1.0 + 1.0 / g.digit) AS n_expected
+                  FROM grid g LEFT JOIN c USING (event_type, digit)
+                       JOIN tot USING (event_type)),
+            r AS (SELECT event_type, digit, n_obs, n_expected,
+                         SUM((CAST(n_obs AS DOUBLE) - n_expected)
+                             * (CAST(n_obs AS DOUBLE) - n_expected)
+                             / n_expected) OVER (
+                             PARTITION BY event_type ORDER BY digit
+                             ROWS UNBOUNDED PRECEDING) AS chi_run
+                  FROM e)
+            SELECT event_type, digit, n_obs, n_expected,
+                   MAX(chi_run) OVER (PARTITION BY event_type) AS chi2
+            FROM r
         """,
         "doc_redirect_resolution": """
             WITH RECURSIVE d AS (SELECT doc_id,

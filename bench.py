@@ -384,6 +384,10 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: text.token_collocations(sf_dir))
     timed("doc_redirect_resolution",
           lambda: _graph.doc_redirect_resolution(sf_dir))
+    timed("events_benford_audit",
+          lambda: relational.events_benford_audit(sf_dir))
+    timed("copurchase_triple_itemsets",
+          lambda: relational.copurchase_triple_itemsets(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -5322,3 +5322,188 @@ def events_cusum_peaks(sf_dir: str, k: int = 10):
     return peaks.map_batches(lambda b: b.select(
         ["event_type", "rank", "event_id", "ev_us", "cusum_cents"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_benford_audit(sf_dir: str):
+    """Benford first-digit audit per event type — the fraud/data-entry
+    screen an ingest pipeline runs on monetary columns: observed
+    first-digit counts of the cent values against the Benford expected
+    distribution, with the chi-square statistic in exact operand order.
+
+    All counting is distributed int64 (map-side combine, one 9-row-per-
+    type aggregate); the expected probabilities ``log10(1 + 1/d)`` and
+    the chi-square sum run on the driver over the 5×9 ledger, mirrored
+    term-for-term by the oracle so even the float is bitwise."""
+    import math
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = _cents(b.column("value")).to_numpy(zero_copy_only=False)
+        t = b.column("event_type")
+        keep = v > 0
+        s = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(v[keep], type=pa.int64()), pa.string()), 0, 1)
+        return pa.table({
+            "event_type": t.filter(pa.array(keep)),
+            "digit": pc.cast(s, pa.int64()),
+            "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
+
+    counts = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+        .map_batches(digits, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "digit"], [("n", "sum")], precombine=True) \
+        .take_all()                       # ≤ 9 digits × n_types: tiny
+
+    per_type = {}
+    for r in counts:
+        per_type.setdefault(r["event_type"], {})[r["digit"]] = r["n"]
+    types, digs, ns, exps, chis = [], [], [], [], {}
+    for et in sorted(per_type):
+        total = sum(per_type[et].values())
+        chi = 0.0
+        for d in range(1, 10):
+            obs = per_type[et].get(d, 0)
+            p = math.log10(1.0 + 1.0 / d)
+            exp = total * p
+            chi += (obs - exp) * (obs - exp) / exp
+            types.append(et)
+            digs.append(d)
+            ns.append(obs)
+            exps.append(exp)
+        chis[et] = chi
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "digit": pa.array(digs, type=pa.int64()),
+        "n_obs": pa.array(ns, type=pa.int64()),
+        "n_expected": pa.array(exps, type=pa.float64()),
+        "chi2": pa.array([chis[t] for t in types], type=pa.float64())})
+
+
+def copurchase_triple_itemsets(sf_dir: str, min_support: int = 2):
+    """Frequent 3-itemsets over orders (A-priori, SET semantics:
+    support = number of DISTINCT orders containing all three parts) —
+    the classic two-pass market-basket mining plan:
+
+    pass 1: distinct-per-order pair supports (bounded-run expansion on
+    the (orderkey, partkey) sort — the `_copurchase_pair_counts` shape
+    with per-run ``np.unique``); pairs with support ≥ s broadcast as a
+    packed-int64 set (frequent-pair count is tiny by construction —
+    that is the POINT of the support threshold);
+    pass 2: per order run, expand only value triples whose THREE
+    sub-pairs are all frequent — lossless by downward closure (any
+    frequent triple's pairs are frequent under set semantics), so the
+    result is exactly the SQL three-way distinct self-join.
+
+    Triple keys exchange as (packed ab, c) two-column int64 keys —
+    no 96-bit packing assumption."""
+    from collections import Counter as _Counter
+
+    from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    srt = li.sort(["l_orderkey", "l_partkey"]).materialize()
+
+    def _runs(order_keys, part_keys):
+        starts = run_starts(order_keys)
+        bounds = np.r_[starts, len(order_keys)]
+        parts = part_keys.to_numpy(zero_copy_only=False)
+        for i in range(len(starts)):
+            u = np.unique(parts[bounds[i]:bounds[i + 1]])
+            if len(u) >= 2:
+                yield u
+
+    def _pairs(order_keys, part_keys) -> pa.Table:
+        c = _Counter()
+        for u in _runs(order_keys, part_keys):
+            m = len(u)
+            for x in range(m - 1):
+                a = int(u[x]) << 32
+                for y in range(x + 1, m):
+                    c[a | int(u[y])] += 1
+        return pa.table({
+            "pair": pa.array(list(c.keys()), type=pa.int64()),
+            "n": pa.array(list(c.values()), type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(edge_mask(batch.column("l_orderkey")))
+
+    def interior_pairs(batch: pa.Table) -> pa.Table:
+        interior = batch.filter(
+            pc.invert(edge_mask(batch.column("l_orderkey"))))
+        return _pairs(interior.column("l_orderkey"),
+                      interior.column("l_partkey"))
+
+    def merge_sorted(edge_tables):
+        t = pa.concat_tables(edge_tables)
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("l_orderkey", "ascending"),
+                          ("l_partkey", "ascending")]))
+
+    pair_counts = sorted_group_aggregate(
+        edge_interior_exchange(
+            srt, edge_fn, interior_pairs,
+            lambda ts: _pairs(merge_sorted(ts).column("l_orderkey"),
+                              merge_sorted(ts).column("l_partkey"))),
+        "pair", [("n", "sum")], precombine=False)
+    freq = pair_counts.filter(expr=f"n >= {int(min_support)}") \
+        .map_batches(lambda b: b.select(["pair"]), batch_format="pyarrow") \
+        .take_all()
+    freq_set = frozenset(r["pair"] for r in freq)
+    freq_ref = ray.put(freq_set)
+
+    def _triples(order_keys, part_keys) -> pa.Table:
+        fs = ray.get(freq_ref)
+        c = _Counter()
+        for u in _runs(order_keys, part_keys):
+            m = len(u)
+            if m < 3:
+                continue
+            for x in range(m - 2):
+                a = int(u[x])
+                for y in range(x + 1, m - 1):
+                    b = int(u[y])
+                    if (a << 32 | b) not in fs:
+                        continue
+                    ab = a << 32 | b
+                    for z in range(y + 1, m):
+                        cc = int(u[z])
+                        if (a << 32 | cc) in fs and (b << 32 | cc) in fs:
+                            c[(ab, cc)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "ab": pa.array([k[0] for k in ks], type=pa.int64()),
+            "part_c": pa.array([k[1] for k in ks], type=pa.int64()),
+            "n_orders": pa.array(list(c.values()), type=pa.int64())})
+
+    def interior_triples(batch: pa.Table) -> pa.Table:
+        interior = batch.filter(
+            pc.invert(edge_mask(batch.column("l_orderkey"))))
+        return _triples(interior.column("l_orderkey"),
+                        interior.column("l_partkey"))
+
+    tri = sorted_group_aggregate(
+        edge_interior_exchange(
+            srt, edge_fn, interior_triples,
+            lambda ts: _triples(merge_sorted(ts).column("l_orderkey"),
+                                merge_sorted(ts).column("l_partkey"))),
+        ["ab", "part_c"], [("n_orders", "sum")], precombine=False) \
+        .filter(expr=f"n_orders >= {int(min_support)}")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ab" not in b.schema.names:
+            # Ray emits schema-LESS empty blocks after filters (NOTES #66)
+            return pa.table({
+                "part_a": pa.array([], type=pa.int64()),
+                "part_b": pa.array([], type=pa.int64()),
+                "part_c": pa.array([], type=pa.int64()),
+                "n_orders": pa.array([], type=pa.int64())})
+        ab = b.column("ab").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_a": pa.array(ab >> 32, type=pa.int64()),
+            "part_b": pa.array(ab & 0xFFFFFFFF, type=pa.int64()),
+            "part_c": b.column("part_c"),
+            "n_orders": b.column("n_orders")})
+
+    return tri.map_batches(unpack, batch_format="pyarrow",
+                           zero_copy_batch=True)

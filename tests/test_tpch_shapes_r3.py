@@ -246,3 +246,32 @@ def test_part_clustering_coefficient_invariants(ray_session):
     assert ((got["clustering"] >= 0) & (got["clustering"] <= 1)).all()
     assert (got.loc[got["degree"] == 1, "clustering"] == 0).all()
     assert (got["degree"] >= 1).all()
+
+
+def test_triple_itemsets_apriori_lossless(ray_session, con):
+    """A-priori pruning is lossless under set semantics: the two-pass
+    pruned plan equals the unpruned three-way DISTINCT self-join at
+    support 2, and every reported triple's three sub-pairs meet the
+    same support (downward closure, verified on the output)."""
+    from kgray.pipelines.relational import copurchase_triple_itemsets
+
+    got = _norm(_to_pandas(copurchase_triple_itemsets(SF, min_support=2)))
+    exp = _norm(con.sql("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem)
+        SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             JOIN op c ON b.o = c.o AND b.p < c.p
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""").df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True,
+                                  check_exact=True)
+    pair_support = {(a, b): n for a, b, n in con.sql("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem)
+        SELECT a.p, b.p, COUNT(*) FROM op a
+        JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2""").fetchall()}
+    for r in got.itertuples():
+        for pr in [(r.part_a, r.part_b), (r.part_a, r.part_c),
+                   (r.part_b, r.part_c)]:
+            assert pair_support[pr] >= 2
