@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford_audit": relational.events_benford_audit,
         "copurchase_triple_itemsets":
             relational.copurchase_triple_itemsets,
+        "gopher_rule_flags": text.gopher_rule_flags,
         "token_collocations": text.token_collocations,
         "doc_redirect_resolution": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
@@ -773,6 +774,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "gopher_rule_flags": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE len(trim(text)) > 0),
+            s AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_tokens,
+                         CAST((SELECT COALESCE(SUM(len(w)), 0)
+                               FROM UNNEST(toks) AS u(w)) AS BIGINT)
+                             AS n_token_chars,
+                         CAST((SELECT COUNT(*) FROM UNNEST(toks) AS u(w)
+                               WHERE regexp_matches(w, '[a-zA-Z]'))
+                              AS BIGINT) AS n_alpha_tokens,
+                         CAST((SELECT COUNT(*) FROM UNNEST(toks) AS u(w)
+                               WHERE w IN ('the', 'and', 'of', 'to'))
+                              AS BIGINT) AS n_stopwords
+                  FROM t)
+            SELECT doc_id, n_tokens, n_token_chars, n_alpha_tokens,
+                   n_stopwords,
+                   (n_tokens >= 10 AND n_tokens <= 1000) AS rule_len,
+                   (3 * n_tokens <= n_token_chars
+                    AND n_token_chars <= 10 * n_tokens) AS rule_mean_len,
+                   (5 * n_alpha_tokens >= 4 * n_tokens) AS rule_alpha,
+                   (n_stopwords >= 1) AS rule_stop,
+                   ((n_tokens >= 10 AND n_tokens <= 1000)
+                    AND (3 * n_tokens <= n_token_chars
+                         AND n_token_chars <= 10 * n_tokens)
+                    AND (5 * n_alpha_tokens >= 4 * n_tokens)
+                    AND (n_stopwords >= 1)) AS keep
+            FROM s
         """,
         "copurchase_triple_itemsets": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -388,6 +388,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.events_benford_audit(sf_dir))
     timed("copurchase_triple_itemsets",
           lambda: relational.copurchase_triple_itemsets(sf_dir))
+    timed("gopher_rule_flags",
+          lambda: text.gopher_rule_flags(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

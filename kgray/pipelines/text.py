@@ -1909,3 +1909,59 @@ def token_collocations(sf_dir: str, k: int = 50, min_count: int = 5):
                                      zero_copy_batch=True),
                        [("pmi", "descending"), ("w1", "ascending"),
                         ("w2", "ascending")], k)
+
+
+_GOPHER_STOP = ("the", "and", "of", "to")
+
+
+def gopher_rule_flags(sf_dir: str, min_tokens: int = 10,
+                      max_tokens: int = 1000):
+    """Gopher-style hard quality rules as per-document flags plus the
+    composite keep decision — the rule-based pre-filter stage of a
+    pretraining pipeline (Rae et al. 2021 §A1.1, adapted to this
+    corpus' ranges).
+
+    Every rule is an INTEGER comparison (mean-length bounds via
+    cross-multiplication, ratios via ``5·n_alpha ≥ 4·n_tokens``), so
+    there is no float anywhere and the SQL mirror is exact by
+    construction.  One vectorized scan; no exchange at all — the
+    100 TB plan is embarrassingly parallel."""
+    import re
+
+    alpha = re.compile(r"[a-zA-Z]")
+    stop = set(_GOPHER_STOP)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ids, nt, nc, na, ns = [], [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            if not toks:
+                continue
+            ids.append(d)
+            nt.append(len(toks))
+            nc.append(sum(len(w) for w in toks))
+            na.append(sum(1 for w in toks if alpha.search(w)))
+            ns.append(sum(1 for w in toks if w in stop))
+        nt_a = np.array(nt, dtype=np.int64)
+        nc_a = np.array(nc, dtype=np.int64)
+        na_a = np.array(na, dtype=np.int64)
+        ns_a = np.array(ns, dtype=np.int64)
+        r1 = (nt_a >= min_tokens) & (nt_a <= max_tokens)
+        r2 = (3 * nt_a <= nc_a) & (nc_a <= 10 * nt_a)
+        r3 = 5 * na_a >= 4 * nt_a
+        r4 = ns_a >= 1
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(nt_a),
+            "n_token_chars": pa.array(nc_a),
+            "n_alpha_tokens": pa.array(na_a),
+            "n_stopwords": pa.array(ns_a),
+            "rule_len": pa.array(r1),
+            "rule_mean_len": pa.array(r2),
+            "rule_alpha": pa.array(r3),
+            "rule_stop": pa.array(r4),
+            "keep": pa.array(r1 & r2 & r3 & r4)})
+
+    return read_documents(sf_dir).map_batches(
+        flags, batch_format="pyarrow", zero_copy_batch=True)
