@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triple_itemsets":
             relational.copurchase_triple_itemsets,
         "gopher_rule_flags": text.gopher_rule_flags,
+        "token_cms_counts": text.token_cms_counts,
         "token_collocations": text.token_collocations,
         "doc_redirect_resolution": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
@@ -631,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "image_phash_pairs", "audio_fingerprint_pairs",
+                     "token_cms_counts",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "neardup_keep_best",

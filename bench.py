@@ -390,6 +390,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.copurchase_triple_itemsets(sf_dir))
     timed("gopher_rule_flags",
           lambda: text.gopher_rule_flags(sf_dir))
+    timed("token_cms_counts",
+          lambda: text.token_cms_counts(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1965,3 +1965,56 @@ def gopher_rule_flags(sf_dir: str, min_tokens: int = 10,
 
     return read_documents(sf_dir).map_batches(
         flags, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_cms_counts(sf_dir: str, k: int = 50, depth: int = 4,
+                     width: int = 1024):
+    """Count-Min sketch token counts, reported against exact truth for
+    the top-``k`` tokens — the third sketch next to HLL (distinct) and
+    Misra-Gries (exact heavy hitters): fixed O(depth·width) memory per
+    block regardless of vocabulary size, mergeable by plain addition.
+
+    Per block ONE flattened int64 CMS matrix ships to the driver
+    (block-count-sized, never vocabulary-sized); row hashes are the
+    salted deterministic polyhash, so the folded sketch is a pure
+    function of the data and the committed fixture is an exact oracle.
+    The CMS guarantee (estimate ≥ true count) is pinned by test.
+
+    Output: (token, exact_cnt, cms_estimate) for the exact top-k."""
+    from ..functions.hashing import polyhash64_batch
+
+    def block_cms(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_tokens(t))
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if c:
+            toks = list(c.keys())
+            cnts = np.array(list(c.values()), dtype=np.int64)
+            for r in range(depth):
+                salted = pa.array([f"{r}|{t}" for t in toks],
+                                  type=pa.string())
+                idx = (polyhash64_batch(salted)
+                       % np.uint64(width)).astype(np.int64)
+                np.add.at(cms[r], idx, cnts)
+        return pa.table({"cms": [cms.reshape(-1).tolist()]})
+
+    parts = read_documents(sf_dir, columns=("text",)).map_batches(
+        block_cms, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    cms = np.zeros(depth * width, dtype=np.int64)
+    for r in parts:
+        cms += np.array(r["cms"], dtype=np.int64)
+    cms = cms.reshape(depth, width)
+
+    top = token_topk(sf_dir, k=k)
+    top = top.to_pandas() if hasattr(top, "to_pandas") else top
+    toks = top["token"].tolist()
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        salted = pa.array([f"{r}|{t}" for t in toks], type=pa.string())
+        idx = (polyhash64_batch(salted) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cms[r, idx])
+    return pa.table({
+        "token": pa.array(toks, type=pa.string()),
+        "exact_cnt": pa.array(top["cnt"].to_numpy().astype(np.int64)),
+        "cms_estimate": pa.array(est, type=pa.int64())})

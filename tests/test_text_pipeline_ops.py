@@ -315,3 +315,26 @@ def test_source_ngram_overlap_planted(ray_session, tmp_path):
            .to_dict("records")}
     assert got[("sa", "sb")] == 1          # only "common three gram"
     assert ("sa", "sc") not in got and ("sb", "sc") not in got
+
+
+def test_token_cms_never_underestimates(ray_session, tmp_path):
+    """The CMS law: estimates are ≥ exact counts ALWAYS, including
+    under forced collisions (width 4 « vocabulary), and the sketch is
+    merge-order independent (pure int sums)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.text import token_cms_counts
+
+    texts = [" ".join(f"w{i % 23}" for i in range(j, j + 40))
+             for j in range(0, 400, 7)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}), tmp_path / "documents.parquet")
+    t = token_cms_counts(str(tmp_path), k=23, depth=3,
+                         width=4).to_pandas()
+    assert (t["cms_estimate"] >= t["exact_cnt"]).all()
+    assert (t["cms_estimate"] > t["exact_cnt"]).any()   # collisions real
+    wide = token_cms_counts(str(tmp_path), k=23, depth=4,
+                            width=4096).to_pandas()
+    assert (wide["cms_estimate"] == wide["exact_cnt"]).all()
