@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.copurchase_triple_itemsets,
         "gopher_rule_flags": text.gopher_rule_flags,
         "token_cms_counts": text.token_cms_counts,
+        "part_negative_samples": relational.part_negative_samples,
         "token_collocations": text.token_collocations,
         "doc_redirect_resolution": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
@@ -776,6 +777,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "part_negative_samples": """
+            WITH e AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            anchors AS (SELECT a AS anchor FROM e
+                        UNION SELECT b FROM e),
+            ps AS (SELECT p_partkey,
+                          CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) - 1
+                               AS BIGINT) AS pos
+                   FROM part),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ps),
+            cand AS (SELECT anchors.anchor,
+                            CAST(j AS BIGINT) AS attempt,
+                            ps.p_partkey AS neg_part
+                     FROM anchors,
+                          UNNEST(generate_series(1, 16)) AS u(j),
+                          n
+                     JOIN ps ON ps.pos =
+                          CAST(('0x' || substr(md5(CAST(anchors.anchor
+                               AS VARCHAR) || '|' || j), 1, 8)) AS BIGINT)
+                          % n.c
+                     WHERE ps.p_partkey <> anchors.anchor),
+            neg AS (SELECT c.* FROM cand c
+                    WHERE NOT EXISTS (
+                        SELECT 1 FROM e
+                        WHERE e.a = LEAST(c.anchor, c.neg_part)
+                          AND e.b = GREATEST(c.anchor, c.neg_part)))
+            SELECT anchor, neg_part, attempt FROM neg
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor
+                ORDER BY attempt, neg_part) <= 5
         """,
         "gopher_rule_flags": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents

@@ -392,6 +392,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: text.gopher_rule_flags(sf_dir))
     timed("token_cms_counts",
           lambda: text.token_cms_counts(sf_dir))
+    timed("part_negative_samples",
+          lambda: relational.part_negative_samples(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -5507,3 +5507,79 @@ def copurchase_triple_itemsets(sf_dir: str, min_support: int = 2):
 
     return tri.map_batches(unpack, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def part_negative_samples(sf_dir: str, k: int = 5, attempts: int = 16,
+                          min_count: int = 2):
+    """Deterministic negative-sampling table for contrastive training
+    over the co-purchase graph: for every part with at least one
+    positive (a thresholded co-purchase partner), up to ``k`` hashed
+    negative parts that are NOT positives — the word2vec/contrastive
+    sampling step as a reproducible dataset instead of an RNG stream.
+
+    Candidate ``j`` for anchor ``a`` is the part at position
+    ``md5(a|j) % n_parts`` of the partkey-sorted dimension (a pure
+    function of the data — retries and engines agree); self-hits drop;
+    positives drop via a distributed ANTI semi-join on the packed pair
+    key (the scale path — the positive set is edge-sized and never
+    broadcast); the first ``k`` surviving attempts per anchor come from
+    ``grouped_topk`` on the attempt index.  The part dimension itself
+    is broadcast (dimension-sized by definition)."""
+    import hashlib
+
+    from ..stages.semijoin import semi_join
+    from ..stages.topk import grouped_topk
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())
+    anchors = sorted_group_aggregate(
+        edges.map_batches(lambda b: pa.table({
+            "anchor": pa.concat_arrays([
+                b.column("part_a").combine_chunks(),
+                b.column("part_b").combine_chunks()]),
+            "one": pa.array(np.ones(2 * b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["anchor"], [("one", "sum")]).drop_columns(["one"])
+
+    parts_sorted = np.sort(pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"]).column("p_partkey").to_numpy())
+    n_parts = len(parts_sorted)
+    parts_ref = ray.put(parts_sorted)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        ps = ray.get(parts_ref)
+        a = b.column("anchor").to_numpy(zero_copy_only=False)
+        anc, cand, att = [], [], []
+        for av in a:
+            for j in range(1, attempts + 1):
+                h = int(hashlib.md5(f"{av}|{j}".encode())
+                        .hexdigest()[:8], 16)
+                cv = int(ps[h % n_parts])
+                if cv != av:
+                    anc.append(int(av))
+                    cand.append(cv)
+                    att.append(j)
+        lo = np.minimum(anc, cand).astype(np.int64)
+        hi = np.maximum(anc, cand).astype(np.int64)
+        return pa.table({
+            "anchor": pa.array(anc, type=pa.int64()),
+            "neg_part": pa.array(cand, type=pa.int64()),
+            "attempt": pa.array(att, type=pa.int64()),
+            "pair": pa.array((lo << 32) | hi, type=pa.int64())})
+
+    cand_ds = anchors.map_batches(candidates, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    pos_keys = edges.map_batches(lambda b: pa.table({
+        "pair": pa.array(
+            (b.column("part_a").to_numpy(zero_copy_only=False) << 32)
+            | b.column("part_b").to_numpy(zero_copy_only=False),
+            type=pa.int64())}), batch_format="pyarrow")
+    negatives = semi_join(cand_ds, pos_keys, on="pair", anti=True,
+                          bloom_bits=1 << 20)
+    return grouped_topk(negatives.drop_columns(["pair"]), "anchor",
+                        "attempt", "neg_part", k=k, descending=False) \
+        .drop_columns(["rank"])

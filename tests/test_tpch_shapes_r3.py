@@ -275,3 +275,26 @@ def test_triple_itemsets_apriori_lossless(ray_session, con):
         for pr in [(r.part_a, r.part_b), (r.part_a, r.part_c),
                    (r.part_b, r.part_c)]:
             assert pair_support[pr] >= 2
+
+
+def test_negative_samples_exclusion_and_bounds(ray_session, con):
+    """No sampled negative is a positive pair, no self-pairs, at most
+    k = 5 per anchor, attempts strictly within 1..16 — and every anchor
+    with ≥ 5 surviving candidates gets exactly 5."""
+    from kgray.pipelines.relational import part_negative_samples
+
+    got = _to_pandas(part_negative_samples(SF))
+    pos = {(min(a, b), max(a, b)) for a, b in con.sql("""
+        SELECT l1.l_partkey, l2.l_partkey
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2""").fetchall()}
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert r.anchor != r.neg_part
+        assert (min(r.anchor, r.neg_part),
+                max(r.anchor, r.neg_part)) not in pos
+        assert 1 <= r.attempt <= 16
+    counts = got.groupby("anchor").size()
+    assert (counts <= 5).all() and (counts == 5).mean() > 0.9
