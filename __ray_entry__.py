@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": ann.embedding_pca,
         "embedding_quantize": ann.embedding_quantize,
         "knn_label_predictions": ann.knn_label_predictions,
+        "embedding_truncation_recall": ann.embedding_truncation_recall,
         # --- relational surface (SQL-oracled, integer-cents math)
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -633,7 +634,7 @@ def oracle_sql() -> dict[str, str]:
                      "binary_features", "winnowing_fingerprints",
                      "minhash_lsh_pairs", "simhash_pairs",
                      "image_phash_pairs", "audio_fingerprint_pairs",
-                     "token_cms_counts",
+                     "token_cms_counts", "embedding_truncation_recall",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "neardup_keep_best",

@@ -394,6 +394,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: text.token_cms_counts(sf_dir))
     timed("part_negative_samples",
           lambda: relational.part_negative_samples(sf_dir))
+    timed("embedding_truncation_recall",
+          lambda: ann.embedding_truncation_recall(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

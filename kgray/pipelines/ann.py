@@ -900,3 +900,72 @@ def knn_label_predictions(sf_dir: str, k: int = 5):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]) \
         .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_truncation_recall(sf_dir: str, dims=(8, 16, 32), k: int = 10,
+                                n_queries: int = 20):
+    """Matryoshka-style truncation evaluation: recall@k of cosine
+    search over PREFIX-truncated embeddings against the full-dimension
+    ground truth — the measurement that decides how many dimensions a
+    100-TB index actually needs to store.
+
+    One streaming pass per dimension (same broadcast-queries plan as
+    :func:`ann_topk_bruteforce`); overlap counts stay exact integers
+    and the per-dim recall is ONE float division, so the committed
+    fixture is an exact oracle.  Output: (dim, sum_overlap, n_pairs,
+    recall) with dim = 0 meaning the full dimension (sanity row —
+    recall exactly 1.0, pinned by test)."""
+    q_ids, Q_raw = _query_matrix(sf_dir, n_queries)
+    full_dim = Q_raw.shape[1]
+
+    def topk_ids(trunc: int) -> dict:
+        """Streaming top-k at a truncation width: queries broadcast,
+        corpus batches truncate + matmul + local top-k, driver merges
+        k·n_blocks survivor rows (the ann_topk_bruteforce plan)."""
+        q_ref = ray.put((q_ids, _normalize(Q_raw[:, :trunc])))
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            qids, Qm = ray.get(q_ref)
+            bids = col_vector(batch.column("vec_id"), np.int64)
+            B = _normalize(list_col_matrix(
+                batch.column("embedding"))[:, :trunc])
+            C = Qm @ B.T
+            out_q, out_n, out_c = [], [], []
+            kk = min(k + 1, C.shape[1])
+            for qi in range(C.shape[0]):
+                idx = np.lexsort((bids, -C[qi]))[:kk]
+                for j in idx:
+                    if bids[j] == qids[qi]:
+                        continue
+                    out_q.append(int(qids[qi]))
+                    out_n.append(int(bids[j]))
+                    out_c.append(float(C[qi][j]))
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64())})
+
+        surv = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+            .map_batches(local_topk, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+        out = {}
+        for q, grp in surv.groupby("query_id"):
+            g = grp.sort_values(["cos", "neighbor_id"],
+                                ascending=[False, True]).head(k)
+            out[int(q)] = g["neighbor_id"].tolist()
+        return out
+
+    truth = topk_ids(full_dim)
+    rows = []
+    for d in (0, *dims):
+        got = topk_ids(full_dim if d == 0 else d)
+        overlap = sum(len(set(truth[q]) & set(got[q])) for q in truth)
+        n_pairs = k * len(truth)
+        rows.append((d, overlap, n_pairs,
+                     float(overlap) / float(n_pairs)))
+    return pa.table({
+        "dim": pa.array([r[0] for r in rows], type=pa.int64()),
+        "sum_overlap": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "recall": pa.array([r[3] for r in rows], type=pa.float64())})

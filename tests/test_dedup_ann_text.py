@@ -816,3 +816,17 @@ ray.shutdown()
         assert lines, out.stderr[-2000:]
         hashes.append(lines[0])
     assert hashes[0] == hashes[1]
+
+
+def test_truncation_recall_sanity(ray_session):
+    """dim=0 (full) recall is exactly 1.0; truncated recalls are in
+    [0, 1] and overlap counts are consistent with the ratio."""
+    from kgray.pipelines.ann import embedding_truncation_recall
+
+    t = embedding_truncation_recall("/root/testdata/sf0.001").to_pandas()
+    full = t[t["dim"] == 0].iloc[0]
+    assert full["recall"] == 1.0
+    assert full["sum_overlap"] == full["n_pairs"]
+    for r in t.itertuples():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall == r.sum_overlap / r.n_pairs
