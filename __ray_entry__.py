@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_features": lambda sf: __import__(
             "kgray.pipelines.multimodal", fromlist=["video_features"]
         ).video_features(sf),
+        "video_scene_changes": lambda sf: __import__(
+            "kgray.pipelines.multimodal", fromlist=["video_scene_changes"]
+        ).video_scene_changes(sf),
         # --- text analysis over documents (SQL-oracled)
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -635,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
                      "minhash_lsh_pairs", "simhash_pairs",
                      "image_phash_pairs", "audio_fingerprint_pairs",
                      "token_cms_counts", "embedding_truncation_recall",
+                     "video_scene_changes",
                      "embedding_lsh_pairs", "ann_ivf_topk",
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "neardup_keep_best",

@@ -396,6 +396,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.part_negative_samples(sf_dir))
     timed("embedding_truncation_recall",
           lambda: ann.embedding_truncation_recall(sf_dir))
+    timed("video_scene_changes",
+          lambda: multimodal.video_scene_changes(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

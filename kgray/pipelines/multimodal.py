@@ -493,3 +493,89 @@ def audio_fingerprint_pairs(sf_dir: str, max_hamming: int = 3,
     return hamming_lsh_pairs(sigs, "doc_id", "afp", "doc_a", "doc_b",
                              max_hamming=max_hamming,
                              max_bucket=max_bucket, verify=verify)
+
+
+# ------------------------------------------------------------------
+# Video scene-change detection — per-clip shot boundaries from integer
+# frame-delta energy, with PLANTED hard cuts so the detector has real
+# positives.
+
+def synth_video_payload_scenes(doc_id: int) -> bytes:
+    """KGV1 clip with a planted HARD CUT: 8–14 frames of smoothly
+    shifting gradient; at a hash-chosen frame the scene switches to an
+    inverted/offset gradient (a real shot boundary); docs with
+    ``doc_id % 3 == 0`` have no cut (negatives)."""
+    from ..kernels.codec import encode_video
+
+    n_frames = 8 + (doc_id * 5) % 7
+    h = 12 + (doc_id * 3) % 9
+    w = 16 + (doc_id * 11) % 13
+    cut_at = 0 if doc_id % 3 == 0 else 3 + (doc_id * 7) % (n_frames - 5)
+    rng = np.random.Generator(np.random.PCG64(0x5CE7E + doc_id))
+    yy, xx = np.mgrid[0:h, 0:w]
+    # noise is FIXED PER SCENE (camera texture), so the inter-frame
+    # delta is smooth motion within a scene and spikes only at the cut
+    noise = [rng.integers(0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+             for _ in range(2)]
+    frames = []
+    for fi in range(n_frames):
+        scene2 = bool(cut_at) and fi >= cut_at
+        base_y = (255 - yy if scene2 else yy)
+        img = np.stack([
+            ((base_y + 2 * fi) * 255 // max(h - 1, 1) % 256).astype(np.uint8),
+            (((xx + (128 if scene2 else 0)) + fi) * 255
+             // max(w - 1, 1) % 256).astype(np.uint8),
+            noise[1 if scene2 else 0],
+        ], axis=2)
+        frames.append(img)
+    return encode_video(frames)
+
+
+class SceneChangeDetector:
+    """Actor-pool stage: KGV1 payload → detected cut frame indices.
+
+    Per clip: integer frame-delta energy d_i = Σ|f_i − f_{i−1}|; frame
+    ``i`` is a cut iff ``d_i > factor · median(d)`` (lower median,
+    integer comparison — the MEDIAN baseline is what makes the rule
+    robust to the clip's own motion level; no float anywhere, so the
+    fixture is exact)."""
+
+    def __init__(self, factor: int = 2):
+        from ..kernels.codec import decode_video_frames
+        self._decode = decode_video_frames
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # one row per detected cut; cut_frame = -1 marks a clean clip
+        # (keeps every doc visible with a flat, sortable schema)
+        ids, nf, cf = [], [], []
+        for doc_id, payload in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            frames = [f.astype(np.int64)
+                      for _, f in self._decode(payload)]
+            d = np.array([np.abs(frames[i] - frames[i - 1]).sum()
+                          for i in range(1, len(frames))], dtype=np.int64)
+            med = int(np.sort(d)[(len(d) - 1) // 2]) if len(d) else 0
+            cut_idx = [i + 1 for i in range(len(d))
+                       if int(d[i]) > self.factor * med]
+            for c in (cut_idx or [-1]):
+                ids.append(doc_id)
+                nf.append(len(frames))
+                cf.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(nf, type=pa.int64()),
+            "cut_frame": pa.array(cf, type=pa.int64())})
+
+
+def video_scene_changes(sf_dir: str, concurrency: int | None = None):
+    """Shot-boundary detection over the planted-cut clip corpus:
+    synthesize → binary column → actor-pool decode + integer delta
+    detector.  Detection quality (planted cuts found, negatives clean)
+    is pinned in tests; the gate pins exact output."""
+    if concurrency is None:
+        from .kg import _auto_concurrency
+        concurrency = _auto_concurrency()[0]
+    return _synth_binary_column(sf_dir, synth_video_payload_scenes) \
+        .map_batches(SceneChangeDetector, batch_format="pyarrow",
+                     batch_size=64, concurrency=concurrency, num_cpus=1)

@@ -39,7 +39,7 @@ FIXTURE_QUERIES = [
     "extract_invariant", "kg_entities", "binary_features",
     "winnowing_fingerprints", "minhash_lsh_pairs", "simhash_pairs",
     "image_phash_pairs", "audio_fingerprint_pairs", "token_cms_counts",
-    "embedding_truncation_recall",
+    "embedding_truncation_recall", "video_scene_changes",
     "embedding_lsh_pairs", "ann_ivf_topk", "embedding_kmeans",
     "embedding_pca",
     "ann_pq_topk", "pq_codes",

@@ -261,3 +261,23 @@ def test_afp64_gain_envelope_stability():
         half = (s.astype(np.int32) // 2).astype(np.int16)
         d = bin((afp64(s) ^ afp64(half)) & ((1 << 64) - 1)).count("1")
         assert d <= 3, (bid, d)
+
+
+def test_video_scene_changes_planted(ray_session):
+    """Planted hard cuts recovered exactly for ≥ 99% of positive clips
+    and EVERY negative clip is clean (cut_frame = -1) — the integer
+    2×-median rule vs the synth's known cut positions."""
+    from kgray.pipelines.multimodal import video_scene_changes
+
+    t = video_scene_changes("/root/testdata/sf0.001").to_pandas()
+    by_doc = {d: sorted(g["cut_frame"]) for d, g in t.groupby("doc_id")}
+    hits = n_pos = 0
+    for d, cuts in by_doc.items():
+        nf = 8 + (d * 5) % 7
+        want = 0 if d % 3 == 0 else 3 + (d * 7) % (nf - 5)
+        if want:
+            n_pos += 1
+            hits += cuts == [want]
+        else:
+            assert cuts == [-1], (d, cuts)
+    assert hits / n_pos >= 0.99, (hits, n_pos)
