@@ -376,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rule_flags": text.gopher_rule_flags,
         "token_cms_counts": text.token_cms_counts,
         "part_negative_samples": relational.part_negative_samples,
+        "events_orders_join_profile":
+            relational.events_orders_join_profile,
         "token_collocations": text.token_collocations,
         "doc_redirect_resolution": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
@@ -782,6 +784,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                        AS avg_logprob_micronats
             FROM s GROUP BY doc_id
+        """,
+        "events_orders_join_profile": """
+            WITH ev AS (SELECT user_id AS key,
+                               CAST(COUNT(*) AS BIGINT) AS n_events
+                        FROM events GROUP BY 1),
+            od AS (SELECT o_custkey AS key,
+                          CAST(COUNT(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1),
+            p AS (SELECT key, n_events, n_orders,
+                         n_events * n_orders AS join_rows
+                  FROM ev JOIN od USING (key)),
+            t AS (SELECT CAST(SUM(join_rows) AS BIGINT) AS total FROM p)
+            SELECT key, n_events, n_orders, join_rows,
+                   t.total AS total_join_rows
+            FROM p CROSS JOIN t
+            ORDER BY join_rows DESC, key LIMIT 10
         """,
         "part_negative_samples": """
             WITH e AS (

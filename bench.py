@@ -398,6 +398,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: ann.embedding_truncation_recall(sf_dir))
     timed("video_scene_changes",
           lambda: multimodal.video_scene_changes(sf_dir))
+    timed("events_orders_join_profile",
+          lambda: relational.events_orders_join_profile(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

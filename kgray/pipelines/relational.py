@@ -5583,3 +5583,46 @@ def part_negative_samples(sf_dir: str, k: int = 5, attempts: int = 16,
     return grouped_topk(negatives.drop_columns(["pair"]), "anchor",
                         "attempt", "neg_part", k=k, descending=False) \
         .drop_columns(["rank"])
+
+
+def events_orders_join_profile(sf_dir: str, k: int = 10):
+    """Join-size profile (optimizer statistics): the EXACT output
+    cardinality of ``events ⋈ orders ON user_id = o_custkey`` computed
+    WITHOUT running the join — ``|A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)`` over
+    the two key-count tables (each pre-reduced, key-sized) — plus the
+    ``k`` heaviest keys by contribution.  This is how a planner decides
+    broadcast-vs-shuffle and detects skew BEFORE paying the exchange:
+    the profile costs two aggregates and one key-sized join, never the
+    fact×fact output.  Ties break on the key; all integer."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import global_topk
+
+    ev = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(lambda b: pa.table({
+            "key": b.column("user_id"),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], [("n_events", "sum")], precombine=True)
+    od = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(lambda b: pa.table({
+            "key": b.column("o_custkey"),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], [("n_orders", "sum")], precombine=True)
+
+    prod = sorted_merge_join(ev, od, on="key").map_batches(
+        lambda b: pa.table({
+            "key": b.column("key"),
+            "n_events": b.column("n_events"),
+            "n_orders": b.column("n_orders"),
+            "join_rows": pc.multiply(b.column("n_events"),
+                                     b.column("n_orders"))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    total = prod.sum("join_rows") or 0
+    top = global_topk(prod, [("join_rows", "descending"),
+                             ("key", "ascending")], k)
+    n = top.num_rows
+    return top.append_column(
+        "total_join_rows", pa.array([total] * n, type=pa.int64()))

@@ -298,3 +298,16 @@ def test_negative_samples_exclusion_and_bounds(ray_session, con):
         assert 1 <= r.attempt <= 16
     counts = got.groupby("anchor").size()
     assert (counts <= 5).all() and (counts == 5).mean() > 0.9
+
+
+def test_join_profile_predicts_actual_join_size(ray_session, con):
+    """The profile's total equals the ACTUAL join cardinality — the
+    estimator is exact, not an estimate."""
+    from kgray.pipelines.relational import events_orders_join_profile
+
+    got = _to_pandas(events_orders_join_profile(SF))
+    actual = con.sql("""
+        SELECT COUNT(*) FROM events JOIN orders
+        ON user_id = o_custkey""").fetchone()[0]
+    assert (got["total_join_rows"] == actual).all()
+    assert (got["join_rows"] == got["n_events"] * got["n_orders"]).all()
