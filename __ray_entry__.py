@@ -277,9 +277,20 @@ _R3_WINDOW = [
     "neardup_keep_best", "kg_graph_compacted", "source_ngram_overlap",
     "events_cusum_peaks", "mixture_token_budget",
     "part_clustering_coefficient", "events_out_of_order",
-    "user_day_purchase_views", "order_priority_revenue",
+    # (r3-s5 third rotation: order_priority_revenue, copurchase_kcore,
+    # events_asof_orders, user_rolling_value, user_running_value,
+    # customer_order_ranks, events_ab_ztest, users_both_active,
+    # events_rollup and user_event_type_seq rotate OUT — every one
+    # driver-green in an earlier window, each family keeps at least one
+    # representative — for the second session-5 operator batch)
+    "token_collocations", "doc_redirect_resolution",
+    "events_benford_audit", "copurchase_triple_itemsets",
+    "gopher_rule_flags", "token_cms_counts", "part_negative_samples",
+    "embedding_truncation_recall", "video_scene_changes",
+    "events_orders_join_profile",
+    "user_day_purchase_views",
     "bucketed_order_revenue", "nation_pair_volume", "market_share",
-    "copurchase_kcore",
+   
     "nation_year_profit",
     # as-of / interval / rolling windows (user_trailing_value rotated
     # out r3 — rolling family keeps user_rolling_value — for the
@@ -288,28 +299,28 @@ _R3_WINDOW = [
     # r3-s4 — both r2/r3-green, asof family keeps events_asof_orders and
     # the join family keeps 11 others — for the TransE training law and
     # the HITS dual-plan fixed point)
-    "events_asof_orders", "part_copurchase_cheapest",
-    "user_rolling_value", "kg_transe_embeddings", "entity_hits",
+    "part_copurchase_cheapest",
+    "kg_transe_embeddings", "entity_hits",
     # scan windows (running/lag/lead/rank/first-last; user_latest_event
     # and customer_order_seq rotated out r3-s3 — both r2-green, family
     # kept by customer_order_ranks/user_running_value — for the Q9
     # five-table join and the PERCENT_RANK/CUME_DIST distinct-level
     # rank exchange)
-    "user_running_value", "customer_order_ranks", "order_value_percent_rank",
+    "order_value_percent_rank",
     # top-k / quantiles / stats (events_value_quantiles rotated out r3
     # — quantile family keeps the _cont interpolation variant — for
     # the Welch z-test)
-    "priority_top_orders", "events_ab_ztest",
+    "priority_top_orders",
     "events_value_quantiles_cont", "event_value_stats",
     # set ops (purchases_except_views_all rotated out r3 — EXCEPT ALL
     # family keeps two representatives — for the retraction IVM)
-    "users_both_active", "priority_counts_ivm",
+    "priority_counts_ivm",
     # windows/rollups/pivots over the event stream (events_hourly
     # rotated out r3 — driver-green r2 — for the new interval join)
-    "purchase_view_attribution", "events_rollup",
+    "purchase_view_attribution",
     "priority_status_pivot",
     # sessionization / ordered aggregation / funnel / retention
-    "user_sessions", "user_event_type_seq",
+    "user_sessions",
     "user_funnel_counts", "weekly_retention",
 ]
 
