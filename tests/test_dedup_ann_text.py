@@ -722,7 +722,11 @@ def test_embedding_pca_matches_serial_oracle(ray_session):
         if W[j, c] < 0:
             W[:, c] = -W[:, c]
     Wq = np.rint(W * _KM_SCALE).astype(np.int64)
-    off = (sv / n) @ Wq.astype(np.float64) / (float(_KM_SCALE) ** 2)
+    # the offset folds EXACT INTEGERS (r3-s5: a BLAS dot here drifted
+    # with the driver's thread environment — see NOTES #78)
+    off = np.array([
+        float(sum(int(a) * int(w) for a, w in zip(s, Wq[:, c])))
+        / (n * float(_KM_SCALE) ** 2) for c in range(2)])
     inv = 1.0 / (float(_KM_SCALE) ** 2)
     Y = (q @ Wq).astype(np.float64) * inv - off
 
