@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         "pii_scrub": text.pii_scrub,
         "nb_lang_predictions": text.nb_lang_predictions,
+        "nb_confusion": text.nb_confusion,
+        "source_group_splits": text.source_group_splits,
         "bm25_search": text.bm25_search,
         "mixture_token_budget": text.mixture_token_budget,
         "source_ngram_overlap": text.source_ngram_overlap,
@@ -389,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_negative_samples": relational.part_negative_samples,
         "events_orders_join_profile":
             relational.events_orders_join_profile,
+        "part_adamic_adar": relational.part_adamic_adar,
+        "part_khop_sample": relational.part_khop_sample,
+        "xml_event_stats": relational.xml_event_stats,
         "token_collocations": text.token_collocations,
         "doc_redirect_resolution": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["doc_redirect_resolution"]
@@ -1124,6 +1129,121 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY score DESC, lang ASC) = 1
+        """,
+        "nb_confusion": f"""
+            WITH d AS (SELECT doc_id, lang, text FROM documents
+                       WHERE len(trim(text)) > 0),
+            t AS (SELECT doc_id, lang, unnest({_TOKS}) AS token FROM d),
+            tf AS (SELECT doc_id, lang, token,
+                          CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2, 3),
+            tc AS (SELECT token, lang, CAST(SUM(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY 1, 2),
+            langs AS (SELECT DISTINCT lang FROM d),
+            totals AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+                       FROM tc GROUP BY 1),
+            v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tc),
+            pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd,
+                           CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS ndocs
+                    FROM d GROUP BY 1),
+            s AS (SELECT tf.doc_id, l.lang,
+                         tf.tf * CAST(FLOOR(ln(
+                             CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+                             / CAST(totals.tot + v.v AS DOUBLE)) * 1e6)
+                                      AS BIGINT) AS c
+                  FROM (SELECT DISTINCT doc_id, token, tf FROM tf) tf
+                  CROSS JOIN langs l
+                  LEFT JOIN tc ON tc.token = tf.token AND tc.lang = l.lang
+                  JOIN totals ON totals.lang = l.lang CROSS JOIN v),
+            sc AS (SELECT s.doc_id, s.lang,
+                          CAST(FLOOR(ln(CAST(pri.nd AS DOUBLE)
+                                        / CAST(pri.ndocs AS DOUBLE)) * 1e6)
+                               AS BIGINT)
+                          + CAST(SUM(s.c) AS BIGINT) AS score
+                   FROM s JOIN pri ON pri.lang = s.lang
+                   GROUP BY s.doc_id, s.lang, pri.nd, pri.ndocs),
+            pred AS (SELECT doc_id, lang AS pred_lang FROM sc
+                     QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, lang ASC) = 1)
+            SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred p JOIN d ON d.doc_id = p.doc_id
+            GROUP BY 1, 2
+        """,
+        "source_group_splits": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST(('0x' || substr(md5(source), 1, 8))
+                                  AS BIGINT) % 1000 < 800 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(source), 1, 8))
+                                  AS BIGINT) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "part_adamic_adar": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS s, b AS d FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM sym GROUP BY 1),
+            w AS (SELECT node,
+                         CAST(FLOOR(1e6 / ln(CAST(deg AS DOUBLE)))
+                              AS BIGINT) AS w
+                  FROM deg WHERE deg >= 2),
+            wedge AS (SELECT l.s AS part_a, r.d AS part_b, w.w
+                      FROM sym l JOIN sym r ON l.d = r.s AND l.s < r.d
+                      JOIN w ON w.node = l.d),
+            aa AS (SELECT part_a, part_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_common,
+                          CAST(SUM(w) AS BIGINT) AS aa_micro
+                   FROM wedge GROUP BY 1, 2),
+            ne AS (SELECT aa.* FROM aa
+                   WHERE NOT EXISTS (SELECT 1 FROM e
+                       WHERE e.a = aa.part_a AND e.b = aa.part_b))
+            SELECT part_a, part_b, n_common, aa_micro
+            FROM ne ORDER BY aa_micro DESC, part_a, part_b LIMIT 30
+        """,
+        "part_khop_sample": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            rk AS (SELECT src, dst,
+                          CAST(('0x' || substr(md5(CAST(src * 4294967296
+                                                         + dst AS VARCHAR)),
+                                               1, 15)) AS BIGINT) AS rk
+                   FROM sym),
+            h1 AS (SELECT src, dst, rk,
+                          ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY rk, dst) AS rn
+                   FROM rk
+                   WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 20 = 0),
+            h1s AS (SELECT * FROM h1 WHERE rn <= 3),
+            f AS (SELECT DISTINCT dst FROM h1s),
+            h2 AS (SELECT r.src, r.dst, r.rk,
+                          ROW_NUMBER() OVER (PARTITION BY r.src
+                              ORDER BY r.rk, r.dst) AS rn
+                   FROM rk r JOIN f ON f.dst = r.src),
+            h2s AS (SELECT * FROM h2 WHERE rn <= 3)
+            SELECT CAST(1 AS BIGINT) AS hop, src, dst, rk FROM h1s
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS hop, src, dst, rk FROM h2s
+        """,
+        "xml_event_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "bigram_logprob": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks

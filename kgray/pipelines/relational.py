@@ -5626,3 +5626,235 @@ def events_orders_join_profile(sf_dir: str, k: int = 10):
     n = top.num_rows
     return top.append_column(
         "total_join_rows", pa.array([total] * n, type=pa.int64()))
+
+
+def part_adamic_adar(sf_dir: str, k: int = 30, min_count: int = 2):
+    """Link prediction over the co-purchase graph by Adamic–Adar: for
+    every NON-adjacent part pair (a, b), score = Σ_z 1/ln(deg z) over
+    their common neighbors z — the classic KG-completion baseline
+    (predict which parts *would* co-occur, from shared neighborhoods).
+
+    Plan (all distributed, the triangle-enumeration shape): thresholded
+    edge set from the shared pair-count exchange → degrees as one small
+    aggregate over the symmetric edge list → per-mid integer weight
+    ``w(z) = floor(1e6 / ln(deg z))`` (micro-units; ``math.log`` on the
+    integer degree is bitwise equal to DuckDB ``ln``, and the divide /
+    floor are single IEEE ops mirrored operand-for-operand) → wedge
+    join on the middle vertex (bounded by Σ deg² of the THRESHOLDED
+    graph — ``min_count`` is the 100-TB fan-out knob, exactly as in
+    :func:`copurchase_triangles`) → packed-key aggregate → ANTI
+    semi-join against the edge set (predicted pairs must not already
+    be edges) → global top-k.  Mids with deg == 1 carry no information
+    (ln 1 = 0) and are excluded from the weight table on both sides.
+    """
+    from ..stages.join import sorted_merge_join
+    from ..stages.semijoin import semi_join
+    from ..stages.topk import global_topk
+
+    import math
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())          # consumed 3x (2 wedge sides, anti)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        return pa.table({"src": pa.chunked_array([a, c]),
+                         "dst": pa.chunked_array([c, a])})
+
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    deg = sorted_group_aggregate(
+        sym.map_batches(lambda b: pa.table({
+            "node": b.column("src"),
+            "deg": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], [("deg", "sum")])
+
+    def weigh(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        dk = d[keep]
+        uniq, inv = np.unique(dk, return_inverse=True)
+        w = np.array([math.floor(1e6 / math.log(float(u))) for u in uniq],
+                     dtype=np.int64)[inv]
+        return pa.table({
+            "mid": b.column("node").filter(pa.array(keep)),
+            "w": pa.array(w, type=pa.int64())})
+
+    wtab = deg.map_batches(weigh, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # wedge (x, z, y), x < y: sym(dst=z → x) ⋈ sym(src=z → y) ⋈ w(z)
+    left = sym.map_batches(lambda b: pa.table({
+        "mid": b.column("dst"), "part_a": b.column("src")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = sorted_merge_join(
+        sym.map_batches(lambda b: pa.table({
+            "mid": b.column("src"), "part_b": b.column("dst")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        wtab, on="mid")
+    wedges = sorted_merge_join(left, right, on="mid")
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        c = b.column("part_b").to_numpy(zero_copy_only=False)
+        keep = a < c
+        return pa.table({
+            "ab": pa.array(((a << 32) | c)[keep], type=pa.int64()),
+            "w": b.column("w").filter(pa.array(keep)),
+            "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
+
+    aa = sorted_group_aggregate(
+        wedges.map_batches(pack, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["ab"], [("w", "sum"), ("one", "sum")])
+
+    edge_keys = edges.map_batches(lambda b: pa.table({
+        "ab": pa.array(
+            (b.column("part_a").to_numpy(zero_copy_only=False) << 32)
+            | b.column("part_b").to_numpy(zero_copy_only=False),
+            type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nonedge = semi_join(aa, edge_keys, on="ab", anti=True)
+
+    scored = nonedge.map_batches(lambda b: pa.table({
+        "part_a": pa.array(
+            b.column("ab").to_numpy(zero_copy_only=False) >> 32,
+            type=pa.int64()),
+        "part_b": pa.array(
+            b.column("ab").to_numpy(zero_copy_only=False) & 0xFFFFFFFF,
+            type=pa.int64()),
+        "n_common": b.column("one"),
+        "aa_micro": b.column("w")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return global_topk(scored, [("aa_micro", "descending"),
+                                ("part_a", "ascending"),
+                                ("part_b", "ascending")], k)
+
+
+def _md5_rank15(vals: np.ndarray) -> np.ndarray:
+    """First 15 hex chars of md5(str(v)) as int64 (60 bits — sign-safe)
+    — matches DuckDB ``CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1,
+    15)) AS BIGINT)`` bitwise.  The deterministic "random" order every
+    sampling op in the repo derives from."""
+    import hashlib
+
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, v in enumerate(vals):
+        out[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+    return out
+
+
+def part_khop_sample(sf_dir: str, fanout: int = 3, seed_mod: int = 20,
+                     min_count: int = 2):
+    """GraphSAGE-style k-hop neighborhood sampling over the co-purchase
+    graph — the subgraph extraction a GNN training pipeline runs per
+    minibatch, made a pure function of the data so resumes/retries see
+    the identical sample.
+
+    Seeds = graph nodes with md5 bucket ``% seed_mod == 0``.  Hop 1:
+    each seed keeps its ``fanout`` lowest-md5-rank incident edges
+    (rank = md5 of the packed ``src·2³² + dst`` edge key — per-EDGE, so
+    a node sampled from two frontiers keeps the same neighbors).  Hop
+    2: the distinct hop-1 destinations expand the same way.  Output is
+    the sampled edge list (hop, src, dst, rk).
+
+    Scale shape: two semi-joins (seed/frontier sets, dimension-sized)
+    + two ``grouped_topk`` exchanges (survivors capped at fanout rows
+    per node per block) — never a full neighborhood materialization;
+    hop frontiers grow at most ``fanout×`` per hop by construction."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.semijoin import semi_join
+    from ..stages.topk import grouped_topk
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        return pa.table({"src": pa.chunked_array([a, c]),
+                         "dst": pa.chunked_array([c, a])})
+
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()  # 3 uses
+
+    def rank(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("rk", pa.array([], type=pa.int64()))
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "rk", pa.array(_md5_rank15((s << 32) | d), type=pa.int64()))
+
+    def seed_filter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        m = _md5_bucket(b.column("src").to_pylist(), seed_mod) == 0
+        return b.filter(pa.array(m))
+
+    h1 = grouped_topk(
+        sym.map_batches(seed_filter, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .map_batches(rank, batch_format="pyarrow", zero_copy_batch=True),
+        group="src", order_col="rk", tiebreak="dst", k=fanout,
+        descending=False)
+
+    frontier = sorted_group_aggregate(
+        h1.map_batches(lambda b: pa.table({
+            "src": b.column("dst"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["src"], [("n", "sum")]).drop_columns(["n"])
+
+    h2 = grouped_topk(
+        semi_join(sym, frontier, on="src")
+        .map_batches(rank, batch_format="pyarrow", zero_copy_batch=True),
+        group="src", order_col="rk", tiebreak="dst", k=fanout,
+        descending=False)
+
+    def label(hop):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "hop": pa.array(np.full(b.num_rows, hop, dtype=np.int64)),
+                "src": b.column("src"), "dst": b.column("dst"),
+                "rk": b.column("rk")})
+        return fn
+
+    return (h1.map_batches(label(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(h2.map_batches(label(2), batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+
+def xml_event_stats(sf_dir: str):
+    """Per-type value totals over the XML twin of the events table —
+    the 8th ingest format (``sources/xmlsrc.py``; stdlib
+    ``xml.etree``, one decode task per shard file).  Same stats shape
+    as the CSV/SQLite/ORC twins, so the SAME SQL over the parquet view
+    oracles the whole source path (parity via the driver's value
+    hash)."""
+    from ..sources.xmlsrc import events_to_xml, read_events_xml
+
+    xml_dir = events_to_xml(sf_dir)
+    ev = read_events_xml(xml_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("value_cents", "sum"), ("n_events", "sum")],
+        precombine=True)

@@ -2018,3 +2018,52 @@ def token_cms_counts(sf_dir: str, k: int = 50, depth: int = 4,
         "token": pa.array(toks, type=pa.string()),
         "exact_cnt": pa.array(top["cnt"].to_numpy().astype(np.int64)),
         "cms_estimate": pa.array(est, type=pa.int64())})
+
+
+def nb_confusion(sf_dir: str):
+    """Confusion matrix of the Naive Bayes language classifier against
+    the gold ``lang`` labels — the model-evaluation aggregate every
+    training-data pipeline runs after a filter model is fit (is the
+    lang-ID gate dropping the right documents?).
+
+    Composition, not new machinery: :func:`nb_lang_predictions`
+    (exact-integer NB, doc-sized output) ⋈ the gold labels on doc_id
+    (one ``sorted_merge_join`` — never a broadcast: at 100 TB the
+    prediction table is corpus-sized) → one class²-sized aggregate.
+    Gold labels are read with ``columns=['doc_id','lang']`` only.
+    Every count is an int64 partial sum, so the matrix is bitwise
+    reproducible and the SQL oracle (the NB oracle's CTE chain with a
+    GROUP BY tail) matches exactly."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    pred = nb_lang_predictions(sf_dir)
+    gold = read_documents(sf_dir, columns=("doc_id", "lang"))
+    joined = sorted_merge_join(pred, gold, on="doc_id")
+    return sorted_group_aggregate(
+        joined.map_batches(lambda b: pa.table({
+            "lang": b.column("lang"),
+            "pred_lang": b.column("pred_lang"),
+            "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "pred_lang"], [("n_docs", "sum")])
+
+
+def source_group_splits(sf_dir: str):
+    """GROUP-aware train/val/test assignment: the split is a pure
+    function of the document's SOURCE (md5(source) bucket of 1000 →
+    train < 800, val < 900, test otherwise), so every document from
+    one source lands in the same split.
+
+    This is the leakage-safe variant of :func:`doc_splits` (which
+    hashes the doc_id): near-duplicate documents overwhelmingly live
+    within a source/site, so a row-hash split leaks train material
+    into eval through those near-copies, while a group hash cannot —
+    the standard discipline for web-crawl eval sets.  Same engine
+    shape: a pure streaming append, zero shuffle, stable under corpus
+    growth and resume."""
+    from ..functions.sampling import split_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return split_assign(docs, "source", bounds=(800, 900))
