@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pagerank": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["entity_pagerank"]
         ).entity_pagerank(sf, iters=5),
+        "entity_ppr": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["entity_ppr"]
+        ).entity_ppr(sf, iters=5),
+        "events_quality_checks": relational.events_quality_checks,
+        "user_window_features": relational.user_window_features,
+        "events_bootstrap_ci": relational.events_bootstrap_ci,
         "copurchase_kcore": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_kcore"]
         ).copurchase_kcore(sf),
@@ -661,7 +667,8 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_kmeans", "embedding_pca",
                      "neardup_clusters", "neardup_keep_best",
                      "event_user_distinct_hll",
-                     "entity_pagerank", "kg_transe_embeddings",
+                     "entity_pagerank", "entity_ppr",
+                     "kg_transe_embeddings",
                      "entity_hits", "kg_link_prediction",
                      "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",
@@ -1238,6 +1245,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(1 AS BIGINT) AS hop, src, dst, rk FROM h1s
             UNION ALL
             SELECT CAST(2 AS BIGINT) AS hop, src, dst, rk FROM h2s
+        """,
+        "events_quality_checks": """
+            WITH e AS (
+                SELECT event_id,
+                       CASE WHEN CAST(('0x' || substr(md5(CAST(event_id
+                                      AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % 97 = 0
+                            THEN -value ELSE value END AS value,
+                       CASE WHEN CAST(('0x' || substr(md5(CAST(event_id
+                                      AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % 97 = 0
+                            THEN 'unknown' ELSE event_type END
+                           AS event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ), r AS (
+                SELECT 'value_nonnull' AS rule,
+                       COUNT(*) AS n_checked,
+                       COUNT(*) FILTER (WHERE value IS NULL)
+                           AS n_violations FROM e
+                UNION ALL
+                SELECT 'value_nonneg', COUNT(*),
+                       COUNT(*) FILTER (WHERE value < 0) FROM e
+                UNION ALL
+                SELECT 'type_in_domain', COUNT(*),
+                       COUNT(*) FILTER (WHERE event_type NOT IN
+                           ('click', 'signup', 'error', 'view',
+                            'purchase')) FROM e
+                UNION ALL
+                SELECT 'ts_in_window', COUNT(*),
+                       COUNT(*) FILTER (WHERE ts_us < 1704067200000000
+                           OR ts_us >= 1706745600000000) FROM e
+                UNION ALL
+                SELECT 'event_id_unique', COUNT(*),
+                       COUNT(*) - COUNT(DISTINCT event_id) FROM e
+            )
+            SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS passed
+            FROM r
+        """,
+        "user_window_features": """
+            WITH t AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_ref
+                       FROM events),
+            e AS (SELECT user_id, event_type,
+                         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                             AS cents,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                  FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (WHERE ts_us >
+                       t_ref - 604800000000) AS BIGINT) AS n_7d,
+                   CAST(COUNT(*) FILTER (WHERE ts_us >
+                       t_ref - 2592000000000) AS BIGINT) AS n_30d,
+                   CAST(COALESCE(SUM(CASE WHEN ts_us >
+                       t_ref - 2592000000000
+                       AND event_type = 'purchase' THEN cents
+                       ELSE 0 END), 0) AS BIGINT)
+                       AS purchase_cents_30d,
+                   t_ref - MAX(ts_us) AS recency_us,
+                   MAX(ts_us) - MIN(ts_us) AS tenure_us
+            FROM e CROSS JOIN t GROUP BY user_id, t_ref
+        """,
+        "events_bootstrap_ci": """
+            WITH h AS (SELECT event_type,
+                              CAST(('0x' || substr(md5(CAST(event_id
+                                   AS VARCHAR)), 1, 15)) AS BIGINT)
+                                  % 1099511627776 AS h40,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            bs AS (SELECT CAST(b AS BIGINT) AS b
+                   FROM generate_series(0, 63) t(b)),
+            u AS (SELECT event_type, b,
+                         (h40 * (2 * b + 1)) % 1099511627776 AS r,
+                         cents
+                  FROM h CROSS JOIN bs),
+            w AS (SELECT event_type, b,
+                         CASE WHEN r < 404487723187 THEN 0
+                              WHEN r < 808975446375 THEN 1
+                              WHEN r < 1011219307969 THEN 2
+                              WHEN r < 1078633928500 THEN 3
+                              WHEN r < 1095487583633 THEN 4
+                              WHEN r < 1098858314660 THEN 5
+                              ELSE 6 END AS w,
+                         cents
+                  FROM u),
+            s AS (SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
+                         CAST(SUM(w * cents) AS BIGINT) AS swx
+                  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0),
+            m AS (SELECT event_type, b,
+                         CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+                             AS mean
+                  FROM s),
+            rr AS (SELECT event_type, mean,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY mean, b) AS rn
+                   FROM m)
+            SELECT event_type,
+                   MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
+                   MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
+            FROM rr GROUP BY event_type
         """,
         "xml_event_stats": """
             SELECT event_type,

@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["pagerank", "entity_pagerank", "kcore", "copurchase_kcore"]
+__all__ = ["pagerank", "entity_pagerank", "kcore", "copurchase_kcore",
+           "ppr", "entity_ppr"]
 
 UNIT = 10 ** 12
 
@@ -810,3 +811,228 @@ def doc_redirect_resolution(sf_dir: str):
         "target_doc_id": b.column("target_doc_id"),
         "n_hops": b.column("hops")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ppr(edges, seed_fn, iters: int = 10, d_num: int = 17, d_den: int = 20,
+        plan: str = "auto"):
+    """PERSONALIZED PageRank: teleport mass restarts at a SEED SET
+    instead of uniformly — 'which entities matter *around these*', the
+    query behind related-entity suggestion and topic-conditioned KG
+    ranking.
+
+    ``seed_fn(names: list[str]) -> bool ndarray`` assigns seed flags
+    PER BATCH (a pure function of the node name — e.g. an md5 rule or
+    a topical prefix), so the seed set is never collected on the
+    driver; only its COUNT is (one scalar aggregate).  The recurrence
+    in exact integer micro-units (same fixed-point discipline as
+    :func:`pagerank` — bit-identical across plans/partitionings):
+
+        rank'(v) = [v∈S]·(1−d)·UNIT/|S|
+                   + d·(in(v) + [v∈S]·dangling/|S|)
+
+    Plans: ``dense`` (broadcast rank vector, sparse integer partials)
+    at or below ``_DENSE_MAX_NODES``; ``shuffle`` (one join + one
+    aggregate per iteration, seed/outdeg flags carried by the zero
+    rows) above — pinned bit-equal by test."""
+    import ray
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    assert plan in ("auto", "dense", "shuffle")
+
+    edges = sorted_group_aggregate(
+        edges.map_batches(lambda b: pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], [("__one", "min")]).drop_columns(["__one"]) \
+        .materialize()
+
+    def flag(b: pa.Table) -> pa.Table:
+        names = b.column("node").to_pylist()
+        s = np.asarray(seed_fn(names), dtype=bool) if names else \
+            np.zeros(0, dtype=bool)
+        return b.append_column("seed",
+                               pa.array(s.astype(np.int64)))
+
+    nodes = sorted_group_aggregate(
+        edges.map_batches(lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column("src").combine_chunks(),
+                b.column("dst").combine_chunks()]),
+            "outdeg": pa.array(np.r_[np.ones(b.num_rows, dtype=np.int64),
+                                     np.zeros(b.num_rows, dtype=np.int64)])}),
+            batch_format="pyarrow"),
+        "node", [("outdeg", "sum")]) \
+        .map_batches(flag, batch_format="pyarrow").materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.string()),
+            "rank_fp": pa.array([], type=pa.int64())}))
+    n_seeds = int(nodes.sum("seed") or 0)
+    if n_seeds == 0:
+        raise ValueError("seed_fn selected no nodes")
+
+    base = ((d_den - d_num) * UNIT) // (d_den * n_seeds)
+    init = UNIT // n_seeds
+
+    if plan == "dense" or (plan == "auto" and n_nodes <= _DENSE_MAX_NODES):
+        return _ppr_dense(edges, nodes, n_nodes, n_seeds, base, init,
+                          iters, d_num, d_den)
+    return _ppr_shuffle(edges, nodes, n_nodes, n_seeds, base, init,
+                        iters, d_num, d_den)
+
+
+def _ppr_dense(edges, nodes_ds, n_nodes, n_seeds, base, init,
+               iters, d_num, d_den):
+    import ray
+
+    nt = pa.concat_tables(
+        [t for t in ray.get(nodes_ds.to_arrow_refs())
+         if t.num_rows and "node" in t.schema.names])
+    nt = nt.take(pc.sort_indices(nt, sort_keys=[("node", "ascending")]))
+    names = nt.column("node")
+    outdeg = nt.column("outdeg").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    seed = nt.column("seed").to_numpy(zero_copy_only=False) \
+        .astype(bool)
+    index = {n: i for i, n in enumerate(names.to_pylist())}
+    idx_ref = ray.put(index)
+    outdeg_ref = ray.put(outdeg)
+
+    def to_idx(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        si = np.array([ix[s] for s in batch.column("src").to_pylist()],
+                      dtype=np.int64)
+        di = np.array([ix[s] for s in batch.column("dst").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"si": pa.array(si), "di": pa.array(di)})
+
+    int_edges = edges.map_batches(to_idx, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    edge_block_refs = [r for r in int_edges.to_arrow_refs()]
+
+    @ray.remote
+    def contribs(batch: pa.Table, rv: np.ndarray, od: np.ndarray):
+        if batch.num_rows == 0:
+            return None
+        si = batch.column("si").to_numpy(zero_copy_only=False)
+        di = batch.column("di").to_numpy(zero_copy_only=False)
+        c = rv[si] // od[si]
+        uniq, inv = np.unique(di, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return uniq, sums
+
+    r = np.where(seed, np.int64(init), np.int64(0))
+    dangle_mask = outdeg == 0
+    for _ in range(iters):
+        share = int(r[dangle_mask].sum()) // n_seeds
+        r_ref = ray.put(r)
+        parts = ray.get([contribs.remote(b, r_ref, outdeg_ref)
+                         for b in edge_block_refs])
+        in_fp = np.zeros(n_nodes, dtype=np.int64)
+        for p in parts:
+            if p is not None:
+                np.add.at(in_fp, p[0], p[1])
+        r = (np.where(seed, np.int64(base), np.int64(0))
+             + ((in_fp + np.where(seed, np.int64(share), np.int64(0)))
+                * d_num) // d_den)
+
+    return rd.from_arrow(pa.table({"node": names,
+                                   "rank_fp": pa.array(r, type=pa.int64())}))
+
+
+def _ppr_shuffle(edges, nodes_ds, n_nodes, n_seeds, base, init,
+                 iters, d_num, d_den):
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    ranks = nodes_ds.map_batches(lambda b: pa.table({
+        "node": b.column("node"),
+        "rank_fp": pc.multiply(b.column("seed"),
+                               pa.scalar(init, type=pa.int64())),
+        "outdeg": b.column("outdeg"),
+        "seed": b.column("seed")}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        dangling = ranks.map_batches(
+            lambda b: pa.table({"d": pa.array([int(pc.sum(pc.if_else(
+                pc.equal(b.column("outdeg"), pa.scalar(0, type=pa.int64())),
+                b.column("rank_fp"),
+                pa.scalar(0, type=pa.int64()))).as_py() or 0)],
+                type=pa.int64())}),
+            batch_format="pyarrow").sum("d") or 0
+        share = int(dangling) // n_seeds
+
+        contribs = sorted_merge_join(
+            edges,
+            ranks.map_batches(lambda b: pa.table({
+                "src": b.column("node"),
+                "rank_fp": b.column("rank_fp"),
+                "outdeg": b.column("outdeg")}), batch_format="pyarrow"),
+            on="src").map_batches(
+            lambda b: pa.table({
+                "node": b.column("dst"),
+                "in_fp": pc.divide(b.column("rank_fp"),
+                                   b.column("outdeg")),
+                "odcarry": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "seedcarry": pa.array(np.zeros(b.num_rows,
+                                               dtype=np.int64))}),
+            batch_format="pyarrow")
+        zeros = ranks.map_batches(lambda b: pa.table({
+            "node": b.column("node"),
+            "in_fp": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "odcarry": b.column("outdeg"),
+            "seedcarry": b.column("seed")}), batch_format="pyarrow")
+
+        ranks = sorted_group_aggregate(
+            contribs.union(zeros), "node",
+            [("in_fp", "sum"), ("odcarry", "max"), ("seedcarry", "max")]) \
+            .map_batches(
+            lambda b, _s=share: pa.table({
+                "node": b.column("node"),
+                "rank_fp": pc.add(
+                    pc.multiply(b.column("seedcarry"),
+                                pa.scalar(base, type=pa.int64())),
+                    pc.divide(pc.multiply(
+                        pc.add(b.column("in_fp"),
+                               pc.multiply(b.column("seedcarry"),
+                                           pa.scalar(_s, type=pa.int64()))),
+                        pa.scalar(d_num, type=pa.int64())),
+                        pa.scalar(d_den, type=pa.int64()))),
+                "outdeg": b.column("odcarry"),
+                "seed": b.column("seedcarry")}),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(lambda b: b.select(["node", "rank_fp"]),
+                             batch_format="pyarrow")
+
+
+def entity_ppr(sf_dir: str, iters: int = 10, seed_mod: int = 20):
+    """Personalized PageRank over the entity graph, seeded at the
+    md5-selected entity subset (``md5(name) % seed_mod == 0`` — the
+    repo's deterministic sampling rule standing in for a user's topical
+    seed list).  Fixed-point integer ranks → fixture oracle."""
+    import hashlib
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    def seed_fn(names):
+        return np.array(
+            [int(hashlib.md5(n.encode()).hexdigest()[:8], 16)
+             % seed_mod == 0 for n in names], dtype=bool)
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
+    edges = graph.map_batches(lambda b: pa.table({
+        "src": b.column("subj"), "dst": b.column("obj")}),
+        batch_format="pyarrow")
+    return ppr(edges, seed_fn, iters=iters)

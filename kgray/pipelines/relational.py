@@ -5858,3 +5858,229 @@ def xml_event_stats(sf_dir: str):
         ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         ["event_type"], [("value_cents", "sum"), ("n_events", "sum")],
         precombine=True)
+
+
+def events_quality_checks(sf_dir: str):
+    """Declarative data-quality rule suite (the Deequ/GreatExpectations
+    shape): one streaming pass evaluates every rule as a mergeable
+    integer partial, one result row per rule — ``(rule, n_checked,
+    n_violations, passed)``.
+
+    The generated events table is perfectly clean (every natural rule
+    is vacuous — verified), so violations are INJECTED deterministically
+    first, the same discipline as ``fk_orphan_audit``/``pii_scrub``:
+    rows with ``md5(event_id) % 97 == 0`` get their value negated and
+    their type rewritten to ``'unknown'`` — the oracle applies the
+    identical rewrite in SQL, so the rule engine itself is what's
+    checked.  Rules: value non-null, value ≥ 0, type in the enum
+    domain, ts inside the ingest window, event_id globally unique (the
+    only rule needing an exchange — one distinct-count aggregate; all
+    others fold into per-block int64 partials)."""
+    from ..functions.sampling import _md5_bucket
+
+    lo_us = 1704067200000000          # 2024-01-01T00:00:00Z
+    hi_us = 1706745600000000          # 2024-02-01T00:00:00Z
+    domain = {"click", "signup", "error", "view", "purchase"}
+
+    def partials(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"rule": pa.array([], type=pa.string()),
+                             "n_checked": pa.array([], type=pa.int64()),
+                             "n_violations": pa.array([], type=pa.int64())})
+        corrupt = _md5_bucket(b.column("event_id").to_pylist(), 97) == 0
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        v = np.where(corrupt, -v, v)
+        ty = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        ty[corrupt] = "unknown"
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rules = [
+            ("value_nonnull", n, int(np.isnan(v).sum())),
+            ("value_nonneg", n, int((v < 0).sum())),
+            ("type_in_domain", n,
+             int(sum(t not in domain for t in ty))),
+            ("ts_in_window", n,
+             int(((ts < lo_us) | (ts >= hi_us)).sum())),
+        ]
+        return pa.table({
+            "rule": pa.array([r[0] for r in rules], type=pa.string()),
+            "n_checked": pa.array([r[1] for r in rules], type=pa.int64()),
+            "n_violations": pa.array([r[2] for r in rules],
+                                     type=pa.int64())})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value", "ts"])
+    flat = sorted_group_aggregate(
+        ev.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["rule"], [("n_checked", "sum"), ("n_violations", "sum")],
+        precombine=True)
+
+    # uniqueness rule: the one exchange — distinct event_id count
+    ids = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id"])
+    n_total = ids.count()
+    n_distinct = sorted_group_aggregate(
+        ids.map_batches(lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["event_id"], [("one", "min")]).count()
+    uniq_row = rd.from_arrow(pa.table({
+        "rule": pa.array(["event_id_unique"], type=pa.string()),
+        "n_checked": pa.array([n_total], type=pa.int64()),
+        "n_violations": pa.array([n_total - n_distinct],
+                                 type=pa.int64())}))
+
+    return flat.union(uniq_row).map_batches(
+        lambda b: b.append_column(
+            "passed", pc.cast(pc.equal(b.column("n_violations"),
+                                       pa.scalar(0, type=pa.int64())),
+                              pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_window_features(sf_dir: str):
+    """Feature-store shape: per-user training features over MULTIPLE
+    trailing windows in ONE scan — counts in the last 7/30 days,
+    purchase money in the last 30 days, recency and tenure vs the
+    corpus reference time T = max(ts).
+
+    Every feature is a conditional integer partial (CASE-masked cents
+    / counts, min/max epoch-µs), so one ``sorted_group_aggregate``
+    with map-side precombine produces the whole row — the engine
+    never rescans per window, which is the difference between 2
+    passes and 6 at 100 TB."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value", "ts"])
+    t_ref = ev.map_batches(lambda b: pa.table({
+        "m": pa.array([pc.max(pc.cast(b.column("ts"), pa.int64())).as_py()
+                       if b.num_rows else None], type=pa.int64())}),
+        batch_format="pyarrow").max("m")
+    day_us = 86_400_000_000
+    lo7, lo30 = t_ref - 7 * day_us, t_ref - 30 * day_us
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        is_p = np.asarray(
+            pc.equal(b.column("event_type"),
+                     pa.scalar("purchase")).to_numpy(
+                zero_copy_only=False))
+        w7 = (ts > lo7).astype(np.int64)
+        w30 = (ts > lo30).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_7d": pa.array(w7),
+            "n_30d": pa.array(w30),
+            "purchase_cents_30d": pa.array(cents * w30 * is_p),
+            "last_us": pa.array(ts),
+            "first_us": pa.array(ts)})
+
+    agg = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("n_events", "sum"), ("n_7d", "sum"), ("n_30d", "sum"),
+         ("purchase_cents_30d", "sum"), ("last_us", "max"),
+         ("first_us", "min")], precombine=True)
+
+    return agg.map_batches(lambda b, _t=t_ref: pa.table({
+        "user_id": b.column("user_id"),
+        "n_events": b.column("n_events"),
+        "n_7d": b.column("n_7d"),
+        "n_30d": b.column("n_30d"),
+        "purchase_cents_30d": b.column("purchase_cents_30d"),
+        "recency_us": pc.subtract_checked(
+            pa.scalar(_t, type=pa.int64()), b.column("last_us")),
+        "tenure_us": pc.subtract_checked(
+            b.column("last_us"), b.column("first_us"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Poisson(1) inverse-CDF thresholds on a 2^40 grid (floor(cum·2^40) —
+# exact integers, inlined identically in the SQL oracle)
+_POIS_TH = (404487723187, 808975446375, 1011219307969,
+            1078633928500, 1095487583633, 1098858314660)
+_B_BOOT = 64
+_M40 = 1 << 40
+
+
+def events_bootstrap_ci(sf_dir: str):
+    """Distributed bootstrap: a 95% confidence interval for the mean
+    event value per type, from ``B=64`` DETERMINISTIC Poisson(1)
+    resamples — the uncertainty-quantification op a metrics pipeline
+    wants, in the only form a distributed engine can replay exactly.
+
+    The b-th resample weight of a row is a pure function of the data:
+    ``u_b = (h40 · (2b+1)) mod 2^40`` with ``h40 = md5(event_id)
+    (60-bit prefix) mod 2^40`` — an odd-multiplier remix of one md5
+    per row (NOT one md5 per row per resample) — mapped through the
+    exact integer Poisson(1) inverse CDF (thresholds floor(cum·2^40)).
+    Per-(type, b) weighted sums are int64 partials (one aggregate,
+    type×64-sized output); resample means are one IEEE division each;
+    the CI is ORDER STATISTICS of the 64 means (ranks 2 and 63 under
+    (mean, b) — mirrored by the oracle's ROW_NUMBER), so the whole
+    artifact is bitwise reproducible."""
+    from ..stages.aggregate import sorted_group_aggregate as _sga
+
+    def partials(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.int64()),
+                "sw": pa.array([], type=pa.int64()),
+                "swx": pa.array([], type=pa.int64())})
+        h40 = _md5_rank15(
+            b.column("event_id").to_numpy(zero_copy_only=False)) % _M40
+        cents = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        ty = b.column("event_type")
+        th = np.asarray(_POIS_TH, dtype=np.int64)
+        out_t, out_b, out_sw, out_swx = [], [], [], []
+        types = pc.unique(ty).to_pylist()
+        masks = {t: np.asarray(pc.equal(ty, pa.scalar(t)).to_numpy(
+            zero_copy_only=False)) for t in types}
+        for bb in range(_B_BOOT):
+            u = (h40 * (2 * bb + 1)) % _M40
+            w = np.searchsorted(th, u, side="right").astype(np.int64)
+            wx = w * cents
+            for t in types:
+                m = masks[t]
+                out_t.append(t)
+                out_b.append(bb)
+                out_sw.append(int(w[m].sum()))
+                out_swx.append(int(wx[m].sum()))
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "b": pa.array(out_b, type=pa.int64()),
+            "sw": pa.array(out_sw, type=pa.int64()),
+            "swx": pa.array(out_swx, type=pa.int64())})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    sums = _sga(ev.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                ["event_type", "b"], [("sw", "sum"), ("swx", "sum")],
+                precombine=True)
+
+    # type×64 rows — result-sized; order statistics on the driver
+    rows = [r for r in sums.take_all() if r["sw"] > 0]
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (float(r["swx"]) / float(r["sw"]), r["b"]))
+    out_t, out_lo, out_hi = [], [], []
+    for t in sorted(by_type):
+        means = sorted(by_type[t])
+        out_t.append(t)
+        out_lo.append(means[1][0])            # rank 2 of 64  (2.5%)
+        out_hi.append(means[62][0])           # rank 63 of 64 (97.5%)
+    return pa.table({"event_type": pa.array(out_t, type=pa.string()),
+                     "ci_lo": pa.array(out_lo, type=pa.float64()),
+                     "ci_hi": pa.array(out_hi, type=pa.float64())})

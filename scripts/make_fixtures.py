@@ -44,7 +44,8 @@ FIXTURE_QUERIES = [
     "embedding_pca",
     "ann_pq_topk", "pq_codes",
     "neardup_clusters", "neardup_keep_best",
-    "event_user_distinct_hll", "entity_pagerank", "kg_transe_embeddings",
+    "event_user_distinct_hll", "entity_pagerank", "entity_ppr",
+    "kg_transe_embeddings",
     "entity_hits", "kg_link_prediction",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
     "image_features", "audio_features", "video_features",
