@@ -416,6 +416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quality_checks": relational.events_quality_checks,
         "user_window_features": relational.user_window_features,
         "events_bootstrap_ci": relational.events_bootstrap_ci,
+        "events_value_regression": relational.events_value_regression,
+        "user_type_entropy": relational.user_type_entropy,
+        "copurchase_rules": relational.copurchase_rules,
+        "part_random_walks": relational.part_random_walks,
         "copurchase_kcore": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_kcore"]
         ).copurchase_kcore(sf),
@@ -1349,6 +1353,116 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_value_regression": """
+            WITH e AS (SELECT event_type,
+                              CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                                  - 473352 AS x,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS y
+                       FROM events),
+            s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx
+                  FROM e GROUP BY 1)
+            SELECT event_type, n AS n_events,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS slope_cents_per_hour,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                       AS intercept_cents
+            FROM s
+        """,
+        "user_type_entropy": """
+            WITH ut AS (SELECT user_id, event_type,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            q AS (SELECT user_id, c,
+                         CAST(FLOOR(1000000.0 * c * ln(c) + 0.5)
+                              AS BIGINT) AS term
+                  FROM ut),
+            a AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                         CAST(COUNT(*) AS BIGINT) AS n_types,
+                         CAST(SUM(term) AS BIGINT) AS s
+                  FROM q GROUP BY 1)
+            SELECT user_id, n_events, n_types,
+                   (CAST(FLOOR(1000000.0 * n_events * ln(n_events) + 0.5)
+                         AS BIGINT) - s) // n_events AS entropy_unat
+            FROM a
+        """,
+        "copurchase_rules": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b, c FROM counted WHERE c >= 2),
+            ic AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+            d AS (SELECT a AS antecedent, b AS consequent, c FROM e
+                  UNION ALL SELECT b, a, c FROM e)
+            SELECT d.antecedent, d.consequent, d.c AS n_copurchase,
+                   CAST(d.c AS DOUBLE) / CAST(ia.c AS DOUBLE)
+                       AS confidence,
+                   CAST(nl.n * d.c AS DOUBLE)
+                       / CAST(ia.c * ico.c AS DOUBLE) AS lift
+            FROM d JOIN ic ia ON ia.p = d.antecedent
+                   JOIN ic ico ON ico.p = d.consequent
+                   CROSS JOIN nl
+            ORDER BY confidence DESC, d.antecedent, d.consequent
+            LIMIT 50
+        """,
+        "part_random_walks": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            seeds AS (SELECT DISTINCT src AS walk FROM sym
+                      WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR)),
+                                                 1, 8)) AS BIGINT)
+                            % 20 = 0),
+            s1 AS (SELECT walk, dst AS node,
+                          ROW_NUMBER() OVER (PARTITION BY walk ORDER BY
+                              CAST(('0x' || substr(md5(CAST(
+                                  walk * 17179869184 + 1 * 4294967296
+                                  + dst AS VARCHAR)), 1, 15)) AS BIGINT),
+                              dst) AS rn
+                   FROM seeds JOIN sym ON sym.src = seeds.walk),
+            w1 AS (SELECT walk, node FROM s1 WHERE rn = 1),
+            s2 AS (SELECT w1.walk, sym.dst AS node,
+                          ROW_NUMBER() OVER (PARTITION BY w1.walk ORDER BY
+                              CAST(('0x' || substr(md5(CAST(
+                                  w1.walk * 17179869184 + 2 * 4294967296
+                                  + sym.dst AS VARCHAR)), 1, 15))
+                                  AS BIGINT), sym.dst) AS rn
+                   FROM w1 JOIN sym ON sym.src = w1.node),
+            w2 AS (SELECT walk, node FROM s2 WHERE rn = 1),
+            s3 AS (SELECT w2.walk, sym.dst AS node,
+                          ROW_NUMBER() OVER (PARTITION BY w2.walk ORDER BY
+                              CAST(('0x' || substr(md5(CAST(
+                                  w2.walk * 17179869184 + 3 * 4294967296
+                                  + sym.dst AS VARCHAR)), 1, 15))
+                                  AS BIGINT), sym.dst) AS rn
+                   FROM w2 JOIN sym ON sym.src = w2.node),
+            w3 AS (SELECT walk, node FROM s3 WHERE rn = 1)
+            SELECT walk, CAST(0 AS BIGINT) AS step, walk AS node
+            FROM seeds
+            UNION ALL SELECT walk, CAST(1 AS BIGINT), node FROM w1
+            UNION ALL SELECT walk, CAST(2 AS BIGINT), node FROM w2
+            UNION ALL SELECT walk, CAST(3 AS BIGINT), node FROM w3
         """,
         "xml_event_stats": """
             SELECT event_type,

@@ -6084,3 +6084,252 @@ def events_bootstrap_ci(sf_dir: str):
     return pa.table({"event_type": pa.array(out_t, type=pa.string()),
                      "ci_lo": pa.array(out_lo, type=pa.float64()),
                      "ci_hi": pa.array(out_hi, type=pa.float64())})
+
+
+def events_value_regression(sf_dir: str):
+    """Per-type OLS trend of event value (cents) against the hour index
+    — the drift detector a metrics pipeline fits continuously.  All
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact int64
+    map-side partials over ONE scan (x = epoch-hour minus the ingest
+    window origin, so x ∈ [0, 744] and Σx² stays ~5.5e5·n — safe to
+    ~1e12 rows; y = cents).  Finalization happens on the driver over
+    the types-sized result in Python ints (no intermediate overflow),
+    then rounds through float64 in EXACTLY the oracle's expression
+    order: slope = double(nΣxy−ΣxΣy)/double(nΣx²−(Σx)²), intercept =
+    (double(Σy) − slope·double(Σx))/double(n)."""
+    _H0 = 473352                 # 2024-01-01T00:00:00Z in epoch hours
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = ts // 3_600_000_000 - _H0
+        y = np.floor(b.column("value").to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x)})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+    rows = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxy", "sum"), ("sxx", "sum")], precombine=True).take_all()
+
+    out_t, out_n, out_s, out_i = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["event_type"]):
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        out_t.append(r["event_type"])
+        out_n.append(n)
+        out_s.append(slope)
+        out_i.append(intercept)
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "n_events": pa.array(out_n, type=pa.int64()),
+        "slope_cents_per_hour": pa.array(out_s, type=pa.float64()),
+        "intercept_cents": pa.array(out_i, type=pa.float64())})
+
+
+def user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bots peg near 0, organic users
+    spread).  Exact-integer discipline end to end: the (user, type)
+    count table quantizes each term to micro-nats ONCE (``floor(1e6·c·
+    ln c + 0.5)`` — ``math.log`` on ints is bitwise-equal to DuckDB
+    ``ln``, measured), so the per-user reduction is an int64 sum with
+    no float-order sensitivity; the final ``entropy_unat = (floor(1e6·
+    n·ln n + 0.5) − Σterms) // n`` is one integer expression.  Two
+    mergeable aggregates, both map-side precombined."""
+    import math
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    ut = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"], [("c", "sum")], precombine=True)
+
+    def quantize(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        term = np.array(
+            [math.floor(1000000.0 * ci * math.log(ci) + 0.5)
+             for ci in c.tolist()], dtype=np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": b.column("c"),
+            "n_types": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "term_unat": pa.array(term)})
+
+    agg = sorted_group_aggregate(
+        ut.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"],
+        [("n_events", "sum"), ("n_types", "sum"), ("term_unat", "sum")],
+        precombine=True)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        s = b.column("term_unat").to_numpy(zero_copy_only=False)
+        ln_n = np.array(
+            [math.floor(1000000.0 * ni * math.log(ni) + 0.5)
+             for ni in n.tolist()], dtype=np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": b.column("n_events"),
+            "n_types": b.column("n_types"),
+            "entropy_unat": pa.array((ln_n - s) // n, type=pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def copurchase_rules(sf_dir: str, min_count: int = 2, k_top: int = 50):
+    """Association rules a→b over co-purchase pairs (the market-basket
+    classic): confidence = c_ab/c_a and lift = n_li·c_ab/(c_a·c_b),
+    emitted BOTH directions per unordered pair.  Counts are the shared
+    bounded-run pair exchange (:func:`_copurchase_pair_counts`) plus a
+    broadcast per-item count dict; each ratio rounds its exact-int
+    operands through float64 before dividing, the `copurchase_pmi`
+    ADVICE discipline, so the bitwise gate holds.  Top-k by
+    (confidence desc, antecedent, consequent)."""
+    total = _copurchase_pair_counts(sf_dir)
+    pairs = total.map_batches(_unpack_pair, batch_format="pyarrow",
+                              zero_copy_batch=True).filter(
+        expr=f"n_copurchase >= {int(min_count)}").materialize()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    item_counts = sorted_group_aggregate(
+        li.map_batches(lambda b: pa.table({
+            "p": b.column("l_partkey"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "p", [("c", "sum")]).to_pandas()
+    c_of = dict(zip(item_counts["p"], item_counts["c"]))
+    n_li = int(item_counts["c"].sum())
+
+    c_ref = ray.put(c_of)
+
+    def score(b: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        a = b.column("part_a").to_pylist()
+        bb = b.column("part_b").to_pylist()
+        cab = b.column("n_copurchase").to_pylist()
+        ante, cons, sup, conf, lift = [], [], [], [], []
+        for x, y, c in zip(a, bb, cab):
+            for u, v in ((x, y), (y, x)):
+                ante.append(u)
+                cons.append(v)
+                sup.append(c)
+                conf.append(float(c) / float(cm[u]))
+                lift.append(float(n_li * c) / float(cm[u] * cm[v]))
+        return pa.table({
+            "antecedent": pa.array(ante, type=pa.int64()),
+            "consequent": pa.array(cons, type=pa.int64()),
+            "n_copurchase": pa.array(sup, type=pa.int64()),
+            "confidence": pa.array(conf, type=pa.float64()),
+            "lift": pa.array(lift, type=pa.float64())})
+
+    return (pairs.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort(["confidence", "antecedent", "consequent"],
+                  descending=[True, False, False]).limit(k_top))
+
+
+def part_random_walks(sf_dir: str, walk_len: int = 3, seed_mod: int = 20,
+                      min_count: int = 2):
+    """DeepWalk-style corpus generation over the co-purchase graph —
+    the walk table that feeds skip-gram node embeddings — made a pure
+    function of the data: from each md5-selected seed, step t moves to
+    the out-neighbor minimizing ``md5(walk·2³⁴ + t·2³² + dst)`` (the
+    walk id rides in the rank key, so distinct walks crossing the same
+    node diverge like independent random draws; ids must fit 29/32
+    bits — widen the packing to two md5 words past ~5e8 nodes).
+
+    Scale shape per step: one frontier×edges ``sorted_merge_join``
+    (frontier is seed-sized, never grows — each walk keeps exactly one
+    successor) + one ``grouped_topk(k=1)`` exchange; ``walk_len``
+    rounds total.  Dead ends just end the walk (the symmetric graph
+    has none, but the op doesn't assume that)."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        return pa.table({"src": pa.chunked_array([a, c]),
+                         "dst": pa.chunked_array([c, a])})
+
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def seeds_fn(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        keep = np.zeros(b.num_rows, dtype=bool)
+        # distinct srcs within the block; global distinct via the agg
+        m = _md5_bucket(s.tolist(), seed_mod) == 0
+        keep |= m
+        return pa.table({
+            "walk": pa.array(s[keep]),
+            "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
+
+    frontier = sorted_group_aggregate(
+        sym.map_batches(seeds_fn, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["walk"], [("one", "min")]).map_batches(
+        lambda b: pa.table({"walk": b.column("walk"),
+                            "src": b.column("walk")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    outs = [frontier.map_batches(lambda b: pa.table({
+        "walk": b.column("walk"),
+        "step": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        "node": b.column("src")}), batch_format="pyarrow",
+        zero_copy_batch=True)]
+
+    for t in range(1, walk_len + 1):
+        def rank(b: pa.Table, _t=t) -> pa.Table:
+            if b.num_rows == 0:
+                return b.append_column("rk",
+                                       pa.array([], type=pa.int64()))
+            w = b.column("walk").to_numpy(zero_copy_only=False)
+            d = b.column("dst").to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "rk", pa.array(_md5_rank15(
+                    (w << 34) | (np.int64(_t) << 32) | d),
+                    type=pa.int64()))
+
+        step = grouped_topk(
+            sorted_merge_join(frontier, sym, on="src")
+            .map_batches(rank, batch_format="pyarrow",
+                         zero_copy_batch=True),
+            group="walk", order_col="rk", tiebreak="dst", k=1,
+            descending=False).materialize()
+        outs.append(step.map_batches(lambda b, _t=t: pa.table({
+            "walk": b.column("walk"),
+            "step": pa.array(np.full(b.num_rows, _t, dtype=np.int64)),
+            "node": b.column("dst")}), batch_format="pyarrow",
+            zero_copy_batch=True))
+        frontier = step.map_batches(lambda b: pa.table({
+            "walk": b.column("walk"), "src": b.column("dst")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
