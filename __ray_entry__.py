@@ -420,6 +420,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": relational.user_type_entropy,
         "copurchase_rules": relational.copurchase_rules,
         "part_random_walks": relational.part_random_walks,
+        "part_components": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["part_components"]
+        ).part_components(sf),
+        "events_value_mad_outliers": relational.events_value_mad_outliers,
+        "part_price_stump": relational.part_price_stump,
+        "shingle_containment_pairs": lambda sf: __import__(
+            "kgray.pipelines.dedup", fromlist=["shingle_containment_pairs"]
+        ).shingle_containment_pairs(sf),
         "copurchase_kcore": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_kcore"]
         ).copurchase_kcore(sf),
@@ -1353,6 +1361,118 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "part_components": """
+            WITH RECURSIVE counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT reach.node, sym.dst
+                FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT node AS part, CAST(MIN(r) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
+        "events_value_mad_outliers": """
+            WITH e AS (SELECT event_type,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            v AS (SELECT event_type, cents,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY cents) - 1 AS i,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM e),
+            m AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN i = (n - 1) // 2
+                                       THEN cents ELSE 0 END)
+                            + SUM(CASE WHEN i = n // 2
+                                       THEN cents ELSE 0 END)
+                              AS BIGINT) AS med2
+                  FROM v GROUP BY event_type),
+            d AS (SELECT e.event_type,
+                         ABS(2 * e.cents - m.med2) AS dev
+                  FROM e JOIN m ON m.event_type = e.event_type),
+            dv AS (SELECT event_type, dev,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dev) - 1 AS i,
+                          COUNT(*) OVER (PARTITION BY event_type) AS n
+                   FROM d),
+            md AS (SELECT event_type,
+                          CAST(SUM(CASE WHEN i = (n - 1) // 2
+                                        THEN dev ELSE 0 END)
+                             + SUM(CASE WHEN i = n // 2
+                                        THEN dev ELSE 0 END)
+                               AS BIGINT) AS mad2
+                   FROM dv GROUP BY event_type)
+            SELECT m.event_type, m.n AS n_events, m.med2 AS med2_cents,
+                   md.mad2 AS mad2_cents,
+                   CAST(COUNT(*) FILTER (WHERE
+                       2 * ABS(2 * e.cents - m.med2) > 3 * md.mad2)
+                       AS BIGINT) AS n_outliers
+            FROM e JOIN m ON m.event_type = e.event_type
+                   JOIN md ON md.event_type = e.event_type
+            GROUP BY 1, 2, 3, 4
+        """,
+        "part_price_stump": """
+            WITH p AS (SELECT CAST(FLOOR(p_retailprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents,
+                              CASE WHEN p_type IN ('SMALL', 'ECONOMY')
+                                   THEN 1 ELSE 0 END AS y
+                       FROM part),
+            h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(y) AS BIGINT) AS pos
+                  FROM p GROUP BY 1),
+            c AS (SELECT cents,
+                         CAST(SUM(n) OVER w AS BIGINT) AS n_left,
+                         CAST(SUM(pos) OVER w AS BIGINT) AS pos_left,
+                         CAST((SELECT SUM(n) FROM h) AS BIGINT) AS nt,
+                         CAST((SELECT SUM(pos) FROM h) AS BIGINT) AS pt
+                  FROM h
+                  WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+            s AS (SELECT cents AS split_cents, n_left, pos_left,
+                         nt - n_left AS n_right, pt - pos_left AS pos_right
+                  FROM c WHERE n_left < nt)
+            SELECT split_cents, n_left, pos_left, n_right, pos_right,
+                   (CAST(n_left AS DOUBLE)
+                    - CAST(pos_left * pos_left
+                           + (n_left - pos_left) * (n_left - pos_left)
+                           AS DOUBLE) / CAST(n_left AS DOUBLE))
+                   + (CAST(n_right AS DOUBLE)
+                      - CAST(pos_right * pos_right
+                             + (n_right - pos_right) * (n_right - pos_right)
+                             AS DOUBLE) / CAST(n_right AS DOUBLE))
+                       AS gini_weighted
+            FROM s
+            ORDER BY gini_weighted, split_cents
+            LIMIT 1
+        """,
+        "shingle_containment_pairs": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+')
+                                  AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                       AS n_inter,
+                   CAST(len(a.sh) AS BIGINT) AS size_a
+            FROM s a JOIN s b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 5 >= 4 * len(a.sh)
         """,
         "events_value_regression": """
             WITH e AS (SELECT event_type,

@@ -1260,3 +1260,75 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
         return _resolve(et.take(idx))
 
     return edge_interior_exchange(srt, edge_rows, interior, merge)
+
+
+def shingle_containment_pairs(sf_dir: str, t_num: int = 4, t_den: int = 5,
+                              k: int = 3):
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    ``|A∩B|/|A| ≥ t`` — what catches a short doc quoted inside a long
+    one, which Jaccard (symmetric denominator) misses.  Ordered pairs:
+    (doc_a contained-in doc_b).
+
+    Fully distributed twin of the ``jaccard_pairs`` broadcast oracle:
+    distinct (shingle, doc) postings self-join per shingle (the
+    inverted-index exchange — Broder's candidate generation), the
+    shared-shingle count reduces on the composite (doc_a, doc_b) key,
+    one more join attaches |A|, and the verdict is the exact integer
+    cross-multiplication ``n_inter·t_den ≥ t_num·|A|``.  Skew note: a
+    stop-shingle with document frequency f contributes f² candidate
+    rows — at corpus scale, shed or salt shingles above a df cap
+    (mirroring the cap in the oracle) before the self-join."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for s in shingle_set(_tokens(t), k):
+                ids.append(did)
+                sh.append(s)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "shingle": pa.array(sh, type=pa.string())})
+
+    postings = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+                .map_batches(to_postings, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize())
+
+    sizes = sorted_group_aggregate(
+        postings.map_batches(lambda b: pa.table({
+            "doc_a": b.column("doc_id"),
+            "size_a": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_a"], [("size_a", "sum")], precombine=True)
+
+    left = postings.map_batches(lambda b: pa.table({
+        "shingle": b.column("shingle"), "doc_a": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = postings.map_batches(lambda b: pa.table({
+        "shingle": b.column("shingle"), "doc_b": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairup(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = b.filter(pc.not_equal(b.column("doc_a"),
+                                  b.column("doc_b"))) \
+            .select(["doc_a", "doc_b"])
+        return t.append_column(
+            "n_inter", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    inter = sorted_group_aggregate(
+        sorted_merge_join(left, right, on="shingle")
+        .map_batches(pairup, batch_format="pyarrow"),
+        ["doc_a", "doc_b"], [("n_inter", "sum")], precombine=True)
+
+    joined = sorted_merge_join(inter, sizes, on="doc_a")
+
+    def verdict(b: pa.Table, _n=t_num, _d=t_den) -> pa.Table:
+        ni = b.column("n_inter").to_numpy(zero_copy_only=False)
+        sa = b.column("size_a").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ni * _d >= _n * sa))
+
+    return joined.map_batches(verdict, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1036,3 +1036,26 @@ def entity_ppr(sf_dir: str, iters: int = 10, seed_mod: int = 20):
         "src": b.column("subj"), "dst": b.column("obj")}),
         batch_format="pyarrow")
     return ppr(edges, seed_fn, iters=iters)
+
+
+def part_components(sf_dir: str, min_count: int = 2):
+    """Weakly-connected components over the co-purchase graph — the
+    'product families' decomposition, and the one CC query with a FULL
+    SQL oracle (a recursive-CTE transitive closure; the neardup CC is
+    fixture-pinned).  Engine side reuses ``cluster.connected_components``
+    (label-sum fixpoint, dense/shuffle plan switch); component id =
+    min part key of the component."""
+    from .cluster import connected_components
+    from .relational import _copurchase_pair_counts, _unpack_pair
+
+    pairs = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .map_batches(lambda b: pa.table({
+                 "id_a": b.column("part_a"), "id_b": b.column("part_b")}),
+                 batch_format="pyarrow", zero_copy_batch=True))
+    return connected_components(pairs).map_batches(
+        lambda b: pa.table({"part": b.column("node"),
+                            "component": b.column("cluster_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)

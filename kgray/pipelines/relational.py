@@ -6333,3 +6333,142 @@ def part_random_walks(sf_dir: str, walk_len: int = 3, seed_mod: int = 20,
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def events_value_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier audit per event type with ZERO
+    floating point: working in doubled units keeps every order
+    statistic integral — ``med2`` = the sum of the two middle cents
+    values (= 2·median for any parity), ``dev = |2·x − med2|``
+    (= 2·|x − median|), ``mad2`` = the two middle devs summed
+    (= 4·MAD), and the flag ``|x−median| > 3·MAD`` becomes the exact
+    integer predicate ``2·dev > 3·mad2``.
+
+    Scale shape: ONE distributed aggregate builds the per-(type, cents)
+    histogram — output-sized for any bounded-domain value column (cents
+    here; bucket first for genuinely continuous domains) — and the
+    driver finalizes order statistics from the histogram, so the raw
+    stream is scanned exactly once."""
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "cents": _cents(b.column("value")),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    hist = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"], [("c", "sum")], precombine=True) \
+        .take_all()
+
+    by_type = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["cents"]), int(r["c"])))
+
+    def order2(pairs_sorted, n):
+        """Sum of the 0-based (n-1)//2-th and n//2-th order statistics
+        of the weighted multiset."""
+        want = sorted({(n - 1) // 2, n // 2})
+        got, seen, it = [], 0, iter(pairs_sorted)
+        for v, c in it:
+            seen += c
+            while want and want[0] < seen:
+                got.append(v)
+                want.pop(0)
+            if not want:
+                break
+        return got[0] + got[-1] if len(got) == 1 or (n - 1) // 2 != n // 2 \
+            else 2 * got[0]
+
+    out_t, out_n, out_m, out_d, out_o = [], [], [], [], []
+    for t in sorted(by_type):
+        vals = sorted(by_type[t])
+        n = sum(c for _, c in vals)
+        med2 = order2(vals, n)
+        devs = {}
+        for v, c in vals:
+            d = abs(2 * v - med2)
+            devs[d] = devs.get(d, 0) + c
+        mad2 = order2(sorted(devs.items()), n)
+        n_out = sum(c for d, c in devs.items() if 2 * d > 3 * mad2)
+        out_t.append(t)
+        out_n.append(n)
+        out_m.append(med2)
+        out_d.append(mad2)
+        out_o.append(n_out)
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "n_events": pa.array(out_n, type=pa.int64()),
+        "med2_cents": pa.array(out_m, type=pa.int64()),
+        "mad2_cents": pa.array(out_d, type=pa.int64()),
+        "n_outliers": pa.array(out_o, type=pa.int64())})
+
+
+def part_price_stump(sf_dir: str):
+    """Decision-stump split search — the inner loop of tree learners:
+    the retail-price threshold best separating budget parts
+    (label = ``p_type IN ('SMALL','ECONOMY')``) by weighted Gini
+    impurity.
+
+    Distributed shape: distinct-price histogram aggregate → the
+    ``grouped_running_sum`` prefix-scan exchange (twice: counts,
+    positives) → per-threshold score → top-1.  The score is float64
+    computed from exact int64 partials in EXACTLY the oracle's
+    expression order (``(double(nL) − double(posL²+negL²)/double(nL))
+    + (same for R)``), so the argmin is bitwise stable; ties break on
+    the lower threshold."""
+    from ..stages.scan import grouped_running_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        y = pc.cast(pc.is_in(
+            b.column("p_type"),
+            value_set=pa.array(["SMALL", "ECONOMY"])), pa.int64())
+        return pa.table({
+            "cents": _cents(b.column("p_retailprice")),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "pos": y})
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_retailprice", "p_type"])
+    hist = sorted_group_aggregate(
+        part.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["cents"], [("n", "sum"), ("pos", "sum")], precombine=True) \
+        .map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_tot = hist.sum("n")
+    pos_tot = hist.sum("pos")
+
+    cum = grouped_running_sum(hist, "one", ["cents"], "n",
+                              out_name="n_left")
+    cum = grouped_running_sum(cum, "one", ["cents"], "pos",
+                              out_name="pos_left")
+
+    def score(b: pa.Table, _nt=n_tot, _pt=pos_tot) -> pa.Table:
+        nl = b.column("n_left").to_numpy(zero_copy_only=False)
+        pl = b.column("pos_left").to_numpy(zero_copy_only=False)
+        keep = nl < _nt
+        nl, pl = nl[keep], pl[keep]
+        cents = b.column("cents").to_numpy(zero_copy_only=False)[keep]
+        nr, pr = _nt - nl, _pt - pl
+        gw = np.empty(len(nl), dtype=np.float64)
+        for i in range(len(nl)):
+            nli, pli = int(nl[i]), int(pl[i])
+            nri, pri = int(nr[i]), int(pr[i])
+            gl = float(pli * pli + (nli - pli) * (nli - pli)) / float(nli)
+            gr = float(pri * pri + (nri - pri) * (nri - pri)) / float(nri)
+            gw[i] = (float(nli) - gl) + (float(nri) - gr)
+        return pa.table({
+            "split_cents": pa.array(cents, type=pa.int64()),
+            "n_left": pa.array(nl, type=pa.int64()),
+            "pos_left": pa.array(pl, type=pa.int64()),
+            "n_right": pa.array(nr, type=pa.int64()),
+            "pos_right": pa.array(pr, type=pa.int64()),
+            "gini_weighted": pa.array(gw, type=pa.float64())})
+
+    return (cum.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["gini_weighted", "split_cents"]).limit(1))
