@@ -423,6 +423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_components": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["part_components"]
         ).part_components(sf),
+        "embedding_dbscan": lambda sf: __import__(
+            "kgray.pipelines.cluster", fromlist=["embedding_dbscan"]
+        ).embedding_dbscan(sf),
+        "events_kanonymity": relational.events_kanonymity,
+        "events_dp_counts": relational.events_dp_counts,
         "events_value_mad_outliers": relational.events_value_mad_outliers,
         "part_price_stump": relational.part_price_stump,
         "shingle_containment_pairs": lambda sf: __import__(
@@ -1361,6 +1366,123 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "embedding_dbscan": """
+            WITH RECURSIVE q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0
+                                           + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM q a JOIN q b ON a.vec_id < b.vec_id
+                WHERE CAST(list_sum(list_transform(
+                          generate_series(1, len(a.qv)),
+                          i -> (a.qv[i] - b.qv[i])
+                               * (a.qv[i] - b.qv[i]))) AS BIGINT)
+                      <= 1583296240681
+            ),
+            dirs AS (SELECT ia AS v, ib AS o FROM p
+                     UNION ALL SELECT ib, ia FROM p),
+            deg AS (SELECT v, COUNT(*) + 1 AS n FROM dirs GROUP BY v),
+            flags AS (SELECT e.vec_id,
+                             CASE WHEN COALESCE(d.n, 1) >= 5
+                                  THEN 1 ELSE 0 END AS is_core
+                      FROM (SELECT vec_id FROM embeddings) e
+                      LEFT JOIN deg d ON d.v = e.vec_id),
+            cores AS (SELECT vec_id FROM flags WHERE is_core = 1),
+            ce AS (SELECT ia, ib FROM p
+                   WHERE ia IN (SELECT vec_id FROM cores)
+                     AND ib IN (SELECT vec_id FROM cores)),
+            cesym AS (SELECT ia AS src, ib AS dst FROM ce
+                      UNION ALL SELECT ib, ia FROM ce),
+            reach(node, r) AS (
+                SELECT vec_id, vec_id FROM cores
+                UNION
+                SELECT reach.node, cesym.dst
+                FROM reach JOIN cesym ON cesym.src = reach.r),
+            cc AS (SELECT node, MIN(r) AS cluster_id
+                   FROM reach GROUP BY node),
+            border AS (SELECT d.v AS vec_id,
+                              CAST(MIN(cc.cluster_id) AS BIGINT)
+                                  AS cluster_id,
+                              CAST(0 AS BIGINT) AS is_core
+                       FROM dirs d JOIN cc ON cc.node = d.o
+                       WHERE d.v NOT IN (SELECT vec_id FROM cores)
+                       GROUP BY d.v),
+            assigned AS (
+                SELECT node AS vec_id, CAST(cluster_id AS BIGINT)
+                           AS cluster_id, CAST(1 AS BIGINT) AS is_core
+                FROM cc
+                UNION ALL SELECT vec_id, cluster_id, is_core FROM border)
+            SELECT vec_id, cluster_id, is_core FROM assigned
+            UNION ALL
+            SELECT e.vec_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+            FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM assigned)
+        """,
+        "events_kanonymity": """
+            WITH uc AS (SELECT user_id, event_type,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            modal AS (SELECT user_id, event_type AS modal_type,
+                             ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY c DESC, event_type) AS rn
+                      FROM uc),
+            qi AS (SELECT t.user_id, t.n_events, m.modal_type
+                   FROM (SELECT user_id, CAST(SUM(c) AS BIGINT)
+                             AS n_events
+                         FROM uc GROUP BY 1) t
+                   JOIN modal m ON m.user_id = t.user_id AND m.rn = 1),
+            cls AS (SELECT n_events, modal_type,
+                           CAST(COUNT(*) AS BIGINT) AS class_size
+                    FROM qi GROUP BY 1, 2)
+            SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(class_size) AS BIGINT) AS n_users,
+                   CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS at_risk
+            FROM cls GROUP BY class_size
+        """,
+        "events_dp_counts": """
+            WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+                           AS n_events
+                       FROM events GROUP BY 1),
+            u AS (SELECT event_type, n_events,
+                         CAST(('0x' || substr(md5(event_type), 1, 15))
+                              AS BIGINT) % 1099511627776 AS u40
+                  FROM c),
+            k AS (SELECT event_type, n_events,
+                         CAST(CASE
+                             WHEN u40 < 3121904 THEN -12
+                             WHEN u40 < 11608119 THEN -11
+                             WHEN u40 < 34676044 THEN -10
+                             WHEN u40 < 97381167 THEN -9
+                             WHEN u40 < 267831360 THEN -8
+                             WHEN u40 < 731163025 THEN -7
+                             WHEN u40 < 1990629070 THEN -6
+                             WHEN u40 < 5414212734 THEN -5
+                             WHEN u40 < 14720477996 THEN -4
+                             WHEN u40 < 40017529749 THEN -3
+                             WHEN u40 < 108782045841 THEN -2
+                             WHEN u40 < 295703380377 THEN -1
+                             WHEN u40 < 803808247398 THEN 0
+                             WHEN u40 < 990729581934 THEN 1
+                             WHEN u40 < 1059494098026 THEN 2
+                             WHEN u40 < 1084791149779 THEN 3
+                             WHEN u40 < 1094097415041 THEN 4
+                             WHEN u40 < 1097520998705 THEN 5
+                             WHEN u40 < 1098780464750 THEN 6
+                             WHEN u40 < 1099243796415 THEN 7
+                             WHEN u40 < 1099414246608 THEN 8
+                             WHEN u40 < 1099476951731 THEN 9
+                             WHEN u40 < 1099500019656 THEN 10
+                             WHEN u40 < 1099508505871 THEN 11
+                             ELSE 12 END AS BIGINT) AS dp_noise
+                  FROM u)
+            SELECT event_type, n_events, dp_noise,
+                   n_events + dp_noise AS dp_count
+            FROM k
         """,
         "part_components": """
             WITH RECURSIVE counted AS (

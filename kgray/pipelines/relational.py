@@ -6472,3 +6472,113 @@ def part_price_stump(sf_dir: str):
     return (cum.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
             .sort(["gini_weighted", "split_cents"]).limit(1))
+
+
+def events_kanonymity(sf_dir: str, k: int = 5):
+    """k-anonymity audit over the behavioral quasi-identifier
+    ``(n_events, modal event type)`` — how re-identifiable users are
+    from released per-user aggregates.  Output: one row per
+    equivalence-class size — how many classes and users sit at that
+    size and whether it breaches the k bar.  Modal type ties break to
+    the lexicographically smallest type (the deterministic rule the
+    oracle mirrors with ``ORDER BY c DESC, event_type``).
+    Composition: (user, type) counts → ``grouped_topk(k=1)`` for the
+    mode → per-user totals join → class aggregate → size histogram —
+    every exchange reduced before it moves."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    uc = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"], [("c", "sum")], precombine=True) \
+        .materialize()
+
+    modal = grouped_topk(uc, group="user_id", order_col="c",
+                         tiebreak="event_type", k=1, descending=True) \
+        .map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "modal_type": b.column("event_type")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_aggregate(
+        uc.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"), "n_events": b.column("c")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n_events", "sum")])
+
+    qi = sorted_merge_join(totals, modal, on="user_id")
+    cls = sorted_group_aggregate(
+        qi.map_batches(lambda b: pa.table({
+            "n_events": b.column("n_events"),
+            "modal_type": b.column("modal_type"),
+            "class_size": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["n_events", "modal_type"], [("class_size", "sum")])
+    hist = sorted_group_aggregate(
+        cls.map_batches(lambda b: pa.table({
+            "class_size": b.column("class_size"),
+            "n_classes": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_users": b.column("class_size")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["class_size"], [("n_classes", "sum"), ("n_users", "sum")])
+    return hist.map_batches(lambda b, _k=k: b.append_column(
+        "at_risk", pc.cast(pc.less(b.column("class_size"),
+                                   pa.scalar(_k, type=pa.int64())),
+                           pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Discrete-Laplace(α=e⁻¹) inverse-CDF thresholds on the 2^40 grid,
+# support truncated to [-12, 12] (tail mass < 7e-6 folded into the
+# extremes); floor(cum·2^40) — exact integers, inlined identically in
+# the SQL oracle.
+_DLAP_TH = (3121904, 11608119, 34676044, 97381167, 267831360,
+            731163025, 1990629070, 5414212734, 14720477996,
+            40017529749, 108782045841, 295703380377, 803808247398,
+            990729581934, 1059494098026, 1084791149779, 1094097415041,
+            1097520998705, 1098780464750, 1099243796415, 1099414246608,
+            1099476951731, 1099500019656, 1099508505871)
+
+
+def events_dp_counts(sf_dir: str):
+    """ε=1 differentially-private per-type release counts via the
+    DISCRETE Laplace (two-sided geometric) mechanism — the
+    integer-native DP noise (Ghosh–Roughgarden–Sundararajan), which a
+    distributed engine can make exactly replayable: the noise draw is
+    the inverse-CDF lookup of ``u = md5(event_type) mod 2^40`` against
+    precomputed integer thresholds (``_DLAP_TH``), so reruns and
+    retries release the SAME noisy value — fresh randomness per retry
+    would burn privacy budget.  True counts are one mergeable
+    aggregate; the noise add is output-sized."""
+    from ..functions.sampling import _md5_bucket
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    counts = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("n_events", "sum")], precombine=True)
+
+    th = np.asarray(_DLAP_TH, dtype=np.int64)
+
+    def noise(b: pa.Table) -> pa.Table:
+        u = _md5_rank15(
+            np.asarray(b.column("event_type").to_pylist(),
+                       dtype=object)) % _M40
+        k = np.searchsorted(th, u, side="right").astype(np.int64) - 12
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": b.column("n_events"),
+            "dp_noise": pa.array(k, type=pa.int64()),
+            "dp_count": pa.array(n + k, type=pa.int64())})
+
+    return counts.map_batches(noise, batch_format="pyarrow",
+                              zero_copy_batch=True)
