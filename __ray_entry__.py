@@ -289,9 +289,16 @@ _R3_WINDOW = [
     "embedding_truncation_recall", "video_scene_changes",
     "events_orders_join_profile",
     "user_day_purchase_views",
-    "bucketed_order_revenue", "nation_pair_volume", "market_share",
-   
-    "nation_year_profit",
+    # (r3-s6b/7/8/9 rotation: bucketed_order_revenue, nation_pair_volume,
+    # market_share, nation_year_profit, priority_top_orders and
+    # events_value_quantiles_cont rotate OUT — the join family keeps
+    # user_day_purchase_views / part_copurchase_cheapest / the s5 reps,
+    # top-k keeps grouped reps, quantiles keep event_value_stats + the
+    # MAD audit — for the session's new families: personalized graph
+    # ranking, resampling UQ, deterministic walks, density clustering,
+    # privacy, and the declarative quality-rule suite)
+    "entity_ppr", "events_bootstrap_ci", "part_random_walks",
+    "embedding_dbscan",
     # as-of / interval / rolling windows (user_trailing_value rotated
     # out r3 — rolling family keeps user_rolling_value — for the
     # weighted-shortest-path exchange)
@@ -310,8 +317,8 @@ _R3_WINDOW = [
     # top-k / quantiles / stats (events_value_quantiles rotated out r3
     # — quantile family keeps the _cont interpolation variant — for
     # the Welch z-test)
-    "priority_top_orders",
-    "events_value_quantiles_cont", "event_value_stats",
+    "events_dp_counts",
+    "events_quality_checks", "event_value_stats",
     # set ops (purchases_except_views_all rotated out r3 — EXCEPT ALL
     # family keeps two representatives — for the retraction IVM)
     "priority_counts_ivm",
