@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "events_watermark_hourly": relational.events_watermark_hourly,
+        "part_substring_search": relational.part_substring_search,
+        "token_trending": relational.token_trending,
+        "copurchase_edge_support": relational.copurchase_edge_support,
         "events_value_mad_outliers": relational.events_value_mad_outliers,
         "part_price_stump": relational.part_price_stump,
         "shingle_containment_pairs": lambda sf: __import__(
@@ -1373,6 +1377,85 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_watermark_hourly": """
+            WITH a AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                       event_id
+                       + CAST(('0x' || substr(md5(CAST(event_id
+                                      AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 200 AS arr,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ), w AS (
+                SELECT event_type, cents, ts_us,
+                       MAX(ts_us) OVER (
+                           PARTITION BY user_id ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm_us
+                FROM a
+            )
+            SELECT event_type,
+                   ts_us // 3600000000 AS epoch_hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM w
+            WHERE wm_us IS NULL OR ts_us >= wm_us - 3600000000
+            GROUP BY 1, 2
+        """,
+        "part_substring_search": """
+            WITH q AS (SELECT unnest(['ring', 'sma', 'idget', 'olt',
+                                      'blue']) AS query)
+            SELECT q.query, p.p_partkey
+            FROM part p CROSS JOIN q
+            WHERE p.p_name LIKE '%' || q.query || '%'
+        """,
+        "token_trending": """
+            WITH d AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(CAST(doc_id
+                                         AS VARCHAR)), 1, 8)) AS BIGINT)
+                                  % 2 AS w,
+                              regexp_split_to_array(trim(text), '\\s+')
+                                  AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            t AS (SELECT w, unnest(toks) AS token FROM d),
+            c AS (SELECT token,
+                         CAST(COUNT(*) FILTER (WHERE w = 0) AS BIGINT)
+                             AS c_a,
+                         CAST(COUNT(*) FILTER (WHERE w = 1) AS BIGINT)
+                             AS c_b
+                  FROM t GROUP BY token)
+            SELECT token, c_a, c_b,
+                   CAST(c_b + 1 AS DOUBLE) / CAST(c_a + 1 AS DOUBLE)
+                       AS trend_ratio
+            FROM c
+            ORDER BY trend_ratio DESC, token
+            LIMIT 25
+        """,
+        "copurchase_edge_support": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            te AS (SELECT x AS pa, y AS pb FROM tri
+                   UNION ALL SELECT x, z FROM tri
+                   UNION ALL SELECT y, z FROM tri),
+            sup AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT)
+                        AS n_triangles
+                    FROM te GROUP BY 1, 2)
+            SELECT e.a AS part_a, e.b AS part_b,
+                   CAST(COALESCE(sup.n_triangles, 0) AS BIGINT)
+                       AS n_triangles
+            FROM e LEFT JOIN sup ON sup.pa = e.a AND sup.pb = e.b
         """,
         "embedding_dbscan": """
             WITH RECURSIVE q AS (

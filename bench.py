@@ -400,6 +400,38 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: multimodal.video_scene_changes(sf_dir))
     timed("events_orders_join_profile",
           lambda: relational.events_orders_join_profile(sf_dir))
+    timed("part_adamic_adar", lambda: relational.part_adamic_adar(sf_dir))
+    timed("part_khop_sample", lambda: relational.part_khop_sample(sf_dir))
+    timed("xml_event_stats", lambda: relational.xml_event_stats(sf_dir))
+    timed("nb_confusion", lambda: text.nb_confusion(sf_dir))
+    timed("entity_ppr", lambda: _graph.entity_ppr(sf_dir, iters=5))
+    timed("events_quality_checks",
+          lambda: relational.events_quality_checks(sf_dir))
+    timed("user_window_features",
+          lambda: relational.user_window_features(sf_dir))
+    timed("events_bootstrap_ci",
+          lambda: relational.events_bootstrap_ci(sf_dir))
+    timed("events_value_regression",
+          lambda: relational.events_value_regression(sf_dir))
+    timed("user_type_entropy", lambda: relational.user_type_entropy(sf_dir))
+    timed("copurchase_rules", lambda: relational.copurchase_rules(sf_dir))
+    timed("part_random_walks", lambda: relational.part_random_walks(sf_dir))
+    timed("part_components", lambda: _graph.part_components(sf_dir))
+    timed("events_value_mad_outliers",
+          lambda: relational.events_value_mad_outliers(sf_dir))
+    timed("part_price_stump", lambda: relational.part_price_stump(sf_dir))
+    timed("shingle_containment_pairs",
+          lambda: dedup.shingle_containment_pairs(sf_dir))
+    timed("embedding_dbscan", lambda: _cluster.embedding_dbscan(sf_dir))
+    timed("events_kanonymity", lambda: relational.events_kanonymity(sf_dir))
+    timed("events_dp_counts", lambda: relational.events_dp_counts(sf_dir))
+    timed("events_watermark_hourly",
+          lambda: relational.events_watermark_hourly(sf_dir))
+    timed("part_substring_search",
+          lambda: relational.part_substring_search(sf_dir))
+    timed("token_trending", lambda: relational.token_trending(sf_dir))
+    timed("copurchase_edge_support",
+          lambda: relational.copurchase_edge_support(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -6582,3 +6582,247 @@ def events_dp_counts(sf_dir: str):
 
     return counts.map_batches(noise, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def events_watermark_hourly(sf_dir: str, jitter: int = 200,
+                            allowed_us: int = 3_600_000_000):
+    """Watermark-gated hourly aggregation — what a streaming engine
+    actually DOES with late data (``events_out_of_order`` only detects
+    it): under the same deterministic md5-jittered arrival order, a
+    row is ACCEPTED iff its event time is no more than ``allowed_us``
+    behind the user's watermark (the exclusive prefix max of event
+    time in arrival order); survivors aggregate into per-(type, hour)
+    counts and cents.  One ``grouped_running_max`` exchange + one
+    mergeable aggregate; the drop rule is pure int64 comparison."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.scan import grouped_running_max
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "arr": pa.array([], type=pa.int64()),
+                "cents": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64())})
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        j = _md5_bucket(eid.tolist(), jitter)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "arr": pa.array(eid + j, type=pa.int64()),
+            "cents": _cents(b.column("value")),
+            "ts_us": pc.cast(b.column("ts"), pa.int64())})
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "event_id", "event_type",
+                                   "value", "ts"])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    wm = grouped_running_max(ev, "user_id", ["arr", "event_id"], "ts_us",
+                             out_name="wm_us")
+
+    def accept(b: pa.Table, _w=allowed_us) -> pa.Table:
+        late = pc.fill_null(pc.less(
+            b.column("ts_us"),
+            pc.subtract_checked(b.column("wm_us"),
+                                pa.scalar(_w, type=pa.int64()))), False)
+        t = b.filter(pc.invert(late))
+        hour = pc.divide(t.column("ts_us"),
+                         pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "epoch_hour": pc.cast(hour, pa.int64()),
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "value_cents": t.column("cents")})
+
+    return sorted_group_aggregate(
+        wm.map_batches(accept, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "epoch_hour"],
+        [("n_events", "sum"), ("value_cents", "sum")], precombine=True)
+
+
+_SEARCH_QUERIES = ("ring", "sma", "idget", "olt", "blue")
+
+
+def part_substring_search(sf_dir: str):
+    """Trigram-indexed substring search — the text-search-index op
+    (pg_trgm's plan): part names explode once into a distinct
+    (trigram, part) posting exchange; each query's trigrams intersect
+    postings (candidates must hold ALL query trigrams — an m-way
+    posting-count equality, not a scan), and candidates verify with
+    the exact substring test so the trigram filter can never
+    over-return.  Output: (query, p_partkey) exactly equal to LIKE
+    '%q%' (the oracle).  Queries shorter than 3 chars would need the
+    full-scan fallback — excluded by construction here."""
+    from ..stages.join import sorted_merge_join
+
+    def grams(s: str) -> set:
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    q_grams = {q: sorted(grams(q)) for q in _SEARCH_QUERIES}
+    all_q = sorted({g for gs in q_grams.values() for g in gs})
+
+    def postings(b: pa.Table) -> pa.Table:
+        out_g, out_p = [], []
+        gset = set(all_q)
+        for pk, name in zip(b.column("p_partkey").to_pylist(),
+                            b.column("p_name").to_pylist()):
+            for g in grams(name):
+                if g in gset:            # only query-relevant trigrams
+                    out_g.append(g)
+                    out_p.append(pk)
+        return pa.table({"gram": pa.array(out_g, type=pa.string()),
+                         "p_partkey": pa.array(out_p, type=pa.int64())})
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    post = part.map_batches(postings, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # candidate = part holding ALL of a query's trigrams: per (query,
+    # part) matched-gram count == len(query grams)
+    def tag(b: pa.Table) -> pa.Table:
+        out_q, out_p = [], []
+        g2q = {}
+        for q, gs in q_grams.items():
+            for g in gs:
+                g2q.setdefault(g, []).append(q)
+        for g, p in zip(b.column("gram").to_pylist(),
+                        b.column("p_partkey").to_pylist()):
+            for q in g2q.get(g, ()):
+                out_q.append(q)
+                out_p.append(p)
+        return pa.table({
+            "query": pa.array(out_q, type=pa.string()),
+            "p_partkey": pa.array(out_p, type=pa.int64()),
+            "n": pa.array(np.ones(len(out_q), dtype=np.int64))})
+
+    cand = sorted_group_aggregate(
+        post.map_batches(tag, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["query", "p_partkey"], [("n", "sum")], precombine=True)
+
+    need = {q: len(gs) for q, gs in q_grams.items()}
+
+    def full(b: pa.Table) -> pa.Table:
+        qs = b.column("query").to_pylist()
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        keep = np.array([ni == need[q] for q, ni in zip(qs, n)],
+                        dtype=bool)
+        return b.filter(pa.array(keep)).select(["query", "p_partkey"])
+
+    cands = cand.map_batches(full, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # exact verify: fetch candidate names via a join, test substring
+    names = part.map_batches(lambda b: pa.table({
+        "p_partkey": b.column("p_partkey"), "p_name": b.column("p_name")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = sorted_merge_join(cands, names, on="p_partkey")
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = np.array([q in nm for q, nm in
+                         zip(b.column("query").to_pylist(),
+                             b.column("p_name").to_pylist())], dtype=bool)
+        return b.filter(pa.array(keep)).select(["query", "p_partkey"])
+
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def token_trending(sf_dir: str, k_top: int = 25):
+    """Trending-terms detection between two corpus windows (md5-split
+    halves standing in for time windows): per token, counts in window
+    A and B and the smoothed ratio ``(cB+1)/(cA+1)``, top-k by (ratio
+    desc, token).  The count exchange is ONE aggregate over
+    (window, token) partials; the ratio is float(int)/float(int) —
+    the `copurchase_pmi` ADVICE discipline — so ranking is bitwise."""
+    from ..functions.sampling import _md5_bucket
+
+    def prep(b: pa.Table) -> pa.Table:
+        out_t, out_a, out_b = [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            w = int(_md5_bucket([did], 2)[0])
+            for tok in txt.split():
+                out_t.append(tok)
+                out_a.append(1 - w)
+                out_b.append(w)
+        return pa.table({
+            "token": pa.array(out_t, type=pa.string()),
+            "c_a": pa.array(out_a, type=pa.int64()),
+            "c_b": pa.array(out_b, type=pa.int64())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    counts = sorted_group_aggregate(
+        docs.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["token"], [("c_a", "sum"), ("c_b", "sum")], precombine=True)
+
+    def score(b: pa.Table) -> pa.Table:
+        ca = b.column("c_a").to_pylist()
+        cb = b.column("c_b").to_pylist()
+        r = [float(y + 1) / float(x + 1) for x, y in zip(ca, cb)]
+        return b.append_column("trend_ratio",
+                               pa.array(r, type=pa.float64()))
+
+    return (counts.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sort(["trend_ratio", "token"], descending=[True, False])
+            .limit(k_top))
+
+
+def copurchase_edge_support(sf_dir: str, min_count: int = 2):
+    """Per-edge triangle support over the thresholded co-purchase
+    graph — the k-truss building block (an edge inside ``s`` triangles
+    survives a (s+2)-truss peel): triangles from the shared two-join
+    plan explode into their three edges, counts reduce per edge, and a
+    LEFT join against the edge set zero-fills triangle-free edges."""
+    from ..stages.join import sorted_merge_join
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())
+    tris = copurchase_triangles(sf_dir, min_count=min_count, edges=edges)
+
+    def tri_edges(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        bb = b.column("part_b").to_numpy(zero_copy_only=False)
+        c = b.column("part_c").to_numpy(zero_copy_only=False)
+        ea = np.concatenate([a, a, bb])
+        eb = np.concatenate([bb, c, c])
+        return pa.table({
+            "pair": pa.array((ea << 32) | eb, type=pa.int64()),
+            "n_triangles": pa.array(np.ones(len(ea), dtype=np.int64))})
+
+    sup = sorted_group_aggregate(
+        tris.map_batches(tri_edges, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["pair"], [("n_triangles", "sum")], precombine=True)
+
+    keyed = edges.map_batches(lambda b: pa.table({
+        "pair": pa.array(
+            (b.column("part_a").to_numpy(zero_copy_only=False) << 32)
+            | b.column("part_b").to_numpy(zero_copy_only=False),
+            type=pa.int64())}), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    out = sorted_merge_join(keyed, sup, on="pair", how="left")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = b.column("pair").to_numpy(zero_copy_only=False)
+        nt = pc.fill_null(b.column("n_triangles"),
+                          pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "part_a": pa.array(p >> 32, type=pa.int64()),
+            "part_b": pa.array(p & 0xFFFFFFFF, type=pa.int64()),
+            "n_triangles": nt})
+
+    return out.map_batches(unpack, batch_format="pyarrow",
+                           zero_copy_batch=True)
