@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "events_markov_stationary": relational.events_markov_stationary,
+        "user_conversion_survival": relational.user_conversion_survival,
+        "events_hourly_changepoint": relational.events_hourly_changepoint,
+        "orders_cohort_ltv": relational.orders_cohort_ltv,
         "events_watermark_hourly": relational.events_watermark_hourly,
         "part_substring_search": relational.part_substring_search,
         "token_trending": relational.token_trending,
@@ -1377,6 +1381,162 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_markov_stationary": """
+            WITH l AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS from_type
+                       FROM events),
+            tr AS (SELECT from_type, event_type AS to_type,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs
+                  FROM tr GROUP BY 1),
+            ty AS (SELECT from_type AS t FROM r),
+            kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+            p0 AS (SELECT t, 1000000000000 // kk.k AS v
+                   FROM ty CROSS JOIN kk),
+            p1 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p0.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p0 JOIN tr ON tr.from_type = p0.t
+                       JOIN r ON r.from_type = p0.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p2 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p1.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p1 JOIN tr ON tr.from_type = p1.t
+                       JOIN r ON r.from_type = p1.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p3 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p2.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p2 JOIN tr ON tr.from_type = p2.t
+                       JOIN r ON r.from_type = p2.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p4 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p3.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p3 JOIN tr ON tr.from_type = p3.t
+                       JOIN r ON r.from_type = p3.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p5 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p4.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p4 JOIN tr ON tr.from_type = p4.t
+                       JOIN r ON r.from_type = p4.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p6 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p5.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p5 JOIN tr ON tr.from_type = p5.t
+                       JOIN r ON r.from_type = p5.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p7 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p6.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p6 JOIN tr ON tr.from_type = p6.t
+                       JOIN r ON r.from_type = p6.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p8 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p7.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p7 JOIN tr ON tr.from_type = p7.t
+                       JOIN r ON r.from_type = p7.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p9 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p8.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p8 JOIN tr ON tr.from_type = p8.t
+                       JOIN r ON r.from_type = p8.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1),
+            p10 AS (SELECT tr.to_type AS t,
+                         CAST(SUM(p9.v * tr.n // r.rs) AS BIGINT) AS v
+                  FROM p9 JOIN tr ON tr.from_type = p9.t
+                       JOIN r ON r.from_type = p9.t
+                  WHERE tr.to_type IN (SELECT t FROM ty)
+                  GROUP BY 1)
+            SELECT ty.t AS event_type,
+                   CAST(COALESCE(p10.v, 0) AS BIGINT) AS stationary_fp
+            FROM ty LEFT JOIN p10 ON p10.t = ty.t
+        """,
+        "user_conversion_survival": """
+            WITH h AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT)
+                           AS horizon FROM events),
+            fv AS (SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT)
+                       AS t0
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+            cv AS (SELECT e.user_id,
+                          CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS ct
+                   FROM events e JOIN fv ON fv.user_id = e.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND CAST(epoch_us(e.ts) AS BIGINT) >= fv.t0
+                   GROUP BY 1),
+            f AS (SELECT fv.user_id, fv.t0, cv.ct, h.horizon
+                  FROM fv LEFT JOIN cv USING (user_id) CROSS JOIN h),
+            d AS (SELECT CASE WHEN ct IS NOT NULL
+                              THEN (ct - t0) // 86400000000
+                              ELSE (horizon - t0) // 86400000000
+                         END AS day,
+                         CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END
+                             AS conv
+                  FROM f),
+            g AS (SELECT day, CAST(SUM(conv) AS BIGINT) AS n_converted,
+                         CAST(SUM(1 - conv) AS BIGINT) AS n_censored
+                  FROM d GROUP BY 1)
+            SELECT day,
+                   CAST(SUM(n_converted + n_censored) OVER (
+                       ORDER BY day DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_at_risk,
+                   n_converted, n_censored
+            FROM g
+        """,
+        "events_hourly_changepoint": """
+            WITH e AS (SELECT event_type,
+                              CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                                  AS hour
+                       FROM events),
+            hh AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM e GROUP BY 1, 2),
+            c AS (SELECT event_type, hour,
+                         CAST(SUM(c) OVER w AS BIGINT) AS sl,
+                         CAST(SUM(c * c) OVER w AS BIGINT) AS sxxl,
+                         CAST(COUNT(*) OVER w AS BIGINT) AS nl,
+                         CAST(SUM(c) OVER p AS BIGINT) AS s,
+                         CAST(SUM(c * c) OVER p AS BIGINT) AS sxx,
+                         CAST(COUNT(*) OVER p AS BIGINT) AS n
+                  FROM hh
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING),
+                         p AS (PARTITION BY event_type)),
+            s AS (SELECT event_type, hour AS split_hour,
+                         (CAST(sxxl AS DOUBLE)
+                          - CAST(sl * sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                         + (CAST(sxx - sxxl AS DOUBLE)
+                            - CAST((s - sl) * (s - sl) AS DOUBLE)
+                              / CAST(n - nl AS DOUBLE)) AS cost
+                  FROM c WHERE nl < n),
+            rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY cost, split_hour) AS rn
+                   FROM s)
+            SELECT event_type, split_hour, cost FROM rr WHERE rn = 1
+        """,
+        "orders_cohort_ltv": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(12 * EXTRACT(YEAR FROM o_orderdate)
+                                   + EXTRACT(MONTH FROM o_orderdate) - 1
+                                   AS BIGINT) AS mi,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            c AS (SELECT o_custkey, MIN(mi) AS cohort_month
+                  FROM o GROUP BY 1)
+            SELECT c.cohort_month, o.mi - c.cohort_month AS months_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+            FROM o JOIN c ON c.o_custkey = o.o_custkey
+            GROUP BY 1, 2
         """,
         "events_watermark_hourly": """
             WITH a AS (

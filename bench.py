@@ -432,6 +432,13 @@ def _run_all_queries(sf_dir: str, timed):
     timed("token_trending", lambda: relational.token_trending(sf_dir))
     timed("copurchase_edge_support",
           lambda: relational.copurchase_edge_support(sf_dir))
+    timed("events_markov_stationary",
+          lambda: relational.events_markov_stationary(sf_dir))
+    timed("user_conversion_survival",
+          lambda: relational.user_conversion_survival(sf_dir))
+    timed("events_hourly_changepoint",
+          lambda: relational.events_hourly_changepoint(sf_dir))
+    timed("orders_cohort_ltv", lambda: relational.orders_cohort_ltv(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -6826,3 +6826,259 @@ def copurchase_edge_support(sf_dir: str, min_count: int = 2):
 
     return out.map_batches(unpack, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def events_markov_stationary(sf_dir: str, iters: int = 10):
+    """Stationary distribution of the per-user event-type Markov chain
+    — where the session model says users spend their time in the long
+    run.  The transition counts come from the LAG exchange
+    (:func:`event_type_transitions`, input-sized); the power iteration
+    runs on the DRIVER over the types²-sized count matrix in exact
+    integer micro-units (``π'(j) = Σᵢ π(i)·c_ij // r_i``, UNIT=10¹²,
+    10 rounds — the k×k matrix is output-sized at any corpus scale, so
+    driver iteration is the right plan, unlike the node-sized PageRank
+    vectors).  Mass flowing to a type with no outgoing transitions is
+    dropped (inner-join semantics, mirrored by the oracle)."""
+    rows = event_type_transitions(sf_dir).take_all()
+    UNIT = 10 ** 12
+    rowsum = {}
+    for r in rows:
+        rowsum[r["from_type"]] = rowsum.get(r["from_type"], 0) \
+            + int(r["n"])
+    types = sorted(rowsum)
+    k = len(types)
+    pi = {t: UNIT // k for t in types}
+    for _ in range(iters):
+        nxt = {t: 0 for t in types}
+        for r in rows:
+            f, t = r["from_type"], r["to_type"]
+            if t in nxt:
+                nxt[t] += (pi.get(f, 0) * int(r["n"])) // rowsum[f]
+        pi = nxt
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "stationary_fp": pa.array([pi[t] for t in types],
+                                  type=pa.int64())})
+
+
+def user_conversion_survival(sf_dir: str):
+    """Kaplan–Meier INPUT table for view→purchase conversion: each
+    user enters at their first 'view'; the event is their first
+    'purchase' AT OR AFTER it; users who never convert are censored at
+    the corpus horizon (max ts).  Output per whole day of follow-up:
+    ``n_at_risk`` (users still under observation at day start),
+    ``n_converted``, ``n_censored`` — the exact integer triple every
+    survival estimator consumes (the KM product itself is the
+    consumer's one float fold; emitting the triple keeps the artifact
+    bitwise).
+
+    Scale shape: one per-user MIN reduce for entry times, one sorted
+    join to gate purchases by the user's own entry (never a broadcast
+    — the user table is corpus-sized), one more MIN reduce, a LEFT
+    join, and a day histogram; only the days-sized at-risk suffix
+    scan runs on the driver."""
+    from ..stages.join import sorted_merge_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    horizon = ev.map_batches(lambda b: pa.table({
+        "m": pa.array([pc.max(pc.cast(b.column("ts"), pa.int64())).as_py()
+                       if b.num_rows else None], type=pa.int64())}),
+        batch_format="pyarrow").max("m")
+
+    def views(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), pa.scalar("view")))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "first_view": pc.cast(t.column("ts"), pa.int64())})
+
+    fv = sorted_group_aggregate(
+        ev.map_batches(views, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("first_view", "min")], precombine=True) \
+        .materialize()
+
+    def purchases(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"),
+                              pa.scalar("purchase")))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "p_ts": pc.cast(t.column("ts"), pa.int64())})
+
+    cand = sorted_merge_join(
+        ev.map_batches(purchases, batch_format="pyarrow",
+                       zero_copy_batch=True), fv, on="user_id") \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("p_ts"), b.column("first_view"))),
+            batch_format="pyarrow")
+    conv = sorted_group_aggregate(
+        cand.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "conv_ts": b.column("p_ts")}), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["user_id"], [("conv_ts", "min")], precombine=True)
+
+    day_us = 86_400_000_000
+    followed = sorted_merge_join(fv, conv, on="user_id", how="left")
+
+    def to_day(b: pa.Table, _h=horizon) -> pa.Table:
+        t0 = b.column("first_view").to_numpy(zero_copy_only=False)
+        ct = b.column("conv_ts").to_numpy(zero_copy_only=False)
+        has = np.asarray(pc.is_valid(b.column("conv_ts")).to_numpy(
+            zero_copy_only=False))
+        end = np.where(has, np.nan_to_num(ct, nan=0).astype(np.int64),
+                       np.int64(_h))
+        return pa.table({
+            "day": pa.array((end - t0) // day_us, type=pa.int64()),
+            "n_converted": pa.array(has.astype(np.int64)),
+            "n_censored": pa.array((~has).astype(np.int64))})
+
+    hist = sorted_group_aggregate(
+        followed.map_batches(to_day, batch_format="pyarrow"),
+        ["day"], [("n_converted", "sum"), ("n_censored", "sum")],
+        precombine=True).take_all()      # days-sized
+
+    hist.sort(key=lambda r: r["day"])
+    n_total = sum(r["n_converted"] + r["n_censored"] for r in hist)
+    out_d, out_r, out_c, out_x = [], [], [], []
+    done = 0
+    for r in hist:
+        out_d.append(int(r["day"]))
+        out_r.append(n_total - done)
+        out_c.append(int(r["n_converted"]))
+        out_x.append(int(r["n_censored"]))
+        done += int(r["n_converted"]) + int(r["n_censored"])
+    return pa.table({
+        "day": pa.array(out_d, type=pa.int64()),
+        "n_at_risk": pa.array(out_r, type=pa.int64()),
+        "n_converted": pa.array(out_c, type=pa.int64()),
+        "n_censored": pa.array(out_x, type=pa.int64())})
+
+
+def events_hourly_changepoint(sf_dir: str):
+    """Single changepoint per type over the hourly count series
+    (binary-segmentation step 1): the split τ minimizing total
+    within-segment SSE, computed from prefix sums of counts and
+    squared counts — the same exact-int-partials → mirrored-float
+    finalization as ``part_price_stump``: ``cost = (double(SxxL) −
+    double(SL²)/double(nL)) + (same for R)``; argmin per type breaks
+    ties on the earlier hour.  Exchanges: one hourly aggregate, one
+    per-type running-sum scan, one grouped top-1."""
+    from ..stages.scan import grouped_running_sum
+    from ..stages.topk import grouped_topk
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(ts, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pc.cast(hour, pa.int64()),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    hourly = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("c", "sum")], precombine=True) \
+        .map_batches(lambda b: b.append_column(
+            "c2", pc.multiply(b.column("c"), b.column("c")))
+        .append_column("one",
+                       pa.array(np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    cum = grouped_running_sum(hourly, "event_type", ["hour"], "c",
+                              out_name="sl")
+    cum = grouped_running_sum(cum, "event_type", ["hour"], "c2",
+                              out_name="sxxl")
+    cum = grouped_running_sum(cum, "event_type", ["hour"], "one",
+                              out_name="nl").materialize()
+
+    totals = {r["event_type"]: (r["n"], r["s"], r["sxx"])
+              for r in sorted_group_aggregate(
+                  hourly.map_batches(lambda b: pa.table({
+                      "event_type": b.column("event_type"),
+                      "n": b.column("one"), "s": b.column("c"),
+                      "sxx": b.column("c2")}),
+                      batch_format="pyarrow", zero_copy_batch=True),
+                  ["event_type"],
+                  [("n", "sum"), ("s", "sum"), ("sxx", "sum")]).take_all()}
+    tot_ref = ray.put(totals)
+
+    def score(b: pa.Table) -> pa.Table:
+        tt = ray.get(tot_ref)
+        ty = b.column("event_type").to_pylist()
+        nl = b.column("nl").to_numpy(zero_copy_only=False)
+        sl = b.column("sl").to_numpy(zero_copy_only=False)
+        xl = b.column("sxxl").to_numpy(zero_copy_only=False)
+        hour = b.column("hour").to_numpy(zero_copy_only=False)
+        out_t, out_h, out_c = [], [], []
+        for i in range(b.num_rows):
+            n, s, xx = tt[ty[i]]
+            nli = int(nl[i])
+            if nli >= int(n):               # right side must be non-empty
+                continue
+            nri = int(n) - nli
+            sli, xli = int(sl[i]), int(xl[i])
+            sri, xri = int(s) - sli, int(xx) - xli
+            cost = ((float(xli) - float(sli * sli) / float(nli))
+                    + (float(xri) - float(sri * sri) / float(nri)))
+            out_t.append(ty[i])
+            out_h.append(int(hour[i]))
+            out_c.append(cost)
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "split_hour": pa.array(out_h, type=pa.int64()),
+            "cost": pa.array(out_c, type=pa.float64())})
+
+    scored = cum.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_topk(scored, group="event_type", order_col="cost",
+                        tiebreak="split_hour", k=1, descending=False) \
+        .map_batches(lambda b: b.select(
+            ["event_type", "split_hour", "cost"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle: customers grouped by first-order month,
+    revenue cents accumulated by months-since-cohort — the
+    customer-economics matrix every subscription/commerce dashboard
+    draws.  Month index = 12·year + (month−1) (proleptic Gregorian,
+    Arrow ``pc.year/month`` == SQL EXTRACT).  Two exchanges: first
+    order per customer (MIN aggregate), then the (cohort, age)
+    money aggregate after a broadcast-free sorted join."""
+    from ..stages.join import sorted_merge_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        mi = pc.add(pc.multiply(pc.year(d), pa.scalar(12, type=pa.int32())),
+                    pc.subtract(pc.month(d), pa.scalar(1, type=pa.int32())))
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "month_idx": pc.cast(mi, pa.int64()),
+            "cents": _cents(b.column("o_totalprice"))})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    cohort = sorted_group_aggregate(
+        orders.map_batches(lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cohort_month": b.column("month_idx")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], [("cohort_month", "min")])
+
+    joined = sorted_merge_join(orders, cohort, on="o_custkey")
+    return sorted_group_aggregate(
+        joined.map_batches(lambda b: pa.table({
+            "cohort_month": b.column("cohort_month"),
+            "months_since": pc.subtract_checked(b.column("month_idx"),
+                                                b.column("cohort_month")),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "revenue_cents": b.column("cents")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["cohort_month", "months_since"],
+        [("n_orders", "sum"), ("revenue_cents", "sum")], precombine=True)
