@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "events_conformal_coverage": relational.events_conformal_coverage,
+        "customer_part_recs": relational.customer_part_recs,
+        "doc_novelty_scores": relational.doc_novelty_scores,
+        "events_cuped_estimate": relational.events_cuped_estimate,
         "events_markov_stationary": relational.events_markov_stationary,
         "user_conversion_survival": relational.user_conversion_survival,
         "events_hourly_changepoint": relational.events_hourly_changepoint,
@@ -1381,6 +1385,142 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_conformal_coverage": """
+            WITH e AS (SELECT event_type,
+                              CAST(('0x' || substr(md5(CAST(event_id
+                                         AS VARCHAR)), 1, 8)) AS BIGINT)
+                                  % 2 AS par,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_a,
+                         CAST(SUM(CASE WHEN par = 0 THEN cents ELSE 0
+                                  END) AS BIGINT) AS s_a
+                  FROM e GROUP BY 1),
+            sc AS (SELECT e.event_type, e.par,
+                          ABS(e.cents * m.n_a - m.s_a) AS s
+                   FROM e JOIN m ON m.event_type = e.event_type),
+            a AS (SELECT event_type, s,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY s) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n_a
+                  FROM sc WHERE par = 0),
+            q AS (SELECT event_type, CAST(MAX(n_a) AS BIGINT) AS n_cal,
+                         CAST(COALESCE(
+                             MIN(CASE WHEN rn >=
+                                 (9 * (n_a + 1) + 9) // 10
+                                 THEN s END),
+                             MAX(s)) AS BIGINT) AS qhat_scaled
+                  FROM a GROUP BY event_type),
+            c AS (SELECT sc.event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_eval,
+                         CAST(COUNT(*) FILTER (WHERE sc.s
+                              <= q.qhat_scaled) AS BIGINT) AS n_covered
+                  FROM sc JOIN q ON q.event_type = sc.event_type
+                  WHERE sc.par = 1
+                  GROUP BY 1)
+            SELECT q.event_type, q.n_cal,
+                   CAST(COALESCE(c.n_eval, 0) AS BIGINT) AS n_eval,
+                   q.qhat_scaled,
+                   CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
+            FROM q LEFT JOIN c ON c.event_type = q.event_type
+        """,
+        "customer_part_recs": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b, c FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS part, b AS cand, c AS w FROM e
+                    UNION ALL SELECT b, a, c FROM e),
+            owned AS (SELECT DISTINCT o.o_custkey AS custkey,
+                             l.l_partkey AS part
+                      FROM orders o JOIN lineitem l
+                           ON l.l_orderkey = o.o_orderkey),
+            sc AS (SELECT ow.custkey, s.cand,
+                          CAST(SUM(s.w) AS BIGINT) AS score
+                   FROM owned ow JOIN sym s ON s.part = ow.part
+                   GROUP BY 1, 2),
+            fresh AS (SELECT * FROM sc WHERE NOT EXISTS (
+                          SELECT 1 FROM owned ow
+                          WHERE ow.custkey = sc.custkey
+                            AND ow.part = sc.cand)),
+            r AS (SELECT custkey, cand AS rec_part, score,
+                         ROW_NUMBER() OVER (PARTITION BY custkey
+                             ORDER BY score DESC, cand) AS rank
+                  FROM fresh)
+            SELECT custkey, rec_part, score, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "doc_novelty_scores": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+')
+                                  AS toks
+                       FROM documents WHERE len(trim(text)) > 0),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2])) AS gs
+                  FROM t WHERE len(toks) >= 3),
+            p AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            f AS (SELECT gram, MIN(doc_id) AS first_doc
+                  FROM p GROUP BY 1)
+            SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(*) FILTER (WHERE p.doc_id = f.first_doc)
+                        AS BIGINT) AS n_novel
+            FROM p JOIN f ON f.gram = p.gram
+            GROUP BY 1
+        """,
+        "events_cuped_estimate": """
+            WITH u AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   AND CAST(epoch_us(ts) AS BIGINT)
+                                       < 1705406400000000
+                                   THEN CAST(FLOOR(value * 100.0 + 0.5)
+                                             AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS x,
+                              CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   AND CAST(epoch_us(ts) AS BIGINT)
+                                       >= 1705406400000000
+                                   THEN CAST(FLOOR(value * 100.0 + 0.5)
+                                             AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS y
+                       FROM events GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM u),
+            t AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                         END AS theta,
+                         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+                  FROM m),
+            a AS (SELECT CAST(('0x' || substr(md5(CAST(u.user_id
+                                  AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                             AS variant,
+                         u.y,
+                         CAST(FLOOR(1000000.0
+                             * (CAST(u.y AS DOUBLE)
+                                - t.theta * (CAST(u.x AS DOUBLE)
+                                             - t.mu)) + 0.5) AS BIGINT)
+                             AS adj
+                  FROM u CROSS JOIN t)
+            SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_y_cents,
+                   CAST(CAST(SUM(adj) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_adj_ucents
+            FROM a GROUP BY 1
         """,
         "events_markov_stationary": """
             WITH l AS (SELECT user_id, event_type,

@@ -439,6 +439,14 @@ def _run_all_queries(sf_dir: str, timed):
     timed("events_hourly_changepoint",
           lambda: relational.events_hourly_changepoint(sf_dir))
     timed("orders_cohort_ltv", lambda: relational.orders_cohort_ltv(sf_dir))
+    timed("events_conformal_coverage",
+          lambda: relational.events_conformal_coverage(sf_dir))
+    timed("customer_part_recs",
+          lambda: relational.customer_part_recs(sf_dir))
+    timed("doc_novelty_scores",
+          lambda: relational.doc_novelty_scores(sf_dir))
+    timed("events_cuped_estimate",
+          lambda: relational.events_cuped_estimate(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

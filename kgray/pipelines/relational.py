@@ -7082,3 +7082,331 @@ def orders_cohort_ltv(sf_dir: str):
             batch_format="pyarrow", zero_copy_batch=True),
         ["cohort_month", "months_since"],
         [("n_orders", "sum"), ("revenue_cents", "sum")], precombine=True)
+
+
+def events_conformal_coverage(sf_dir: str):
+    """Split-conformal calibration audit, all-integer: events split by
+    ``md5(event_id) % 2`` into calibration (A) and evaluation (B); the
+    point model is the per-type A-mean kept as the exact rational
+    ``S_A/n_A``; the nonconformity score is the INTEGER
+    ``s = |cents·n_A − S_A|`` (the |residual| scaled by n_A — same
+    order, no division); ``q̂`` = the ⌈0.9·(n_A+1)⌉-th smallest A-score
+    (the split-conformal quantile), and coverage counts B-scores ≤ q̂.
+    Guarantee (distribution-free): E[coverage] ≥ 0.9 — asserted
+    statistically in tests, bitwise via the oracle.
+
+    Shape: one (type, split) moment aggregate, one (type, s) histogram
+    aggregate (distinct |residual| values are cents-domain-bounded),
+    driver order statistics over the histogram."""
+    from ..functions.sampling import _md5_bucket
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        par = _md5_bucket(b.column("event_id").to_pylist(), 2)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "is_cal": pa.array((par == 0).astype(np.int64)),
+            "cents": _cents(b.column("value"))})
+
+    base = ev.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    moments = sorted_group_aggregate(
+        base.map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n_cal": b.column("is_cal"),
+            "s_cal": pc.multiply(b.column("is_cal"), b.column("cents"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("n_cal", "sum"), ("s_cal", "sum")],
+        precombine=True).take_all()
+    mom = {r["event_type"]: (int(r["n_cal"]), int(r["s_cal"]))
+           for r in moments}
+    mom_ref = ray.put(mom)
+
+    def scores(b: pa.Table) -> pa.Table:
+        mm = ray.get(mom_ref)
+        ty = b.column("event_type").to_pylist()
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        na = np.array([mm[t][0] for t in ty], dtype=np.int64)
+        sa = np.array([mm[t][1] for t in ty], dtype=np.int64)
+        s = np.abs(cents * na - sa)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "s": pa.array(s, type=pa.int64()),
+            "n_a": b.column("is_cal"),
+            "n_b": pc.subtract(pa.scalar(1, type=pa.int64()),
+                               b.column("is_cal"))})
+
+    hist = sorted_group_aggregate(
+        base.map_batches(scores, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["event_type", "s"], [("n_a", "sum"), ("n_b", "sum")],
+        precombine=True).take_all()
+
+    by_type = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["s"]), int(r["n_a"]), int(r["n_b"])))
+    out = {"event_type": [], "n_cal": [], "n_eval": [],
+           "qhat_scaled": [], "n_covered": []}
+    for t in sorted(by_type):
+        rows = sorted(by_type[t])
+        n_a = sum(a for _, a, _ in rows)
+        if n_a == 0:
+            continue                            # no calibration: no row
+        n_b = sum(bb for _, _, bb in rows)
+        k = -(-9 * (n_a + 1) // 10)            # ceil(0.9*(nA+1)), 1-based
+        qhat, seen = None, 0
+        for s, a, _ in rows:
+            seen += a
+            if seen >= k:
+                qhat = s
+                break
+        if qhat is None:                        # k > n_A: infinite band
+            qhat = max(s for s, a, _ in rows if a > 0)
+        covered = sum(bb for s, _, bb in rows if s <= qhat)
+        out["event_type"].append(t)
+        out["n_cal"].append(n_a)
+        out["n_eval"].append(n_b)
+        out["qhat_scaled"].append(qhat)
+        out["n_covered"].append(covered)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_cal": pa.array(out["n_cal"], type=pa.int64()),
+        "n_eval": pa.array(out["n_eval"], type=pa.int64()),
+        "qhat_scaled": pa.array(out["qhat_scaled"], type=pa.int64()),
+        "n_covered": pa.array(out["n_covered"], type=pa.int64())})
+
+
+def customer_part_recs(sf_dir: str, k: int = 3, min_count: int = 2):
+    """Item-item collaborative filtering — the co-occurrence
+    recommender: a customer's candidate parts score by the SUM of
+    co-purchase pair counts against parts they already bought; owned
+    parts are anti-joined out; top-k per customer by (score desc,
+    partkey).  Exchanges: orders⋈lineitem for ownership, ownership ⋈
+    the (shared) pair-count table both directions, one composite
+    aggregate, one anti semi-join, one grouped top-k — every step a
+    reduced or semi-joined stream, no user×item matrix ever
+    materializes."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.semijoin import semi_join
+    from ..stages.topk import grouped_topk
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b.column("o_orderkey"),
+            "custkey": b.column("o_custkey")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    owned = sorted_group_aggregate(
+        sorted_merge_join(
+            li.map_batches(lambda b: b.select(
+                ["l_orderkey", "l_partkey"]), batch_format="pyarrow"),
+            orders, on="l_orderkey").map_batches(
+            lambda b: pa.table({
+                "custkey": b.column("custkey"),
+                "part": b.column("l_partkey"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["custkey", "part"], [("one", "min")]) \
+        .drop_columns(["one"]).materialize()
+
+    pairs = _copurchase_pair_counts(sf_dir) \
+        .map_batches(_unpack_pair, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .filter(expr=f"n_copurchase >= {int(min_count)}")
+    sym = pairs.map_batches(lambda b: pa.table({
+        "part": pa.chunked_array([
+            b.column("part_a").combine_chunks(),
+            b.column("part_b").combine_chunks()]),
+        "cand": pa.chunked_array([
+            b.column("part_b").combine_chunks(),
+            b.column("part_a").combine_chunks()]),
+        "w": pa.chunked_array([
+            b.column("n_copurchase").combine_chunks(),
+            b.column("n_copurchase").combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    scored = sorted_group_aggregate(
+        sorted_merge_join(owned, sym, on="part").map_batches(
+            lambda b: pa.table({
+                "custkey": b.column("custkey"),
+                "cand": b.column("cand"),
+                "score": b.column("w")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["custkey", "cand"], [("score", "sum")],
+        precombine=True)
+
+    # drop candidates the customer already owns: anti semi-join on the
+    # packed (custkey, cand) key vs the packed owned key
+    def pack(col_a, col_b):
+        return (col_a.to_numpy(zero_copy_only=False) << 32) \
+            | col_b.to_numpy(zero_copy_only=False)
+
+    cand_keyed = scored.map_batches(lambda b: b.append_column(
+        "ck", pa.array(pack(b.column("custkey"), b.column("cand")),
+                       type=pa.int64())), batch_format="pyarrow",
+        zero_copy_batch=True)
+    owned_keyed = owned.map_batches(lambda b: pa.table({
+        "ck": pa.array(pack(b.column("custkey"), b.column("part")),
+                       type=pa.int64())}), batch_format="pyarrow",
+        zero_copy_batch=True)
+    fresh = semi_join(cand_keyed, owned_keyed, on="ck", anti=True) \
+        .map_batches(lambda b: b.select(["custkey", "cand", "score"]),
+                     batch_format="pyarrow")
+
+    return grouped_topk(fresh, group="custkey", order_col="score",
+                        tiebreak="cand", k=k, descending=True) \
+        .map_batches(lambda b: pa.table({
+            "custkey": b.column("custkey"),
+            "rec_part": b.column("cand"),
+            "score": b.column("score"),
+            "rank": b.column("rank")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_novelty_scores(sf_dir: str, k: int = 3):
+    """Per-document n-gram novelty — the diversity signal a curation
+    pipeline uses to prefer fresh content over boilerplate: a doc's
+    novelty is the fraction of its DISTINCT k-shingles whose earliest
+    corpus occurrence (min doc_id) is the doc itself.  One posting
+    exchange (distinct (gram, doc)), one min-aggregate for first
+    occurrence, one join back, one per-doc reduce — first-occurrence
+    attribution is exactly the C4-style dedup-lines plan pointed at
+    shingles."""
+    from ..stages.join import sorted_merge_join
+
+    def postings(b: pa.Table) -> pa.Table:
+        ids, gr = [], []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            toks = t.split()
+            for i in range(len(toks) - k + 1):
+                ids.append(did)
+                gr.append(" ".join(toks[i:i + k]))
+        tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                        "gram": pa.array(gr, type=pa.string())})
+        # distinct within the batch; global distinct via the aggregate
+        return tbl.group_by(["doc_id", "gram"]).aggregate([])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    post = sorted_group_aggregate(
+        docs.map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["gram", "doc_id"], [("one", "min")]).drop_columns(["one"]) \
+        .materialize()
+
+    first = sorted_group_aggregate(
+        post.map_batches(lambda b: pa.table({
+            "gram": b.column("gram"), "first_doc": b.column("doc_id")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["gram"], [("first_doc", "min")])
+
+    joined = sorted_merge_join(post, first, on="gram")
+    return sorted_group_aggregate(
+        joined.map_batches(lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_grams": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_novel": pc.cast(pc.equal(b.column("doc_id"),
+                                        b.column("first_doc")),
+                               pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"], [("n_grams", "sum"), ("n_novel", "sum")],
+        precombine=True)
+
+
+def events_cuped_estimate(sf_dir: str):
+    """CUPED variance reduction for the md5-split A/B experiment —
+    the adjusted-metric estimator every experimentation platform runs:
+    per user, X = pre-period purchase cents (ts < window midpoint),
+    Y = post-period purchase cents; θ = cov(X,Y)/var(X) pooled across
+    variants from exact int64 user-level partials; the per-user
+    adjusted metric ``y − θ·(x − μx)`` quantizes to micro-cents
+    (floor +0.5, float expression mirrored operand-for-operand in the
+    oracle) BEFORE the per-variant sum, so the reduction is an exact
+    int fold.  Output per variant: users, raw mean, adjusted mean."""
+    from ..functions.sampling import _md5_bucket
+
+    _MID = 1705406400000000          # 2024-01-16T12:00:00Z (window mid)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(b.column("value").to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        is_p = np.asarray(pc.equal(b.column("event_type"),
+                                   pa.scalar("purchase")).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        pre = (ts < _MID).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "x": pa.array(cents * is_p * pre),
+            "y": pa.array(cents * is_p * (1 - pre))})
+
+    users = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("x", "sum"), ("y", "sum")], precombine=True) \
+        .materialize()
+
+    mom = sorted_group_aggregate(
+        users.map_batches(lambda b: pa.table({
+            "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sx": b.column("x"), "sy": b.column("y"),
+            "sxx": pc.multiply(b.column("x"), b.column("x")),
+            "sxy": pc.multiply(b.column("x"), b.column("y"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                ("sxx", "sum"), ("sxy", "sum")]).take_all()[0]
+    n = int(mom["n"])
+    sx, sy = int(mom["sx"]), int(mom["sy"])
+    sxx, sxy = int(mom["sxx"]), int(mom["sxy"])
+    var_num = n * sxx - sx * sx
+    theta = (float(n * sxy - sx * sy) / float(var_num)) \
+        if var_num != 0 else 0.0
+    mu_x = float(sx) / float(n)
+
+    def adj(b: pa.Table, _t=theta, _m=mu_x) -> pa.Table:
+        import math
+
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        variant = _md5_bucket(uid.tolist(), 2)
+        a = np.empty(len(x), dtype=np.int64)
+        for i in range(len(x)):
+            a[i] = math.floor(
+                1000000.0 * (float(y[i]) - _t * (float(x[i]) - _m))
+                + 0.5)
+        return pa.table({
+            "variant": pa.array(variant.astype(np.int64)),
+            "n_users": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sum_y_cents": b.column("y"),
+            "sum_adj_ucents": pa.array(a)})
+
+    out = sorted_group_aggregate(
+        users.map_batches(adj, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["variant"],
+        [("n_users", "sum"), ("sum_y_cents", "sum"),
+         ("sum_adj_ucents", "sum")], precombine=True)
+    return out.map_batches(lambda b: pa.table({
+        "variant": b.column("variant"),
+        "n_users": b.column("n_users"),
+        "mean_y_cents": pc.divide(
+            pc.cast(b.column("sum_y_cents"), pa.float64()),
+            pc.cast(b.column("n_users"), pa.float64())),
+        "mean_adj_ucents": pc.divide(
+            pc.cast(b.column("sum_adj_ucents"), pa.float64()),
+            pc.cast(b.column("n_users"), pa.float64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
