@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "event_sequence_patterns": relational.event_sequence_patterns,
+        "session_top_paths": relational.session_top_paths,
+        "part_supplier_hhi": relational.part_supplier_hhi,
+        "events_adoption_curve": relational.events_adoption_curve,
         "events_conformal_coverage": relational.events_conformal_coverage,
         "customer_part_recs": relational.customer_part_recs,
         "doc_novelty_scores": relational.doc_novelty_scores,
@@ -1385,6 +1389,68 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "event_sequence_patterns": """
+            WITH ut AS (SELECT user_id, event_type,
+                               MIN(CAST(epoch_us(ts) AS BIGINT)) AS mn,
+                               MAX(CAST(epoch_us(ts) AS BIGINT)) AS mx
+                        FROM events GROUP BY 1, 2)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type <> b.event_type
+            WHERE a.mn < b.mx
+            GROUP BY 1, 2
+        """,
+        "session_top_paths": """
+            WITH e AS (SELECT user_id, event_type, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                       FROM events),
+            l AS (SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+                                   OR ts_us - LAG(ts_us) OVER w
+                                      > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)),
+            s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                      ORDER BY ts_us, event_id) AS rn
+                  FROM s),
+            p AS (SELECT user_id, sid,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path
+            LIMIT 20
+        """,
+        "part_supplier_hhi": """
+            WITH c AS (SELECT l_partkey, l_suppkey,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            a AS (SELECT l_partkey, CAST(SUM(c) AS BIGINT) AS t,
+                         CAST(SUM(c * c) AS BIGINT) AS ss,
+                         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                  FROM c GROUP BY 1)
+            SELECT l_partkey, t AS n_lineitems, n_suppliers,
+                   CAST(ss AS DOUBLE) / CAST(t * t AS DOUBLE) AS hhi
+            FROM a
+        """,
+        "events_adoption_curve": """
+            WITH f AS (SELECT user_id,
+                              MIN(CAST(epoch_us(ts) AS BIGINT))
+                                  // 86400000000 AS day
+                       FROM events GROUP BY 1),
+            d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+                  FROM f GROUP BY 1)
+            SELECT day, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+            FROM d
         """,
         "events_conformal_coverage": """
             WITH e AS (SELECT event_type,

@@ -447,6 +447,14 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.doc_novelty_scores(sf_dir))
     timed("events_cuped_estimate",
           lambda: relational.events_cuped_estimate(sf_dir))
+    timed("event_sequence_patterns",
+          lambda: relational.event_sequence_patterns(sf_dir))
+    timed("session_top_paths",
+          lambda: relational.session_top_paths(sf_dir))
+    timed("part_supplier_hhi",
+          lambda: relational.part_supplier_hhi(sf_dir))
+    timed("events_adoption_curve",
+          lambda: relational.events_adoption_curve(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -7410,3 +7410,199 @@ def events_cuped_estimate(sf_dir: str):
             pc.cast(b.column("sum_adj_ucents"), pa.float64()),
             pc.cast(b.column("n_users"), pa.float64()))}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_sequence_patterns(sf_dir: str):
+    """Sequential pattern mining at the 2-sequence level: for every
+    ordered type pair (a, b), how many users did a BEFORE b (some
+    occurrence of a precedes some occurrence of b — equivalently
+    ``min_ts(a) < max_ts(b)``, so the whole mine reduces to one
+    (user, type) MIN/MAX aggregate + a user-keyed self-join of a
+    ≤k-rows-per-user table).  The support table behind 'users who
+    browse then buy' product questions."""
+    from ..stages.join import sorted_merge_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    ut = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "mn": pc.cast(b.column("ts"), pa.int64()),
+            "mx": pc.cast(b.column("ts"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"], [("mn", "min"), ("mx", "max")],
+        precombine=True).materialize()
+
+    left = ut.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"), "type_a": b.column("event_type"),
+        "mn_a": b.column("mn")}), batch_format="pyarrow",
+        zero_copy_batch=True)
+    right = ut.map_batches(lambda b: pa.table({
+        "user_id": b.column("user_id"), "type_b": b.column("event_type"),
+        "mx_b": b.column("mx")}), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(b.column("type_a"), b.column("type_b")),
+                    pc.less(b.column("mn_a"), b.column("mx_b")))
+        t = b.filter(m)
+        return pa.table({
+            "type_a": t.column("type_a"), "type_b": t.column("type_b"),
+            "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        sorted_merge_join(left, right, on="user_id")
+        .map_batches(keep, batch_format="pyarrow"),
+        ["type_a", "type_b"], [("n_users", "sum")], precombine=True)
+
+
+def session_top_paths(sf_dir: str, gap_us: int = 1_800_000_000,
+                      k_top: int = 20, path_len: int = 3):
+    """Top session paths — the Sankey/flow table: sessions cut at the
+    30-min gap, each session keyed by the '>'-joined sequence of its
+    first ``path_len`` event types, counted corpus-wide, top-k by
+    (count desc, path).  The per-user ordered pass runs in-block on
+    complete user runs; boundary runs ship rows through the standard
+    edge/interior exchange (a user's events are session-bounded in
+    practice; a pathological hot user ships whole, documented)."""
+    from ..stages._runs import edge_interior_exchange, edge_mask
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type")})
+
+    import ray
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"])
+           .map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .repartition(n_part)
+           .sort(["user_id", "ts_us", "event_id"])
+           .materialize())
+
+    def paths_of(t: pa.Table) -> pa.Table:
+        """(path, n) partial over already user-ts-ordered rows."""
+        from collections import Counter
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ty = t.column("event_type").to_pylist()
+        c = Counter()
+        cur_u, cur_path, last_ts = None, None, None
+        for i in range(len(u)):
+            new_user = u[i] != cur_u
+            new_sess = new_user or ts[i] - last_ts > gap_us
+            if new_sess:
+                if cur_path is not None:
+                    c[">".join(cur_path)] += 1
+                cur_path = [ty[i]]
+            elif len(cur_path) < path_len:
+                cur_path.append(ty[i])
+            cur_u, last_ts = u[i], ts[i]
+        if cur_path is not None:
+            c[">".join(cur_path)] += 1
+        return pa.table({
+            "path": pa.array(list(c.keys()), type=pa.string()),
+            "n_sessions": pa.array(list(c.values()), type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(edge_mask(batch.column("user_id")))
+
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        return paths_of(batch.filter(
+            pc.invert(edge_mask(batch.column("user_id")))))
+
+    def merge_fn(edge_tables) -> pa.Table:
+        rows = pa.concat_tables([t for t in edge_tables if t.num_rows])
+        if rows.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        rows = rows.take(pc.sort_indices(
+            rows, sort_keys=[("user_id", "ascending"),
+                             ("ts_us", "ascending"),
+                             ("event_id", "ascending")]))
+        return paths_of(rows)
+
+    parts = edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+    counts = sorted_group_aggregate(parts, ["path"],
+                                    [("n_sessions", "sum")])
+    return counts.sort(["n_sessions", "path"],
+                       descending=[True, False]).limit(k_top)
+
+
+def part_supplier_hhi(sf_dir: str):
+    """Supplier-concentration risk per part: the Herfindahl–Hirschman
+    index of lineitem share across suppliers — ``Σ c_s² / T²`` as ONE
+    float division of exact int64 partials (mirrored), 1.0 = single
+    supplier.  Two mergeable aggregates, both map-side combined."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    ps = sorted_group_aggregate(
+        li.map_batches(lambda b: pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey", "l_suppkey"], [("c", "sum")], precombine=True)
+    agg = sorted_group_aggregate(
+        ps.map_batches(lambda b: pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "t": b.column("c"),
+            "ss": pc.multiply(b.column("c"), b.column("c")),
+            "n_suppliers": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"],
+        [("t", "sum"), ("ss", "sum"), ("n_suppliers", "sum")],
+        precombine=True)
+    return agg.map_batches(lambda b: pa.table({
+        "l_partkey": b.column("l_partkey"),
+        "n_lineitems": b.column("t"),
+        "n_suppliers": b.column("n_suppliers"),
+        "hhi": pc.divide(pc.cast(b.column("ss"), pa.float64()),
+                         pc.cast(pc.multiply(b.column("t"),
+                                             b.column("t")),
+                                 pa.float64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_adoption_curve(sf_dir: str):
+    """User-adoption curve: per day, how many users had their FIRST
+    event that day, plus the running cumulative — the growth chart.
+    One per-user MIN reduce, one day histogram, and a days-sized
+    prefix sum on the driver."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    first = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "first_us": pc.cast(b.column("ts"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("first_us", "min")], precombine=True)
+    hist = sorted_group_aggregate(
+        first.map_batches(lambda b: pa.table({
+            "day": pc.cast(pc.divide(b.column("first_us"),
+                                     pa.scalar(86_400_000_000,
+                                               type=pa.int64())),
+                           pa.int64()),
+            "n_new": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("n_new", "sum")]).take_all()
+    hist.sort(key=lambda r: r["day"])
+    days = [int(r["day"]) for r in hist]
+    new = [int(r["n_new"]) for r in hist]
+    cum, acc = [], 0
+    for n in new:
+        acc += n
+        cum.append(acc)
+    return pa.table({
+        "day": pa.array(days, type=pa.int64()),
+        "n_new": pa.array(new, type=pa.int64()),
+        "n_cum": pa.array(cum, type=pa.int64())})
