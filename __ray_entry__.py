@@ -435,6 +435,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "orders_join_ivm": relational.orders_join_ivm,
+        "region_revenue_rollup": relational.region_revenue_rollup,
+        "purchase_position_attribution":
+            relational.purchase_position_attribution,
+        "ann_topk_with_deletes": lambda sf: __import__(
+            "kgray.pipelines.ann", fromlist=["ann_topk_with_deletes"]
+        ).ann_topk_with_deletes(sf),
         "event_sequence_patterns": relational.event_sequence_patterns,
         "session_top_paths": relational.session_top_paths,
         "part_supplier_hhi": relational.part_supplier_hhi,
@@ -716,7 +723,8 @@ def oracle_sql() -> dict[str, str]:
                      "corpus_curation", "corpus_curation_sem", "page_site_counts",
                      "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
-                     "ann_pq_topk", "pq_codes", "copurchase_kcore",
+                     "ann_pq_topk", "pq_codes", "ann_topk_with_deletes",
+                     "copurchase_kcore",
                      "ann_hnsw_topk", "customer_golden_records",
                      "entity_communities")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
@@ -1389,6 +1397,65 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "orders_join_ivm": """
+            WITH l AS (SELECT l_orderkey,
+                              CASE WHEN CAST(('0x' || substr(md5(CAST(
+                                       l_orderkey AS VARCHAR)), 1, 8))
+                                       AS BIGINT) % 10 = 0
+                                   THEN 1 ELSE 0 END AS is_delta,
+                              CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM lineitem),
+            j AS (SELECT o.o_orderpriority AS priority, l.is_delta,
+                         l.cents
+                  FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT priority,
+                   CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+                   CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+                   CAST(COUNT(*) AS BIGINT) AS n_maintained,
+                   CAST(SUM(cents) AS BIGINT) AS cents_maintained
+            FROM j GROUP BY 1
+        """,
+        "region_revenue_rollup": """
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
+        """,
+        "purchase_position_attribution": """
+            WITH pr AS (
+                SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                       p.user_id,
+                       (CAST(epoch_us(p.ts) AS BIGINT)
+                        - CAST(epoch_us(v.ts) AS BIGINT)) AS lag
+                FROM events p JOIN events v ON p.user_id = v.user_id
+                WHERE p.event_type = 'purchase'
+                  AND v.event_type = 'view'
+                  AND v.ts <= p.ts
+                  AND v.ts >= p.ts - INTERVAL 60 MINUTE
+            ),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                       ORDER BY lag DESC, view_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY purchase_id) AS n
+                   FROM pr),
+            cr AS (SELECT user_id,
+                          CASE WHEN n = 1 THEN 1000000
+                               WHEN n = 2 THEN 500000
+                               WHEN rn = 1 THEN 400000
+                               WHEN rn = n THEN 400000
+                               WHEN rn = 2 THEN 200000 // (n - 2)
+                                    + 200000 - (200000 // (n - 2))
+                                      * (n - 2)
+                               ELSE 200000 // (n - 2)
+                          END AS uc
+                   FROM rk)
+            SELECT user_id, CAST(SUM(uc) AS BIGINT) AS ucredits
+            FROM cr GROUP BY 1
         """,
         "event_sequence_patterns": """
             WITH ut AS (SELECT user_id, event_type,

@@ -455,6 +455,13 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.part_supplier_hhi(sf_dir))
     timed("events_adoption_curve",
           lambda: relational.events_adoption_curve(sf_dir))
+    timed("orders_join_ivm", lambda: relational.orders_join_ivm(sf_dir))
+    timed("region_revenue_rollup",
+          lambda: relational.region_revenue_rollup(sf_dir))
+    timed("purchase_position_attribution",
+          lambda: relational.purchase_position_attribution(sf_dir))
+    timed("ann_topk_with_deletes",
+          lambda: ann.ann_topk_with_deletes(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

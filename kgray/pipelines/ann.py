@@ -969,3 +969,61 @@ def embedding_truncation_recall(sf_dir: str, dims=(8, 16, 32), k: int = 10,
         "sum_overlap": pa.array([r[1] for r in rows], type=pa.int64()),
         "n_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
         "recall": pa.array([r[3] for r in rows], type=pa.float64())})
+
+
+def ann_topk_with_deletes(sf_dir: str, k: int = 10, n_queries: int = 5,
+                          delete_mod: int = 10):
+    """Exact top-k over a LIVE index with tombstones — the
+    index-maintenance semantics an embedding store needs: vectors with
+    ``md5(vec_id) % delete_mod == 0`` are deleted; search must never
+    return them and must rank the retained set exactly as a fresh
+    index would (pinned by test against :func:`ann_topk_bruteforce`
+    over the filtered table).  The tombstone check is a pure md5
+    predicate applied at the scan, so no tombstone list ships."""
+    from ..functions.sampling import _md5_bucket
+
+    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qm = ray.get(q_ref)
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        live = _md5_bucket(bids.tolist(), delete_mod) != 0
+        if not live.any():
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64())})
+        bids = bids[live]
+        B = _normalize(list_col_matrix(batch.column("embedding"))[live])
+        C = Qm @ B.T
+        out_q, out_n, out_c = [], [], []
+        kk = min(k + 1, C.shape[1])
+        for qi in range(C.shape[0]):
+            scores = C[qi]
+            idx = np.lexsort((bids, -scores))[:kk]
+            for j in idx:
+                if bids[j] == qids[qi]:
+                    continue
+                out_q.append(int(qids[qi]))
+                out_n.append(int(bids[j]))
+                out_c.append(float(scores[j]))
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "cos": pa.array(out_c, type=pa.float64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": df["query_id"],
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "neighbor_id": df["neighbor_id"]})
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(local_topk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))

@@ -7606,3 +7606,195 @@ def events_adoption_curve(sf_dir: str):
         "day": pa.array(days, type=pa.int64()),
         "n_new": pa.array(new, type=pa.int64()),
         "n_cum": pa.array(cum, type=pa.int64())})
+
+
+def orders_join_ivm(sf_dir: str, delta_mod: int = 10):
+    """Incremental view maintenance for a JOIN view — the delta-join
+    law a streaming materialized view relies on: with lineitem split
+    into base L and delta ΔL (``md5(l_orderkey) % delta_mod == 0``),
+    the per-priority revenue view maintained as
+    ``V(O ⋈ L) + V(O ⋈ ΔL)`` must equal the full recompute
+    ``V(O ⋈ (L ∪ ΔL))`` BITWISE — additive aggregates make the join
+    delta exact.  Output: per priority, the maintained count/cents
+    plus both deltas, so the law is auditable in the result itself.
+    Both legs stream through the same sorted join; nothing recomputes
+    the base leg per delta at scale (here both legs run once)."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.join import sorted_merge_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b.column("o_orderkey"),
+            "priority": b.column("o_orderpriority")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def prep(b: pa.Table) -> pa.Table:
+        delta = _md5_bucket(b.column("l_orderkey").to_pylist(),
+                            delta_mod) == 0
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "is_delta": pa.array(delta.astype(np.int64)),
+            "cents": _cents(b.column("l_extendedprice"))})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = sorted_merge_join(li, orders, on="l_orderkey")
+    per = sorted_group_aggregate(
+        joined.map_batches(lambda b: pa.table({
+            "priority": b.column("priority"),
+            "n_base": pc.subtract(pa.scalar(1, type=pa.int64()),
+                                  b.column("is_delta")),
+            "cents_base": pc.multiply(
+                pc.subtract(pa.scalar(1, type=pa.int64()),
+                            b.column("is_delta")), b.column("cents")),
+            "n_delta": b.column("is_delta"),
+            "cents_delta": pc.multiply(b.column("is_delta"),
+                                       b.column("cents"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["priority"],
+        [("n_base", "sum"), ("cents_base", "sum"),
+         ("n_delta", "sum"), ("cents_delta", "sum")], precombine=True)
+    return per.map_batches(lambda b: pa.table({
+        "priority": b.column("priority"),
+        "n_base": b.column("n_base"),
+        "n_delta": b.column("n_delta"),
+        "n_maintained": pc.add(b.column("n_base"), b.column("n_delta")),
+        "cents_maintained": pc.add(b.column("cents_base"),
+                                   b.column("cents_delta"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def region_revenue_rollup(sf_dir: str):
+    """Hierarchical dimension rollup: order revenue through the
+    customer→nation→region snowflake, ``GROUP BY ROLLUP(region,
+    nation)`` — subtotals per nation, per region, and the grand total
+    in one result (``rollup_aggregate``: only the finest level sees
+    the fact stream; coarser levels re-aggregate reduced output).
+    Dimensions broadcast (region/nation are KB-scale; customer joins
+    sorted)."""
+    from ..stages.join import sorted_merge_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_of = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    n_map = {k: (n, r_of[r]) for k, n, r in zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist(),
+        nation.column("n_regionkey").to_pylist())}
+    n_ref = ray.put(n_map)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        nm = ray.get(n_ref)
+        nk = b.column("c_nationkey").to_pylist()
+        return pa.table({
+            "o_custkey": b.column("c_custkey"),
+            "nation": pa.array([nm[k][0] for k in nk], type=pa.string()),
+            "region": pa.array([nm[k][1] for k in nk], type=pa.string())})
+
+    cdim = cust.map_batches(dims, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cents": _cents(b.column("o_totalprice"))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = sorted_merge_join(orders, cdim, on="o_custkey")
+    from ..stages.aggregate import rollup_aggregate
+    return rollup_aggregate(
+        joined.map_batches(lambda b: pa.table({
+            "region": b.column("region"), "nation": b.column("nation"),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "revenue_cents": b.column("cents")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["region", "nation"],
+        [("n_orders", "sum"), ("revenue_cents", "sum")])
+
+
+def purchase_position_attribution(sf_dir: str, window_min: int = 60):
+    """Position-based (U-shaped 40/20/40) ad attribution in exact
+    integer micro-credits: for each purchase, the trailing-window view
+    set splits 400 000 µcredits to the FIRST view, 400 000 to the
+    LAST, and the middle 200 000 evenly by integer division with the
+    REMAINDER going to the earliest middle view (the deterministic
+    rule the oracle mirrors); 1 view takes all 1 000 000, 2 views take
+    500 000 each.  Credits then aggregate per view-user.  Pairing is
+    the same windowed interval join as last-touch attribution."""
+    import pyarrow.dataset as pds
+
+    from ..stages.intervaljoin import windowed_pair_join
+    from ..stages.topk import grouped_topk
+
+    cols = ["event_id", "ts", "user_id"]
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pds.field("event_type") == "purchase")
+    views = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pds.field("event_type") == "view")
+    pairs = windowed_pair_join(purchases, views, key="user_id", ts="ts",
+                               id_col="event_id",
+                               window=window_min * 60 * 1_000_000) \
+        .materialize()
+
+    # per purchase: order views by (lag desc = earliest first? lag =
+    # purchase.ts - view.ts, so the FIRST (earliest) view has the
+    # LARGEST lag; tie-break on view id ascending
+    from ..stages.scan import grouped_ranks
+
+    ranked = grouped_ranks(
+        pairs.map_batches(lambda b: pa.table({
+            "purchase_id": b.column("left_id"),
+            "view_id": b.column("right_id"),
+            "user_id": b.column("key"),
+            "neg_lag": pc.multiply(b.column("lag"),
+                                   pa.scalar(-1, type=pa.int64()))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="purchase_id", order_cols=["neg_lag", "view_id"])
+
+    # rank column: 1-based position, earliest view = 1; group sizes
+    sizes = sorted_group_aggregate(
+        pairs.map_batches(lambda b: pa.table({
+            "purchase_id": b.column("left_id"),
+            "n_views": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["purchase_id"], [("n_views", "sum")])
+
+    from ..stages.join import sorted_merge_join
+    withn = sorted_merge_join(ranked, sizes, on="purchase_id")
+
+    def credit(b: pa.Table) -> pa.Table:
+        r = b.column("row_number").to_numpy(zero_copy_only=False)
+        n = b.column("n_views").to_numpy(zero_copy_only=False)
+        cr = np.zeros(len(r), dtype=np.int64)
+        one = n == 1
+        cr[one] = 1_000_000
+        two = (n == 2)
+        cr[two] = 500_000
+        many = n >= 3
+        first = many & (r == 1)
+        last = many & (r == n)
+        mid = many & ~first & ~last
+        cr[first] = 400_000
+        cr[last] = 400_000
+        mshare = np.where(n >= 3, 200_000 // np.maximum(n - 2, 1), 0)
+        rem = np.where(n >= 3, 200_000 - mshare * np.maximum(n - 2, 1), 0)
+        cr[mid] = mshare[mid]
+        cr[mid & (r == 2)] += rem[mid & (r == 2)]
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "view_id": b.column("view_id"),
+            "ucredits": pa.array(cr)})
+
+    return sorted_group_aggregate(
+        withn.map_batches(credit, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["user_id"], [("ucredits", "sum")], precombine=True)
