@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "user_ctr_shrunk": relational.user_ctr_shrunk,
+        "session_bounce_rates": relational.session_bounce_rates,
+        "order_ship_lag_quantiles": relational.order_ship_lag_quantiles,
+        "sessions_peak_concurrency": relational.sessions_peak_concurrency,
         "orders_join_ivm": relational.orders_join_ivm,
         "region_revenue_rollup": relational.region_revenue_rollup,
         "purchase_position_attribution":
@@ -1397,6 +1401,101 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "user_ctr_shrunk": """
+            WITH u AS (SELECT user_id,
+                              CAST(COUNT(*) FILTER (WHERE event_type
+                                   = 'view') AS BIGINT) AS n_views,
+                              CAST(COUNT(*) FILTER (WHERE event_type
+                                   = 'click') AS BIGINT) AS n_clicks
+                       FROM events GROUP BY 1),
+            m AS (SELECT CAST(CAST(SUM(n_clicks) AS BIGINT) AS DOUBLE)
+                         / CAST(CAST(SUM(n_views) AS BIGINT) AS DOUBLE)
+                             AS m
+                  FROM u)
+            SELECT user_id, n_views, n_clicks,
+                   CASE WHEN n_views > 0
+                        THEN CAST(n_clicks AS DOUBLE)
+                             / CAST(n_views AS DOUBLE)
+                        ELSE 0.0 END AS ctr_raw,
+                   (CAST(n_clicks AS DOUBLE) + 20.0 * m.m)
+                       / (CAST(n_views AS DOUBLE) + 20.0) AS ctr_shrunk
+            FROM u CROSS JOIN m
+        """,
+        "session_bounce_rates": """
+            WITH e AS (SELECT user_id, event_type, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                       FROM events),
+            l AS (SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+                                   OR ts_us - LAG(ts_us) OVER w
+                                      > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)),
+            s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                      ORDER BY ts_us, event_id) AS rn
+                  FROM s),
+            g AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS len
+                  FROM r GROUP BY 1, 2),
+            en AS (SELECT user_id, sid, event_type AS entry_type
+                   FROM r WHERE rn = 1)
+            SELECT en.entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) FILTER (WHERE g.len = 1) AS BIGINT)
+                       AS n_bounces,
+                   CAST(COUNT(*) FILTER (WHERE g.len = 1) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+            FROM g JOIN en ON en.user_id = g.user_id AND en.sid = g.sid
+            GROUP BY 1
+        """,
+        "order_ship_lag_quantiles": """
+            WITH f AS (SELECT l_orderkey,
+                              MIN(CAST(epoch_us(l_shipdate) AS BIGINT))
+                                  AS ship_us
+                       FROM lineitem GROUP BY 1),
+            lag AS (SELECT o.o_orderpriority AS priority,
+                           (f.ship_us
+                            - CAST(epoch_us(o.o_orderdate) AS BIGINT))
+                           // 86400000000 AS lag_days
+                    FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey)
+            SELECT priority, COUNT(*) AS n,
+                   quantile_disc(lag_days, 0.5) AS p50_days,
+                   quantile_disc(lag_days, 0.95) AS p95_days
+            FROM lag GROUP BY 1
+        """,
+        "sessions_peak_concurrency": """
+            WITH e AS (SELECT user_id, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                       FROM events),
+            l AS (SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+                                   OR ts_us - LAG(ts_us) OVER w
+                                      > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)),
+            s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            iv AS (SELECT user_id, sid, MIN(ts_us) AS start_us,
+                          MAX(ts_us) AS end_us
+                   FROM s GROUP BY 1, 2),
+            sw AS (SELECT start_us AS ts_us, 0 AS kind, 1 AS delta
+                   FROM iv
+                   UNION ALL SELECT end_us, 1, -1 FROM iv),
+            c AS (SELECT ts_us, kind,
+                         SUM(delta) OVER (ORDER BY ts_us, kind
+                             ROWS UNBOUNDED PRECEDING) AS active
+                  FROM sw)
+            SELECT CAST(active AS BIGINT) AS peak_sessions,
+                   CAST(ts_us AS BIGINT) AS at_us
+            FROM c ORDER BY active DESC, ts_us LIMIT 1
         """,
         "orders_join_ivm": """
             WITH l AS (SELECT l_orderkey,

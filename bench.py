@@ -462,6 +462,13 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.purchase_position_attribution(sf_dir))
     timed("ann_topk_with_deletes",
           lambda: ann.ann_topk_with_deletes(sf_dir))
+    timed("user_ctr_shrunk", lambda: relational.user_ctr_shrunk(sf_dir))
+    timed("session_bounce_rates",
+          lambda: relational.session_bounce_rates(sf_dir))
+    timed("order_ship_lag_quantiles",
+          lambda: relational.order_ship_lag_quantiles(sf_dir))
+    timed("sessions_peak_concurrency",
+          lambda: relational.sessions_peak_concurrency(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

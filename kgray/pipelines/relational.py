@@ -7798,3 +7798,274 @@ def purchase_position_attribution(sf_dir: str, window_min: int = 60):
         withn.map_batches(credit, batch_format="pyarrow",
                           zero_copy_batch=True),
         ["user_id"], [("ucredits", "sum")], precombine=True)
+
+
+def user_ctr_shrunk(sf_dir: str, kappa: int = 20):
+    """Empirical-Bayes smoothed click-through rate per user — the
+    additive shrinkage every ranking feature store applies so sparse
+    users don't swing to 0/1: ``ctr_shrunk = (c_u + κ·m)/(v_u + κ)``
+    with ``m`` the pooled corpus rate.  Counts are one mergeable
+    aggregate; both ratios are float64 expressions of exact ints in
+    the oracle's operand order."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ty = b.column("event_type")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_views": pc.cast(pc.equal(ty, pa.scalar("view")),
+                               pa.int64()),
+            "n_clicks": pc.cast(pc.equal(ty, pa.scalar("click")),
+                                pa.int64())})
+
+    users = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n_views", "sum"), ("n_clicks", "sum")],
+        precombine=True).materialize()
+    tot = sorted_group_aggregate(
+        users.map_batches(lambda b: pa.table({
+            "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "v": b.column("n_views"), "c": b.column("n_clicks")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("v", "sum"), ("c", "sum")]).take_all()[0]
+    m = float(int(tot["c"])) / float(int(tot["v"]))
+
+    def finalize(b: pa.Table, _m=m, _k=float(kappa)) -> pa.Table:
+        v = b.column("n_views").to_numpy(zero_copy_only=False)
+        c = b.column("n_clicks").to_numpy(zero_copy_only=False)
+        raw = np.empty(len(v), dtype=np.float64)
+        shr = np.empty(len(v), dtype=np.float64)
+        for i in range(len(v)):
+            raw[i] = (float(c[i]) / float(v[i])) if v[i] > 0 else 0.0
+            shr[i] = (float(c[i]) + _k * _m) / (float(v[i]) + _k)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_views": b.column("n_views"),
+            "n_clicks": b.column("n_clicks"),
+            "ctr_raw": pa.array(raw, type=pa.float64()),
+            "ctr_shrunk": pa.array(shr, type=pa.float64())})
+
+    return users.map_batches(finalize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def session_bounce_rates(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Bounce analysis per session ENTRY type: a bounce is a
+    single-event session; rate = bounces/sessions as the one mirrored
+    float division.  Same in-block/boundary sessionization pass as
+    :func:`session_top_paths`, reduced to (entry_type, len==1)
+    partials."""
+    from ..stages._runs import edge_interior_exchange, edge_mask
+
+    import ray
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"])
+           .map_batches(lambda b: pa.table({
+               "user_id": b.column("user_id"),
+               "ts_us": pc.cast(b.column("ts"), pa.int64()),
+               "event_id": b.column("event_id"),
+               "event_type": b.column("event_type")}),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .repartition(n_part)
+           .sort(["user_id", "ts_us", "event_id"])
+           .materialize())
+
+    def stats_of(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        if t.num_rows == 0:
+            return pa.table({
+                "entry_type": pa.array([], type=pa.string()),
+                "n_sessions": pa.array([], type=pa.int64()),
+                "n_bounces": pa.array([], type=pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ty = t.column("event_type").to_pylist()
+        ns, nb = Counter(), Counter()
+        entry, size, cur_u, last = None, 0, None, None
+        for i in range(len(u)):
+            if u[i] != cur_u or ts[i] - last > gap_us:
+                if entry is not None:
+                    ns[entry] += 1
+                    if size == 1:
+                        nb[entry] += 1
+                entry, size = ty[i], 1
+            else:
+                size += 1
+            cur_u, last = u[i], ts[i]
+        if entry is not None:
+            ns[entry] += 1
+            if size == 1:
+                nb[entry] += 1
+        keys = sorted(ns)
+        return pa.table({
+            "entry_type": pa.array(keys, type=pa.string()),
+            "n_sessions": pa.array([ns[k] for k in keys],
+                                   type=pa.int64()),
+            "n_bounces": pa.array([nb.get(k, 0) for k in keys],
+                                  type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(edge_mask(batch.column("user_id")))
+
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        return stats_of(batch.filter(
+            pc.invert(edge_mask(batch.column("user_id")))))
+
+    def merge_fn(edge_tables) -> pa.Table:
+        rows = pa.concat_tables([t for t in edge_tables if t.num_rows])
+        if rows.num_rows == 0:
+            return None
+        rows = rows.take(pc.sort_indices(
+            rows, sort_keys=[("user_id", "ascending"),
+                             ("ts_us", "ascending"),
+                             ("event_id", "ascending")]))
+        return stats_of(rows)
+
+    parts = edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+    agg = sorted_group_aggregate(parts, ["entry_type"],
+                                 [("n_sessions", "sum"),
+                                  ("n_bounces", "sum")])
+    return agg.map_batches(lambda b: b.append_column(
+        "bounce_rate", pc.divide(pc.cast(b.column("n_bounces"),
+                                         pa.float64()),
+                                 pc.cast(b.column("n_sessions"),
+                                         pa.float64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def order_ship_lag_quantiles(sf_dir: str):
+    """Fulfilment-latency SLO table: whole days from order date to the
+    order's FIRST lineitem ship date, exact p50/p95 per priority
+    (``grouped_quantiles``, disc — DuckDB ``quantile_disc``
+    semantics)."""
+    from ..stages.join import sorted_merge_join
+    from ..stages.quantile import grouped_quantiles
+
+    first_ship = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"])
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "ship_us": pc.cast(b.column("l_shipdate"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"], [("ship_us", "min")], precombine=True)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "priority": b.column("o_orderpriority"),
+            "odate_us": pc.cast(b.column("o_orderdate"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    lag = sorted_merge_join(orders, first_ship, on="o_orderkey") \
+        .map_batches(lambda b: pa.table({
+            "priority": b.column("priority"),
+            "lag_days": pc.cast(pc.divide(
+                pc.subtract_checked(b.column("ship_us"),
+                                    b.column("odate_us")),
+                pa.scalar(86_400_000_000, type=pa.int64())),
+                pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantiles(lag, group="priority", value_col="lag_days",
+                             qs=[0.5, 0.95],
+                             out_names=["p50_days", "p95_days"])
+
+
+def sessions_peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Peak concurrent sessions — the capacity-planning sweep: sessions
+    become (+1 at start, −1 at end) deltas; the peak is the max of the
+    running sum over (ts, starts-before-ends at ties), and ``at_us`` is
+    the EARLIEST instant achieving it.  Session extraction shares the
+    sessionization pass; the sweep is one global nullsafe sort + the
+    running-sum carry exchange; the argmax is a top-1."""
+    from ..stages._runs import edge_interior_exchange, edge_mask
+    from ..stages.scan import grouped_running_sum
+    from ..stages.topk import grouped_topk
+
+    import ray
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_id"])
+           .map_batches(lambda b: pa.table({
+               "user_id": b.column("user_id"),
+               "ts_us": pc.cast(b.column("ts"), pa.int64()),
+               "event_id": b.column("event_id")}),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .repartition(n_part)
+           .sort(["user_id", "ts_us", "event_id"])
+           .materialize())
+
+    def intervals_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"start_us": pa.array([], type=pa.int64()),
+                             "end_us": pa.array([], type=pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        starts, ends = [], []
+        cur_u, s0, last = None, None, None
+        for i in range(len(u)):
+            if u[i] != cur_u or ts[i] - last > gap_us:
+                if s0 is not None:
+                    starts.append(s0)
+                    ends.append(last)
+                s0 = ts[i]
+            cur_u, last = u[i], ts[i]
+        if s0 is not None:
+            starts.append(s0)
+            ends.append(last)
+        return pa.table({
+            "start_us": pa.array(starts, type=pa.int64()),
+            "end_us": pa.array(ends, type=pa.int64())})
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(edge_mask(batch.column("user_id")))
+
+    def interior_fn(batch: pa.Table) -> pa.Table:
+        return intervals_of(batch.filter(
+            pc.invert(edge_mask(batch.column("user_id")))))
+
+    def merge_fn(edge_tables) -> pa.Table:
+        rows = pa.concat_tables([t for t in edge_tables if t.num_rows])
+        if rows.num_rows == 0:
+            return None
+        rows = rows.take(pc.sort_indices(
+            rows, sort_keys=[("user_id", "ascending"),
+                             ("ts_us", "ascending"),
+                             ("event_id", "ascending")]))
+        return intervals_of(rows)
+
+    ivals = edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+
+    sweep = ivals.map_batches(lambda b: pa.table({
+        "one": pa.array(np.zeros(2 * b.num_rows, dtype=np.int64)),
+        "ts_us": pa.chunked_array([
+            b.column("start_us").combine_chunks(),
+            b.column("end_us").combine_chunks()]),
+        # starts sort BEFORE ends at equal ts: order = 0 for +1, 1 for -1
+        "kind": pa.array(np.r_[np.zeros(b.num_rows, dtype=np.int64),
+                               np.ones(b.num_rows, dtype=np.int64)]),
+        "delta": pa.array(np.r_[np.ones(b.num_rows, dtype=np.int64),
+                                -np.ones(b.num_rows, dtype=np.int64)])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    cum = grouped_running_sum(sweep, "one", ["ts_us", "kind"], "delta",
+                              out_name="active")
+    top = grouped_topk(
+        cum.map_batches(lambda b: pa.table({
+            "one": b.column("one"),
+            "neg_active": pc.multiply(b.column("active"),
+                                      pa.scalar(-1, type=pa.int64())),
+            "ts_us": b.column("ts_us")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        group="one", order_col="neg_active", tiebreak="ts_us", k=1,
+        descending=False)
+    return top.map_batches(lambda b: pa.table({
+        "peak_sessions": pc.multiply(b.column("neg_active"),
+                                     pa.scalar(-1, type=pa.int64())),
+        "at_us": b.column("ts_us")}),
+        batch_format="pyarrow", zero_copy_batch=True)
