@@ -435,6 +435,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "events_hourly_ewma": relational.events_hourly_ewma,
+        "part_revenue_abc": relational.part_revenue_abc,
+        "orderkey_gaps": relational.orderkey_gaps,
+        "embedding_mmr_topk": lambda sf: __import__(
+            "kgray.pipelines.ann", fromlist=["embedding_mmr_topk"]
+        ).embedding_mmr_topk(sf),
         "user_ctr_shrunk": relational.user_ctr_shrunk,
         "session_bounce_rates": relational.session_bounce_rates,
         "order_ship_lag_quantiles": relational.order_ship_lag_quantiles,
@@ -728,7 +734,7 @@ def oracle_sql() -> dict[str, str]:
                      "doc_quality_scores", "dsir_selected",
                      "bpe_merges", "bpe_token_counts", "semantic_dedup",
                      "ann_pq_topk", "pq_codes", "ann_topk_with_deletes",
-                     "copurchase_kcore",
+                     "embedding_mmr_topk", "copurchase_kcore",
                      "ann_hnsw_topk", "customer_golden_records",
                      "entity_communities")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
@@ -1401,6 +1407,60 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_hourly_ewma": """
+            WITH RECURSIVE h AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+            idx AS (SELECT event_type, hour, c,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY hour) AS i
+                    FROM h),
+            rec(event_type, hour, c, i, s) AS (
+                SELECT event_type, hour, c, i, c * 1000000
+                FROM idx WHERE i = 1
+                UNION ALL
+                SELECT n.event_type, n.hour, n.c, n.i,
+                       (3 * rec.s + n.c * 1000000) // 4
+                FROM rec JOIN idx n ON n.event_type = rec.event_type
+                     AND n.i = rec.i + 1
+            )
+            SELECT event_type, hour, c AS n_events,
+                   CAST(s AS BIGINT) AS ewma_fp
+            FROM rec
+        """,
+        "part_revenue_abc": """
+            WITH r AS (SELECT l_partkey,
+                              CAST(SUM(CAST(FLOOR(l_extendedprice
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                  AS revenue_cents
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total
+                  FROM r),
+            c AS (SELECT l_partkey, revenue_cents,
+                         CAST(SUM(revenue_cents) OVER (
+                             ORDER BY revenue_cents DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_cents
+                  FROM r)
+            SELECT c.l_partkey, c.revenue_cents, c.cum_cents,
+                   CASE WHEN c.cum_cents * 100 <= 80 * t.total THEN 'A'
+                        WHEN c.cum_cents * 100 <= 95 * t.total THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c CROSS JOIN t
+        """,
+        "orderkey_gaps": """
+            WITH k AS (SELECT o_orderkey AS k,
+                              LAG(o_orderkey) OVER (ORDER BY o_orderkey)
+                                  AS prev_k
+                       FROM orders
+                       WHERE o_orderpriority = '1-URGENT')
+            SELECT prev_k + 1 AS gap_start, k - 1 AS gap_end,
+                   k - prev_k - 1 AS width
+            FROM k WHERE prev_k IS NOT NULL AND k - prev_k > 1
         """,
         "user_ctr_shrunk": """
             WITH u AS (SELECT user_id,

@@ -469,6 +469,11 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.order_ship_lag_quantiles(sf_dir))
     timed("sessions_peak_concurrency",
           lambda: relational.sessions_peak_concurrency(sf_dir))
+    timed("events_hourly_ewma",
+          lambda: relational.events_hourly_ewma(sf_dir))
+    timed("part_revenue_abc", lambda: relational.part_revenue_abc(sf_dir))
+    timed("orderkey_gaps", lambda: relational.orderkey_gaps(sf_dir))
+    timed("embedding_mmr_topk", lambda: ann.embedding_mmr_topk(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1027,3 +1027,80 @@ def ann_topk_with_deletes(sf_dir: str, k: int = 10, n_queries: int = 5,
                          zero_copy_batch=True)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas"))
+
+
+def embedding_mmr_topk(sf_dir: str, k: int = 5, shortlist: int = 50,
+                       n_queries: int = 5, lam: float = 0.5):
+    """Maximal-marginal-relevance diversified retrieval: per query,
+    greedily pick k results maximizing ``λ·cos(q,d) − (1−λ)·max
+    cos(d, selected)`` — what a RAG serving layer runs so the k
+    passages aren't five near-duplicates.  Stage 1 is the distributed
+    brute-force shortlist (same plan as :func:`ann_topk_bruteforce`,
+    top-``shortlist``); the greedy selection runs on the driver over
+    the shortlist only (queries × shortlist rows — output-sized).
+    Ties break on ascending id; scores are float64 of the same dot
+    products every partitioning computes, fixture-pinned like the
+    other ANN paths."""
+    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qm = ray.get(q_ref)
+        bids = col_vector(batch.column("vec_id"), np.int64)
+        B = _normalize(list_col_matrix(batch.column("embedding")))
+        C = Qm @ B.T
+        out_q, out_n, out_c, out_v = [], [], [], []
+        kk = min(shortlist + 1, C.shape[1])
+        for qi in range(C.shape[0]):
+            idx = np.lexsort((bids, -C[qi]))[:kk]
+            for j in idx:
+                if bids[j] == qids[qi]:
+                    continue
+                out_q.append(int(qids[qi]))
+                out_n.append(int(bids[j]))
+                out_c.append(float(C[qi, j]))
+                out_v.append(B[j].astype(np.float64))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "cos": pa.array(out_c, type=pa.float64()),
+            "vec": pa.array([v.tolist() for v in out_v],
+                            type=pa.list_(pa.float64()))})
+
+    rows = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(local_topk, batch_format="pyarrow",
+                         zero_copy_batch=True)).take_all()
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    out_q, out_rank, out_n = [], [], []
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid],
+                      key=lambda r: (-r["cos"], r["neighbor_id"]))
+        cand = cand[:shortlist]
+        V = np.array([r["vec"] for r in cand])
+        rel = np.array([r["cos"] for r in cand])
+        ids = np.array([r["neighbor_id"] for r in cand])
+        S = V @ V.T
+        chosen: list = []
+        avail = list(range(len(cand)))
+        while avail and len(chosen) < k:
+            best, best_key = None, None
+            for i in avail:
+                red = max((S[i, j] for j in chosen), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * red
+                key = (-score, ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            chosen.append(best)
+            avail.remove(best)
+        for rank, i in enumerate(chosen, 1):
+            out_q.append(int(qid))
+            out_rank.append(rank)
+            out_n.append(int(ids[i]))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "rank": pa.array(out_rank, type=pa.int64()),
+        "neighbor_id": pa.array(out_n, type=pa.int64())})

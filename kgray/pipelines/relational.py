@@ -8069,3 +8069,131 @@ def sessions_peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000):
                                      pa.scalar(-1, type=pa.int64())),
         "at_us": b.column("ts_us")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_hourly_ewma(sf_dir: str):
+    """Integer exponential smoothing of the hourly count series
+    (α = 1/4): ``s' = (3·s + c_fp) // 4`` over micro-unit counts — the
+    EWMA a monitoring pipeline tracks, in the one form that replays
+    bitwise (every float EWMA drifts with fold order; the integer
+    recurrence has exactly one legal order and the oracle replays it
+    as a RECURSIVE CTE stepping the hour index).  The hourly reduction
+    is distributed; the per-type fold runs on the driver over the
+    output-sized (types × hours) series."""
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pc.cast(pc.divide(ts, pa.scalar(3_600_000_000,
+                                                    type=pa.int64())),
+                            pa.int64()),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    hourly = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("c", "sum")], precombine=True) \
+        .take_all()
+
+    by_type = {}
+    for r in hourly:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["hour"]), int(r["c"])))
+    out_t, out_h, out_c, out_s = [], [], [], []
+    for t in sorted(by_type):
+        series = sorted(by_type[t])
+        s = None
+        for h, c in series:
+            c_fp = c * 1_000_000
+            s = c_fp if s is None else (3 * s + c_fp) // 4
+            out_t.append(t)
+            out_h.append(h)
+            out_c.append(c)
+            out_s.append(s)
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "hour": pa.array(out_h, type=pa.int64()),
+        "n_events": pa.array(out_c, type=pa.int64()),
+        "ewma_fp": pa.array(out_s, type=pa.int64())})
+
+
+def part_revenue_abc(sf_dir: str):
+    """ABC (Pareto) classification of parts by lineitem revenue:
+    descending cumulative share ≤80% → A, ≤95% → B, else C — both cut
+    tests as exact integer cross-multiplications (``cum·100 ≤
+    80·total``), so class boundaries never hinge on a float.  One
+    revenue aggregate + one global running-sum scan ordered by
+    (revenue desc, partkey)."""
+    from ..stages.scan import grouped_running_sum
+
+    rev = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice"])
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "revenue_cents": _cents(b.column("l_extendedprice"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], [("revenue_cents", "sum")], precombine=True) \
+        .map_batches(lambda b: pa.table({
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "neg_rev": pc.multiply(b.column("revenue_cents"),
+                                   pa.scalar(-1, type=pa.int64())),
+            "l_partkey": b.column("l_partkey"),
+            "revenue_cents": b.column("revenue_cents")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    total = rev.sum("revenue_cents")
+    cum = grouped_running_sum(rev, "one", ["neg_rev", "l_partkey"],
+                              "revenue_cents", out_name="cum_cents")
+
+    def classify(b: pa.Table, _t=total) -> pa.Table:
+        cum_ = b.column("cum_cents").to_numpy(zero_copy_only=False)
+        cls = np.where(cum_ * 100 <= 80 * _t, "A",
+                       np.where(cum_ * 100 <= 95 * _t, "B", "C"))
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "revenue_cents": b.column("revenue_cents"),
+            "cum_cents": b.column("cum_cents"),
+            "abc_class": pa.array(cls.tolist(), type=pa.string())})
+
+    return cum.map_batches(classify, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def orderkey_gaps(sf_dir: str, priority: str = "1-URGENT"):
+    """Key-space continuity audit: the missing o_orderkey ranges
+    WITHIN one priority class — the sequence-integrity check an ingest
+    pipeline runs per partition of a monotone source (the full
+    keyspace is dense by construction, so the per-class view is where
+    real gaps live).  One sorted LAG scan; a gap row (gap_start,
+    gap_end, width) wherever consecutive keys differ by more than 1."""
+    import pyarrow.dataset as pds
+
+    from ..stages.scan import grouped_lag
+
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey"],
+                           filter=pds.field("o_orderpriority")
+                           == priority) \
+        .map_batches(lambda b: pa.table({
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "k": b.column("o_orderkey")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    lagged = grouped_lag(keys, key="one", order_cols=["k"],
+                         value_col="k", out_name="prev_k")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b.column("prev_k")),
+                             pc.greater(pc.subtract(b.column("k"),
+                                                    b.column("prev_k")),
+                                        pa.scalar(1, type=pa.int64()))))
+        start = pc.add(t.column("prev_k"), pa.scalar(1, type=pa.int64()))
+        end = pc.subtract(t.column("k"), pa.scalar(1, type=pa.int64()))
+        return pa.table({
+            "gap_start": start,
+            "gap_end": end,
+            "width": pc.add(pc.subtract(end, start),
+                            pa.scalar(1, type=pa.int64()))})
+
+    return lagged.map_batches(gaps, batch_format="pyarrow",
+                              zero_copy_batch=True)

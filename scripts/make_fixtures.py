@@ -42,7 +42,7 @@ FIXTURE_QUERIES = [
     "embedding_truncation_recall", "video_scene_changes",
     "embedding_lsh_pairs", "ann_ivf_topk", "embedding_kmeans",
     "embedding_pca",
-    "ann_pq_topk", "pq_codes", "ann_topk_with_deletes",
+    "ann_pq_topk", "pq_codes", "ann_topk_with_deletes", "embedding_mmr_topk",
     "neardup_clusters", "neardup_keep_best",
     "event_user_distinct_hll", "entity_pagerank", "entity_ppr",
     "kg_transe_embeddings",
