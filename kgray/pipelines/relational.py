@@ -6280,10 +6280,8 @@ def part_random_walks(sf_dir: str, walk_len: int = 3, seed_mod: int = 20,
 
     def seeds_fn(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy(zero_copy_only=False)
-        keep = np.zeros(b.num_rows, dtype=bool)
-        # distinct srcs within the block; global distinct via the agg
-        m = _md5_bucket(s.tolist(), seed_mod) == 0
-        keep |= m
+        # md5-selected seeds; global distinct via the min-aggregate
+        keep = _md5_bucket(s.tolist(), seed_mod) == 0
         return pa.table({
             "walk": pa.array(s[keep]),
             "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
