@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "events_value_psi": relational.events_value_psi,
+        "user_spend_gini": relational.user_spend_gini,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -1407,6 +1409,82 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_value_psi": """
+            WITH e AS (SELECT event_type,
+                              CAST(('0x' || substr(md5(CAST(event_id
+                                         AS VARCHAR)), 1, 8)) AS BIGINT)
+                                  % 2 AS par,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            bd AS (SELECT unnest(quantile_disc(cents,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+                       AS bound
+                   FROM e),
+            bk AS (SELECT e.event_type, e.par,
+                          (SELECT COUNT(*) FROM bd
+                           WHERE bd.bound < e.cents) AS bucket
+                   FROM e),
+            c AS (SELECT event_type, bucket,
+                         CAST(COUNT(*) FILTER (WHERE par = 0) AS BIGINT)
+                             AS ca,
+                         CAST(COUNT(*) FILTER (WHERE par = 1) AS BIGINT)
+                             AS cb
+                  FROM bk GROUP BY 1, 2),
+            n AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+                         CAST(SUM(cb) AS BIGINT) AS nb
+                  FROM c GROUP BY 1),
+            spine AS (SELECT n.event_type, CAST(t.b AS BIGINT) AS bucket,
+                             n.na, n.nb
+                      FROM n CROSS JOIN generate_series(0, 9) t(b)),
+            f AS (SELECT s.event_type, s.bucket, s.na, s.nb,
+                         COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+                  FROM spine s LEFT JOIN c
+                       ON c.event_type = s.event_type
+                      AND c.bucket = s.bucket),
+            terms AS (SELECT event_type, bucket, na, nb,
+                             ((CAST(ca AS DOUBLE) + 1.0)
+                              / (CAST(na AS DOUBLE) + 10.0)
+                              - (CAST(cb AS DOUBLE) + 1.0)
+                                / (CAST(nb AS DOUBLE) + 10.0))
+                             * ln(((CAST(ca AS DOUBLE) + 1.0)
+                                   / (CAST(na AS DOUBLE) + 10.0))
+                                  / ((CAST(cb AS DOUBLE) + 1.0)
+                                     / (CAST(nb AS DOUBLE) + 10.0)))
+                                 AS term
+                      FROM f),
+            run AS (SELECT event_type, na, nb, bucket,
+                           SUM(term) OVER (PARTITION BY event_type
+                               ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS psi
+                    FROM terms)
+            SELECT event_type, na AS n_a, nb AS n_b, psi
+            FROM run WHERE bucket = 9
+        """,
+        "user_spend_gini": """
+            WITH u AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(FLOOR(value * 100.0 + 0.5)
+                                             AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS spend
+                       FROM events GROUP BY 1),
+            r AS (SELECT spend,
+                         ROW_NUMBER() OVER (ORDER BY spend, user_id)
+                             AS i
+                  FROM u),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(spend) AS BIGINT) AS s,
+                         CAST(SUM(i * spend) AS BIGINT) AS iw
+                  FROM r)
+            SELECT n AS n_users, s AS total_cents,
+                   iw AS rank_weighted_cents,
+                   CASE WHEN s > 0
+                        THEN CAST(2 * iw AS DOUBLE)
+                             / CAST(n * s AS DOUBLE)
+                             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+                        ELSE 0.0 END AS gini
+            FROM m
         """,
         "events_hourly_ewma": """
             WITH RECURSIVE h AS (

@@ -474,6 +474,8 @@ def _run_all_queries(sf_dir: str, timed):
     timed("part_revenue_abc", lambda: relational.part_revenue_abc(sf_dir))
     timed("orderkey_gaps", lambda: relational.orderkey_gaps(sf_dir))
     timed("embedding_mmr_topk", lambda: ann.embedding_mmr_topk(sf_dir))
+    timed("events_value_psi", lambda: relational.events_value_psi(sf_dir))
+    timed("user_spend_gini", lambda: relational.user_spend_gini(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

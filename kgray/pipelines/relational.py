@@ -8195,3 +8195,132 @@ def orderkey_gaps(sf_dir: str, priority: str = "1-URGENT"):
 
     return lagged.map_batches(gaps, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def events_value_psi(sf_dir: str):
+    """Population Stability Index — the drift monitor a feature
+    platform runs between a reference and a live window (md5 halves
+    here): per type, counts over the corpus's global cent DECILES,
+    Laplace-smoothed shares ``(c+1)/(n+10)``, and
+    ``PSI = Σ (p_a−p_b)·ln(p_a/p_b)`` folded in FIXED bucket order
+    (0..9) — DuckDB's ordered window SUM matches sequential addition
+    (the Benford precedent), so the float is bitwise.  PSI < 0.1 ⇒
+    stable; the md5 split is exchangeable so the audit should sit
+    near 0 (asserted statistically in tests).  Exchanges: one global
+    decile quantile, one (type, bucket, split) count aggregate."""
+    import math
+
+    from ..functions.sampling import _md5_bucket
+    from ..stages.quantile import grouped_quantiles
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "cents": _cents(b.column("value"))})
+
+    qs = [i / 10 for i in range(1, 10)]
+    qt = grouped_quantiles(
+        base.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        group="g", value_col="cents", qs=qs,
+        out_names=[f"d{i}" for i in range(1, 10)]).take_all()[0]
+    bounds = np.array([int(qt[f"d{i}"]) for i in range(1, 10)],
+                      dtype=np.int64)
+    b_ref = ray.put(bounds)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bs = ray.get(b_ref)
+        cents = _cents(b.column("value")).to_numpy(zero_copy_only=False)
+        # bucket = #bounds strictly below cents (a value equal to a
+        # decile boundary stays in the lower bucket) — mirrored by the
+        # oracle's COUNT(bound < cents)
+        bucket = np.searchsorted(bs, cents, side="left")
+        par = _md5_bucket(b.column("event_id").to_pylist(), 2)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "c_a": pa.array((par == 0).astype(np.int64)),
+            "c_b": pa.array((par == 1).astype(np.int64))})
+
+    counts = sorted_group_aggregate(
+        base.map_batches(bucketize, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["event_type", "bucket"], [("c_a", "sum"), ("c_b", "sum")],
+        precombine=True).take_all()
+
+    by_type = {}
+    for r in counts:
+        by_type.setdefault(r["event_type"], {})[int(r["bucket"])] = (
+            int(r["c_a"]), int(r["c_b"]))
+    out_t, out_na, out_nb, out_psi = [], [], [], []
+    for t in sorted(by_type):
+        bk = by_type[t]
+        na = sum(a for a, _ in bk.values())
+        nb = sum(bb for _, bb in bk.values())
+        psi = 0.0
+        for k in range(10):
+            ca, cb = bk.get(k, (0, 0))
+            pa_ = (float(ca) + 1.0) / (float(na) + 10.0)
+            pb_ = (float(cb) + 1.0) / (float(nb) + 10.0)
+            psi = psi + (pa_ - pb_) * math.log(pa_ / pb_)
+        out_t.append(t)
+        out_na.append(na)
+        out_nb.append(nb)
+        out_psi.append(psi)
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "n_a": pa.array(out_na, type=pa.int64()),
+        "n_b": pa.array(out_nb, type=pa.int64()),
+        "psi": pa.array(out_psi, type=pa.float64())})
+
+
+def user_spend_gini(sf_dir: str):
+    """Gini coefficient of per-user purchase spend — the inequality
+    audit behind 'whales vs everyone' revenue questions:
+    ``G = 2·Σᵢ i·xᵢ / (n·S) − (n+1)/n`` over users ranked by
+    (spend, user_id).  Σ i·x is permutation-safe under ties (equal x),
+    so the ranked weighted sum is ONE exact int64 partial off the
+    global-rank exchange; the two final divisions are mirrored
+    float64.  Output also carries the exact integer pieces so the
+    audit is replayable."""
+    from ..stages.scan import grouped_ranks
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        isp = pc.cast(pc.equal(b.column("event_type"),
+                               pa.scalar("purchase")), pa.int64())
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "spend": pc.multiply(isp, _cents(b.column("value")))})
+
+    users = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("spend", "sum")], precombine=True) \
+        .map_batches(lambda b: b.append_column(
+            "one", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    ranked = grouped_ranks(users, key="one",
+                           order_cols=["spend", "user_id"])
+    mom = sorted_group_aggregate(
+        ranked.map_batches(lambda b: pa.table({
+            "one": b.column("one"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "s": b.column("spend"),
+            "iw": pc.multiply(b.column("row_number"),
+                              b.column("spend"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], [("n", "sum"), ("s", "sum"), ("iw", "sum")]).take_all()[0]
+    n, s, iw = int(mom["n"]), int(mom["s"]), int(mom["iw"])
+    gini = (float(2 * iw) / float(n * s)
+            - float(n + 1) / float(n)) if s > 0 else 0.0
+    return pa.table({
+        "n_users": pa.array([n], type=pa.int64()),
+        "total_cents": pa.array([s], type=pa.int64()),
+        "rank_weighted_cents": pa.array([iw], type=pa.int64()),
+        "gini": pa.array([gini], type=pa.float64())})
