@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "events_forecast_backtest": relational.events_forecast_backtest,
+        "vocab_growth_curve": relational.vocab_growth_curve,
         "events_value_psi": relational.events_value_psi,
         "user_spend_gini": relational.user_spend_gini,
         "events_hourly_ewma": relational.events_hourly_ewma,
@@ -1409,6 +1411,81 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "events_forecast_backtest": """
+            WITH e AS (SELECT event_type,
+                              CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                                  AS hour
+                       FROM events),
+            h AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2),
+            rng AS (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+                    FROM h GROUP BY 1),
+            spine AS (SELECT event_type,
+                             CAST(unnest(generate_series(lo, hi))
+                                  AS BIGINT) AS hour
+                      FROM rng),
+            d AS (SELECT s.event_type, s.hour, COALESCE(h.c, 0) AS c
+                  FROM spine s LEFT JOIN h
+                       ON h.event_type = s.event_type
+                      AND h.hour = s.hour),
+            l AS (SELECT event_type, hour, c,
+                         LAG(c, 1) OVER w AS p1,
+                         LAG(c, 24) OVER w AS p24
+                  FROM d
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+            a AS (SELECT event_type,
+                         CAST(COUNT(p1) AS BIGINT) AS n_points,
+                         CAST(COALESCE(SUM(ABS(c - p1)), 0) AS BIGINT)
+                             AS mae_naive_num,
+                         CAST(COUNT(p24) AS BIGINT) AS n_seasonal,
+                         CAST(COALESCE(SUM(ABS(c - p24)), 0) AS BIGINT)
+                             AS mae_seasonal_num
+                  FROM l GROUP BY 1)
+            SELECT event_type, n_points, mae_naive_num, n_seasonal,
+                   mae_seasonal_num,
+                   CASE WHEN n_seasonal = 0
+                          OR mae_naive_num * n_seasonal
+                             <= mae_seasonal_num * n_points
+                        THEN 'naive' ELSE 'seasonal' END AS winner
+            FROM a
+        """,
+        "vocab_growth_curve": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN len(trim(text)) = 0
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE regexp_split_to_array(
+                                       trim(text), '\\s+') END AS toks
+                       FROM documents),
+            cuts AS (SELECT DISTINCT unnest(quantile_disc(doc_id,
+                         [0.1, 0.2, 0.3, 0.4, 0.5,
+                          0.6, 0.7, 0.8, 0.9, 1.0])) AS cut
+                     FROM d),
+            db AS (SELECT (SELECT MIN(cut) FROM cuts
+                           WHERE cut >= d.doc_id) AS ckpt,
+                          len(toks) AS nt
+                   FROM d),
+            da AS (SELECT ckpt, CAST(COUNT(*) AS BIGINT) AS nd,
+                          CAST(SUM(nt) AS BIGINT) AS tk
+                   FROM db GROUP BY 1),
+            p AS (SELECT doc_id, unnest(list_distinct(toks)) AS token
+                  FROM d),
+            f AS (SELECT token, MIN(doc_id) AS fd FROM p GROUP BY 1),
+            vb AS (SELECT (SELECT MIN(cut) FROM cuts
+                           WHERE cut >= f.fd) AS ckpt,
+                          CAST(COUNT(*) AS BIGINT) AS nv
+                   FROM f GROUP BY 1),
+            sp AS (SELECT c.cut, COALESCE(da.nd, 0) AS nd,
+                          COALESCE(da.tk, 0) AS tk,
+                          COALESCE(vb.nv, 0) AS nv
+                   FROM cuts c LEFT JOIN da ON da.ckpt = c.cut
+                        LEFT JOIN vb ON vb.ckpt = c.cut)
+            SELECT cut AS checkpoint_doc,
+                   CAST(SUM(nd) OVER w AS BIGINT) AS n_docs,
+                   CAST(SUM(tk) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(SUM(nv) OVER w AS BIGINT) AS distinct_tokens
+            FROM sp
+            WINDOW w AS (ORDER BY cut ROWS UNBOUNDED PRECEDING)
         """,
         "events_value_psi": """
             WITH e AS (SELECT event_type,

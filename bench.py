@@ -476,6 +476,10 @@ def _run_all_queries(sf_dir: str, timed):
     timed("embedding_mmr_topk", lambda: ann.embedding_mmr_topk(sf_dir))
     timed("events_value_psi", lambda: relational.events_value_psi(sf_dir))
     timed("user_spend_gini", lambda: relational.user_spend_gini(sf_dir))
+    timed("events_forecast_backtest",
+          lambda: relational.events_forecast_backtest(sf_dir))
+    timed("vocab_growth_curve",
+          lambda: relational.vocab_growth_curve(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -8324,3 +8324,156 @@ def user_spend_gini(sf_dir: str):
         "total_cents": pa.array([s], type=pa.int64()),
         "rank_weighted_cents": pa.array([iw], type=pa.int64()),
         "gini": pa.array([gini], type=pa.float64())})
+
+
+def events_forecast_backtest(sf_dir: str):
+    """Rolling-origin backtest of the two standard count baselines —
+    naive (tomorrow = today) vs seasonal-naive (tomorrow = same hour
+    yesterday) — scored per type with EXACT integer absolute-error
+    sums over the hourly series; the winner column is an integer
+    cross-comparison (ties → 'naive').  This is the model-selection
+    table every forecasting pipeline bootstraps from, and it needs no
+    float at all.  One hourly aggregate + one per-type LAG scan."""
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pc.cast(pc.divide(ts, pa.scalar(3_600_000_000,
+                                                    type=pa.int64())),
+                            pa.int64()),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    hourly = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("c", "sum")], precombine=True) \
+        .take_all()
+
+    by_type = {}
+    for r in hourly:
+        by_type.setdefault(r["event_type"], {})[int(r["hour"])] = \
+            int(r["c"])
+    out = {"event_type": [], "n_points": [], "mae_naive_num": [],
+           "n_seasonal": [], "mae_seasonal_num": [], "winner": []}
+    for t in sorted(by_type):
+        hc = by_type[t]
+        # dense hour spine: a missing hour is a true zero count
+        lo, hi = min(hc), max(hc)
+        series = [hc.get(h, 0) for h in range(lo, hi + 1)]
+        nv = len(series) - 1
+        e_naive = sum(abs(series[i + 1] - series[i]) for i in range(nv))
+        ns = max(0, len(series) - 24)
+        e_seas = sum(abs(series[i + 24] - series[i]) for i in range(ns))
+        # integer cross-comparison on common footing: compare mean
+        # absolute errors as e_naive·ns vs e_seas·nv
+        if ns == 0 or e_naive * ns <= e_seas * nv:
+            winner = "naive"
+        else:
+            winner = "seasonal"
+        out["event_type"].append(t)
+        out["n_points"].append(nv)
+        out["mae_naive_num"].append(e_naive)
+        out["n_seasonal"].append(ns)
+        out["mae_seasonal_num"].append(e_seas)
+        out["winner"].append(winner)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_points": pa.array(out["n_points"], type=pa.int64()),
+        "mae_naive_num": pa.array(out["mae_naive_num"], type=pa.int64()),
+        "n_seasonal": pa.array(out["n_seasonal"], type=pa.int64()),
+        "mae_seasonal_num": pa.array(out["mae_seasonal_num"],
+                                     type=pa.int64()),
+        "winner": pa.array(out["winner"], type=pa.string())})
+
+
+def vocab_growth_curve(sf_dir: str):
+    """Heaps'-law vocabulary growth: distinct tokens seen after the
+    first k docs, at ten doc-id decile checkpoints — how a curation
+    team decides whether a corpus is still adding novelty or just
+    repeating itself.  Scale shape: checkpoint values are exact doc-id
+    deciles (quantile machinery); per-doc token counts and per-token
+    first occurrences (min doc_id — the dedup-lines plan) each bucket
+    to their first checkpoint DISTRIBUTED; only the ten-row prefix
+    fold runs on the driver."""
+    from ..stages.quantile import grouped_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    stats = docs.map_batches(lambda b: pa.table({
+        "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        "doc_id": b.column("doc_id"),
+        "n_tokens": pa.array(
+            [len(t.split()) for t in b.column("text").to_pylist()],
+            type=pa.int64())}), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    qs = [i / 10 for i in range(1, 11)]
+    qrow = grouped_quantiles(stats, group="g", value_col="doc_id",
+                             qs=qs,
+                             out_names=[f"c{i}" for i in range(1, 11)]) \
+        .take_all()[0]
+    cuts = sorted({int(qrow[f"c{i}"]) for i in range(1, 11)})
+    cut_arr = np.array(cuts, dtype=np.int64)
+    c_ref = ray.put(cut_arr)
+
+    def bucket(col):
+        def fn(b: pa.Table) -> pa.Table:
+            cu = ray.get(c_ref)
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(cu, v, side="left")
+            t = pa.table({"ckpt": pa.array(cu[idx], type=pa.int64())})
+            for name in b.schema.names:
+                if name not in ("g", col):
+                    t = t.append_column(name, b.column(name))
+            return t.append_column(
+                "n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        return fn
+
+    doc_agg = sorted_group_aggregate(
+        stats.map_batches(bucket("doc_id"), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["ckpt"], [("n", "sum"), ("n_tokens", "sum")],
+        precombine=True).take_all()
+
+    def postings(b: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            for tok in set(t.split()):
+                ids.append(did)
+                toks.append(tok)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "token": pa.array(toks, type=pa.string())})
+
+    first = sorted_group_aggregate(
+        docs.map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["token"], [("doc_id", "min")], precombine=True)
+    voc_agg = sorted_group_aggregate(
+        first.map_batches(bucket("doc_id"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .map_batches(lambda b: b.select(["ckpt", "n"]),
+                     batch_format="pyarrow"),
+        ["ckpt"], [("n", "sum")]).take_all()
+
+    nd = {int(r["ckpt"]): (int(r["n"]), int(r["n_tokens"]))
+          for r in doc_agg}
+    nv = {int(r["ckpt"]): int(r["n"]) for r in voc_agg}
+    out_c, out_d, out_t, out_v = [], [], [], []
+    cd = ct = cv = 0
+    for cut in cuts:
+        d, t = nd.get(cut, (0, 0))
+        cd += d
+        ct += t
+        cv += nv.get(cut, 0)
+        out_c.append(cut)
+        out_d.append(cd)
+        out_t.append(ct)
+        out_v.append(cv)
+    return pa.table({
+        "checkpoint_doc": pa.array(out_c, type=pa.int64()),
+        "n_docs": pa.array(out_d, type=pa.int64()),
+        "cum_tokens": pa.array(out_t, type=pa.int64()),
+        "distinct_tokens": pa.array(out_v, type=pa.int64())})
