@@ -283,9 +283,15 @@ _R3_WINDOW = [
     # events_rollup and user_event_type_seq rotate OUT — every one
     # driver-green in an earlier window, each family keeps at least one
     # representative — for the second session-5 operator batch)
-    "token_collocations", "doc_redirect_resolution",
-    "events_benford_audit", "copurchase_triple_itemsets",
-    "gopher_rule_flags", "token_cms_counts", "part_negative_samples",
+    # (r3 final rotation: token_collocations, events_benford_audit,
+    # copurchase_triple_itemsets and gopher_rule_flags rotate OUT
+    # (locally gate-green; families keep source_ngram_overlap /
+    # events_cusum_peaks / part_clustering_coefficient /
+    # events_quality_checks) — for the IVM delta-join law, survival,
+    # conformal calibration and PSI drift)
+    "orders_join_ivm", "doc_redirect_resolution",
+    "user_conversion_survival", "events_conformal_coverage",
+    "events_value_psi", "token_cms_counts", "part_negative_samples",
     "embedding_truncation_recall", "video_scene_changes",
     "events_orders_join_profile",
     "user_day_purchase_views",
