@@ -441,6 +441,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).embedding_dbscan(sf),
         "events_kanonymity": relational.events_kanonymity,
         "events_dp_counts": relational.events_dp_counts,
+        "copurchase_degree_assortativity": lambda sf: __import__(
+            "kgray.pipelines.graph",
+            fromlist=["copurchase_degree_assortativity"]
+        ).copurchase_degree_assortativity(sf),
+        "copurchase_robustness": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["copurchase_robustness"]
+        ).copurchase_robustness(sf),
         "events_forecast_backtest": relational.events_forecast_backtest,
         "vocab_growth_curve": relational.vocab_growth_curve,
         "events_value_psi": relational.events_value_psi,
@@ -1417,6 +1424,119 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
                    MIN(CASE WHEN rn = 63 THEN mean END) AS ci_hi
             FROM rr GROUP BY event_type
+        """,
+        "copurchase_degree_assortativity": """
+            WITH counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            d AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM sym GROUP BY 1),
+            j AS (SELECT ds.deg AS dx, dd.deg AS dy
+                  FROM sym JOIN d ds ON ds.node = sym.src
+                       JOIN d dd ON dd.node = sym.dst),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                         CAST(SUM(dx) AS BIGINT) AS sx,
+                         CAST(SUM(dy) AS BIGINT) AS sy,
+                         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                         CAST(SUM(dy * dy) AS BIGINT) AS syy
+                  FROM j)
+            SELECT m AS n_directed_edges,
+                   m * sxy - sx * sy AS num,
+                   m * sxx - sx * sx AS den2_x,
+                   m * syy - sy * sy AS den2_y,
+                   CASE WHEN m * sxx - sx * sx > 0
+                          AND m * syy - sy * sy > 0
+                        THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                                    * CAST(m * syy - sy * sy AS DOUBLE))
+                        ELSE 0.0 END AS assortativity
+            FROM m
+        """,
+        "copurchase_robustness": """
+            WITH RECURSIVE counted AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+                FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2
+            ), e AS (SELECT a, b FROM counted WHERE c >= 2),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                   FROM sym GROUP BY 1),
+            s0 AS (SELECT src, dst FROM sym),
+            n0 AS (SELECT DISTINCT src AS node FROM s0),
+            reach0(node, r) AS (
+                SELECT node, node FROM n0
+                UNION
+                SELECT reach0.node, s0.dst
+                FROM reach0 JOIN s0 ON s0.src = reach0.r),
+            cc0 AS (SELECT node, MIN(r) AS cid
+                     FROM reach0 GROUP BY node),
+            sz0 AS (SELECT cid, COUNT(*) AS n FROM cc0 GROUP BY 1),
+            row0 AS (SELECT CAST(0 AS BIGINT) AS k_removed,
+                             CAST((SELECT COUNT(*) FROM cc0) AS BIGINT)
+                                 AS n_nodes,
+                             CAST((SELECT COUNT(*) FROM s0) / 2
+                                  AS BIGINT) AS n_edges,
+                             CAST(COALESCE((SELECT MAX(n) FROM sz0), 0)
+                                  AS BIGINT) AS largest_component),
+            h5 AS (SELECT node FROM (
+                     SELECT node, ROW_NUMBER() OVER (
+                         ORDER BY deg DESC, node) AS rn
+                     FROM dg) WHERE rn <= 5),
+            s5 AS (SELECT src, dst FROM sym
+                    WHERE src NOT IN (SELECT node FROM h5)
+                      AND dst NOT IN (SELECT node FROM h5)),
+            n5 AS (SELECT DISTINCT src AS node FROM s5),
+            reach5(node, r) AS (
+                SELECT node, node FROM n5
+                UNION
+                SELECT reach5.node, s5.dst
+                FROM reach5 JOIN s5 ON s5.src = reach5.r),
+            cc5 AS (SELECT node, MIN(r) AS cid
+                     FROM reach5 GROUP BY node),
+            sz5 AS (SELECT cid, COUNT(*) AS n FROM cc5 GROUP BY 1),
+            row5 AS (SELECT CAST(5 AS BIGINT) AS k_removed,
+                             CAST((SELECT COUNT(*) FROM cc5) AS BIGINT)
+                                 AS n_nodes,
+                             CAST((SELECT COUNT(*) FROM s5) / 2
+                                  AS BIGINT) AS n_edges,
+                             CAST(COALESCE((SELECT MAX(n) FROM sz5), 0)
+                                  AS BIGINT) AS largest_component),
+            h20 AS (SELECT node FROM (
+                     SELECT node, ROW_NUMBER() OVER (
+                         ORDER BY deg DESC, node) AS rn
+                     FROM dg) WHERE rn <= 20),
+            s20 AS (SELECT src, dst FROM sym
+                    WHERE src NOT IN (SELECT node FROM h20)
+                      AND dst NOT IN (SELECT node FROM h20)),
+            n20 AS (SELECT DISTINCT src AS node FROM s20),
+            reach20(node, r) AS (
+                SELECT node, node FROM n20
+                UNION
+                SELECT reach20.node, s20.dst
+                FROM reach20 JOIN s20 ON s20.src = reach20.r),
+            cc20 AS (SELECT node, MIN(r) AS cid
+                     FROM reach20 GROUP BY node),
+            sz20 AS (SELECT cid, COUNT(*) AS n FROM cc20 GROUP BY 1),
+            row20 AS (SELECT CAST(20 AS BIGINT) AS k_removed,
+                             CAST((SELECT COUNT(*) FROM cc20) AS BIGINT)
+                                 AS n_nodes,
+                             CAST((SELECT COUNT(*) FROM s20) / 2
+                                  AS BIGINT) AS n_edges,
+                             CAST(COALESCE((SELECT MAX(n) FROM sz20), 0)
+                                  AS BIGINT) AS largest_component)
+            SELECT * FROM row0
+            UNION ALL SELECT * FROM row5
+            UNION ALL SELECT * FROM row20
         """,
         "events_forecast_backtest": """
             WITH e AS (SELECT event_type,

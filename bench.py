@@ -480,6 +480,10 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.events_forecast_backtest(sf_dir))
     timed("vocab_growth_curve",
           lambda: relational.vocab_growth_curve(sf_dir))
+    timed("copurchase_degree_assortativity",
+          lambda: _graph.copurchase_degree_assortativity(sf_dir))
+    timed("copurchase_robustness",
+          lambda: _graph.copurchase_robustness(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1059,3 +1059,158 @@ def part_components(sf_dir: str, min_count: int = 2):
         lambda b: pa.table({"part": b.column("node"),
                             "component": b.column("cluster_id")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def copurchase_degree_assortativity(sf_dir: str, min_count: int = 2):
+    """Degree assortativity of the co-purchase graph — do hubs link to
+    hubs (r>0) or to leaves (r<0)?  Pearson correlation of endpoint
+    degrees over the directed edge list (both directions, the standard
+    Newman convention): five exact int64 sufficient statistics off one
+    degree join, one mirrored-float finalization (the OLS/regression
+    discipline).  Output also carries the integer pieces."""
+    from .relational import _copurchase_pair_counts, _unpack_pair
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())
+
+    def both(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").combine_chunks()
+        c = b.column("part_b").combine_chunks()
+        return pa.table({"src": pa.chunked_array([a, c]),
+                         "dst": pa.chunked_array([c, a])})
+
+    sym = edges.map_batches(both, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    deg = sorted_group_aggregate(
+        sym.map_batches(lambda b: pa.table({
+            "src": b.column("src"),
+            "deg": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["src"], [("deg", "sum")])
+
+    j1 = sorted_merge_join(sym, deg, on="src").map_batches(
+        lambda b: pa.table({"src": b.column("dst"),
+                            "deg_src": b.column("deg")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j2 = sorted_merge_join(
+        j1, deg.map_batches(lambda b: b.rename_columns(["src", "deg"]),
+                            batch_format="pyarrow"), on="src")
+
+    mom = sorted_group_aggregate(
+        j2.map_batches(lambda b: pa.table({
+            "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "m": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sx": b.column("deg_src"),
+            "sy": b.column("deg"),
+            "sxy": pc.multiply(b.column("deg_src"), b.column("deg")),
+            "sxx": pc.multiply(b.column("deg_src"),
+                               b.column("deg_src")),
+            "syy": pc.multiply(b.column("deg"), b.column("deg"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("m", "sum"), ("sx", "sum"), ("sy", "sum"),
+                ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]) \
+        .take_all()[0]
+    m = int(mom["m"])
+    sx, sy = int(mom["sx"]), int(mom["sy"])
+    sxy, sxx, syy = int(mom["sxy"]), int(mom["sxx"]), int(mom["syy"])
+    num = m * sxy - sx * sy
+    den2_x = m * sxx - sx * sx
+    den2_y = m * syy - sy * sy
+    import math
+    r = (float(num) / math.sqrt(float(den2_x) * float(den2_y))) \
+        if den2_x > 0 and den2_y > 0 else 0.0
+    return pa.table({
+        "n_directed_edges": pa.array([m], type=pa.int64()),
+        "num": pa.array([num], type=pa.int64()),
+        "den2_x": pa.array([den2_x], type=pa.int64()),
+        "den2_y": pa.array([den2_y], type=pa.int64()),
+        "assortativity": pa.array([r], type=pa.float64())})
+
+
+def copurchase_robustness(sf_dir: str, min_count: int = 2,
+                          ks=(0, 5, 20)):
+    """Hub-removal robustness curve: after deleting the top-k
+    highest-degree nodes (ties → lower part key), how many nodes/edges
+    survive and how large is the biggest component — the resilience
+    audit behind 'what if the head entity disappears'.  Hub selection
+    is a degree top-k; each k's surviving subgraph runs the shared CC
+    machinery; everything per k is edge-stream-sized."""
+    from .cluster import connected_components
+    from .relational import _copurchase_pair_counts, _unpack_pair
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.semijoin import semi_join
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .map_batches(lambda b: pa.table({
+                 "id_a": b.column("part_a"),
+                 "id_b": b.column("part_b")}),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .materialize())
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b.column("id_a").to_numpy(zero_copy_only=False),
+            b.column("id_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(v, type=pa.int64()),
+                         "deg": pa.array(np.ones(len(v),
+                                                 dtype=np.int64))})
+
+    deg = sorted_group_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node"], [("deg", "sum")]).materialize()
+    n_nodes_total = deg.count()
+
+    # hub ranking is k_max-sized: sort+limit streams, never collects
+    k_max = max(ks)
+    hubs_tbl = deg.sort(["deg", "node"],
+                        descending=[True, False]).limit(k_max) \
+        .to_pandas() if k_max > 0 else None
+
+    out_k, out_n, out_e, out_c = [], [], [], []
+    for k in sorted(ks):
+        if k == 0:
+            surv = edges
+        else:
+            removed = set(hubs_tbl["node"].head(k).tolist())
+            ban = rd.from_arrow(pa.table({
+                "id_a": pa.array(sorted(removed), type=pa.int64())}))
+            surv = semi_join(edges, ban, on="id_a", anti=True)
+            surv = semi_join(
+                surv, ban.map_batches(
+                    lambda b: b.rename_columns(["id_b"]),
+                    batch_format="pyarrow"), on="id_b",
+                anti=True).materialize()
+        n_edges = surv.count()
+        if n_edges == 0:
+            out_k.append(k)
+            out_n.append(0)
+            out_e.append(0)
+            out_c.append(0)
+            continue
+        cc = connected_components(surv)
+        sizes = sorted_group_aggregate(
+            cc.map_batches(lambda b: pa.table({
+                "cluster_id": b.column("cluster_id"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["cluster_id"], [("n", "sum")])
+        largest = int(sizes.max("n") or 0)
+        n_surv_nodes = cc.count()
+        out_k.append(k)
+        out_n.append(n_surv_nodes)
+        out_e.append(n_edges)
+        out_c.append(largest)
+    return pa.table({
+        "k_removed": pa.array(out_k, type=pa.int64()),
+        "n_nodes": pa.array(out_n, type=pa.int64()),
+        "n_edges": pa.array(out_e, type=pa.int64()),
+        "largest_component": pa.array(out_c, type=pa.int64())})
