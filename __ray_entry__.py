@@ -452,6 +452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": relational.vocab_growth_curve,
         "events_value_psi": relational.events_value_psi,
         "user_spend_gini": relational.user_spend_gini,
+        "events_kmv_distinct": relational.events_kmv_distinct,
+        "events_mannwhitney_u": relational.events_mannwhitney_u,
+        "copurchase_closeness": relational.copurchase_closeness,
+        "source_keyness_tokens": text.source_keyness_tokens,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -1688,6 +1692,130 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
                         ELSE 0.0 END AS gini
             FROM m
+        """,
+        "events_kmv_distinct": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+            h AS (SELECT event_type, user_id,
+                         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) AS hv
+                  FROM d),
+            r AS (SELECT event_type, hv,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY hv, user_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+                  FROM h)
+            SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(CASE WHEN n_exact < 64 THEN n_exact
+                        ELSE 64 END AS BIGINT) AS n_sketch,
+                   hv AS kth_hash,
+                   CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) * 4294967296.0
+                             / CAST(hv AS DOUBLE)
+                   END AS est_distinct
+            FROM r
+            WHERE rn = CASE WHEN n_exact < 64 THEN n_exact ELSE 64 END
+            ORDER BY event_type
+        """,
+        "events_mannwhitney_u": """
+            WITH p AS (
+                SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+                       CASE WHEN ((CAST(epoch_us(ts) AS BIGINT)
+                                   // 86400000000) + 4) % 7 IN (0, 6)
+                            THEN 1 ELSE 0 END AS wa
+                FROM events WHERE event_type = 'purchase'),
+            g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                         CAST(SUM(wa) AS BIGINT) AS ca
+                  FROM p GROUP BY 1),
+            r AS (SELECT v, cnt, ca,
+                         SUM(cnt) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM g),
+            m AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                         CAST(SUM(cnt) AS BIGINT) AS n,
+                         CAST(SUM(ca * (2*(cum-cnt) + cnt + 1)) AS BIGINT)
+                             AS r2a,
+                         CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS ties
+                  FROM r)
+            SELECT na AS n_weekend, (n - na) AS n_weekday,
+                   (r2a - na*(na+1)) AS u2_weekend,
+                   (2*na*(n-na) - (r2a - na*(na+1))) AS u2_weekday,
+                   CASE WHEN CAST(na AS HUGEINT)*(n-na)
+                             *((CAST(n AS HUGEINT)+1)*n*(n-1) - ties) > 0
+                        THEN CAST(r2a - na*(na+1) - na*(n-na) AS DOUBLE)
+                             / (2.0 * SQRT(
+                                 CAST(CAST(na AS HUGEINT)*(n-na)
+                                      *((CAST(n AS HUGEINT)+1)*n*(n-1)
+                                        - ties) AS DOUBLE)
+                                 / CAST(CAST(12 AS HUGEINT)*n*(n-1)
+                                        AS DOUBLE)))
+                        ELSE 0.0 END AS z_score
+            FROM m
+        """,
+        "copurchase_closeness": """
+            WITH RECURSIVE e AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            seeds AS (SELECT node FROM nodes
+                      ORDER BY CAST(('0x' || substr(
+                          md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT),
+                          node
+                      LIMIT 8),
+            bfs(seed, node, dist) AS (
+                SELECT node, node, 0 FROM seeds
+                UNION
+                SELECT b.seed, s.dst, b.dist + 1
+                FROM bfs b JOIN sym s ON b.node = s.src
+                WHERE b.dist < 6),
+            d AS (SELECT seed, node, MIN(dist) AS dist
+                  FROM bfs GROUP BY 1, 2)
+            SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(dist) AS BIGINT) AS sum_dist,
+                   CAST(MAX(dist) AS BIGINT) AS eccentricity,
+                   CASE WHEN SUM(dist) > 0
+                        THEN CAST(COUNT(*) - 1 AS DOUBLE)
+                             / CAST(SUM(dist) AS DOUBLE)
+                        ELSE 0.0 END AS closeness
+            FROM d GROUP BY seed ORDER BY seed
+        """,
+        "source_keyness_tokens": f"""
+            WITH toks AS (SELECT source, unnest({_TOKS}) AS token
+                          FROM documents WHERE trim(text) <> ''),
+            st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a
+                   FROM toks GROUP BY 1, 2),
+            tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS ct
+                   FROM st GROUP BY 1),
+            srct AS (SELECT source, CAST(SUM(a) AS BIGINT) AS na
+                     FROM st GROUP BY 1),
+            tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+            sc AS (SELECT st.source, st.token, st.a AS a,
+                          tt.ct - st.a AS b, srct.na AS na,
+                          tot.n - srct.na AS nb, tot.n AS n
+                   FROM st JOIN tt USING (token)
+                        JOIN srct USING (source) CROSS JOIN tot),
+            ky AS (SELECT source, token, a, b,
+                          2.0 * (CAST(a AS DOUBLE)
+                                 * ln(CAST(a*n AS DOUBLE)
+                                      / CAST(na*(a+b) AS DOUBLE))
+                                 + CASE WHEN b > 0
+                                        THEN CAST(b AS DOUBLE)
+                                             * ln(CAST(b*n AS DOUBLE)
+                                                  / CAST(nb*(a+b)
+                                                         AS DOUBLE))
+                                        ELSE 0.0 END) AS keyness
+                   FROM sc WHERE a + b >= 5 AND a * nb > b * na),
+            r AS (SELECT source, token, a AS n_source, b AS n_rest,
+                         keyness,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY keyness DESC, token) AS rank
+                  FROM ky)
+            SELECT source, token, n_source, n_rest, keyness, rank
+            FROM r WHERE rank <= 5 ORDER BY source, rank
         """,
         "events_hourly_ewma": """
             WITH RECURSIVE h AS (

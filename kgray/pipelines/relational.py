@@ -8477,3 +8477,264 @@ def vocab_growth_curve(sf_dir: str):
         "n_docs": pa.array(out_d, type=pa.int64()),
         "cum_tokens": pa.array(out_t, type=pa.int64()),
         "distinct_tokens": pa.array(out_v, type=pa.int64())})
+
+
+def events_kmv_distinct(sf_dir: str, k: int = 64):
+    """K-minimum-values distinct-count sketch per event type, audited
+    against the exact count in the same output row — the third sketch
+    family next to HLL (``event_user_distinct_hll``) and Count-Min
+    (``token_cms_counts``).  KMV keeps the k smallest hash values of
+    the distinct keys; with h_k the k-th smallest of a 32-bit hash the
+    estimate is ``(k-1)·2³² / h_k``, and unlike HLL the sketch is a
+    pure ORDER STATISTIC: bottom-k sets merge exactly (union → bottom
+    k), so the distributed sketch is bit-identical to a serial one at
+    any partitioning.  Hash = first 8 hex chars of md5(user_id), the
+    engine-portable convention of ``functions/sampling.py``, so DuckDB
+    reproduces the sketch — not just the exact side — bitwise.
+
+    Plan: distinct (type, user) pairs via one combined aggregate, per-
+    type exact counts (type-sized), per-type bottom-k hashes via the
+    ``grouped_topk`` exchange (k·types rows); only the ≤ k·types
+    sketch rows ever reach the driver.  Types with fewer than k
+    distinct keys report the exact count as the estimate (the standard
+    KMV small-set rule)."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.topk import grouped_topk
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    distinct = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "user_id": b.column("user_id"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "user_id"], [("c", "sum")],
+        precombine=True).materialize()
+
+    counts = sorted_group_aggregate(
+        distinct.map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("n", "sum")]).take_all()
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("user_id").to_pylist(), 1 << 62)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "user_id": b.column("user_id"),
+            "hv": pa.array(h, type=pa.int64())})
+
+    top = grouped_topk(
+        distinct.map_batches(add_hash, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        group="event_type", order_col="hv", tiebreak="user_id",
+        k=k, descending=False).take_all()
+
+    n_exact = {r["event_type"]: int(r["n"]) for r in counts}
+    kth = {}
+    for r in top:
+        t = r["event_type"]
+        if int(r["rank"]) == min(k, n_exact[t]):
+            kth[t] = int(r["hv"])
+    types = sorted(n_exact)
+    est = []
+    for t in types:
+        n = n_exact[t]
+        if n < k:
+            est.append(float(n))
+        else:
+            # exact small-int product 63·2³² (< 2⁵³), one IEEE divide —
+            # mirrored literally in the oracle
+            est.append(float(k - 1) * 4294967296.0 / float(kth[t]))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "n_exact": pa.array([n_exact[t] for t in types], type=pa.int64()),
+        "n_sketch": pa.array([min(k, n_exact[t]) for t in types],
+                             type=pa.int64()),
+        "kth_hash": pa.array([kth[t] for t in types], type=pa.int64()),
+        "est_distinct": pa.array(est, type=pa.float64())})
+
+
+def events_mannwhitney_u(sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) test of weekend vs weekday
+    purchase values — the NONPARAMETRIC two-sample test that the
+    existing z-tests (``events_ab_ztest``, Welch) can't replace when
+    the value distribution is fat-tailed.  Everything up to the final
+    z-score is EXACT INTEGER: with midranks doubled (2·r is an integer
+    even when r is a .5 midrank), the doubled rank-sum of group A is
+    ``R2a = Σ_v ca(v)·(2·|{<v}| + cnt(v) + 1)`` over DISTINCT values,
+    so one grouped count + one ``grouped_running_sum`` prefix-scan
+    exchange + one 4-way sum produce (na, n, R2a, Σ(t³−t)) with no
+    row-level ranking shuffle at all.  Weekend = epoch-day arithmetic
+    ``((µs // 86400e6) + 4) % 7 ∈ {0,6}`` (1970-01-01 is a Thursday),
+    identical integers in Arrow and SQL — no timezone/locale trap.
+
+    The z-score is assembled from exact-int pieces on the driver
+    (single row): 2U_A = R2a − na(na+1); E[2U] = na·nb;
+    Var(U) = na·nb·(n(n+1)(n−1) − Σ(t³−t)) / (12n(n−1)).  The variance
+    numerator exceeds int64 (n³ term), so it stays a Python big int
+    mirrored by HUGEINT in the oracle; each side rounds it to double
+    once.  Int64 partial bound: R2a ≤ na·(2n+1) — fine to n ~ 2³¹ rows
+    per cohort; past that the doubled-rank partials need decimal128."""
+    import math
+
+    from ..stages.scan import grouped_running_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase'")
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        wa = ((dow == 0) | (dow == 6)).astype(np.int64)
+        return pa.table({"v": _cents(b.column("value")),
+                         "cnt": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64)),
+                         "ca": pa.array(wa, type=pa.int64())})
+
+    groups = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], [("cnt", "sum"), ("ca", "sum")], precombine=True)
+
+    run = grouped_running_sum(
+        groups.map_batches(lambda b: b.append_column(
+            "one", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="one", order_cols=["v"], value_col="cnt", out_name="cum")
+
+    def terms(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        ca = b.column("ca").to_numpy(zero_copy_only=False)
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "one": b.column("one"),
+            "na": pa.array(ca, type=pa.int64()),
+            "n": pa.array(cnt, type=pa.int64()),
+            "r2a": pa.array(ca * (2 * (cum - cnt) + cnt + 1),
+                            type=pa.int64()),
+            "ties": pa.array(cnt * cnt * cnt - cnt, type=pa.int64())})
+
+    mom = sorted_group_aggregate(
+        run.map_batches(terms, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["one"], [("na", "sum"), ("n", "sum"), ("r2a", "sum"),
+                  ("ties", "sum")]).take_all()[0]
+    na, n, r2a, ties = (int(mom["na"]), int(mom["n"]),
+                        int(mom["r2a"]), int(mom["ties"]))
+    nb = n - na
+    u2a = r2a - na * (na + 1)
+    u2b = 2 * na * nb - u2a
+    var_num = na * nb * ((n + 1) * n * (n - 1) - ties)   # Python big int
+    var_den = 12 * n * (n - 1)
+    if var_num > 0:
+        z = (float(u2a - na * nb)
+             / (2.0 * math.sqrt(float(var_num) / float(var_den))))
+    else:
+        z = 0.0
+    return pa.table({
+        "n_weekend": pa.array([na], type=pa.int64()),
+        "n_weekday": pa.array([nb], type=pa.int64()),
+        "u2_weekend": pa.array([u2a], type=pa.int64()),
+        "u2_weekday": pa.array([u2b], type=pa.int64()),
+        "z_score": pa.array([z], type=pa.float64())})
+
+
+def copurchase_closeness(sf_dir: str, n_seeds: int = 8,
+                         max_depth: int = 6, min_count: int = 2):
+    """Closeness centrality + eccentricity of deterministic seed nodes
+    in the thresholded co-purchase graph, by bounded-depth distributed
+    BFS — the multi-source shortest-path primitive PageRank/components
+    don't cover.  Seeds = the ``n_seeds`` nodes with the smallest
+    md5(node) (a stable sample, same rule as ``functions/sampling``);
+    the frontier table (seed, node, dist) expands one ``auto_join``
+    against the symmetric edge list per level and re-reduces with a
+    MIN-dist aggregate, so per level the shuffle volume is
+    frontier×degree — never nodes², never materialized on the driver.
+    Depth is capped at ``max_depth`` to keep the SQL mirror a bounded
+    recursive CTE; BFS level order makes every dist ≤ r final when
+    frontier r expands, so the MIN reduce is exact.  Output is
+    seed-sized: reached-set size, distance sum, eccentricity (max
+    dist within the cap) and closeness ``(n_reached−1)/Σdist`` as one
+    mirrored IEEE division."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.join import auto_join
+
+    total = _copurchase_pair_counts(sf_dir)
+    edges = (total.map_batches(_unpack_pair, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}"))
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        bb = b.column("part_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, bb]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([bb, a]), type=pa.int64())})
+
+    sym_ds = edges.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    nodes = sorted_group_aggregate(
+        sym_ds.map_batches(lambda b: pa.table({
+            "node": b.column("node"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], [("c", "sum")])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("node").to_pylist(), 1 << 62)
+        return pa.table({"node": b.column("node"),
+                         "hv": pa.array(h, type=pa.int64())})
+
+    seed_rows = (nodes.map_batches(add_hash, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .sort(["hv", "node"]).limit(n_seeds).take_all())
+    seed_ids = sorted(int(r["node"]) for r in seed_rows)
+
+    dist = rd.from_arrow(pa.table({
+        "seed": pa.array(seed_ids, type=pa.int64()),
+        "node": pa.array(seed_ids, type=pa.int64()),
+        "dist": pa.array(np.zeros(len(seed_ids), dtype=np.int64))}))
+    for r in range(max_depth):
+        frontier = dist.filter(expr=f"dist == {r}") \
+            .map_batches(lambda b: b.select(["seed", "node"]),
+                         batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+        nxt = auto_join(frontier, sym_ds, on="node").map_batches(
+            lambda b, d=r + 1: pa.table({
+                "seed": b.column("seed"),
+                "node": b.column("dst"),
+                "dist": pa.array(np.full(b.num_rows, d, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        dist = sorted_group_aggregate(
+            dist.union(nxt), ["seed", "node"], [("dist", "min")],
+            precombine=True).materialize()
+
+    agg = sorted_group_aggregate(
+        dist.map_batches(lambda b: pa.table({
+            "seed": b.column("seed"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "s": b.column("dist"), "m": b.column("dist")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["seed"], [("n", "sum"), ("s", "sum"), ("m", "max")]).take_all()
+
+    by_seed = {int(r["seed"]): r for r in agg}
+    out_n, out_s, out_m, out_c = [], [], [], []
+    for sid in seed_ids:
+        r = by_seed[sid]
+        n, s, m = int(r["n"]), int(r["s"]), int(r["m"])
+        out_n.append(n)
+        out_s.append(s)
+        out_m.append(m)
+        out_c.append(float(n - 1) / float(s) if s > 0 else 0.0)
+    return pa.table({
+        "seed": pa.array(seed_ids, type=pa.int64()),
+        "n_reached": pa.array(out_n, type=pa.int64()),
+        "sum_dist": pa.array(out_s, type=pa.int64()),
+        "eccentricity": pa.array(out_m, type=pa.int64()),
+        "closeness": pa.array(out_c, type=pa.float64())})

@@ -2067,3 +2067,102 @@ def source_group_splits(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source"])
     return split_assign(docs, "source", bounds=(800, 900))
+
+
+def source_keyness_tokens(sf_dir: str, k_top: int = 5,
+                          min_total: int = 5):
+    """Per-source keyword extraction by log-likelihood keyness (the
+    Dunning G² statistic corpus linguists use to ask "which tokens are
+    over-represented in THIS source vs the rest of the corpus") — the
+    per-subcorpus complement of ``tfidf_top_terms``'s per-document
+    view.  For token t in source s with a = count(t, s),
+    b = count(t, rest), Na/Nb the source/rest token totals and
+    N = Na + Nb:
+
+        G² = 2·( a·ln(aN / (Na(a+b))) + b·ln(bN / (Nb(a+b))) )
+
+    kept only when over-represented (``a·Nb > b·Na`` — an exact
+    integer cross-multiplication, no float threshold) and supported
+    (``a+b ≥ min_total``).  Every ln argument is a ratio of two exact
+    int64 products rounded to double once each (the ``copurchase_pmi``
+    mirror rule; ``math.log`` = libm = DuckDB ``ln`` bitwise — numpy's
+    SIMD log drifts 1 ulp).  Int64 bound: a·N < 2⁶³ holds to ~10⁹-token
+    corpora per source-token cell; past that the products move to
+    float like the oracle's DOUBLE overflow behavior would force.
+
+    Plan (all distributed, vocabulary-sized after the first reduce):
+    flat (source, token) partials → one combined aggregate → token
+    totals by a second vocab-sized aggregate → LARGE×LARGE
+    ``sorted_merge_join`` on token (no broadcast-vocab assumption) →
+    source totals broadcast as a dict (sources are few by
+    construction) → vectorized scoring → ``grouped_topk`` per source."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        srcs, toks, cs = [], [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok, n in Counter(_tokens(t)).items():
+                srcs.append(s)
+                toks.append(tok)
+                cs.append(n)
+        return pa.table({"source": pa.array(srcs, type=pa.string()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "a": pa.array(cs, type=pa.int64())})
+
+    st = sorted_group_aggregate(
+        read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(tf_partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["source", "token"], [("a", "sum")], precombine=True).materialize()
+
+    tt = sorted_group_aggregate(
+        st.map_batches(lambda b: pa.table({
+            "token": b.column("token"), "ct": b.column("a")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], [("ct", "sum")])
+
+    srct = sorted_group_aggregate(
+        st.map_batches(lambda b: pa.table({
+            "source": b.column("source"), "na": b.column("a")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("na", "sum")]).take_all()
+    na_of = {r["source"]: int(r["na"]) for r in srct}
+    n_total = sum(na_of.values())
+
+    joined = sorted_merge_join(st, tt, on="token")
+
+    def score(batch: pa.Table, na_of=na_of, n=n_total) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        ct = batch.column("ct").to_numpy(zero_copy_only=False)
+        b = ct - a
+        na = np.array([na_of[s] for s in src], dtype=np.int64)
+        nb = n - na
+        keep = (ct >= min_total) & (a * nb > b * na)
+        t = batch.filter(pa.array(keep))
+        a, b, na, nb = a[keep], b[keep], na[keep], nb[keep]
+        ky = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            ai, bi, nai, nbi = int(a[i]), int(b[i]), int(na[i]), int(nb[i])
+            ta = float(ai) * math.log(float(ai * n)
+                                      / float(nai * (ai + bi)))
+            tb = (float(bi) * math.log(float(bi * n)
+                                       / float(nbi * (ai + bi)))
+                  if bi > 0 else 0.0)
+            ky[i] = 2.0 * (ta + tb)
+        return pa.table({
+            "source": t.column("source"), "token": t.column("token"),
+            "n_source": t.column("a"),
+            "n_rest": pa.array(b, type=pa.int64()),
+            "keyness": pa.array(ky, type=pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return grouped_topk(scored, group="source", order_col="keyness",
+                        tiebreak="token", k=k_top, descending=True) \
+        .sort(["source", "rank"])

@@ -1,0 +1,150 @@
+"""Session-20 batch: KMV distinct sketch (serial bottom-k replay +
+estimate-accuracy law), Mann-Whitney U (pandas midrank replay +
+U-sum law), seeded BFS closeness/eccentricity (serial BFS replay),
+per-source G2 keyness (serial replay + positivity law)."""
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5i(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_kmv_distinct_serial_and_accuracy(ray_session):
+    from kgray.pipelines.relational import events_kmv_distinct
+
+    got = {r["event_type"]: r
+           for r in events_kmv_distinct(SF).to_pylist()}
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    for t, grp in ev.groupby("event_type"):
+        users = sorted(grp["user_id"].unique())
+        hs = sorted((_md5i(u), u) for u in users)
+        r = got[t]
+        assert r["n_exact"] == len(users)
+        k = min(64, len(users))
+        assert r["n_sketch"] == k
+        assert r["kth_hash"] == hs[k - 1][0]
+        if len(users) < 64:
+            assert r["est_distinct"] == float(len(users))
+        else:
+            exp = float(63) * 4294967296.0 / float(hs[63][0])
+            assert r["est_distinct"] == exp
+            # sketch accuracy: KMV with k=64 has ~1/sqrt(62) rel std;
+            # 3 sigma ≈ 0.38
+            assert abs(exp - len(users)) / len(users) < 0.5
+
+
+def test_mannwhitney_serial(ray_session):
+    from kgray.pipelines.relational import events_mannwhitney_u
+
+    got = events_mannwhitney_u(SF).to_pylist()[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    us = p["ts"].astype("int64")
+    dow = (us // 86_400_000_000 + 4) % 7
+    wa = dow.isin([0, 6]).to_numpy()
+    v = np.floor(p["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    # doubled midranks: 2*rank(average) is always integral
+    r2 = (pd.Series(v).rank(method="average").to_numpy() * 2) \
+        .round().astype(np.int64)
+    na, n = int(wa.sum()), len(v)
+    r2a = int(r2[wa].sum())
+    u2a = r2a - na * (na + 1)
+    assert got["n_weekend"] == na
+    assert got["n_weekday"] == n - na
+    assert got["u2_weekend"] == u2a
+    assert got["u2_weekday"] == 2 * na * (n - na) - u2a
+    # U law: U_A + U_B = na*nb (doubled on both sides)
+    assert got["u2_weekend"] + got["u2_weekday"] == 2 * na * (n - na)
+    # z replay from exact integer pieces
+    cnts = Counter(v.tolist())
+    ties = sum(c ** 3 - c for c in cnts.values())
+    var_num = na * (n - na) * ((n + 1) * n * (n - 1) - ties)
+    var_den = 12 * n * (n - 1)
+    z = (float(u2a - na * (n - na))
+         / (2.0 * math.sqrt(float(var_num) / float(var_den))))
+    assert got["z_score"] == z
+    assert abs(got["z_score"]) < 10.0
+
+
+def test_closeness_serial_bfs(ray_session):
+    from kgray.pipelines.relational import (_copurchase_pair_counts,
+                                            _unpack_pair,
+                                            copurchase_closeness)
+
+    got = {r["seed"]: r for r in copurchase_closeness(SF).to_pylist()}
+    p = _copurchase_pair_counts(SF) \
+        .map_batches(_unpack_pair, batch_format="pyarrow").to_pandas()
+    p = p[p["n_copurchase"] >= 2]
+    adj = {}
+    for a, b in zip(p["part_a"].tolist(), p["part_b"].tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj, key=lambda n: (_md5i(n), n))[:8]
+    assert sorted(got) == sorted(seeds)
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, 7):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        r = got[s]
+        assert r["n_reached"] == len(dist)
+        assert r["sum_dist"] == sum(dist.values())
+        assert r["eccentricity"] == max(dist.values())
+        assert r["eccentricity"] <= 6
+        sd = sum(dist.values())
+        exp = float(len(dist) - 1) / float(sd) if sd > 0 else 0.0
+        assert r["closeness"] == exp
+        assert 0.0 <= r["closeness"] <= 1.0
+
+
+def test_keyness_serial(ray_session):
+    from kgray.pipelines.text import _tokens, source_keyness_tokens
+
+    rows = source_keyness_tokens(SF).take_all()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    st = Counter()
+    for s, t in zip(docs["source"], docs["text"]):
+        for tok in _tokens(t):
+            st[(s, tok)] += 1
+    tt = Counter()
+    na = Counter()
+    for (s, tok), c in st.items():
+        tt[tok] += c
+        na[s] += c
+    n = sum(na.values())
+    # serial replay of every emitted row + structural laws
+    seen_ranks = {}
+    for r in rows:
+        s, tok = r["source"], r["token"]
+        a = st[(s, tok)]
+        b = tt[tok] - a
+        assert r["n_source"] == a and r["n_rest"] == b
+        assert a + b >= 5 and a * (n - na[s]) > b * na[s]
+        ta = float(a) * math.log(float(a * n) / float(na[s] * (a + b)))
+        tb = (float(b) * math.log(
+            float(b * n) / float((n - na[s]) * (a + b)))
+            if b > 0 else 0.0)
+        assert r["keyness"] == 2.0 * (ta + tb)
+        assert r["keyness"] > 0.0       # over-represented only
+        seen_ranks.setdefault(s, []).append(r["rank"])
+    for s, ranks in seen_ranks.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
