@@ -456,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney_u": relational.events_mannwhitney_u,
         "copurchase_closeness": relational.copurchase_closeness,
         "source_keyness_tokens": text.source_keyness_tokens,
+        "user_overlap_kmv": relational.user_overlap_kmv,
+        "token_zipf_slope": text.token_zipf_slope,
+        "token_burstiness": text.token_burstiness,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -1782,6 +1785,104 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(SUM(dist) AS DOUBLE)
                         ELSE 0.0 END AS closeness
             FROM d GROUP BY seed ORDER BY seed
+        """,
+        "token_zipf_slope": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS token
+                          FROM documents WHERE trim(text) <> ''),
+            tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM toks GROUP BY 1),
+            top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                                                   token) AS r
+                    FROM tc),
+            lp AS (SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE))
+                                     * 1000000.0) AS BIGINT) AS lx,
+                          CAST(FLOOR(ln(CAST(cnt AS DOUBLE))
+                                     * 1000000.0) AS BIGINT) AS ly
+                   FROM top WHERE r <= 1000),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(lx AS HUGEINT)) AS sx,
+                         SUM(CAST(ly AS HUGEINT)) AS sy,
+                         SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+                         SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+                  FROM lp),
+            s AS (SELECT n, sx, sy,
+                         CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_points, slope,
+                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS intercept_micronats
+            FROM s
+        """,
+        "token_burstiness": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token
+                          FROM documents WHERE trim(text) <> ''),
+            dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM toks GROUP BY 1, 2),
+            d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+            tk AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                          CAST(SUM(c) AS BIGINT) AS s,
+                          CAST(SUM(c*c) AS BIGINT) AS s2
+                   FROM dt GROUP BY 1),
+            ky AS (SELECT token, df, s, s2,
+                          CAST(d.nd * s2 - s*s AS DOUBLE)
+                              / CAST(s * (d.nd - 1) AS DOUBLE) AS vmr
+                   FROM tk CROSS JOIN d WHERE s >= 30),
+            r AS (SELECT token, df, s AS total_count, s2 AS sum_sq, vmr,
+                         ROW_NUMBER() OVER (ORDER BY vmr DESC, token)
+                             AS rank
+                  FROM ky)
+            SELECT token, df, total_count, sum_sq, vmr, rank
+            FROM r WHERE rank <= 20 ORDER BY rank
+        """,
+        "user_overlap_kmv": """
+            WITH u AS (SELECT user_id,
+                              CAST(MAX(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+                              CAST(MAX(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS ib
+                       FROM events GROUP BY 1),
+            f AS (SELECT user_id, ia, ib, ia*ib AS inb
+                  FROM u WHERE ia + ib > 0),
+            t AS (SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                         CAST(SUM(ib) AS BIGINT) AS nb,
+                         CAST(SUM(inb) AS BIGINT) AS ni,
+                         CAST(COUNT(*) AS BIGINT) AS nu
+                  FROM f),
+            h AS (SELECT inb,
+                         CAST(('0x' || substr(md5(CAST(user_id
+                              AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
+                         ROW_NUMBER() OVER (ORDER BY
+                             CAST(('0x' || substr(md5(CAST(user_id
+                                  AS VARCHAR)), 1, 8)) AS BIGINT),
+                             user_id) AS rn
+                  FROM f),
+            s AS (SELECT MAX(CASE WHEN rn = LEAST((SELECT nu FROM t),
+                                                  256)
+                                  THEN hv END) AS kth,
+                         CAST(SUM(CASE WHEN rn <= 256 THEN inb
+                                       ELSE 0 END) AS BIGINT) AS in_both
+                  FROM h),
+            est AS (SELECT t.na, t.nb, t.ni, t.nu, s.kth, s.in_both,
+                           CASE WHEN t.nu < 256 THEN CAST(t.nu AS DOUBLE)
+                                ELSE CAST(255 AS DOUBLE) * 4294967296.0
+                                     / CAST(s.kth AS DOUBLE)
+                           END AS union_est,
+                           CASE WHEN t.nu < 256 THEN
+                                    CASE WHEN t.nu > 0
+                                         THEN CAST(t.ni AS DOUBLE)
+                                              / CAST(t.nu AS DOUBLE)
+                                         ELSE 0.0 END
+                                ELSE CAST(s.in_both AS DOUBLE)
+                                     / CAST(256 AS DOUBLE)
+                           END AS jaccard_est
+                    FROM t CROSS JOIN s)
+            SELECT na AS n_purchasers, nb AS n_viewers,
+                   ni AS n_inter_exact, nu AS n_union_exact,
+                   kth AS kth_hash, in_both AS sketch_in_both,
+                   union_est, jaccard_est,
+                   jaccard_est * union_est AS inter_est
+            FROM est
         """,
         "source_keyness_tokens": f"""
             WITH toks AS (SELECT source, unnest({_TOKS}) AS token

@@ -8738,3 +8738,87 @@ def copurchase_closeness(sf_dir: str, n_seeds: int = 8,
         "sum_dist": pa.array(out_s, type=pa.int64()),
         "eccentricity": pa.array(out_m, type=pa.int64()),
         "closeness": pa.array(out_c, type=pa.float64())})
+
+
+def user_overlap_kmv(sf_dir: str, k: int = 256):
+    """Audience-overlap estimation by KMV set sketches — the sketch
+    answer to "how many purchasers also view?" when the exact
+    intersection is too wide to shuffle.  Bottom-k hash sketches of
+    the purchaser set A and viewer set B compose EXACTLY under union
+    (bottom-k of A∪B = bottom-k of merged sketches), and the classic
+    estimator stack follows: union from the k-th smallest hash
+    (``(k−1)·2³²/h_k``), Jaccard from the fraction of the union
+    sketch's members that lie in A∩B, intersection as their product.
+    The same output row carries the exact |A|, |B|, |A∩B|, |A∪B| so
+    the estimate is audited in place, and when |A∪B| < k the sketch
+    IS the set (exact fallback, standard KMV small-set rule).
+
+    Plan: one per-user flag aggregate (max of per-row indicators) →
+    one exact-count reduce + one global bottom-k sort; only k sketch
+    rows and a 4-int summary reach the driver.  Hash = first 8 md5
+    hex chars of user_id (`functions/sampling.py` convention), so
+    DuckDB replays the sketch bitwise."""
+    from ..functions.sampling import _md5_bucket
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ia": pc.cast(pc.equal(et, pa.scalar("purchase")), pa.int64()),
+            "ib": pc.cast(pc.equal(et, pa.scalar("view")), pa.int64())})
+
+    users = sorted_group_aggregate(
+        ev.map_batches(flags, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("ia", "max"), ("ib", "max")],
+        precombine=True).map_batches(
+        lambda b: b.filter(pc.greater(pc.add(b.column("ia"),
+                                             b.column("ib")),
+                                      pa.scalar(0, type=pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    tot = sorted_group_aggregate(
+        users.map_batches(lambda b: pa.table({
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "na": b.column("ia"), "nb": b.column("ib"),
+            "ni": pc.multiply(b.column("ia"), b.column("ib")),
+            "nu": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], [("na", "sum"), ("nb", "sum"), ("ni", "sum"),
+                  ("nu", "sum")]).take_all()[0]
+    na, nb = int(tot["na"]), int(tot["nb"])
+    ni, nu = int(tot["ni"]), int(tot["nu"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = _md5_bucket(b.column("user_id").to_pylist(), 1 << 62)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "hv": pa.array(h, type=pa.int64()),
+            "both": pc.multiply(b.column("ia"), b.column("ib"))})
+
+    sk = (users.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+          .sort(["hv", "user_id"]).limit(min(k, nu)).take_all())
+    kth = int(sk[-1]["hv"]) if sk else 0
+    in_both = sum(int(r["both"]) for r in sk)
+
+    if nu < k:
+        union_est = float(nu)
+        jacc_est = float(ni) / float(nu) if nu else 0.0
+    else:
+        union_est = float(k - 1) * 4294967296.0 / float(kth)
+        jacc_est = float(in_both) / float(k)
+    inter_est = jacc_est * union_est
+    return pa.table({
+        "n_purchasers": pa.array([na], type=pa.int64()),
+        "n_viewers": pa.array([nb], type=pa.int64()),
+        "n_inter_exact": pa.array([ni], type=pa.int64()),
+        "n_union_exact": pa.array([nu], type=pa.int64()),
+        "kth_hash": pa.array([kth], type=pa.int64()),
+        "sketch_in_both": pa.array([in_both], type=pa.int64()),
+        "union_est": pa.array([union_est], type=pa.float64()),
+        "jaccard_est": pa.array([jacc_est], type=pa.float64()),
+        "inter_est": pa.array([inter_est], type=pa.float64())})

@@ -2166,3 +2166,132 @@ def source_keyness_tokens(sf_dir: str, k_top: int = 5,
     return grouped_topk(scored, group="source", order_col="keyness",
                         tiebreak="token", k=k_top, descending=True) \
         .sort(["source", "rank"])
+
+
+def token_zipf_slope(sf_dir: str, k_top: int = 1000):
+    """Zipf-law fit over the corpus frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) for the top ``k_top`` tokens — the standard
+    corpus-health diagnostic (natural text slopes ≈ −1; template spam
+    and boilerplate bend it).  The companion of ``vocab_growth_curve``
+    (Heaps) on the frequency axis.
+
+    Determinism: ln(rank) and ln(count) are quantized to integer
+    micro-nats (``floor(ln·1e6)`` — the ``unigram_logprob`` rule), so
+    the five OLS moments are EXACT integer sums; they exceed int64
+    (Σlx·ly ~ 10¹⁷, n·Σ ~ 10²⁰) so both sides carry them as big ints
+    (Python int / SQL HUGEINT) and round to double exactly twice: the
+    slope division and the intercept assembly.  Rank ties are
+    impossible (rank is a ROW_NUMBER over (count DESC, token)).
+
+    Plan: one vocab aggregate → global (cnt, token) sort → limit
+    ``k_top``; only the k_top regression points reach the driver (the
+    regression input IS output-sized)."""
+    import math
+
+    from ..stages.aggregate import sorted_group_aggregate
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks, cs = [], []
+        for t in batch.column("text").to_pylist():
+            for tok, n in Counter(_tokens(t)).items():
+                toks.append(tok)
+                cs.append(n)
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "cnt": pa.array(cs, type=pa.int64())})
+
+    counts = sorted_group_aggregate(
+        read_documents(sf_dir).map_batches(
+            tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], [("cnt", "sum")], precombine=True)
+    top = counts.sort(["cnt", "token"],
+                      descending=[True, False]).limit(k_top).take_all()
+
+    n = len(top)
+    sx = sy = sxx = sxy = 0
+    for i, row in enumerate(top):
+        r, c = i + 1, int(row["cnt"])
+        lx = int(math.floor(math.log(float(r)) * 1e6))
+        ly = int(math.floor(math.log(float(c)) * 1e6))
+        sx += lx
+        sy += ly
+        sxx += lx * lx
+        sxy += lx * ly
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = float(num) / float(den) if den else 0.0
+    intercept = (float(sy) - slope * float(sx)) / float(n) if n else 0.0
+    return pa.table({
+        "n_points": pa.array([n], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept_micronats": pa.array([intercept], type=pa.float64())})
+
+
+def token_burstiness(sf_dir: str, k_top: int = 20, min_count: int = 30):
+    """Token burstiness (Church–Gale): variance-to-mean ratio of a
+    token's per-document count over ALL documents (zeros included) —
+    the content/function-word separator.  A Poisson-scattered function
+    word has VMR ≈ 1; topical tokens arrive in bursts (VMR ≫ 1).
+
+    With D docs, s = Σc, s2 = Σc² over the token's nonzero docs, the
+    zero-inclusive sample VMR collapses to exact integers:
+    ``(D·s2 − s²) / (s·(D−1))`` — one mirrored IEEE division per
+    token.  Int64 bound: D·s2 < 2⁶³ holds while D·s² of the hottest
+    token stays under ~9·10¹⁸ (to ~10⁹-doc corpora for stopword-class
+    tokens); past that the moments need decimal128.
+
+    Plan: flat (doc, token) partials → one combined aggregate → a
+    vocab-sized moment aggregate → global top-k sort.  Nothing
+    document-sized is shuffled twice."""
+    from ..stages.aggregate import sorted_group_aggregate
+
+    docs = read_documents(sf_dir)
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).count()
+
+    def dt_partial(batch: pa.Table) -> pa.Table:
+        ds_, toks, cs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok, n in Counter(_tokens(t)).items():
+                ds_.append(d)
+                toks.append(tok)
+                cs.append(n)
+        return pa.table({"doc_id": pa.array(ds_, type=pa.int64()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "c": pa.array(cs, type=pa.int64())})
+
+    dt = sorted_group_aggregate(
+        docs.map_batches(dt_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["doc_id", "token"], [("c", "sum")], precombine=True)
+
+    mom = sorted_group_aggregate(
+        dt.map_batches(lambda b: pa.table({
+            "token": b.column("token"),
+            "df": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "s": b.column("c"),
+            "s2": pc.multiply(b.column("c"), b.column("c"))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], [("df", "sum"), ("s", "sum"), ("s2", "sum")])
+
+    def score(b: pa.Table, d=n_docs) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("s"),
+                                      pa.scalar(min_count,
+                                                type=pa.int64())))
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        vmr = ((d * s2 - s * s).astype(np.float64)
+               / (s * (d - 1)).astype(np.float64))
+        return pa.table({
+            "token": t.column("token"), "df": t.column("df"),
+            "total_count": t.column("s"), "sum_sq": t.column("s2"),
+            "vmr": pa.array(vmr, type=pa.float64())})
+
+    top = (mom.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .sort(["vmr", "token"], descending=[True, False])
+           .limit(k_top).take_all())
+    rank = pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
+    cols = {c: pa.array([r[c] for r in top]) for c in
+            ("token", "df", "total_count", "sum_sq", "vmr")}
+    cols["rank"] = rank
+    return pa.table(cols)

@@ -148,3 +148,91 @@ def test_keyness_serial(ray_session):
     for s, ranks in seen_ranks.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_zipf_slope_serial(ray_session):
+    from kgray.pipelines.text import _tokens, token_zipf_slope
+
+    got = token_zipf_slope(SF).to_pylist()[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    tc = Counter()
+    for t in docs["text"]:
+        tc.update(_tokens(t))
+    top = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    n = len(top)
+    sx = sy = sxx = sxy = 0
+    for i, (_, c) in enumerate(top):
+        lx = math.floor(math.log(float(i + 1)) * 1e6)
+        ly = math.floor(math.log(float(c)) * 1e6)
+        sx += lx
+        sy += ly
+        sxx += lx * lx
+        sxy += lx * ly
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert got["n_points"] == n
+    assert got["slope"] == slope
+    assert got["intercept_micronats"] == \
+        (float(sy) - slope * float(sx)) / float(n)
+    # Zipf law direction: frequency falls with rank
+    assert got["slope"] < 0.0
+
+
+def test_burstiness_serial(ray_session):
+    from kgray.pipelines.text import _tokens, token_burstiness
+
+    rows = token_burstiness(SF).to_pylist()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    nd = len(docs)
+    per = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        for tok, c in Counter(_tokens(t)).items():
+            per.setdefault(tok, []).append(c)
+    scored = []
+    for tok, cs in per.items():
+        s, s2 = sum(cs), sum(c * c for c in cs)
+        if s >= 30:
+            scored.append((float(nd * s2 - s * s) / float(s * (nd - 1)),
+                           tok, len(cs), s, s2))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    assert len(rows) == min(20, len(scored))
+    for i, r in enumerate(rows):
+        vmr, tok, df, s, s2 = scored[i]
+        assert r["rank"] == i + 1
+        assert (r["token"], r["df"], r["total_count"],
+                r["sum_sq"]) == (tok, df, s, s2)
+        assert r["vmr"] == vmr
+        assert r["vmr"] > 0.0
+
+
+def test_user_overlap_kmv_serial(ray_session):
+    from kgray.pipelines.relational import user_overlap_kmv
+
+    got = user_overlap_kmv(SF).to_pylist()[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    a = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    b = set(ev.loc[ev["event_type"] == "view", "user_id"])
+    uni = a | b
+    assert got["n_purchasers"] == len(a)
+    assert got["n_viewers"] == len(b)
+    assert got["n_inter_exact"] == len(a & b)
+    assert got["n_union_exact"] == len(uni)
+    k = 256
+    hs = sorted((_md5i(u), u) for u in uni)[:min(k, len(uni))]
+    assert got["kth_hash"] == hs[-1][0]
+    in_both = sum(1 for _, u in hs if u in a and u in b)
+    assert got["sketch_in_both"] == in_both
+    if len(uni) < k:
+        assert got["union_est"] == float(len(uni))
+        assert got["jaccard_est"] == float(len(a & b)) / float(len(uni))
+    else:
+        assert got["union_est"] == \
+            float(k - 1) * 4294967296.0 / float(hs[-1][0])
+        assert got["jaccard_est"] == float(in_both) / float(k)
+        # sketch accuracy laws (k=256 → rel std ~6%; allow 4 sigma)
+        assert abs(got["union_est"] - len(uni)) / len(uni) < 0.25
+        exact_j = len(a & b) / len(uni)
+        assert abs(got["jaccard_est"] - exact_j) < 0.15
+    assert got["inter_est"] == got["jaccard_est"] * got["union_est"]
