@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_kmv": relational.user_overlap_kmv,
         "token_zipf_slope": text.token_zipf_slope,
         "token_burstiness": text.token_burstiness,
+        "crawl_host_shards": lambda sf: __import__(
+            "kgray.pipelines.kg", fromlist=["crawl_host_shards"]
+        ).crawl_host_shards(sf),
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -760,7 +763,7 @@ def oracle_sql() -> dict[str, str]:
                      "ann_pq_topk", "pq_codes", "ann_topk_with_deletes",
                      "embedding_mmr_topk", "copurchase_kcore",
                      "ann_hnsw_topk", "customer_golden_records",
-                     "entity_communities")
+                     "entity_communities", "crawl_host_shards")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

@@ -391,3 +391,68 @@ def page_site_counts(sf_dir: str):
         ds.map_batches(parse, batch_format="pyarrow",
                        zero_copy_batch=True),
         ["host", "site"], [("n_pages", "sum")])
+
+
+def crawl_host_shards(sf_dir: str, n_shards: int = 16):
+    """Politeness-aware crawl-shard planner over the web corpus: every
+    politeness unit lands in exactly one shard (per-host rate limits
+    and robots caches then never cross workers — the Common-Crawl
+    fetch-layout invariant).  The unit is the first two URL segments
+    (host + site prefix) because the synthetic corpus is single-host
+    by construction; on a real crawl the same plan keys on the
+    registered domain.  Units are dealt to shards by sorted round-robin
+    ``shard = (rank_by(pages DESC, host) − 1) mod n_shards`` so the
+    heavy hosts spread before the tail pads the loads.
+
+    Plan: one vectorized URL parse + per-host aggregate (host-sized),
+    one constant-key ``grouped_ranks`` exchange for the global rank,
+    one shard-sized reduce.  Nothing page-sized is shuffled twice, and
+    the driver sees only ``n_shards`` rows.  Determinism: rank ties
+    are impossible ((pages, host) is unique per host), so the layout
+    is a pure function of the corpus — a re-plan after a crashed crawl
+    reproduces the same shards and finished shards can be skipped."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.derived import corpus_for_sf
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.scan import grouped_ranks
+
+    corpus = corpus_for_sf(sf_dir)
+
+    def parse(b):
+        hit = pc.extract_regex(
+            b.column("url"), r"^https://(?P<host>[^/]+/[^/]+)/")
+        t = pa.table({
+            "host": pc.struct_field(hit, "host"),
+            "n_pages": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.filter(pc.is_valid(t.column("host")))
+
+    hosts = sorted_group_aggregate(
+        rd.read_parquet(page_files(corpus), columns=["url"],
+                        ray_remote_args={"num_cpus": 0.25})
+        .map_batches(parse, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"], [("n_pages", "sum")], precombine=True)
+
+    ranked = grouped_ranks(
+        hosts.map_batches(lambda b: pa.table({
+            "host": b.column("host"), "n_pages": b.column("n_pages"),
+            "neg": pc.negate_checked(b.column("n_pages")),
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="one", order_cols=["neg", "host"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        rn = b.column("row_number").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "shard": pa.array((rn - 1) % n_shards, type=pa.int64()),
+            "n_hosts": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_pages": b.column("n_pages"),
+            "max_host_pages": b.column("n_pages")})
+
+    return sorted_group_aggregate(
+        ranked.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["shard"], [("n_hosts", "sum"), ("n_pages", "sum"),
+                    ("max_host_pages", "max")]).sort("shard")

@@ -53,7 +53,7 @@ FIXTURE_QUERIES = [
     "doc_quality_scores", "dsir_selected",
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
     "copurchase_kcore", "ann_hnsw_topk", "customer_golden_records",
-    "entity_communities",
+    "entity_communities", "crawl_host_shards",
 ]
 
 

@@ -236,3 +236,41 @@ def test_user_overlap_kmv_serial(ray_session):
         exact_j = len(a & b) / len(uni)
         assert abs(got["jaccard_est"] - exact_j) < 0.15
     assert got["inter_est"] == got["jaccard_est"] * got["union_est"]
+
+
+def test_crawl_host_shards_serial(ray_session):
+    import re
+
+    from kgray.pipelines.kg import crawl_host_shards, page_files
+    from kgray.sources.derived import corpus_for_sf
+
+    rows = {r["shard"]: r for r in crawl_host_shards(SF).take_all()}
+    corpus = corpus_for_sf(SF)
+    urls = []
+    for f in page_files(corpus):
+        urls += pq.read_table(f, columns=["url"]).column(
+            "url").to_pylist()
+    per = Counter()
+    for u in urls:
+        m = re.match(r"^https://([^/]+/[^/]+)/", u)
+        if m:
+            per[m.group(1)] += 1
+    order = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    exp = {}
+    for i, (h, c) in enumerate(order):
+        s = i % 16
+        st = exp.setdefault(s, [0, 0, 0])
+        st[0] += 1
+        st[1] += c
+        st[2] = max(st[2], c)
+    assert sorted(rows) == sorted(exp)
+    for s, (nh, np_, mx) in exp.items():
+        r = rows[s]
+        assert (r["n_hosts"], r["n_pages"], r["max_host_pages"]) == \
+            (nh, np_, mx)
+    # politeness invariant: units partition exactly (loads sum to total)
+    assert sum(r["n_pages"] for r in rows.values()) == sum(per.values())
+    assert sum(r["n_hosts"] for r in rows.values()) == len(per)
+    # round-robin balance: host counts differ by at most one
+    nhs = [r["n_hosts"] for r in rows.values()]
+    assert max(nhs) - min(nhs) <= 1
