@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_shards": lambda sf: __import__(
             "kgray.pipelines.kg", fromlist=["crawl_host_shards"]
         ).crawl_host_shards(sf),
+        "top_supplier_revenue": relational.top_supplier_revenue,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -1788,6 +1789,23 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(SUM(dist) AS DOUBLE)
                         ELSE 0.0 END AS closeness
             FROM d GROUP BY seed ORDER BY seed
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (SELECT l_suppkey AS s_suppkey,
+                              CAST(SUM(CAST(FLOOR(l_extendedprice
+                                   * (1.0 - l_discount) * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                                  AS total_revenue_cents
+                       FROM lineitem
+                       WHERE l_shipdate >= DATE '1996-01-01'
+                         AND l_shipdate < DATE '1996-04-01'
+                       GROUP BY 1),
+            m AS (SELECT MAX(total_revenue_cents) AS mx FROM r)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+                 CROSS JOIN m
+            WHERE r.total_revenue_cents = m.mx
+            ORDER BY s.s_suppkey
         """,
         "token_zipf_slope": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS token

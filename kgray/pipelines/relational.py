@@ -8822,3 +8822,49 @@ def user_overlap_kmv(sf_dir: str, k: int = 256):
         "union_est": pa.array([union_est], type=pa.float64()),
         "jaccard_est": pa.array([jacc_est], type=pa.float64()),
         "inter_est": pa.array([inter_est], type=pa.float64())})
+
+
+def top_supplier_revenue(sf_dir: str, start: str = "1996-01-01"):
+    """TPC-H Q15-shaped: the supplier(s) achieving the MAXIMUM quarterly
+    revenue — the argmax-with-ties relational shape (Q15's revenue view
+    + its correlated MAX subquery).  The ship-date quarter is pushed
+    into the parquet scan; per-supplier revenue reduces to a
+    supplier-sized table in exact integer cents; the global max is a
+    one-row aggregate broadcast back as a plain Python scalar; and only
+    the winner rows (almost always one) join the supplier dimension via
+    the broadcast path.  No full sort anywhere."""
+    import pyarrow.dataset as pds
+
+    from ..stages.join import auto_join
+
+    lo = pd.Timestamp(start)
+    hi = lo + pd.DateOffset(months=3)
+    scan = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        return pa.table({
+            "s_suppkey": b.column("l_suppkey"),
+            "total_revenue_cents": pc.cast(pc.floor(pc.add(
+                pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.int64())})
+
+    rev = sorted_group_aggregate(
+        scan.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["s_suppkey"], [("total_revenue_cents", "sum")],
+        precombine=True).materialize()
+    mx = int(rev.max("total_revenue_cents"))
+    winners = rev.filter(expr=f"total_revenue_cents == {mx}")
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    return auto_join(winners, supp, on="s_suppkey").sort("s_suppkey") \
+        .map_batches(lambda b: b.select(
+            ["s_suppkey", "s_name", "total_revenue_cents"]),
+        batch_format="pyarrow")

@@ -274,3 +274,28 @@ def test_crawl_host_shards_serial(ray_session):
     # round-robin balance: host counts differ by at most one
     nhs = [r["n_hosts"] for r in rows.values()]
     assert max(nhs) - min(nhs) <= 1
+
+
+def test_top_supplier_revenue_serial(ray_session):
+    from kgray.pipelines.relational import top_supplier_revenue
+
+    rows = top_supplier_revenue(SF).take_all()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]).to_pandas()
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    sd = pd.to_datetime(li["l_shipdate"])
+    w = li[(sd >= lo) & (sd < hi)]
+    cents = np.floor(w["l_extendedprice"].to_numpy()
+                     * (1.0 - w["l_discount"].to_numpy())
+                     * 100.0 + 0.5).astype(np.int64)
+    per = {}
+    for s, c in zip(w["l_suppkey"], cents):
+        per[s] = per.get(s, 0) + int(c)
+    mx = max(per.values())
+    exp = sorted(s for s, v in per.items() if v == mx)
+    assert [r["s_suppkey"] for r in rows] == exp
+    for r in rows:
+        assert r["total_revenue_cents"] == mx
+        assert r["s_name"] == f"Supplier#{r['s_suppkey']:09d}"
