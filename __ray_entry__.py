@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kgray.pipelines.kg", fromlist=["crawl_host_shards"]
         ).crawl_host_shards(sf),
         "top_supplier_revenue": relational.top_supplier_revenue,
+        "events_ks_test": relational.events_ks_test,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -1789,6 +1790,40 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(SUM(dist) AS DOUBLE)
                         ELSE 0.0 END AS closeness
             FROM d GROUP BY seed ORDER BY seed
+        """,
+        "events_ks_test": """
+            WITH p AS (
+                SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+                       CASE WHEN ((CAST(epoch_us(ts) AS BIGINT)
+                                   // 86400000000) + 4) % 7 IN (0, 6)
+                            THEN 1 ELSE 0 END AS wa
+                FROM events WHERE event_type = 'purchase'),
+            g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                         CAST(SUM(wa) AS BIGINT) AS ca
+                  FROM p GROUP BY 1),
+            t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                         CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM g),
+            r AS (SELECT v,
+                         SUM(ca) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cuma,
+                         SUM(cnt) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM g),
+            d AS (SELECT v,
+                         ABS(CAST(cuma AS BIGINT) * (t.n - t.na)
+                             - CAST(cum - cuma AS BIGINT) * t.na)
+                             AS diff
+                  FROM r CROSS JOIN t),
+            m AS (SELECT MAX(diff) AS dn FROM d),
+            av AS (SELECT MIN(v) AS at_value
+                   FROM d CROSS JOIN m WHERE d.diff = m.dn)
+            SELECT t.na AS n_weekend, t.n - t.na AS n_weekday,
+                   m.dn AS d_num,
+                   CAST(m.dn AS DOUBLE)
+                       / CAST(t.na * (t.n - t.na) AS DOUBLE) AS ks_stat,
+                   av.at_value
+            FROM t CROSS JOIN m CROSS JOIN av
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

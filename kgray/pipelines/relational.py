@@ -8868,3 +8868,78 @@ def top_supplier_revenue(sf_dir: str, start: str = "1996-01-01"):
         .map_batches(lambda b: b.select(
             ["s_suppkey", "s_name", "total_revenue_cents"]),
         batch_format="pyarrow")
+
+
+def events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic of weekend vs weekday
+    purchase values — the distribution-shape companion of
+    ``events_mannwhitney_u`` (MWU sees location shifts; KS sees ANY
+    CDF divergence).  D is computed without a single float until the
+    last division: over the distinct-value table with prefix counts
+    cumA/cum, the unnormalized gap is the exact integer
+    ``|cumA·nB − (cum−cumA)·nA|`` and D = max_gap / (nA·nB) is ONE
+    mirrored IEEE division.  The report also carries the value where
+    the max gap is attained (min value on ties — deterministic).
+
+    Plan: one grouped count, two ``grouped_running_sum`` prefix-scan
+    exchanges over the distinct-value table, one max-reduce, one
+    equality filter + min-reduce for the argmax.  Int64 bound:
+    cumA·nB < 2⁶³ holds to ~3·10⁹ rows per cohort."""
+    from ..stages.scan import grouped_running_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase'")
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        wa = ((dow == 0) | (dow == 6)).astype(np.int64)
+        return pa.table({"v": _cents(b.column("value")),
+                         "cnt": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64)),
+                         "ca": pa.array(wa, type=pa.int64())})
+
+    groups = sorted_group_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], [("cnt", "sum"), ("ca", "sum")],
+        precombine=True).map_batches(
+        lambda b: b.append_column(
+            "one", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    tot = sorted_group_aggregate(
+        groups.map_batches(lambda b: b.select(["one", "cnt", "ca"]),
+                           batch_format="pyarrow"),
+        ["one"], [("cnt", "sum"), ("ca", "sum")]).take_all()[0]
+    n, na = int(tot["cnt"]), int(tot["ca"])
+    nb = n - na
+
+    run = grouped_running_sum(groups, key="one", order_cols=["v"],
+                              value_col="cnt", out_name="cum")
+    run = grouped_running_sum(run, key="one", order_cols=["v"],
+                              value_col="ca", out_name="cuma")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        cuma = b.column("cuma").to_numpy(zero_copy_only=False)
+        diff = np.abs(cuma * nb - (cum - cuma) * na)
+        return pa.table({"one": b.column("one"), "v": b.column("v"),
+                         "diff": pa.array(diff, type=pa.int64())})
+
+    gap_ds = run.map_batches(gaps, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    dn = int(sorted_group_aggregate(
+        gap_ds, ["one"], [("diff", "max")]).take_all()[0]["diff"])
+    at_value = int(sorted_group_aggregate(
+        gap_ds.filter(expr=f"diff == {dn}"), ["one"],
+        [("v", "min")]).take_all()[0]["v"])
+
+    ks = float(dn) / float(na * nb) if na and nb else 0.0
+    return pa.table({
+        "n_weekend": pa.array([na], type=pa.int64()),
+        "n_weekday": pa.array([nb], type=pa.int64()),
+        "d_num": pa.array([dn], type=pa.int64()),
+        "ks_stat": pa.array([ks], type=pa.float64()),
+        "at_value": pa.array([at_value], type=pa.int64())})

@@ -299,3 +299,34 @@ def test_top_supplier_revenue_serial(ray_session):
     for r in rows:
         assert r["total_revenue_cents"] == mx
         assert r["s_name"] == f"Supplier#{r['s_suppkey']:09d}"
+
+
+def test_ks_test_serial(ray_session):
+    from kgray.pipelines.relational import events_ks_test
+
+    got = events_ks_test(SF).to_pylist()[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    p = ev[ev["event_type"] == "purchase"]
+    us = p["ts"].astype("int64")
+    wa = ((us // 86_400_000_000 + 4) % 7).isin([0, 6]).to_numpy()
+    v = np.floor(p["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    na, n = int(wa.sum()), len(v)
+    nb = n - na
+    vs = sorted(set(v.tolist()))
+    best, at = -1, None
+    cuma = cum = 0
+    ca_of = Counter(v[wa].tolist())
+    c_of = Counter(v.tolist())
+    for x in vs:
+        cuma += ca_of.get(x, 0)
+        cum += c_of[x]
+        diff = abs(cuma * nb - (cum - cuma) * na)
+        if diff > best:
+            best, at = diff, x
+    assert got["n_weekend"] == na and got["n_weekday"] == nb
+    assert got["d_num"] == best
+    assert got["at_value"] == at
+    assert got["ks_stat"] == float(best) / float(na * nb)
+    # KS is a normalized sup-gap
+    assert 0.0 <= got["ks_stat"] <= 1.0
