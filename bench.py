@@ -484,6 +484,22 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _graph.copurchase_degree_assortativity(sf_dir))
     timed("copurchase_robustness",
           lambda: _graph.copurchase_robustness(sf_dir))
+    timed("events_kmv_distinct",
+          lambda: relational.events_kmv_distinct(sf_dir))
+    timed("events_mannwhitney_u",
+          lambda: relational.events_mannwhitney_u(sf_dir))
+    timed("user_overlap_kmv", lambda: relational.user_overlap_kmv(sf_dir))
+    timed("top_supplier_revenue",
+          lambda: relational.top_supplier_revenue(sf_dir))
+    timed("events_ks_test", lambda: relational.events_ks_test(sf_dir))
+    timed("copurchase_closeness",
+          lambda: relational.copurchase_closeness(sf_dir))
+    timed("source_keyness_tokens",
+          lambda: text.source_keyness_tokens(sf_dir))
+    timed("token_zipf_slope", lambda: text.token_zipf_slope(sf_dir))
+    timed("token_burstiness", lambda: text.token_burstiness(sf_dir))
+    from kgray.pipelines import kg as _kgp
+    timed("crawl_host_shards", lambda: _kgp.crawl_host_shards(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,
