@@ -275,7 +275,7 @@ _R3_WINDOW = [
     # coefficients and the Q9 five-table join)
     "audio_fingerprint_pairs", "knn_label_predictions",
     "neardup_keep_best", "kg_graph_compacted", "source_ngram_overlap",
-    "events_cusum_peaks", "mixture_token_budget",
+    "mixture_token_budget",
     "part_clustering_coefficient", "events_out_of_order",
     # (r3-s5 third rotation: order_priority_revenue, copurchase_kcore,
     # events_asof_orders, user_rolling_value, user_running_value,
@@ -292,8 +292,17 @@ _R3_WINDOW = [
     "orders_join_ivm", "doc_redirect_resolution",
     "user_conversion_survival", "events_conformal_coverage",
     "events_value_psi", "token_cms_counts", "part_negative_samples",
-    "embedding_truncation_recall", "video_scene_changes",
-    "events_orders_join_profile",
+    # (r3-s21 rotation: embedding_truncation_recall, video_scene_changes,
+    # events_orders_join_profile and events_cusum_peaks rotate OUT — all
+    # locally gate-green with fixture/SQL oracles; the embedding family
+    # keeps embedding_dbscan, multimodal keeps image_phash_pairs +
+    # audio_fingerprint_pairs, profiling keeps events_quality_checks,
+    # changepoint keeps events_hourly_changepoint in the registry — for
+    # the positional-postings phrase query (composite-key join IR
+    # shape), the IGNORE-NULLS LOCF monoid exchange, the bloom-sidecar
+    # point-lookup layout and the HRW rendezvous shard router)
+    "phrase_search", "user_value_locf", "events_user_bloom_lookup",
+    "user_shard_rendezvous",
     "user_day_purchase_views",
     # (r3-s6b/7/8/9 rotation: bucketed_order_revenue, nation_pair_volume,
     # market_share, nation_year_profit, priority_top_orders and
@@ -464,6 +473,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).crawl_host_shards(sf),
         "top_supplier_revenue": relational.top_supplier_revenue,
         "events_ks_test": relational.events_ks_test,
+        "user_shard_rendezvous": relational.user_shard_rendezvous,
+        "phrase_search": text.phrase_search,
+        "user_value_locf": relational.user_value_locf,
+        "events_user_bloom_lookup": relational.events_user_bloom_lookup,
+        "kg_predicate_stats": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_predicate_stats"]
+        ).kg_predicate_stats(sf),
+        "kg_two_hop": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_two_hop"]
+        ).kg_two_hop(sf),
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -765,7 +784,8 @@ def oracle_sql() -> dict[str, str]:
                      "ann_pq_topk", "pq_codes", "ann_topk_with_deletes",
                      "embedding_mmr_topk", "copurchase_kcore",
                      "ann_hnsw_topk", "customer_golden_records",
-                     "entity_communities", "crawl_host_shards")
+                     "entity_communities", "crawl_host_shards",
+                     "kg_predicate_stats", "kg_two_hop")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -1824,6 +1844,90 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(t.na * (t.n - t.na) AS DOUBLE) AS ks_stat,
                    av.at_value
             FROM t CROSS JOIN m CROSS JOIN av
+        """,
+        "user_shard_rendezvous": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            r AS (SELECT user_id, s.shard,
+                         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                               || '|' || CAST(s.shard AS VARCHAR)), 1, 15))
+                              AS BIGINT) AS rk
+                  FROM u, generate_series(0, 11) s(shard)),
+            a AS (SELECT user_id, shard,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY rk DESC, shard DESC)
+                             AS rn
+                  FROM r)
+            SELECT shard, COUNT(*) AS n_users, MIN(user_id) AS min_user,
+                   MAX(user_id) AS max_user
+            FROM a WHERE rn = 1 GROUP BY shard ORDER BY shard
+        """,
+        "phrase_search": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS tk,
+                     generate_subscripts({_TOKS}, 1) AS pos
+              FROM documents WHERE len(trim(text)) > 0),
+            m AS (
+              SELECT CAST(0 AS BIGINT) AS phrase_id, a.doc_id
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              WHERE a.tk = 'hash' AND b.tk = 'join'
+              UNION ALL
+              SELECT CAST(1 AS BIGINT) AS phrase_id, a.doc_id
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              WHERE a.tk = 'sort' AND b.tk = 'merge'
+              UNION ALL
+              SELECT CAST(2 AS BIGINT) AS phrase_id, a.doc_id
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              WHERE a.tk = 'table' AND b.tk = 'scan'
+              UNION ALL
+              SELECT CAST(3 AS BIGINT) AS phrase_id, a.doc_id
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              WHERE a.tk = 'batch' AND b.tk = 'batch'
+                AND c.tk = 'batch'),
+            cnt AS (SELECT phrase_id, doc_id, COUNT(*) AS n_matches
+                    FROM m GROUP BY phrase_id, doc_id),
+            rk AS (SELECT phrase_id, doc_id, n_matches,
+                          ROW_NUMBER() OVER (PARTITION BY phrase_id
+                              ORDER BY n_matches DESC, doc_id) AS rank
+                   FROM cnt)
+            SELECT phrase_id, doc_id, n_matches, rank
+            FROM rk WHERE rank <= 5 ORDER BY phrase_id, rank
+        """,
+        "user_value_locf": """
+            WITH e AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                              event_id,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN CAST(FLOOR(value * 100.0 + 0.5)
+                                             AS BIGINT) END AS obs
+                       FROM events),
+            f AS (SELECT user_id, obs,
+                         last_value(obs IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS filled
+                  FROM e)
+            SELECT user_id, COUNT(*) AS n_events, COUNT(obs) AS n_observed,
+                   COUNT(filled) AS n_filled,
+                   CAST(COALESCE(SUM(filled), 0) AS BIGINT) AS sum_filled
+            FROM f GROUP BY user_id ORDER BY user_id
+        """,
+        "events_user_bloom_lookup": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            k AS (SELECT user_id FROM u
+                  ORDER BY CAST(('0x' ||
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT), user_id
+                  LIMIT 3)
+            SELECT e.user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events e JOIN k USING (user_id)
+            GROUP BY e.user_id ORDER BY e.user_id
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

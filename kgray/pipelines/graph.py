@@ -1214,3 +1214,125 @@ def copurchase_robustness(sf_dir: str, min_count: int = 2,
         "n_nodes": pa.array(out_n, type=pa.int64()),
         "n_edges": pa.array(out_e, type=pa.int64()),
         "largest_component": pa.array(out_c, type=pa.int64())})
+
+
+def kg_predicate_stats(sf_dir: str):
+    """Per-predicate functionality audit of the extracted KG — the
+    schema-quality signal PARIS-style aligners and ontology checkers
+    run first: for each predicate, the triple count, distinct
+    subject/object counts, and functionality / inverse functionality
+    in integer micro-units (``1e6·n_subj // n_triples`` — a
+    functional predicate like ``ceo_of`` scores ~1e6, a fan-out
+    predicate scores low).  All-integer, so the fixture oracle is
+    exact.
+
+    Plan: three predicate-keyed aggregates over the canonical graph
+    (distinct (pred,subj), distinct (pred,obj), triple counts) — each
+    output is predicate-sized, so the final assembly is a tiny driver
+    fold, never an input-sized collect."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir,
+                   tagger="hmm")).materialize()
+
+    def ones(b: pa.Table, cols) -> pa.Table:
+        t = {c: b.column(c) for c in cols}
+        t["c"] = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        return pa.table(t)
+
+    def distinct_count(cols):
+        dist = sorted_group_aggregate(
+            graph.map_batches(lambda b, _c=cols: ones(b, _c),
+                              batch_format="pyarrow", zero_copy_batch=True),
+            list(cols), [("c", "min")], precombine=True)
+        return sorted_group_aggregate(
+            dist.map_batches(lambda b: pa.table({
+                "pred": b.column("pred"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["pred"], [("n", "sum")]).take_all()
+
+    triples = sorted_group_aggregate(
+        graph.map_batches(lambda b: pa.table({
+            "pred": b.column("pred"),
+            "n_triples": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "support_sum": b.column("support")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pred"], [("n_triples", "sum"), ("support_sum", "sum")]).take_all()
+
+    n_subj = {r["pred"]: int(r["n"])
+              for r in distinct_count(("pred", "subj"))}
+    n_obj = {r["pred"]: int(r["n"]) for r in distinct_count(("pred", "obj"))}
+    rows = sorted(triples, key=lambda r: r["pred"])
+    preds = [r["pred"] for r in rows]
+    nt = [int(r["n_triples"]) for r in rows]
+    return pa.table({
+        "pred": pa.array(preds, type=pa.string()),
+        "n_triples": pa.array(nt, type=pa.int64()),
+        "support_sum": pa.array([int(r["support_sum"]) for r in rows],
+                                type=pa.int64()),
+        "n_subj": pa.array([n_subj[p] for p in preds], type=pa.int64()),
+        "n_obj": pa.array([n_obj[p] for p in preds], type=pa.int64()),
+        "func_micro": pa.array(
+            [10**6 * n_subj[p] // t for p, t in zip(preds, nt)],
+            type=pa.int64()),
+        "invfunc_micro": pa.array(
+            [10**6 * n_obj[p] // t for p, t in zip(preds, nt)],
+            type=pa.int64())})
+
+
+def kg_two_hop(sf_dir: str, k_top: int = 20):
+    """Two-hop predicate-path profile of the KG — the SPARQL pattern
+    ``(?x p1 ?y)(?y p2 ?z)`` counted per (p1, p2): which relation
+    compositions the corpus actually supports (the raw material for
+    path-rule mining à la AMIE).  Top-``k_top`` pairs by path count,
+    ties → lexicographic (pred_a, pred_b).
+
+    Plan: the graph self-joins on the shared entity via the
+    ``sorted_merge_join`` exchange (obj side renamed to the join key —
+    a fact×fact join, never a broadcast); path rows reduce straight
+    into a (p1,p2)-keyed aggregate (output is #preds²-sized) and only
+    ``k_top`` survivor rows reach the driver via ``global_topk``."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.canonical import canonical_graph
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import global_topk
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir,
+                   tagger="hmm")).materialize()
+
+    left = graph.map_batches(lambda b: pa.table({
+        "mid": b.column("obj"), "pred_a": b.column("pred")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = graph.map_batches(lambda b: pa.table({
+        "mid": b.column("subj"), "pred_b": b.column("pred")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    paths = sorted_merge_join(left, right, on="mid")
+
+    counts = sorted_group_aggregate(
+        paths.map_batches(lambda b: pa.table({
+            "pred_a": b.column("pred_a"), "pred_b": b.column("pred_b"),
+            "n_paths": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pred_a", "pred_b"], [("n_paths", "sum")], precombine=True)
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "neg_n", pc.negate(b.column("n_paths")))
+
+    top = global_topk(counts.map_batches(neg, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                      [("neg_n", "ascending"), ("pred_a", "ascending"),
+                       ("pred_b", "ascending")], k_top)
+    return top.select(["pred_a", "pred_b", "n_paths"])

@@ -8943,3 +8943,305 @@ def events_ks_test(sf_dir: str):
         "d_num": pa.array([dn], type=pa.int64()),
         "ks_stat": pa.array([ks], type=pa.float64()),
         "at_value": pa.array([at_value], type=pa.int64())})
+
+
+def user_shard_rendezvous(sf_dir: str, n_shards: int = 12):
+    """Rendezvous (highest-random-weight) shard routing of the distinct
+    user keyspace — the key→shard primitive a crawl store or feature
+    service uses so that growing the fleet moves only ~1/(n+1) of the
+    keys (HRW, Thaler & Ravishankar 1998; no ring maintenance).
+
+    Each key routes to ``argmax_s rank(key, s)`` with rank = the repo's
+    md5-15-hex int64 convention over ``"<key>|<shard>"``, ties to the
+    larger shard id — a pure function of the data that DuckDB replays
+    bitwise.  Plan: one combined aggregate reduces events to the
+    distinct-user table (the only exchange), a map-only pass computes
+    the ``n_shards`` ranks per key (O(keys·shards) md5s — HRW is for
+    shard counts in the tens; hash-bucket layouts cover large bucket
+    counts), and a shard-keyed aggregate emits one row per shard.  The
+    minimal-movement law — growing to n+1 shards moves exactly the keys
+    whose new argmax IS the new shard, every other key provably keeps
+    its assignment (its old ranks are unchanged) — is pinned in
+    tests/test_r3_s21_ops.py."""
+    import hashlib
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    distinct = sorted_group_aggregate(
+        ev.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("c", "sum")], precombine=True)
+
+    def assign(b: pa.Table) -> pa.Table:
+        users = b.column("user_id").to_pylist()
+        if not users:
+            return pa.table({
+                "shard": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+                "min_user": pa.array([], type=pa.int64()),
+                "max_user": pa.array([], type=pa.int64())})
+        best = np.zeros(len(users), dtype=np.int64)
+        best_rk = np.full(len(users), -1, dtype=np.int64)
+        for s in range(n_shards):
+            rk = np.fromiter(
+                (int(hashlib.md5(f"{u}|{s}".encode()).hexdigest()[:15], 16)
+                 for u in users), dtype=np.int64, count=len(users))
+            take = rk >= best_rk          # ties → larger shard (s ascends)
+            best[take] = s
+            best_rk[take] = rk[take]
+        uid = np.asarray(users, dtype=np.int64)
+        return pa.table({
+            "shard": pa.array(best, type=pa.int64()),
+            "n_users": pa.array(np.ones(len(users), dtype=np.int64)),
+            "min_user": pa.array(uid, type=pa.int64()),
+            "max_user": pa.array(uid, type=pa.int64())})
+
+    assigned = distinct.map_batches(assign, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    out = sorted_group_aggregate(
+        assigned, ["shard"],
+        [("n_users", "sum"), ("min_user", "min"), ("max_user", "max")])
+    return out.sort("shard")
+
+
+def user_value_locf(sf_dir: str):
+    """Last-observation-carried-forward gap fill — the
+    ``IGNORE NULLS`` window shape (``last_value(x IGNORE NULLS) OVER
+    (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING)``): every
+    event carries the user's most recent *purchase* value; rows before
+    a user's first purchase stay null.  Output is the per-user audit
+    (n_events, n_observed, n_filled, sum of filled cents).
+
+    Scale plan: LOCF composes as a MONOID over ordered segments —
+    a segment reduces to (rows, observed-rows, rows-before-first-
+    observation, last observed value, filled-count/-sum ignoring
+    carry), and ``L ⊕ R`` resolves R's prefix with L's last value —
+    so after the (user, ts, event_id) sort each block emits one
+    partial per boundary run, complete interior runs finalize
+    in-block, and the driver folds only boundary partials in ts
+    order (``user_sessions`` discipline: hot users ship O(blocks)
+    partial rows, never raw rows)."""
+    from ..stages._runs import edge_interior_exchange, edge_mask
+
+    def prep(b: pa.Table) -> pa.Table:
+        obs = pc.if_else(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")),
+                         _cents(b.column("value")),
+                         pa.nulls(b.num_rows, type=pa.int64()))
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "obs": obs})
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type", "value"])
+           .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .repartition(n_part)
+           .sort(["user_id", "ts_us", "event_id"])
+           .materialize())
+
+    _PARTIAL = ["user_id", "first_ts", "first_eid", "n", "n_obs", "pre",
+                "has_obs", "last_v", "filled_in", "sum_in"]
+    _OUT = ["user_id", "n_events", "n_observed", "n_filled", "sum_filled"]
+
+    def _empty(cols) -> pa.Table:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+
+    def _partials(t: pa.Table) -> dict:
+        """One LOCF partial per contiguous user run of ``t`` (vectorized
+        per run; runs are already ts-ordered)."""
+        from kgray.stages._runs import run_starts
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        obs = t.column("obs").to_numpy(zero_copy_only=False)  # float w/ nan
+        valid = pc.is_valid(t.column("obs")).to_numpy(zero_copy_only=False)
+        vals = np.where(valid, np.nan_to_num(obs), 0).astype(np.int64)
+        starts = run_starts(t.column("user_id"))
+        ends = np.append(starts[1:], t.num_rows)
+        rows = {c: [] for c in _PARTIAL}
+        for s, e in zip(starts, ends):
+            m = valid[s:e]
+            v = vals[s:e]
+            n = e - s
+            n_obs = int(m.sum())
+            if n_obs:
+                idx = np.where(m)[0]
+                pre = int(idx[0])
+                last_v = int(v[idx[-1]])
+                # LOCF within the segment: index of latest obs ≤ i
+                carry = np.maximum.accumulate(
+                    np.where(m, np.arange(n), -1))
+                fmask = carry >= 0
+                filled_in = int(fmask.sum())
+                sum_in = int(v[carry[fmask]].sum())
+            else:
+                pre, last_v, filled_in, sum_in = n, 0, 0, 0
+            rows["user_id"].append(int(uid[s]))
+            rows["first_ts"].append(int(ts[s]))
+            rows["first_eid"].append(int(eid[s]))
+            rows["n"].append(int(n))
+            rows["n_obs"].append(n_obs)
+            rows["pre"].append(pre)
+            rows["has_obs"].append(1 if n_obs else 0)
+            rows["last_v"].append(last_v)
+            rows["filled_in"].append(filled_in)
+            rows["sum_in"].append(sum_in)
+        return rows
+
+    def _finalize(rows: dict) -> pa.Table:
+        return pa.table({
+            "user_id": pa.array(rows["user_id"], type=pa.int64()),
+            "n_events": pa.array(rows["n"], type=pa.int64()),
+            "n_observed": pa.array(rows["n_obs"], type=pa.int64()),
+            "n_filled": pa.array(rows["filled_in"], type=pa.int64()),
+            "sum_filled": pa.array(rows["sum_in"], type=pa.int64())})
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(_PARTIAL)
+        e = batch.filter(edge_mask(batch.column("user_id")))
+        if e.num_rows == 0:
+            return _empty(_PARTIAL)
+        return pa.table({c: pa.array(v, type=pa.int64())
+                         for c, v in _partials(e).items()})
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(_OUT)
+        i = batch.filter(pc.invert(edge_mask(batch.column("user_id"))))
+        if i.num_rows == 0:
+            return _empty(_OUT)
+        return _finalize(_partials(i))
+
+    def merge(edge_tables) -> pa.Table:
+        t = pa.concat_tables(edge_tables)
+        if t.num_rows == 0:
+            return _empty(_OUT)
+        df = t.to_pandas().sort_values(
+            ["user_id", "first_ts", "first_eid"], kind="mergesort")
+        out = {c: [] for c in
+               ("user_id", "n", "n_obs", "pre", "has_obs", "last_v",
+                "filled_in", "sum_in")}
+
+        def flush(acc):
+            for c in out:
+                out[c].append(acc[c])
+
+        acc = None
+        for r in df.itertuples(index=False):
+            if acc is None or r.user_id != acc["user_id"]:
+                if acc is not None:
+                    flush(acc)
+                acc = {"user_id": r.user_id, "n": r.n, "n_obs": r.n_obs,
+                       "pre": r.pre, "has_obs": r.has_obs,
+                       "last_v": r.last_v, "filled_in": r.filled_in,
+                       "sum_in": r.sum_in}
+                continue
+            # acc ⊕ r  (r's prefix resolves with acc's last value)
+            if acc["has_obs"]:
+                acc["filled_in"] += r.filled_in + r.pre
+                acc["sum_in"] += r.sum_in + acc["last_v"] * r.pre
+            else:
+                acc["pre"] += r.pre
+                acc["filled_in"] += r.filled_in
+                acc["sum_in"] += r.sum_in
+            acc["n"] += r.n
+            acc["n_obs"] += r.n_obs
+            if r.has_obs:
+                acc["last_v"] = r.last_v
+                acc["has_obs"] = 1
+        flush(acc)
+        return _finalize(
+            {"user_id": out["user_id"], "n": out["n"],
+             "n_obs": out["n_obs"], "filled_in": out["filled_in"],
+             "sum_in": out["sum_in"]})
+
+    res = edge_interior_exchange(srt, edge_partials, interior, merge)
+    return res.sort("user_id")
+
+
+def events_user_bloom_lookup(sf_dir: str, n_keys: int = 3):
+    """Point lookup through a BLOOM-sidecar file index — the skipping
+    story zone maps can't tell: ``user_id`` is uncorrelated with file
+    order, so every file's min/max spans the keyspace and range pruning
+    keeps 100%; a per-file bloom filter prunes to ~the files that
+    actually hold the probed keys (false positives read harmlessly,
+    false negatives are impossible).  Lookup keys are the ``n_keys``
+    users with the smallest md5-rank (the repo's deterministic sampling
+    order, mirrored by the oracle's ``ORDER BY rank LIMIT``); output is
+    each key's exact event count + cents sum.
+
+    The layout (16 deliberately key-shuffled files + sidecars) caches
+    under /tmp with the content-fingerprint + atomic-rename discipline
+    (``orders_price_band``); the per-file bloom build is one Ray task
+    per FILE.  Pruning is asserted by test, not assumed."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..stages.layout import bloom_files_for_keys, write_bloom_layout
+    from ..stages.topk import global_topk
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|bloom"
+        .encode()).hexdigest()[:10]
+    out = f"/tmp/kgray_bloomlayout/events_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        src = (rd.read_parquet(src_path, columns=["user_id", "value"])
+               .map_batches(lambda b: pa.table({
+                   "user_id": b.column("user_id"),
+                   "cents": _cents(b.column("value"))}),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .repartition(16))
+        write_bloom_layout(src, "user_id", tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+
+    # deterministic probe keys: bottom-n_keys users by md5 rank
+    def rank_rows(b: pa.Table) -> pa.Table:
+        users = b.column("user_id").to_pylist()
+        rk = np.fromiter(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+             for u in users), dtype=np.int64, count=len(users))
+        return pa.table({"user_id": b.column("user_id"),
+                         "rk": pa.array(rk, type=pa.int64())})
+
+    distinct = sorted_group_aggregate(
+        rd.read_parquet(src_path, columns=["user_id"]).map_batches(
+            lambda b: pa.table({
+                "user_id": b.column("user_id"),
+                "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("c", "sum")], precombine=True)
+    top = global_topk(distinct.map_batches(rank_rows,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                      [("rk", "ascending"), ("user_id", "ascending")],
+                      n_keys)
+    keys = sorted(top.column("user_id").to_pylist())
+
+    cand, _all = bloom_files_for_keys(out, [str(k) for k in keys])
+    key_set = pa.array(keys, type=pa.int64())
+
+    def probe(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b.column("user_id"), value_set=key_set))
+        return pa.table({
+            "user_id": hit.column("user_id"),
+            "n_events": pa.array(np.ones(hit.num_rows, dtype=np.int64)),
+            "sum_cents": hit.column("cents")})
+
+    res = sorted_group_aggregate(
+        rd.read_parquet(cand).map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n_events", "sum"), ("sum_cents", "sum")])
+    return res.sort("user_id")

@@ -2295,3 +2295,123 @@ def token_burstiness(sf_dir: str, k_top: int = 20, min_count: int = 30):
             ("token", "df", "total_count", "sum_sq", "vmr")}
     cols["rank"] = rank
     return pa.table(cols)
+
+
+_PHRASES = [
+    (0, "hash join"),
+    (1, "sort merge"),
+    (2, "table scan"),
+    (3, "batch batch batch"),
+]
+
+
+def phrase_search(sf_dir: str, k_top: int = 5):
+    """Index-backed exact phrase query over positional postings — the IR
+    op ``token_postings`` can't answer (document postings lose word
+    order).  For each fixed phrase, the top-``k_top`` documents by
+    occurrence count (ties → lower doc_id), counting EVERY start
+    position (overlapping matches included: "batch batch batch" counts
+    twice in a 4-token "batch" run, and the oracle's position self-join
+    agrees by construction).
+
+    Plan: ONE tokenize pass emits positional postings for the query
+    vocabulary only (``(slot, doc_id, pos)`` — O(query-term
+    occurrences), never the full corpus token stream), materialized
+    once and reused by all phrases.  Adjacency is relational: token j
+    of a phrase joins on the composite key ``(doc_id, pos − j)`` via
+    ``sorted_merge_join``, so an m-token phrase is m−1 streaming
+    composite-key joins whose intermediates shrink monotonically;
+    per-doc counts reduce on the aggregate exchange and only
+    ``k_top`` rows per phrase survive ``grouped_topk``.  At 100 TB the
+    postings build is the only corpus-sized pass; everything after is
+    sized by the query terms' document frequency."""
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from ..stages.topk import grouped_topk
+
+    terms = sorted({t for _, p in _PHRASES for t in p.split()})
+    slot = {t: i for i, t in enumerate(terms)}
+
+    def postings(batch: pa.Table) -> pa.Table:
+        docs, poss, slots = [], [], []
+        for d, txt in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for i, tok in enumerate(_tokens(txt)):
+                s = slot.get(tok)
+                if s is not None:
+                    docs.append(d)
+                    poss.append(i + 1)      # 1-based == generate_subscripts
+                    slots.append(s)
+        return pa.table({"slot": pa.array(slots, type=pa.int64()),
+                         "doc_id": pa.array(docs, type=pa.int64()),
+                         "pos": pa.array(poss, type=pa.int64())})
+
+    post = (read_documents(sf_dir)
+            .map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize())
+
+    def term_positions(term: str, shift: int):
+        s = slot[term]
+
+        def shifted(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "pos": _pc.subtract(b.column("pos"),
+                                    pa.scalar(shift, type=pa.int64()))})
+
+        return (post.filter(expr=f"slot == {s}")
+                .map_batches(shifted, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    per_phrase = []
+    for pid, phrase in _PHRASES:
+        toks = phrase.split()
+        cur = term_positions(toks[0], 0)
+        for j in range(1, len(toks)):
+            cur = sorted_merge_join(cur, term_positions(toks[j], j),
+                                    on=["doc_id", "pos"])
+        counts = sorted_group_aggregate(
+            cur.map_batches(lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_matches": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["doc_id"], [("n_matches", "sum")])
+        def tag(b: pa.Table, _pid=pid) -> pa.Table:
+            # sorts/exchanges can emit schema-LESS empty blocks (they
+            # break downstream schema unification → ds.schema() None):
+            # substitute a typed empty
+            if b.num_rows == 0 or "doc_id" not in b.schema.names:
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                    "phrase_id": pa.array([], type=pa.int64())})
+            return b.append_column(
+                "phrase_id", pa.array(np.full(b.num_rows, _pid,
+                                              dtype=np.int64)))
+
+        # materialize: match-count-sized; grouped_topk needs ds.schema()
+        tagged = counts.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+        if tagged.schema() is None:
+            # a phrase with ZERO matches anywhere: Ray passes the
+            # schema-less empty blocks through without calling ``tag``
+            # (map fns are skipped on empty input blocks), so the
+            # materialized dataset has no schema at all.  The phrase
+            # legitimately contributes no rows — skip it.
+            continue
+        per_phrase.append(grouped_topk(tagged, group="phrase_id",
+                                       order_col="n_matches",
+                                       tiebreak="doc_id", k=k_top,
+                                       descending=True))
+
+    if not per_phrase:
+        return pa.table({"phrase_id": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "n_matches": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    out = per_phrase[0]
+    for ds in per_phrase[1:]:
+        out = out.union(ds)
+    return (out.select_columns(["phrase_id", "doc_id", "n_matches", "rank"])
+            .sort(["phrase_id", "rank"]))

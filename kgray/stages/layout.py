@@ -177,3 +177,84 @@ def read_zrect(out_dir: str, ranges: dict):
         e = (pds.field(col) >= lo) & (pds.field(col) <= hi)
         expr = e if expr is None else expr & e
     return rd.read_parquet(kept, filter=expr)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-sidecar layout: file skipping for POINT lookups on a high-
+# cardinality key that the file order does NOT cluster (zone maps are
+# useless there — every file's min/max spans the keyspace).  One bloom
+# bitset per parquet file, built by one Ray task per FILE (file-count-
+# sized maintenance pass, the ``stages/compact.py`` discipline), stored
+# as an ``<file>.bloom.npz`` sidecar.  Hashing is the repo's
+# deterministic polyhash64 with double hashing (h1 + i·h2), so the
+# sidecars are a pure function of the data.
+
+def _bloom_positions(keys, m: int, n_hashes: int) -> "np.ndarray":
+    """(len(keys), n_hashes) bit positions for string keys."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import POLY_M2, polyhash64_batch
+
+    arr = pa.array([str(k) for k in keys], type=pa.string())
+    h1 = polyhash64_batch(arr)
+    h2 = polyhash64_batch(arr, mult=POLY_M2)
+    # h2 forced odd so the double-hash stride never degenerates mod 2^j
+    h2 = h2 | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m)).astype(np.int64)
+
+
+def _bloom_build(path: str, col: str, bits_per_key: int,
+                 n_hashes: int) -> None:
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    vals = pc.unique(pq.read_table(path, columns=[col]).column(col))
+    n = max(1, len(vals))
+    m = 1 << max(6, int(np.ceil(np.log2(n * bits_per_key))))
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    if len(vals):
+        pos = _bloom_positions(vals.to_pylist(), m, n_hashes).ravel()
+        np.bitwise_or.at(bits, pos // 64,
+                         np.uint64(1) << (pos % 64).astype(np.uint64))
+    np.savez(path + ".bloom.npz", bits=bits,
+             m=np.array([m], dtype=np.int64),
+             k=np.array([n_hashes], dtype=np.int64))
+
+
+def write_bloom_layout(ds, col: str, out_dir: str,
+                       bits_per_key: int = 16, n_hashes: int = 4) -> str:
+    """Write ``ds`` (one file per block) and build a bloom sidecar on
+    ``col`` per file — one Ray task per file, never a row-sized
+    driver pass."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    build = ray.remote(num_cpus=0.5)(_bloom_build)
+    ray.get([build.remote(f, col, bits_per_key, n_hashes) for f in files])
+    return out_dir
+
+
+def bloom_files_for_keys(out_dir: str, keys) -> tuple:
+    """(candidate_files, all_files): files whose bloom sidecar may
+    contain ANY of ``keys`` — the prune decision, exposed so tests can
+    assert real skipping (false positives possible, false negatives
+    never)."""
+    import numpy as np
+
+    all_files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    keep = []
+    for f in all_files:
+        with np.load(f + ".bloom.npz") as z:
+            bits, m, k = z["bits"], int(z["m"][0]), int(z["k"][0])
+        pos = _bloom_positions(keys, m, k)
+        hit = ((bits[pos // 64] >> (pos % 64).astype(np.uint64))
+               & np.uint64(1)).all(axis=1)
+        if bool(hit.any()):
+            keep.append(f)
+    return keep, all_files
