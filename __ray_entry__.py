@@ -273,10 +273,10 @@ _R3_WINDOW = [
     # kNN labels, keep-best resolution, compaction parity, the n-gram
     # contamination matrix, CUSUM, the mixture planner, clustering
     # coefficients and the Q9 five-table join)
-    "audio_fingerprint_pairs", "knn_label_predictions",
+    "audio_fingerprint_pairs",
     "neardup_keep_best", "kg_graph_compacted", "source_ngram_overlap",
     "mixture_token_budget",
-    "part_clustering_coefficient", "events_out_of_order",
+    "part_clustering_coefficient",
     # (r3-s5 third rotation: order_priority_revenue, copurchase_kcore,
     # events_asof_orders, user_rolling_value, user_running_value,
     # customer_order_ranks, events_ab_ztest, users_both_active,
@@ -291,7 +291,19 @@ _R3_WINDOW = [
     # conformal calibration and PSI drift)
     "orders_join_ivm", "doc_redirect_resolution",
     "user_conversion_survival", "events_conformal_coverage",
-    "events_value_psi", "token_cms_counts", "part_negative_samples",
+    "events_value_psi",
+    # (r3-s22 rotation: token_cms_counts, part_negative_samples,
+    # knn_label_predictions and events_out_of_order rotate OUT — all
+    # locally gate-green; the sketch family keeps events_kmv_distinct /
+    # user_overlap_kmv in the registry, sampling keeps
+    # mixture_token_budget in-window, embeddings keep embedding_dbscan
+    # in-window, streaming keeps events_quality_checks in-window — for
+    # the KG-quality audit family (the tier's core: predicate
+    # functionality stats, two-hop path profile, functionality-
+    # violation mining) and the tagged presence-exchange FK-inference
+    # profiler)
+    "kg_predicate_stats", "kg_two_hop", "kg_functionality_violations",
+    "join_key_inference",
     # (r3-s21 rotation: embedding_truncation_recall, video_scene_changes,
     # events_orders_join_profile and events_cusum_peaks rotate OUT — all
     # locally gate-green with fixture/SQL oracles; the embedding family
@@ -483,6 +495,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_two_hop"]
         ).kg_two_hop(sf),
+        "orders_time_travel": relational.orders_time_travel,
+        "join_key_inference": relational.join_key_inference,
+        "events_fd_audit": relational.events_fd_audit,
+        "url_canonical_dedup": relational.url_canonical_dedup,
+        "kg_functionality_violations": lambda sf: __import__(
+            "kgray.pipelines.graph",
+            fromlist=["kg_functionality_violations"]
+        ).kg_functionality_violations(sf),
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -785,7 +805,8 @@ def oracle_sql() -> dict[str, str]:
                      "embedding_mmr_topk", "copurchase_kcore",
                      "ann_hnsw_topk", "customer_golden_records",
                      "entity_communities", "crawl_host_shards",
-                     "kg_predicate_stats", "kg_two_hop")
+                     "kg_predicate_stats", "kg_two_hop",
+                     "kg_functionality_violations")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -1928,6 +1949,181 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents
             FROM events e JOIN k USING (user_id)
             GROUP BY e.user_id ORDER BY e.user_id
+        """,
+        "orders_time_travel": """
+            WITH h AS (SELECT o_orderkey, o_totalprice,
+                              CAST(('0x' || substr(md5(CAST(o_orderkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM orders),
+            v0 AS (SELECT o_orderkey, 0 AS version, 'U' AS op,
+                          o_totalprice AS price FROM orders),
+            v1 AS (SELECT o_orderkey, 1 AS version,
+                          CASE WHEN hb < 100 THEN 'D' ELSE 'U' END AS op,
+                          o_totalprice + 10.0 AS price
+                   FROM h WHERE hb < 300),
+            v2 AS (SELECT o_orderkey, 2 AS version,
+                          CASE WHEN hb >= 200 THEN 'D' ELSE 'U' END AS op,
+                          o_totalprice + 20.0 AS price
+                   FROM h WHERE hb >= 50 AND hb < 250),
+            allr AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+                     UNION ALL SELECT * FROM v2),
+            latest AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY version DESC) AS rn
+                       FROM allr)
+            SELECT o_orderkey,
+                   CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)
+                       AS total_cents,
+                   CAST(version AS BIGINT) AS version
+            FROM latest WHERE rn = 1 AND op = 'U'
+            ORDER BY o_orderkey
+        """,
+        "join_key_inference": """
+            WITH
+            p0 AS (SELECT
+                (SELECT COUNT(DISTINCT user_id) FROM events) AS nc,
+                (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS np,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT user_id AS v FROM events) a
+                    JOIN (SELECT DISTINCT c_custkey AS v FROM customer) b
+                    USING (v)) AS ni),
+            p1 AS (SELECT
+                (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS nc,
+                (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS np,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT o_custkey AS v FROM orders) a
+                    JOIN (SELECT DISTINCT c_custkey AS v FROM customer) b
+                    USING (v)) AS ni),
+            p2 AS (SELECT
+                (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS nc,
+                (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS np,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT l_orderkey AS v FROM lineitem) a
+                    JOIN (SELECT DISTINCT o_orderkey AS v FROM orders) b
+                    USING (v)) AS ni),
+            p3 AS (SELECT
+                (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS nc,
+                (SELECT COUNT(DISTINCT p_partkey) FROM part) AS np,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT l_partkey AS v FROM lineitem) a
+                    JOIN (SELECT DISTINCT p_partkey AS v FROM part) b
+                    USING (v)) AS ni),
+            p4 AS (SELECT
+                (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS nc,
+                (SELECT COUNT(DISTINCT user_id) FROM events) AS np,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT c_custkey AS v FROM customer) a
+                    JOIN (SELECT DISTINCT user_id AS v FROM events) b
+                    USING (v)) AS ni),
+            p5 AS (SELECT
+                (SELECT COUNT(DISTINCT event_id) FROM events) AS nc,
+                (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS np,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT event_id AS v FROM events) a
+                    JOIN (SELECT DISTINCT o_orderkey AS v FROM orders) b
+                    USING (v)) AS ni)
+            SELECT CAST(0 AS BIGINT) AS pair_id, 'events' AS child_table,
+                   'user_id' AS child_col, 'customer' AS parent_table,
+                   'c_custkey' AS parent_col, nc AS n_child_distinct,
+                   np AS n_parent_distinct, ni AS n_contained,
+                   1000000 * ni // nc AS containment_ppm FROM p0
+            UNION ALL
+            SELECT 1, 'orders', 'o_custkey', 'customer', 'c_custkey',
+                   nc, np, ni, 1000000 * ni // nc FROM p1
+            UNION ALL
+            SELECT 2, 'lineitem', 'l_orderkey', 'orders', 'o_orderkey',
+                   nc, np, ni, 1000000 * ni // nc FROM p2
+            UNION ALL
+            SELECT 3, 'lineitem', 'l_partkey', 'part', 'p_partkey',
+                   nc, np, ni, 1000000 * ni // nc FROM p3
+            UNION ALL
+            SELECT 4, 'customer', 'c_custkey', 'events', 'user_id',
+                   nc, np, ni, 1000000 * ni // nc FROM p4
+            UNION ALL
+            SELECT 5, 'events', 'event_id', 'orders', 'o_orderkey',
+                   nc, np, ni, 1000000 * ni // nc FROM p5
+            ORDER BY pair_id
+        """,
+        "events_fd_audit": """
+            WITH d AS (
+              SELECT 0 AS pair_id, CAST(event_id AS VARCHAR) AS det,
+                     CAST(user_id AS VARCHAR) AS dep FROM events
+              UNION ALL
+              SELECT 1, CAST(user_id AS VARCHAR), event_type FROM events
+              UNION ALL
+              SELECT 2, event_type, CAST(user_id AS VARCHAR) FROM events),
+            g AS (SELECT pair_id, det, COUNT(DISTINCT dep) AS n_dep
+                  FROM d GROUP BY pair_id, det)
+            SELECT CAST(pair_id AS BIGINT) AS pair_id,
+                   CASE pair_id WHEN 0 THEN 'event_id'
+                        WHEN 1 THEN 'user_id'
+                        ELSE 'event_type' END AS det_col,
+                   CASE pair_id WHEN 0 THEN 'user_id'
+                        WHEN 1 THEN 'event_type'
+                        ELSE 'user_id' END AS dep_col,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating,
+                   CAST(MAX(n_dep) AS BIGINT) AS max_distinct_dep,
+                   CAST(CASE WHEN SUM(CASE WHEN n_dep > 1 THEN 1
+                                      ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS holds
+            FROM g GROUP BY pair_id ORDER BY pair_id
+        """,
+        "url_canonical_dedup": """
+            WITH raw AS (
+              SELECT o_orderkey AS k,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey
+                          AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS hb
+              FROM orders),
+            urls AS (
+              SELECT 'https://shop.example.com/item/' || k AS url
+              FROM raw
+              UNION ALL
+              SELECT 'HTTPS://SHOP.Example.COM:443/item/' || k || '/'
+              FROM raw WHERE hb < 200
+              UNION ALL
+              SELECT 'https://shop.example.com/item/' || k
+                     || '?utm_source=feed&utm_id=9#sec'
+              FROM raw WHERE hb < 200
+              UNION ALL
+              SELECT 'https://shop.example.com/item/' || k || '?b=2&a=1'
+              FROM raw WHERE hb < 100
+              UNION ALL
+              SELECT 'https://shop.example.com/item/' || k
+                     || '?a=1&b=2#x'
+              FROM raw WHERE hb < 100),
+            nofrag AS (SELECT url, regexp_replace(url, '#.*$', '') AS s
+                       FROM urls),
+            parts AS (
+              SELECT url,
+                     CASE WHEN strpos(s, '?') > 0
+                          THEN substr(s, 1, strpos(s, '?') - 1)
+                          ELSE s END AS base,
+                     CASE WHEN strpos(s, '?') > 0
+                          THEN substr(s, strpos(s, '?') + 1)
+                          ELSE '' END AS q
+              FROM nofrag),
+            comp AS (
+              SELECT url,
+                     regexp_extract(base, '^[^/]+//[^/]+') AS pre,
+                     substr(base, length(regexp_extract(base,
+                            '^[^/]+//[^/]+')) + 1) AS rest,
+                     list_sort(list_filter(string_split(q, '&'),
+                         x -> x <> '' AND NOT starts_with(x, 'utm_')))
+                         AS ps
+              FROM parts),
+            canon AS (
+              SELECT url,
+                     replace(lower(pre), ':443', '') || rtrim(rest, '/')
+                     || CASE WHEN len(ps) > 0
+                             THEN '?' || array_to_string(ps, '&')
+                             ELSE '' END AS canonical_url
+              FROM comp)
+            SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+                   MIN(url) AS first_url
+            FROM canon GROUP BY canonical_url ORDER BY canonical_url
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -500,6 +500,24 @@ def _run_all_queries(sf_dir: str, timed):
     timed("token_burstiness", lambda: text.token_burstiness(sf_dir))
     from kgray.pipelines import kg as _kgp
     timed("crawl_host_shards", lambda: _kgp.crawl_host_shards(sf_dir))
+    timed("phrase_search", lambda: text.phrase_search(sf_dir))
+    timed("user_value_locf", lambda: relational.user_value_locf(sf_dir))
+    timed("events_user_bloom_lookup",
+          lambda: relational.events_user_bloom_lookup(sf_dir))
+    timed("user_shard_rendezvous",
+          lambda: relational.user_shard_rendezvous(sf_dir))
+    timed("kg_predicate_stats",
+          lambda: _graph.kg_predicate_stats(sf_dir))
+    timed("kg_two_hop", lambda: _graph.kg_two_hop(sf_dir))
+    timed("orders_time_travel",
+          lambda: relational.orders_time_travel(sf_dir))
+    timed("join_key_inference",
+          lambda: relational.join_key_inference(sf_dir))
+    timed("events_fd_audit", lambda: relational.events_fd_audit(sf_dir))
+    timed("url_canonical_dedup",
+          lambda: relational.url_canonical_dedup(sf_dir))
+    timed("kg_functionality_violations",
+          lambda: _graph.kg_functionality_violations(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

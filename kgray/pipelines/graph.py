@@ -1336,3 +1336,81 @@ def kg_two_hop(sf_dir: str, k_top: int = 20):
                       [("neg_n", "ascending"), ("pred_a", "ascending"),
                        ("pred_b", "ascending")], k_top)
     return top.select(["pred_a", "pred_b", "n_paths"])
+
+
+def kg_functionality_violations(sf_dir: str, n_func: int = 3,
+                                k_top: int = 50):
+    """Constraint-violation mining over the extracted KG: for the
+    ``n_func`` predicates the corpus itself treats as MOST functional
+    (highest ``1e6·n_subj // n_pairs``, ties → pred asc — e.g.
+    ``born_in``: one birthplace per person), emit the subjects
+    asserting MORE than one distinct object — the contradiction
+    candidates an ontology checker or KG-cleaning pass
+    (SDValidate-style) queues for review.  A rank rule rather than an
+    absolute floor so the audit stays non-vacuous as corpus density
+    grows with scale.  Top ``k_top`` by (n_objects desc, pred, subj);
+    all-integer, fixture oracle.
+
+    Plan: one distinct-(pred,subj,obj) aggregate, one (pred,subj)
+    fan-out count; the predicate-level functionality table is
+    predicate-sized and broadcasts into the filter — violations never
+    round-trip the driver."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.canonical import canonical_graph
+    from ..stages.topk import global_topk
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir,
+                   tagger="hmm")).materialize()
+
+    dist = sorted_group_aggregate(
+        graph.map_batches(lambda b: pa.table({
+            "pred": b.column("pred"), "subj": b.column("subj"),
+            "obj": b.column("obj"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pred", "subj", "obj"], [("c", "min")], precombine=True)
+
+    fanout = sorted_group_aggregate(
+        dist.map_batches(lambda b: pa.table({
+            "pred": b.column("pred"), "subj": b.column("subj"),
+            "n_objects": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pred", "subj"], [("n_objects", "sum")],
+        precombine=True).materialize()
+
+    # predicate-level functionality from the SAME fanout table:
+    # n_subj = #rows per pred, n_pairs = Σ n_objects per pred.
+    pred_stats = sorted_group_aggregate(
+        fanout.map_batches(lambda b: pa.table({
+            "pred": b.column("pred"),
+            "n_subj": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_pairs": b.column("n_objects")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pred"], [("n_subj", "sum"), ("n_pairs", "sum")]).take_all()
+    ranked = sorted(
+        ((10**6 * int(r["n_subj"]) // int(r["n_pairs"]), r["pred"])
+         for r in pred_stats),
+        key=lambda fr: (-fr[0], fr[1]))
+    functional = sorted(p for _, p in ranked[:n_func])
+    fset = pa.array(functional, type=pa.string())
+
+    def viol(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.is_in(b.column("pred"), value_set=fset),
+                         False),
+            pc.fill_null(pc.greater(b.column("n_objects"),
+                                    pa.scalar(1)), False))
+        t = b.filter(keep)
+        return t.append_column("neg_n", pc.negate(t.column("n_objects")))
+
+    top = global_topk(
+        fanout.map_batches(viol, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [("neg_n", "ascending"), ("pred", "ascending"),
+         ("subj", "ascending")], k_top)
+    return top.select(["pred", "subj", "n_objects"])

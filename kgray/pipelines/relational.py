@@ -46,7 +46,9 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "copurchase_triangles", "revenue_forecast",
            "promo_revenue_share", "large_orders", "event_props_stats",
            "orders_above_cust_avg", "fk_orphan_audit",
-           "logline_stats", "orders_cdc_latest", "pareto_orders",
+           "logline_stats", "orders_cdc_latest", "orders_time_travel",
+           "join_key_inference", "events_fd_audit", "url_canonical_dedup",
+           "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
            "events_value_winsorized", "user_key_skew",
            "customer_rfm_segments", "event_type_transitions",
@@ -9245,3 +9247,311 @@ def events_user_bloom_lookup(sf_dir: str, n_keys: int = 3):
             probe, batch_format="pyarrow", zero_copy_batch=True),
         ["user_id"], [("n_events", "sum"), ("sum_cents", "sum")])
     return res.sort("user_id")
+
+
+def orders_time_travel(sf_dir: str, as_of_version: int = 2):
+    """Time-travel read over a CDC changelog: reconstruct the orders
+    table AS OF a version cutoff — the lakehouse ``SELECT ... VERSION
+    AS OF v`` path, generalizing `orders_cdc_latest` from "latest" to
+    an arbitrary cutoff.  A deterministic three-version changelog is
+    derived from orders via md5 bands (v1: bucket<300 updates with
+    bucket<100 deletes; v2: 50≤bucket<250 with 200≤bucket<250 deletes
+    — so 50≤bucket<100 keys are deleted at v1 and REINSERTED at v2,
+    and 200≤bucket<250 are updated then deleted; v3: bucket<500
+    updates, beyond the cutoff and therefore invisible).  Versions ≤
+    the cutoff union with the snapshot, one grouped top-1 exchange
+    keeps each key's latest surviving row, deletes drop out.
+
+    Scale: state reconstruction is one grouped top-1 exchange over
+    snapshot+log — never a driver-side replay."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.topk import grouped_topk
+
+    def version_rows(b: pa.Table, version: int) -> pa.Table:
+        if version == 0:
+            n = b.num_rows
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "version": pa.array(np.zeros(n, dtype=np.int64)),
+                "op": pa.array(["U"] * n, type=pa.string()),
+                "price": b.column("o_totalprice")})
+        h = _md5_bucket(b.column("o_orderkey").to_pylist(), 1000)
+        if version == 1:
+            mask, dmask = h < 300, h < 100
+        elif version == 2:
+            mask = (h >= 50) & (h < 250)
+            dmask = (h >= 200) & (h < 250)
+        else:
+            mask, dmask = h < 500, np.zeros(len(h), dtype=bool)
+        t = b.filter(pa.array(mask))
+        ops = np.where(dmask[mask], "D", "U")
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "version": pa.array(np.full(t.num_rows, version,
+                                        dtype=np.int64)),
+            "op": pa.array(ops.tolist(), type=pa.string()),
+            "price": pc.add(t.column("o_totalprice"),
+                            pa.scalar(10.0 * version))})
+
+    scan = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    log = None
+    for v in range(min(as_of_version, 3) + 1):
+        part = scan().map_batches(
+            lambda b, _v=v: version_rows(b, _v),
+            batch_format="pyarrow", zero_copy_batch=True)
+        log = part if log is None else log.union(part)
+
+    latest = grouped_topk(log, group="o_orderkey", order_col="version",
+                          tiebreak="op", k=1)
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.equal(b.column("op"), pa.scalar("U")), False)
+        t = b.filter(keep)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "total_cents": _cents(t.column("price")),
+            "version": t.column("version")})
+
+    return latest.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# (child_table, child_col, parent_table, parent_col) candidates probed
+# by join_key_inference — a mix of true FKs and a noise pair.
+_FK_CANDIDATES = [
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_custkey", "events", "user_id"),
+    ("events", "event_id", "orders", "o_orderkey"),
+]
+
+
+def join_key_inference(sf_dir: str):
+    """Join-key (foreign-key) discovery — the data-profiling pass a
+    catalog runs before suggesting joins: for each candidate directed
+    column pair, the distinct counts of both sides, the intersection
+    size, and the inclusion coefficient in integer ppm
+    (``1e6·|child∩parent| // |child|``; 1e6 ⇒ the child's value set is
+    fully contained, i.e. a plausible FK).  Candidates mix true FKs
+    with a reverse pair and a noise pair.
+
+    Plan: ONE tagged exchange — every side's per-block distinct values
+    union into (pair_id, val, s1, s2) presence rows, a single
+    (pair_id, val) max-aggregate resolves presence, and the pair-level
+    counts are a second (tiny) aggregate.  No per-pair joins, no
+    driver-side value sets; driver assembly touches only the 6-row
+    result."""
+    sides = None
+    for pid, (ct, cc, pt, pc_) in enumerate(_FK_CANDIDATES):
+        for col, table, s1 in ((cc, ct, 1), (pc_, pt, 0)):
+            def block(b: pa.Table, _pid=pid, _col=col, _s1=s1) -> pa.Table:
+                v = pc.unique(pc.cast(b.column(_col), pa.int64()))
+                v = v.drop_null()
+                n = len(v)
+                return pa.table({
+                    "pair_id": pa.array(np.full(n, _pid, dtype=np.int64)),
+                    "val": v,
+                    "s1": pa.array(np.full(n, _s1, dtype=np.int64)),
+                    "s2": pa.array(np.full(n, 1 - _s1, dtype=np.int64))})
+            part = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                                   columns=[col]).map_batches(
+                block, batch_format="pyarrow", zero_copy_batch=True)
+            sides = part if sides is None else sides.union(part)
+
+    presence = sorted_group_aggregate(
+        sides, ["pair_id", "val"], [("s1", "max"), ("s2", "max")],
+        precombine=True)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        s1 = b.column("s1").to_numpy()
+        s2 = b.column("s2").to_numpy()
+        return pa.table({
+            "pair_id": b.column("pair_id"),
+            "n_child": pa.array(s1, type=pa.int64()),
+            "n_parent": pa.array(s2, type=pa.int64()),
+            "n_contained": pa.array(s1 * s2, type=pa.int64())})
+
+    counts = sorted_group_aggregate(
+        presence.map_batches(pair_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["pair_id"],
+        [("n_child", "sum"), ("n_parent", "sum"), ("n_contained", "sum")],
+        precombine=True).sort("pair_id")
+
+    t = pa.concat_tables([x for x in ray.get(counts.to_arrow_refs())
+                          if x.num_rows])
+    t = t.sort_by("pair_id")
+    pid = t.column("pair_id").to_pylist()
+    nch = t.column("n_child").to_pylist()
+    ncon = t.column("n_contained").to_pylist()
+    return pa.table({
+        "pair_id": pa.array(pid, type=pa.int64()),
+        "child_table": pa.array([_FK_CANDIDATES[i][0] for i in pid]),
+        "child_col": pa.array([_FK_CANDIDATES[i][1] for i in pid]),
+        "parent_table": pa.array([_FK_CANDIDATES[i][2] for i in pid]),
+        "parent_col": pa.array([_FK_CANDIDATES[i][3] for i in pid]),
+        "n_child_distinct": t.column("n_child"),
+        "n_parent_distinct": t.column("n_parent"),
+        "n_contained": t.column("n_contained"),
+        "containment_ppm": pa.array(
+            [1_000_000 * c // n if n else 0
+             for c, n in zip(ncon, nch)], type=pa.int64())})
+
+
+# (det_col, dep_col) functional-dependency candidates over events.
+_FD_PAIRS = [("event_id", "user_id"),
+             ("user_id", "event_type"),
+             ("event_type", "user_id")]
+
+
+def events_fd_audit(sf_dir: str):
+    """Functional-dependency discovery over events — does column A
+    determine column B?  For each candidate (det → dep) pair: the
+    number of det groups, how many are VIOLATING (≥2 distinct dep
+    values), and the max distinct-dep count.  (event_id → user_id)
+    holds by construction (PK); the behavioral pairs do not — the
+    audit quantifies how far off they are, the signal schema-inference
+    and normalization tools rank candidates by.
+
+    Plan: one shared scan emits per-block-distinct (pair_id, det, dep)
+    string rows for all pairs; a 3-key aggregate resolves global
+    distinct, a (pair, det) count gives per-group fan-out, and the
+    pair-level rollup is group-count-sized."""
+    cols = sorted({c for p in _FD_PAIRS for c in p})
+
+    def block(b: pa.Table) -> pa.Table:
+        parts = []
+        for pid, (det, dep) in enumerate(_FD_PAIRS):
+            t = pa.table({
+                "pair_id": pa.array(
+                    np.full(b.num_rows, pid, dtype=np.int64)),
+                "det": pc.cast(b.column(det), pa.string()),
+                "dep": pc.cast(b.column(dep), pa.string())})
+            parts.append(t.group_by(["pair_id", "det", "dep"])
+                         .aggregate([]))
+        return pa.concat_tables(parts)
+
+    distinct = rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=cols).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = distinct.map_batches(
+        lambda b: b.append_column(
+            "c", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    distinct = sorted_group_aggregate(
+        distinct, ["pair_id", "det", "dep"], [("c", "min")],
+        precombine=True)
+
+    per_det = sorted_group_aggregate(
+        distinct.map_batches(
+            lambda b: pa.table({
+                "pair_id": b.column("pair_id"), "det": b.column("det"),
+                "n_dep": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pair_id", "det"], [("n_dep", "sum")], precombine=True)
+
+    def roll(b: pa.Table) -> pa.Table:
+        nd = b.column("n_dep").to_numpy()
+        return pa.table({
+            "pair_id": b.column("pair_id"),
+            "n_groups": pa.array(np.ones(len(nd), dtype=np.int64)),
+            "n_violating": pa.array((nd > 1).astype(np.int64)),
+            "max_distinct_dep": b.column("n_dep")})
+
+    out = sorted_group_aggregate(
+        per_det.map_batches(roll, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["pair_id"],
+        [("n_groups", "sum"), ("n_violating", "sum"),
+         ("max_distinct_dep", "max")], precombine=True).sort("pair_id")
+
+    t = pa.concat_tables([x for x in ray.get(out.to_arrow_refs())
+                          if x.num_rows]).sort_by("pair_id")
+    pid = t.column("pair_id").to_pylist()
+    return pa.table({
+        "pair_id": pa.array(pid, type=pa.int64()),
+        "det_col": pa.array([_FD_PAIRS[i][0] for i in pid]),
+        "dep_col": pa.array([_FD_PAIRS[i][1] for i in pid]),
+        "n_groups": t.column("n_groups"),
+        "n_violating": t.column("n_violating"),
+        "max_distinct_dep": t.column("max_distinct_dep"),
+        "holds": pa.array(
+            [int(v == 0) for v in t.column("n_violating").to_pylist()],
+            type=pa.int64())})
+
+
+def _canonical_url(url: str) -> str:
+    """Canonical form: drop #fragment, lowercase scheme://host and
+    strip a :443 default port, strip trailing slashes from the path,
+    drop utm_* query params, sort the survivors.  Mirrored
+    operand-for-operand by the DuckDB oracle expression."""
+    import re as _re
+    s = url.split("#", 1)[0]
+    base, _, q = s.partition("?")
+    m = _re.match(r"^[^/]+//[^/]+", base)
+    pre = m.group(0) if m else ""
+    rest = base[len(pre):]
+    pre = pre.lower().replace(":443", "")
+    rest = rest.rstrip("/")
+    params = sorted(p for p in q.split("&")
+                    if p and not p.startswith("utm_"))
+    return pre + rest + ("?" + "&".join(params) if params else "")
+
+
+def url_canonical_dedup(sf_dir: str):
+    """Canonical-URL deduplication — the crawl-frontier normalizer:
+    scheme/host case, default ports, trailing slashes, fragments and
+    utm_* tracking params all alias the same resource; grouping on the
+    canonical form collapses them.  The synthetic URL set is derived
+    from order keys (clean URL per key; md5 bucket < 200 keys also
+    emit an uppercase-host:443 twin and a utm+fragment twin, so ~20%
+    of canonical groups have 3 variants) — the injection discipline of
+    `pii_scrub`/`fk_orphan_audit`, giving a full operand-mirrored SQL
+    oracle.
+
+    Plan: variant synthesis and normalization are stateless per-batch
+    maps (URL string surgery is per-row by nature, like hashing); the
+    dedup itself is one groupby on the canonical key."""
+    from ..functions.sampling import _md5_bucket
+
+    def variants(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_pylist()
+        h = _md5_bucket(keys, 1000)
+        urls = []
+        for k, hb in zip(keys, h):
+            urls.append(f"https://shop.example.com/item/{k}")
+            if hb < 200:
+                # both collapse into the clean group (3 variants)
+                urls.append(
+                    f"HTTPS://SHOP.Example.COM:443/item/{k}/")
+                urls.append(f"https://shop.example.com/item/{k}"
+                            f"?utm_source=feed&utm_id=9#sec")
+            if hb < 100:
+                # a param-order pair: both canonicalize to ?a=1&b=2
+                # (their own group of 2 — the sort is load-bearing)
+                urls.append(f"https://shop.example.com/item/{k}?b=2&a=1")
+                urls.append(
+                    f"https://shop.example.com/item/{k}?a=1&b=2#x")
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    def canon(b: pa.Table) -> pa.Table:
+        us = b.column("url").to_pylist()
+        return pa.table({
+            "canonical_url": pa.array([_canonical_url(u) for u in us],
+                                      type=pa.string()),
+            "n_variants": pa.array(np.ones(len(us), dtype=np.int64)),
+            "first_url": b.column("url")})
+
+    ds = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey"])
+          .map_batches(variants, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(canon, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return sorted_group_aggregate(
+        ds, ["canonical_url"],
+        [("n_variants", "sum"), ("first_url", "min")],
+        precombine=True).sort("canonical_url")

@@ -54,7 +54,7 @@ FIXTURE_QUERIES = [
     "bpe_merges", "bpe_token_counts", "semantic_dedup",
     "copurchase_kcore", "ann_hnsw_topk", "customer_golden_records",
     "entity_communities", "crawl_host_shards",
-    "kg_predicate_stats", "kg_two_hop",
+    "kg_predicate_stats", "kg_two_hop", "kg_functionality_violations",
 ]
 
 
