@@ -503,6 +503,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kgray.pipelines.graph",
             fromlist=["kg_functionality_violations"]
         ).kg_functionality_violations(sf),
+        "user_credit_balance": relational.user_credit_balance,
+        "customer_scd2_orders": relational.customer_scd2_orders,
+        "purchase_markov_attribution":
+            relational.purchase_markov_attribution,
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -777,6 +781,22 @@ def oracle_sql() -> dict[str, str]:
 
     def _fx(name: str) -> str:
         return f"SELECT * FROM read_parquet('{fixdir}/{name}.parquet')"
+
+    # purchase_markov_attribution: the 16 integer matvec rounds as a
+    # generated chained-CTE pipeline (DuckDB recursive CTEs reject
+    # aggregation in the recursive term — the part_copurchase_cheapest
+    # precedent), mirroring the engine's floored fixed-point verbatim.
+    _mk_steps = "\n".join(
+        f"""            w{i + 1} AS (
+              SELECT w.removed, t.to_state AS state,
+                     CAST(SUM(w.mass * t.p_fp // 1000000) AS BIGINT)
+                         AS mass
+              FROM w{i} w JOIN t ON t.from_state = w.state
+              WHERE t.to_state <> w.removed
+                AND t.from_state <> w.removed
+                AND t.to_state <> '__END__'
+              GROUP BY w.removed, t.to_state),"""
+        for i in range(16))
 
     fixture_oracles = {
         name: _fx(name)
@@ -2124,6 +2144,133 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
                    MIN(url) AS first_url
             FROM canon GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        "user_credit_balance": """
+            WITH e AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                              event_id,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN CAST(FLOOR(value * 100.0 + 0.5)
+                                             AS BIGINT)
+                                   ELSE -500 END AS d
+                       FROM events),
+            p AS (SELECT user_id, ts_us, event_id,
+                         SUM(d) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pd
+                  FROM e),
+            q AS (SELECT user_id, ts_us, event_id, pd,
+                         MIN(pd) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS mn
+                  FROM p),
+            s AS (SELECT user_id, ts_us, event_id,
+                         pd - LEAST(0, mn) AS bal,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts_us DESC, event_id DESC) AS rn
+                  FROM q)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(bal) AS BIGINT) AS peak_balance,
+                   CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT)
+                       AS final_balance
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "customer_scd2_orders": """
+            WITH h AS (SELECT c_custkey, c_mktsegment,
+                              CAST(('0x' || substr(md5(CAST(c_custkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM customer),
+            v AS (SELECT c_custkey,
+                         CAST(631152000000000 AS BIGINT) AS vts,
+                         c_mktsegment AS segment FROM h
+                  UNION ALL
+                  SELECT c_custkey, 804556800000000, 'MIGRATED'
+                  FROM h WHERE hb < 300
+                  UNION ALL
+                  SELECT c_custkey, 836179200000000, 'CHURNED'
+                  FROM h WHERE hb < 100),
+            iv AS (SELECT c_custkey, segment, vts,
+                          LEAD(vts, 1,
+                               CAST(9223372036854775807 AS BIGINT))
+                              OVER (PARTITION BY c_custkey
+                                    ORDER BY vts) AS vend
+                   FROM v),
+            j AS (SELECT iv.segment, o.o_totalprice
+                  FROM orders o JOIN iv
+                    ON o.o_custkey = iv.c_custkey
+                   AND CAST(epoch_us(o.o_orderdate) AS BIGINT) >= iv.vts
+                   AND CAST(epoch_us(o.o_orderdate) AS BIGINT) < iv.vend)
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM j GROUP BY segment ORDER BY segment
+        """,
+        "purchase_markov_attribution": f"""
+            WITH ev AS (SELECT user_id, event_type, ts, event_id
+                        FROM events),
+            seq AS (SELECT user_id, event_type,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+                    FROM ev),
+            trans AS (SELECT prev AS from_state, event_type AS to_state,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM seq
+                      WHERE prev IS NOT NULL AND prev <> 'purchase'
+                      GROUP BY 1, 2),
+            lasts AS (SELECT user_id, event_type,
+                             ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM ev),
+            ends AS (SELECT event_type AS from_state,
+                            '__END__' AS to_state,
+                            CAST(COUNT(*) AS BIGINT) AS n
+                     FROM lasts
+                     WHERE rn = 1 AND event_type <> 'purchase'
+                     GROUP BY 1),
+            alltr AS (SELECT * FROM trans UNION ALL SELECT * FROM ends
+                      UNION ALL
+                      SELECT 'purchase', 'purchase',
+                             CAST(1 AS BIGINT)),
+            rs AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS rowsum
+                   FROM alltr GROUP BY 1),
+            t AS (SELECT a.from_state, a.to_state,
+                         1000000 * a.n // r.rowsum AS p_fp
+                  FROM alltr a JOIN rs r USING (from_state)),
+            firsts AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM ev),
+            starts AS (SELECT event_type AS state,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM firsts WHERE rn = 1 GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM starts),
+            chans AS (SELECT DISTINCT event_type AS removed FROM events
+                      WHERE event_type <> 'purchase'),
+            allrem AS (SELECT removed FROM chans
+                       UNION ALL SELECT '__none__'),
+            w0 AS (SELECT c.removed, s.state,
+                          CAST((1000000 * s.n // t2.tn) * 1000000
+                               AS BIGINT) AS mass
+                   FROM starts s CROSS JOIN tot t2 CROSS JOIN allrem c
+                   WHERE s.state <> c.removed),
+{_mk_steps}
+            conv AS (SELECT removed, mass FROM w16
+                     WHERE state = 'purchase'),
+            fconv AS (SELECT mass AS fm FROM conv
+                      WHERE removed = '__none__')
+            SELECT c.removed AS channel, f.fm AS conv_full_fp,
+                   CAST(COALESCE(v.mass, 0) AS BIGINT)
+                       AS conv_removed_fp,
+                   CAST(CASE WHEN f.fm = 0 THEN 0
+                        ELSE 1000000 * (f.fm - COALESCE(v.mass, 0))
+                             // f.fm END AS BIGINT)
+                       AS removal_effect_micro
+            FROM chans c CROSS JOIN fconv f
+            LEFT JOIN conv v ON v.removed = c.removed
+            ORDER BY channel
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

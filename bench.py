@@ -518,6 +518,12 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.url_canonical_dedup(sf_dir))
     timed("kg_functionality_violations",
           lambda: _graph.kg_functionality_violations(sf_dir))
+    timed("user_credit_balance",
+          lambda: relational.user_credit_balance(sf_dir))
+    timed("customer_scd2_orders",
+          lambda: relational.customer_scd2_orders(sf_dir))
+    timed("purchase_markov_attribution",
+          lambda: relational.purchase_markov_attribution(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -47,6 +47,8 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "promo_revenue_share", "large_orders", "event_props_stats",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
+           "user_credit_balance", "customer_scd2_orders",
+           "purchase_markov_attribution",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -9555,3 +9557,343 @@ def url_canonical_dedup(sf_dir: str):
         ds, ["canonical_url"],
         [("n_variants", "sum"), ("first_url", "min")],
         precombine=True).sort("canonical_url")
+
+
+def user_credit_balance(sf_dir: str):
+    """Clamped running balance per user — prepaid-credit semantics:
+    purchases top the account up by their cents, every other event
+    costs a flat 500-cent fee, and the balance floors at 0 (the
+    non-linear recurrence ``s_i = max(0, s_{i-1} + d_i)``).  Per user:
+    event count, peak balance, final balance.
+
+    The scan is non-associative per row but CLOSES into a two-
+    parameter max-plus monoid — a delta segment acts on an incoming
+    balance as ``f(s) = max(s + a, b)`` with ``(a, b) = (Σd, Σd −
+    min prefix)``, and the running peak is the same form ``max(s + pa,
+    pb)`` — so boundary runs ship FOUR scalars per (block, user), never
+    rows (the `user_sessions` partial discipline; compositions fold in
+    block order on the driver).  Interior runs resolve with the closed
+    form ``s = P − min(0, cummin P)``, fully vectorized.  The SQL
+    mirror is the same closed form as two stacked window functions."""
+    from ..stages._runs import (edge_mask, edge_interior_exchange,
+                                nullsafe_sort, run_starts)
+
+    NEG = -(1 << 62)
+    FEE = 500
+
+    def deltas(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("value")).to_numpy(zero_copy_only=False)
+        purch = pc.equal(b.column("event_type"),
+                         pa.scalar("purchase")).to_numpy(
+                             zero_copy_only=False)
+        d = np.where(purch, cents, -FEE).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+            "d": pa.array(d)})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"]
+    ).map_batches(deltas, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    srt = nullsafe_sort(ds.repartition(n_part),
+                        ["user_id", "ts_us", "event_id"]).materialize()
+
+    def _run_summaries(t: pa.Table, starts: np.ndarray):
+        """(a, b, pa, pb, n) per run, fully vectorized: with per-run
+        prefix sums ``rp``, a = last rp, b = last − min, pa = max rp,
+        pb = max(rp − segmented-cummin rp).  The segmented cummin uses
+        the per-segment offset trick (earlier segments shifted up by
+        ≥BIG so a prefix min never crosses a run boundary), with an
+        exact-loop fallback if the shift would overflow int64."""
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.append(starts[1:], t.num_rows)
+        lens = ends - starts
+        P = np.cumsum(d)
+        off = np.repeat(np.concatenate(([0], P[ends[:-1] - 1])), lens)
+        rp = P - off
+        a = rp[ends - 1]
+        b = a - np.minimum.reduceat(rp, starts)
+        pa_ = np.maximum.reduceat(rp, starts)
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        big = int(np.abs(rp).max()) + 1
+        if big * (len(starts) + 1) < (1 << 62):
+            z = rp - seg_id * big
+            segmin = np.minimum.accumulate(z) + seg_id * big
+        else:                                   # pragma: no cover
+            segmin = np.empty_like(rp)
+            for s, e in zip(starts, ends):
+                segmin[s:e] = np.minimum.accumulate(rp[s:e])
+        pb = np.maximum.reduceat(rp - segmin, starts)
+        return a, b, pa_, pb, lens.astype(np.int64)
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "pa": pa.array([], type=pa.int64()),
+            "pb": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        edge = batch.filter(edge_mask(batch.column("user_id")))
+        if edge.num_rows == 0:
+            return empty
+        starts = run_starts(edge.column("user_id"))
+        a, b, pa_, pb, n = _run_summaries(edge, starts)
+        take = pa.array(starts, type=pa.int64())
+        return pa.table({
+            "user_id": edge.column("user_id").take(take),
+            "ts_us": edge.column("ts_us").take(take),
+            "event_id": edge.column("event_id").take(take),
+            "a": pa.array(a), "b": pa.array(b), "pa": pa.array(pa_),
+            "pb": pa.array(pb), "n": pa.array(n)})
+
+    out_schema = {
+        "user_id": pa.int64(), "n_events": pa.int64(),
+        "peak_balance": pa.int64(), "final_balance": pa.int64()}
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({k: pa.array([], type=t)
+                             for k, t in out_schema.items()})
+        inner = batch.filter(pc.invert(edge_mask(batch.column("user_id"))))
+        if inner.num_rows == 0:
+            return pa.table({k: pa.array([], type=t)
+                             for k, t in out_schema.items()})
+        starts = run_starts(inner.column("user_id"))
+        a, b, pa_, pb, n = _run_summaries(inner, starts)
+        take = pa.array(starts, type=pa.int64())
+        return pa.table({
+            "user_id": inner.column("user_id").take(take),
+            "n_events": pa.array(n),
+            "peak_balance": pa.array(np.maximum(pa_, pb)),
+            "final_balance": pa.array(np.maximum(a, b))})
+
+    def merge(edge_tables) -> pa.Table:
+        et = pa.concat_tables(edge_tables, promote_options="permissive")
+        idx = pc.sort_indices(et, sort_keys=[("user_id", "ascending"),
+                                             ("ts_us", "ascending"),
+                                             ("event_id", "ascending")])
+        et = et.take(idx)
+        users, n_ev, peak, fin = [], [], [], []
+        cur = None
+        A = B = PA = PB = N = None
+        for r in et.to_pylist():
+            if r["user_id"] != cur:
+                if cur is not None:
+                    users.append(cur)
+                    n_ev.append(N)
+                    peak.append(max(PA, PB))
+                    fin.append(max(A, B))
+                cur = r["user_id"]
+                A, B, PA, PB, N = 0, NEG, NEG, NEG, 0
+            a2, b2, pa2, pb2 = r["a"], r["b"], r["pa"], r["pb"]
+            PA, PB = max(PA, A + pa2), max(PB, B + pa2, pb2)
+            A, B = A + a2, max(B + a2, b2)
+            N += r["n"]
+        if cur is not None:
+            users.append(cur)
+            n_ev.append(N)
+            peak.append(max(PA, PB))
+            fin.append(max(A, B))
+        return pa.table({
+            "user_id": pa.array(users, type=pa.int64()),
+            "n_events": pa.array(n_ev, type=pa.int64()),
+            "peak_balance": pa.array(peak, type=pa.int64()),
+            "final_balance": pa.array(fin, type=pa.int64())})
+
+    return edge_interior_exchange(srt, edge_partials, interior,
+                                  merge).sort("user_id")
+
+
+def customer_scd2_orders(sf_dir: str):
+    """SCD Type-2 temporal dimension join — the lakehouse "dimension
+    history" pattern: a deterministic mktsegment version log is derived
+    from customers (md5 bucket < 300 migrate to 'MIGRATED' on
+    1995-07-01; bucket < 100 further churn to 'CHURNED' on 1996-07-01),
+    and every order joins the segment VERSION valid at its order date
+    (as-of backward on (custkey, date) — validity intervals partition
+    time, so SCD2 range-join ≡ as-of join, reusing the carry-in
+    exchange of `stages/asof.py`).  Output: orders and exact revenue
+    cents per segment-at-order-time."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.asof import asof_join
+
+    V0_US = 631152000000000          # 1990-01-01 in epoch µs
+    V1_US = 804556800000000          # 1995-07-01
+    V2_US = 836179200000000          # 1996-07-01
+
+    def versions(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        h = _md5_bucket(keys, 1000)
+        segs = b.column("c_mktsegment").to_pylist()
+        ck, vt, sg = [], [], []
+        for k, hb, s in zip(keys, h, segs):
+            ck.append(k)
+            vt.append(V0_US)
+            sg.append(s)
+            if hb < 300:
+                ck.append(k)
+                vt.append(V1_US)
+                sg.append("MIGRATED")
+            if hb < 100:
+                ck.append(k)
+                vt.append(V2_US)
+                sg.append("CHURNED")
+        return pa.table({
+            "ckey": pa.array(ck, type=pa.int64()),
+            "vts": pa.array(vt, type=pa.int64()),
+            "segment": pa.array(sg, type=pa.string())})
+
+    dim = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]
+                          ).map_batches(versions, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def fact(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ckey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "ots": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "cents": _cents(b.column("o_totalprice"))})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"]
+                             ).map_batches(fact, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+
+    joined = asof_join(orders, dim, key="ckey", left_t="ots",
+                       right_t="vts")
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": b.column("segment"),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "revenue_cents": b.column("cents")})
+
+    return sorted_group_aggregate(
+        joined.map_batches(ones, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["segment"], [("n_orders", "sum"), ("revenue_cents", "sum")],
+        precombine=True).sort("segment")
+
+
+_ATTRIB_ITERS = 16
+_ATTRIB_UNIT = 10 ** 12
+
+
+def purchase_markov_attribution(sf_dir: str):
+    """Markov removal-effect attribution (the data-driven alternative
+    to position rules, cf. `purchase_position_attribution`): model each
+    user's event stream as a first-order chain where 'purchase' absorbs
+    (outgoing transitions from purchase are ignored) and stream ends
+    leak to a terminal END state; a channel's credit is how much
+    conversion mass vanishes when the channel is REMOVED (flows into it
+    drop).  ``removal_effect_micro = 1e6·(conv_full − conv_removed) //
+    conv_full``, with conversion mass from ``_ATTRIB_ITERS`` exact
+    integer-floor matvec rounds at UNIT=10¹² (the `events_markov_
+    stationary` fixed-point discipline — both engines run the SAME
+    floored iteration, so the gate is bitwise regardless of
+    convergence).
+
+    Scale plan: transition/start/end counts come from the LAG and
+    first/last carry exchanges (input-sized, no self-join); the chain
+    itself is types²-sized, so the removal loop is driver-side by
+    design."""
+    from ..stages.scan import grouped_first_last
+
+    trans = {(r["from_type"], r["to_type"]): int(r["n"])
+             for r in event_type_transitions(sf_dir).take_all()
+             if r["from_type"] != "purchase"}
+
+    base = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts",
+                                     "event_type"])
+            .map_batches(lambda b: pa.table({
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "ev_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_type": b.column("event_type")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+    fl = grouped_first_last(base, key="user_id",
+                            order_cols=["ev_us", "event_id"],
+                            value_col="event_type",
+                            first_name="first_type",
+                            last_name="last_type")
+    per_user = sorted_group_aggregate(
+        fl.map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "first_type": b.column("first_type"),
+            "last_type": b.column("last_type")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("first_type", "min"), ("last_type", "min")],
+        precombine=True).take_all()
+
+    starts, ends = {}, {}
+    for r in per_user:
+        starts[r["first_type"]] = starts.get(r["first_type"], 0) + 1
+        if r["last_type"] != "purchase":
+            ends[r["last_type"]] = ends.get(r["last_type"], 0) + 1
+
+    # full transition table incl. END leaks + the purchase self-loop
+    # (the retention row that lets one generic matvec express
+    # absorption — mirrored verbatim in the SQL oracle)
+    tbl = dict(trans)
+    for ft, n in ends.items():
+        tbl[(ft, "__END__")] = tbl.get((ft, "__END__"), 0) + n
+    tbl[("purchase", "purchase")] = 1
+    rowsum = {}
+    for (f, _t), n in tbl.items():
+        rowsum[f] = rowsum.get(f, 0) + n
+    # transitions quantized to probability micro-units ONCE, so every
+    # per-step product mass·p_fp stays ≤ 10¹²·10⁶ < 2⁶³ regardless of
+    # corpus size (raw mass·count would overflow the SQL mirror's
+    # BIGINT at ~10⁷-count transitions)
+    p_fp = {ft: 10**6 * n // rowsum[ft[0]] for ft, n in tbl.items()}
+
+    total_starts = sum(starts.values())
+    channels = sorted(
+        r["event_type"]
+        for r in sorted_group_aggregate(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type"]).map_batches(
+                lambda b: pa.table({
+                    "event_type": b.column("event_type"),
+                    "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"], [("c", "sum")]).take_all()
+        if r["event_type"] != "purchase")
+
+    def converge(removed: str) -> int:
+        mass = {s: (10**6 * n // total_starts) * 10**6
+                for s, n in starts.items() if s != removed}
+        for _ in range(_ATTRIB_ITERS):
+            nxt = {}
+            for (f, t), p in p_fp.items():
+                if f == removed or t == removed or t == "__END__":
+                    continue
+                m = mass.get(f, 0)
+                if m:
+                    nxt[t] = nxt.get(t, 0) + m * p // 10**6
+            mass = nxt
+        return mass.get("purchase", 0)
+
+    full = converge("__none__")
+    out_ch, out_rm = [], []
+    for c in channels:
+        out_ch.append(c)
+        out_rm.append(converge(c))
+    return pa.table({
+        "channel": pa.array(out_ch, type=pa.string()),
+        "conv_full_fp": pa.array([full] * len(out_ch), type=pa.int64()),
+        "conv_removed_fp": pa.array(out_rm, type=pa.int64()),
+        "removal_effect_micro": pa.array(
+            [0 if full == 0 else 10**6 * (full - r) // full
+             for r in out_rm], type=pa.int64())})
