@@ -507,6 +507,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_scd2_orders": relational.customer_scd2_orders,
         "purchase_markov_attribution":
             relational.purchase_markov_attribution,
+        "token_skipgram_counts": text.token_skipgram_counts,
+        "kg_alias_ambiguity": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
+        ).kg_alias_ambiguity(sf),
+        "kg_subgraph_export": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_subgraph_export"]
+        ).kg_subgraph_export(sf),
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -826,7 +833,8 @@ def oracle_sql() -> dict[str, str]:
                      "ann_hnsw_topk", "customer_golden_records",
                      "entity_communities", "crawl_host_shards",
                      "kg_predicate_stats", "kg_two_hop",
-                     "kg_functionality_violations")
+                     "kg_functionality_violations", "kg_alias_ambiguity",
+                     "kg_subgraph_export")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -2271,6 +2279,22 @@ def oracle_sql() -> dict[str, str]:
             FROM chans c CROSS JOIN fconv f
             LEFT JOIN conv v ON v.removed = c.removed
             ORDER BY channel
+        """,
+        "token_skipgram_counts": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk,
+                                generate_subscripts({_TOKS}, 1) AS pos
+                         FROM documents WHERE len(trim(text)) > 0),
+            p AS (SELECT a.tk AS w1, b.tk AS w2,
+                         CAST(b.pos - a.pos AS BIGINT) AS dist
+                  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                   AND b.pos - a.pos BETWEEN 1 AND 2),
+            c AS (SELECT w1, w2, dist, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM p GROUP BY 1, 2, 3),
+            r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, w1,
+                      w2, dist) AS rn
+                  FROM c)
+            SELECT w1, w2, dist, cnt FROM r WHERE rn <= 40
+            ORDER BY cnt DESC, w1, w2, dist
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

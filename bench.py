@@ -524,6 +524,12 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.customer_scd2_orders(sf_dir))
     timed("purchase_markov_attribution",
           lambda: relational.purchase_markov_attribution(sf_dir))
+    timed("token_skipgram_counts",
+          lambda: text.token_skipgram_counts(sf_dir))
+    timed("kg_alias_ambiguity",
+          lambda: _graph.kg_alias_ambiguity(sf_dir))
+    timed("kg_subgraph_export",
+          lambda: _graph.kg_subgraph_export(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1414,3 +1414,146 @@ def kg_functionality_violations(sf_dir: str, n_func: int = 3,
         [("neg_n", "ascending"), ("pred", "ascending"),
          ("subj", "ascending")], k_top)
     return top.select(["pred", "subj", "n_objects"])
+
+
+def kg_alias_ambiguity(sf_dir: str):
+    """Linking-dictionary audit — the entity-linking quality signal:
+    for every alias surface, its candidate count, top prior and
+    top1−top2 margin (micro-units, priors rint-quantized so float32
+    storage can't drift the gate), and the surface's actual mention
+    EXPOSURE in the tagged corpus (how often the linker must make that
+    call — 'Springfield'-style ambiguous surfaces with high exposure
+    are the linking risk).  Fixture oracle.
+
+    Plan: the alias dictionary is broadcast-small by design (it rides
+    in the LinkerActor); mention exposure is one surface-keyed
+    aggregate over the tagger output (surface vocabulary ≪ mentions);
+    the final fold touches only dictionary-sized rows."""
+    import pyarrow.parquet as pq
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+
+    corpus = corpus_for_sf(sf_dir)
+    models_for_corpus(corpus, tagger="hmm")
+    al = pq.read_table(f"{corpus}/aliases.parquet")
+    prof = {}
+    for s, p in zip(al.column("surface").to_pylist(),
+                    al.column("prior").to_pylist()):
+        prof.setdefault(s, []).append(int(np.rint(p * 10**6)))
+
+    import __ray_entry__ as entrymod
+    mentions = entrymod._kg_mentions(sf_dir)
+    counts = {r["surface"]: int(r["n"])
+              for r in sorted_group_aggregate(
+                  mentions.map_batches(lambda b: pa.table({
+                      "surface": b.column("surface"),
+                      "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+                      batch_format="pyarrow", zero_copy_batch=True),
+                  ["surface"], [("n", "sum")]).take_all()}
+
+    surfaces = sorted(prof)
+    ncand, topp, marg, nmen = [], [], [], []
+    for s in surfaces:
+        ps = sorted(prof[s], reverse=True)
+        ncand.append(len(ps))
+        topp.append(ps[0])
+        marg.append(ps[0] - ps[1] if len(ps) > 1 else ps[0])
+        nmen.append(counts.get(s, 0))
+    return pa.table({
+        "surface": pa.array(surfaces, type=pa.string()),
+        "n_candidates": pa.array(ncand, type=pa.int64()),
+        "top_prior_micro": pa.array(topp, type=pa.int64()),
+        "margin_micro": pa.array(marg, type=pa.int64()),
+        "n_mentions": pa.array(nmen, type=pa.int64())})
+
+
+def kg_subgraph_export(sf_dir: str, n_seeds: int = 4, hops: int = 2):
+    """Seeded subgraph export — the SPARQL-DESCRIBE / GraphSAGE-
+    neighborhood shape over the extracted KG: starting from
+    ``n_seeds`` deterministic seed entities (smallest md5 of entity
+    name), BFS ``hops`` hops over the UNDIRECTED triple graph and
+    export every triple incident to a node within ``hops − 1`` (i.e.
+    all edges inside the ``hops``-hop ball), tagged with the subject's
+    and object's hop distance.  Fixture oracle.
+
+    Plan: per-hop frontier expansion with the node set broadcast
+    (entity vocabulary ≪ triples — the `entity_pagerank` dense-plan
+    threshold applies; the shuffle twin would swap the is_in mask for
+    a semi-join).  Each hop is one streamed pass over the graph."""
+    import hashlib
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    graph = canonical_graph(
+        kg_dataset(page_files(corpus), corpus, model_dir,
+                   tagger="hmm")).materialize()
+
+    # entity vocabulary: one distinct pass over subj ∪ obj
+    from ..stages.aggregate import sorted_group_aggregate
+    nodes = sorted_group_aggregate(
+        graph.map_batches(lambda b: pa.table({
+            "ent": pa.concat_arrays([
+                b.column("subj").combine_chunks().cast(pa.string()),
+                b.column("obj").combine_chunks().cast(pa.string())]),
+            "c": pa.array(np.ones(2 * b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["ent"], [("c", "sum")]).take_all()
+    ents = [r["ent"] for r in nodes]
+    seeds = sorted(ents, key=lambda e: (
+        hashlib.md5(e.encode()).hexdigest(), e))[:n_seeds]
+
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        fset = pa.array(sorted(frontier), type=pa.string())
+
+        def expand(b: pa.Table, _f=fset) -> pa.Table:
+            sm = pc.fill_null(pc.is_in(b.column("subj"), value_set=_f),
+                              False)
+            om = pc.fill_null(pc.is_in(b.column("obj"), value_set=_f),
+                              False)
+            t1 = b.filter(sm).column("obj")
+            t2 = b.filter(om).column("subj")
+            return pa.table({
+                "ent": pa.concat_arrays([t1.combine_chunks(),
+                                         t2.combine_chunks()]),
+                "c": pa.array(np.ones(len(t1) + len(t2),
+                                      dtype=np.int64))})
+
+        nxt = sorted_group_aggregate(
+            graph.map_batches(expand, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["ent"], [("c", "min")]).take_all()
+        frontier = {r["ent"] for r in nxt} - set(dist)
+        for e in sorted(frontier):
+            dist[e] = h
+        if not frontier:
+            break
+
+    inner = pa.array(sorted(e for e, d in dist.items()
+                            if d <= hops - 1), type=pa.string())
+    dmap = dist
+
+    def export(b: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.fill_null(pc.is_in(b.column("subj"), value_set=inner),
+                         False),
+            pc.fill_null(pc.is_in(b.column("obj"), value_set=inner),
+                         False))
+        t = b.filter(keep)
+        hs = [dmap.get(x, -1) for x in t.column("subj").to_pylist()]
+        ho = [dmap.get(x, -1) for x in t.column("obj").to_pylist()]
+        return pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"), "support": t.column("support"),
+            "subj_hop": pa.array(hs, type=pa.int64()),
+            "obj_hop": pa.array(ho, type=pa.int64())})
+
+    out = graph.map_batches(export, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return out.sort(["subj", "pred", "obj"])

@@ -28,7 +28,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
            "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
            "token_fuzzy_pairs", "dedup_substring_mask", "token_postings",
-           "nb_lang_predictions"]
+           "nb_lang_predictions", "token_skipgram_counts"]
 
 _WS = re.compile(r"\s+")
 
@@ -2415,3 +2415,50 @@ def phrase_search(sf_dir: str, k_top: int = 5):
         out = out.union(ds)
     return (out.select_columns(["phrase_id", "doc_id", "n_matches", "rank"])
             .sort(["phrase_id", "rank"]))
+
+
+def token_skipgram_counts(sf_dir: str, max_dist: int = 2,
+                          k_top: int = 40):
+    """Skip-gram pair counts — the co-occurrence statistic word2vec-
+    style embedding trainers and PMI matrices consume: ordered token
+    pairs (w1 before w2) at distance 1..``max_dist`` within a
+    document, counted corpus-wide per (w1, w2, dist); top ``k_top`` by
+    (count desc, w1, w2, dist).  Per-batch Counter partials (the
+    `token_topk` discipline) keep the exchange vocabulary²-bounded;
+    the SQL mirror is a positional self-join."""
+    from collections import Counter
+
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.topk import global_topk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            for d in range(1, max_dist + 1):
+                for a, b in zip(toks, toks[d:]):
+                    c[(a, b, d)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "w1": pa.array([k[0] for k in ks], type=pa.string()),
+            "w2": pa.array([k[1] for k in ks], type=pa.string()),
+            "dist": pa.array([k[2] for k in ks], type=pa.int64()),
+            "cnt": pa.array([c[k] for k in ks], type=pa.int64())})
+
+    counts = sorted_group_aggregate(
+        read_documents(sf_dir, columns=("text",)).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2", "dist"], [("cnt", "sum")], precombine=False)
+
+    def neg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.append_column("neg_cnt", pc.negate(b.column("cnt")))
+
+    top = global_topk(counts.map_batches(neg, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                      [("neg_cnt", "ascending"), ("w1", "ascending"),
+                       ("w2", "ascending"), ("dist", "ascending")],
+                      k_top)
+    return top.select(["w1", "w2", "dist", "cnt"])
