@@ -274,7 +274,11 @@ _R3_WINDOW = [
     # contamination matrix, CUSUM, the mixture planner, clustering
     # coefficients and the Q9 five-table join)
     "audio_fingerprint_pairs",
-    "neardup_keep_best", "kg_graph_compacted", "source_ngram_overlap",
+    # (r3-s25: neardup_keep_best rotates OUT — locally green; near-dup
+    # keeps image/audio pairs + embedding_dbscan in-window — for the
+    # incremental KG merge law, whose aliased kg_graph oracle proves
+    # the checkpoint∪delta plan lossless in the driver's own gate)
+    "kg_incremental_merge", "kg_graph_compacted", "source_ngram_overlap",
     "mixture_token_budget",
     "part_clustering_coefficient",
     # (r3-s5 third rotation: order_priority_revenue, copurchase_kcore,
@@ -514,6 +518,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subgraph_export": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_subgraph_export"]
         ).kg_subgraph_export(sf),
+        "kg_incremental_merge": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_incremental_merge"]
+        ).kg_incremental_merge(sf),
+        "kg_triple_recency": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_triple_recency"]
+        ).kg_triple_recency(sf),
+        "kg_lineage_report": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_lineage_report"]
+        ).kg_lineage_report(sf),
         "events_hourly_ewma": relational.events_hourly_ewma,
         "part_revenue_abc": relational.part_revenue_abc,
         "orderkey_gaps": relational.orderkey_gaps,
@@ -834,11 +847,15 @@ def oracle_sql() -> dict[str, str]:
                      "entity_communities", "crawl_host_shards",
                      "kg_predicate_stats", "kg_two_hop",
                      "kg_functionality_violations", "kg_alias_ambiguity",
-                     "kg_subgraph_export")
+                     "kg_subgraph_export", "kg_triple_recency",
+                     "kg_lineage_report")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
     fixture_oracles["kg_graph_compacted"] = _fx("kg_graph")
+    # the incremental-merge law: merged(checkpoint ∪ delta) must equal
+    # the full recompute bitwise — same aliased oracle
+    fixture_oracles["kg_incremental_merge"] = _fx("kg_graph")
 
     return {
         **fixture_oracles,

@@ -530,6 +530,12 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _graph.kg_alias_ambiguity(sf_dir))
     timed("kg_subgraph_export",
           lambda: _graph.kg_subgraph_export(sf_dir))
+    timed("kg_incremental_merge",
+          lambda: _graph.kg_incremental_merge(sf_dir))
+    timed("kg_triple_recency",
+          lambda: _graph.kg_triple_recency(sf_dir))
+    timed("kg_lineage_report",
+          lambda: _graph.kg_lineage_report(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

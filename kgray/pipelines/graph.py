@@ -1557,3 +1557,189 @@ def kg_subgraph_export(sf_dir: str, n_seeds: int = 4, hops: int = 2):
     out = graph.map_batches(export, batch_format="pyarrow",
                             zero_copy_batch=True)
     return out.sort(["subj", "pred", "obj"])
+
+
+def kg_incremental_merge(sf_dir: str, n_delta_files: int = 1):
+    """Incremental KG maintenance — the engine's answer to "a new crawl
+    batch arrived": the canonicalization checkpoint is the (key, salt)
+    PARTIAL table (not the final graph — bottom-K url bundles do not
+    compose across graphs, per-salt minima do), so merging a delta is
+    one associative aggregate over ``checkpoint ∪ delta-partials``
+    followed by the normal final merge.  This query materializes the
+    old corpus's stage-1 partials as a parquet checkpoint (atomic
+    tmp+rename, content-fingerprint tag), streams the LAST
+    ``n_delta_files`` page file(s) through tag→link→combine as the
+    delta, merges, and emits the graph — the oracle is the kg_graph
+    FIXTURE itself, so the value hash PROVES the incremental plan is
+    lossless (the `kg_graph_compacted` discipline).
+
+    Scale: the old corpus is never re-tagged — only its reduced
+    partial table is read; the delta costs one pipeline pass over the
+    new pages; the merge aggregate is associative (sum/min), so the
+    law holds bitwise at any split point."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.canonical import (canonical_graph, combine_triples_batch,
+                                    _final_merge, _bundle_to_list)
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    files = sorted(page_files(corpus))
+    assert len(files) > n_delta_files, "need at least one old file"
+    old_files = files[:-n_delta_files]
+    delta_files = files[-n_delta_files:]
+    N_SALTS, K_URLS = 8, 5
+
+    def partials(fs):
+        return kg_dataset(fs, corpus, model_dir, tagger="hmm"
+                          ).map_batches(
+            lambda b: combine_triples_batch(b, N_SALTS, K_URLS),
+            batch_format="pyarrow", batch_size=65536)
+
+    stage1_aggs = [("support", "sum"), ("url_bundle", "min"),
+                   ("subj", "min"), ("pred", "min"), ("obj", "min")]
+    keys = ["k_hash", "k_hash2", "salt"]
+
+    st = os.stat(old_files[0])
+    tag = _hl.md5(
+        f"{'|'.join(old_files)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|{N_SALTS}|{K_URLS}".encode()).hexdigest()[:10]
+    ckpt = f"/tmp/kgray_kg_ckpt/partials_{tag}"
+    if not os.path.exists(os.path.join(ckpt, "_DONE")):
+        tmp = ckpt + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        sorted_group_aggregate(partials(old_files), keys, stage1_aggs,
+                               precombine=False).write_parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        os.rename(tmp, ckpt)
+
+    import glob
+
+    import ray
+
+    ckpt_files = sorted(glob.glob(os.path.join(ckpt, "*.parquet")))
+    merged = rd.read_parquet(ckpt_files).union(partials(delta_files))
+    stage1 = sorted_group_aggregate(merged, keys, stage1_aggs,
+                                    precombine=False)
+    n_part = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    final = _final_merge(stage1.repartition(n_part), K_URLS)
+    graph = final.map_batches(lambda b: _bundle_to_list(b, K_URLS),
+                              batch_format="pyarrow")
+    _ = canonical_graph  # (full-recompute twin; the fixture pins parity)
+    return graph.drop_columns(["sample_urls"]).sort("subj")
+
+
+def kg_triple_recency(sf_dir: str):
+    """Triple provenance recency — temporal KG metadata: for every
+    distinct (subj, pred, obj), the crawl-timestamp span of its
+    supporting pages (first_seen/last_seen in epoch µs) and its
+    occurrence count.  The freshness signal a KG serving layer uses to
+    age out stale facts.  Fixture oracle.
+
+    Plan: linked triples project to (s,p,o,url); the page (url →
+    warc_ts) side is fact-sized, so the provenance join is the
+    sorted-merge exchange (never a broadcast); recency is then one
+    3-key aggregate (min/max/count)."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    triples = kg_dataset(page_files(corpus), corpus, model_dir,
+                         tagger="hmm").map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"), "subj": b.column("subj"),
+            "pred": b.column("pred"), "obj": b.column("obj")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pages = rd.read_parquet(page_files(corpus),
+                            columns=["url", "warc_ts"]).map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"),
+            "ts_us": pc.cast(b.column("warc_ts"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = sorted_merge_join(triples, pages, on="url")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": b.column("subj"), "pred": b.column("pred"),
+            "obj": b.column("obj"),
+            "first_seen_us": b.column("ts_us"),
+            "last_seen_us": b.column("ts_us"),
+            "n_mentions": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        j.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["subj", "pred", "obj"],
+        [("first_seen_us", "min"), ("last_seen_us", "max"),
+         ("n_mentions", "sum")], precombine=True
+    ).sort(["subj", "pred", "obj"])
+
+
+def kg_lineage_report(sf_dir: str):
+    """Lineage / checkpoint-manifest surface — the north rule's
+    "every partition emits lineage records" made queryable: run the
+    resumable driver loop (`run_kg`: partition groups → triples
+    parquet + manifest → canonicalized bucketed graph) into a
+    fingerprint-tagged /tmp run dir (idempotent — a rerun skips
+    manifest-complete groups, which IS the resume path), then emit the
+    manifest as a table of deterministic counts (wall times excluded).
+    Fixture oracle."""
+    import hashlib as _hl
+    import os
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from .kg import page_files, run_kg
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    files = sorted(page_files(corpus))
+    st = os.stat(files[0])
+    tag = _hl.md5(f"{'|'.join(files)}|{st.st_size}|{st.st_mtime_ns}"
+                  .encode()).hexdigest()[:10]
+    out_dir = f"/tmp/kgray_runkg/run_{tag}"
+    run_kg(corpus, out_dir, model_dir=model_dir, tagger="hmm")
+
+    from ..state.manifest import Manifest
+    recs = Manifest(os.path.join(out_dir, "manifest.jsonl")).records()
+    rows = []
+    for r in recs:
+        gid = str(r.get("group_id"))
+        rows.append({
+            "group_id": gid,
+            "n_input_files": len(r.get("input_files", [])
+                                 or r.get("input_groups", [])),
+            "rows_in": int(r.get("rows_in", 0)),
+            "sentences": int(r.get("sentences", 0)),
+            "triples_raw": int(r.get("triples_raw", 0)),
+            "triples_out": int(r.get("triples_out", 0)),
+            "n_graph_rows": int(r.get("n_graph_rows", 0)),
+            "status": str(r.get("status", ""))})
+    rows.sort(key=lambda x: x["group_id"])
+    return pa.table({
+        "group_id": pa.array([x["group_id"] for x in rows]),
+        "n_input_files": pa.array([x["n_input_files"] for x in rows],
+                                  type=pa.int64()),
+        "rows_in": pa.array([x["rows_in"] for x in rows],
+                            type=pa.int64()),
+        "sentences": pa.array([x["sentences"] for x in rows],
+                              type=pa.int64()),
+        "triples_raw": pa.array([x["triples_raw"] for x in rows],
+                                type=pa.int64()),
+        "triples_out": pa.array([x["triples_out"] for x in rows],
+                                type=pa.int64()),
+        "n_graph_rows": pa.array([x["n_graph_rows"] for x in rows],
+                                 type=pa.int64()),
+        "status": pa.array([x["status"] for x in rows],
+                           type=pa.string())})

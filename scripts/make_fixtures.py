@@ -55,7 +55,8 @@ FIXTURE_QUERIES = [
     "copurchase_kcore", "ann_hnsw_topk", "customer_golden_records",
     "entity_communities", "crawl_host_shards",
     "kg_predicate_stats", "kg_two_hop", "kg_functionality_violations",
-    "kg_alias_ambiguity", "kg_subgraph_export",
+    "kg_alias_ambiguity", "kg_subgraph_export", "kg_triple_recency",
+    "kg_lineage_report",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Session-25 batch: incremental KG merge (split-point-independence
+law vs the full recompute), triple recency (support-consistency and
+span laws vs the canonical graph), and the lineage-report surface
+(conservation + resume idempotence)."""
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _graph_rows(ds):
+    return sorted((r["subj"], r["pred"], r["obj"], r["support"])
+                  for r in ds.take_all())
+
+
+def test_incremental_merge_split_independence(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_incremental_merge
+
+    full = _graph_rows(entry.queries()["kg_graph"](SF))
+    # default split (delta = last file) and a different split point
+    assert _graph_rows(kg_incremental_merge(SF)) == full
+    assert _graph_rows(
+        kg_incremental_merge(SF, n_delta_files=2)) == full
+
+
+def test_triple_recency_laws(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_triple_recency
+    from kgray.pipelines.kg import page_files
+    from kgray.sources.derived import corpus_for_sf
+
+    rec = kg_triple_recency(SF).take_all()
+    graph = {(r["subj"], r["pred"], r["obj"]): r["support"]
+             for r in entry.queries()["kg_graph"](SF).take_all()}
+    # same triple set; occurrence count == canonical support
+    assert {(r["subj"], r["pred"], r["obj"]) for r in rec} == set(graph)
+    for r in rec:
+        assert r["n_mentions"] == graph[(r["subj"], r["pred"], r["obj"])]
+        assert r["first_seen_us"] <= r["last_seen_us"]
+    # spans lie inside the corpus's crawl-timestamp range
+    pages = pq.read_table(page_files(corpus_for_sf(SF)),
+                          columns=["warc_ts"])
+    ts = pages.column("warc_ts").cast("int64")
+    lo, hi = min(ts.to_pylist()), max(ts.to_pylist())
+    assert all(lo <= r["first_seen_us"] and r["last_seen_us"] <= hi
+               for r in rec)
+
+
+def test_lineage_report_conservation(ray_session):
+    from kgray.pipelines.graph import kg_lineage_report
+    from kgray.pipelines.kg import page_files
+    from kgray.sources.derived import corpus_for_sf
+
+    t = kg_lineage_report(SF)
+    rows = t.to_pylist()
+    groups = [r for r in rows if r["group_id"] != "__graph__"]
+    gr = [r for r in rows if r["group_id"] == "__graph__"]
+    assert len(gr) == 1 and gr[0]["status"] == "done"
+    # every page file is covered by exactly one group
+    n_files = len(page_files(corpus_for_sf(SF)))
+    assert sum(r["n_input_files"] for r in groups) == n_files
+    # page counts conserve; canonicalization only dedupes
+    pages = sum(pq.read_table(f, columns=["url"]).num_rows
+                for f in page_files(corpus_for_sf(SF)))
+    assert sum(r["rows_in"] for r in groups) == pages
+    assert 0 < gr[0]["n_graph_rows"] <= \
+        sum(r["triples_out"] for r in groups)
+    # resume idempotence: a rerun skips all manifest-complete groups
+    again = kg_lineage_report(SF)
+    assert again.equals(t)
