@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_markov_attribution":
             relational.purchase_markov_attribution,
         "token_skipgram_counts": text.token_skipgram_counts,
+        "doc_weighted_sample": text.doc_weighted_sample,
         "kg_alias_ambiguity": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
         ).kg_alias_ambiguity(sf),
@@ -2312,6 +2313,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT w1, w2, dist, cnt FROM r WHERE rn <= 40
             ORDER BY cnt DESC, w1, w2, dist
+        """,
+        "doc_weighted_sample": """
+            WITH d AS (SELECT doc_id, n_chars,
+                              CAST(('0x' || substr(md5(CAST(doc_id
+                                   AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                       FROM documents),
+            p AS (SELECT doc_id, n_chars,
+                         -ln((h + 1) / 1152921504606846976.0)
+                             / (n_chars + 1) AS prio
+                  FROM d),
+            r AS (SELECT doc_id, n_chars,
+                         ROW_NUMBER() OVER (ORDER BY prio, doc_id)
+                             AS rank
+                  FROM p)
+            SELECT doc_id, n_chars, rank FROM r WHERE rank <= 100
+            ORDER BY rank
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

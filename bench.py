@@ -536,6 +536,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _graph.kg_triple_recency(sf_dir))
     timed("kg_lineage_report",
           lambda: _graph.kg_lineage_report(sf_dir))
+    timed("doc_weighted_sample",
+          lambda: text.doc_weighted_sample(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -28,7 +28,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
            "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
            "token_fuzzy_pairs", "dedup_substring_mask", "token_postings",
-           "nb_lang_predictions", "token_skipgram_counts"]
+           "nb_lang_predictions", "token_skipgram_counts", "doc_weighted_sample"]
 
 _WS = re.compile(r"\s+")
 
@@ -2462,3 +2462,47 @@ def token_skipgram_counts(sf_dir: str, max_dist: int = 2,
                        ("w2", "ascending"), ("dist", "ascending")],
                       k_top)
     return top.select(["w1", "w2", "dist", "cnt"])
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 100):
+    """Deterministic weighted sampling without replacement — the
+    quality-weighted mixture-sampling primitive of a training-data
+    pipeline (pick k documents with probability ∝ weight, here weight
+    = n_chars + 1), via the Efraimidis–Vattis exponential-race keys:
+    priority = −ln(u)/w with u = (md5₁₅(doc_id)+1)/2⁶⁰, smallest k
+    win.  Every float op is operand-mirrored in the SQL oracle
+    (``math.log`` is bitwise-identical to DuckDB ``ln``; the u and
+    priority divisions are single IEEE ops on identical operands —
+    numpy's SIMD log is NOT portable, so the log runs through
+    ``math.log`` per candidate).  Output is integer-only.
+
+    Scale plan: priorities are a pure per-row function; selection is
+    `global_topk` (each block ships only its local top-k)."""
+    import hashlib
+    import math
+
+    from ..stages.topk import global_topk
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ws = batch.column("n_chars").to_pylist()
+        ps = []
+        for i, w in zip(ids, ws):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            u = (h + 1) / 1152921504606846976.0
+            ps.append(-math.log(u) / (w + 1))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "prio": pa.array(ps, type=pa.float64())})
+
+    top = global_topk(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).map_batches(
+            prio, batch_format="pyarrow", zero_copy_batch=True),
+        [("prio", "ascending"), ("doc_id", "ascending")], k)
+    n = top.num_rows
+    return pa.table({
+        "doc_id": top.column("doc_id"),
+        "n_chars": top.column("n_chars"),
+        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64))})

@@ -69,3 +69,19 @@ def test_lineage_report_conservation(ray_session):
     # resume idempotence: a rerun skips all manifest-complete groups
     again = kg_lineage_report(SF)
     assert again.equals(t)
+
+
+def test_weighted_sample_favors_heavy_docs(ray_session):
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.text import doc_weighted_sample
+
+    got = doc_weighted_sample(SF, k=50).to_pylist()
+    assert len(got) == 50
+    assert [r["rank"] for r in got] == list(range(1, 51))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["n_chars"]).column("n_chars")
+    corpus_mean = sum(docs.to_pylist()) / len(docs)
+    sample_mean = sum(r["n_chars"] for r in got) / len(got)
+    # probability ∝ n_chars+1 ⇒ the sample skews heavy
+    assert sample_mean > corpus_mean
