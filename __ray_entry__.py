@@ -513,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.purchase_markov_attribution,
         "token_skipgram_counts": text.token_skipgram_counts,
         "doc_weighted_sample": text.doc_weighted_sample,
+        "order_value_ntile": relational.order_value_ntile,
+        "part_hierarchy_rollup": relational.part_hierarchy_rollup,
         "kg_alias_ambiguity": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
         ).kg_alias_ambiguity(sf),
@@ -2329,6 +2331,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM p)
             SELECT doc_id, n_chars, rank FROM r WHERE rank <= 100
             ORDER BY rank
+        """,
+        "order_value_ntile": """
+            WITH o AS (SELECT o_orderpriority,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents, o_orderkey
+                       FROM orders),
+            t AS (SELECT o_orderpriority, cents,
+                         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY cents, o_orderkey) AS BIGINT)
+                             AS tile
+                  FROM o)
+            SELECT o_orderpriority, tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(MIN(cents) AS BIGINT) AS min_cents,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_hierarchy_rollup": """
+            WITH RECURSIVE anc(node, anc) AS (
+                SELECT p_partkey, p_partkey FROM part
+                UNION ALL
+                SELECT a.node, a.anc // 4 FROM anc a WHERE a.anc >= 1),
+            c AS (SELECT p_partkey AS node,
+                         CAST(FLOOR(p_retailprice * 100.0 + 0.5)
+                              AS BIGINT) AS cents
+                  FROM part)
+            SELECT a.anc, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(c.cents) AS BIGINT) AS subtree_cents
+            FROM anc a JOIN c ON c.node = a.node
+            GROUP BY a.anc ORDER BY a.anc
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -538,6 +538,10 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _graph.kg_lineage_report(sf_dir))
     timed("doc_weighted_sample",
           lambda: text.doc_weighted_sample(sf_dir))
+    timed("order_value_ntile",
+          lambda: relational.order_value_ntile(sf_dir))
+    timed("part_hierarchy_rollup",
+          lambda: relational.part_hierarchy_rollup(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

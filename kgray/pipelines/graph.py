@@ -1216,6 +1216,45 @@ def copurchase_robustness(sf_dir: str, min_count: int = 2,
         "largest_component": pa.array(out_c, type=pa.int64())})
 
 
+def graph_for_sf(sf_dir: str, tagger: str = "hmm"):
+    """The canonical graph as a MATERIALIZED parquet checkpoint
+    (atomic tmp+rename, content-fingerprinted — the /tmp cache
+    discipline): KG-quality audits read the graph as a table instead
+    of each re-running tag→link→canonicalize.  This is also the honest
+    production shape — audits run against the graph SINK, not the
+    extraction pipeline.  Returns a Dataset over the checkpoint
+    files."""
+    import glob
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger=tagger)
+    files = sorted(page_files(corpus))
+    st = os.stat(files[0])
+    tag = _hl.md5(f"{'|'.join(files)}|{st.st_size}|{st.st_mtime_ns}"
+                  f"|{tagger}".encode()).hexdigest()[:10]
+    out = f"/tmp/kgray_graph/graph_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        canonical_graph(
+            kg_dataset(files, corpus, model_dir, tagger=tagger)
+        ).write_parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "*.parquet"))))
+
+
 def kg_predicate_stats(sf_dir: str):
     """Per-predicate functionality audit of the extracted KG — the
     schema-quality signal PARIS-style aligners and ontology checkers
@@ -1230,16 +1269,9 @@ def kg_predicate_stats(sf_dir: str):
     (distinct (pred,subj), distinct (pred,obj), triple counts) — each
     output is predicate-sized, so the final assembly is a tiny driver
     fold, never an input-sized collect."""
-    from ..sources.derived import corpus_for_sf, models_for_corpus
     from ..stages.aggregate import sorted_group_aggregate
-    from ..stages.canonical import canonical_graph
-    from .kg import kg_dataset, page_files
 
-    corpus = corpus_for_sf(sf_dir)
-    model_dir = models_for_corpus(corpus, tagger="hmm")
-    graph = canonical_graph(
-        kg_dataset(page_files(corpus), corpus, model_dir,
-                   tagger="hmm")).materialize()
+    graph = graph_for_sf(sf_dir)
 
     def ones(b: pa.Table, cols) -> pa.Table:
         t = {c: b.column(c) for c in cols}
@@ -1299,18 +1331,11 @@ def kg_two_hop(sf_dir: str, k_top: int = 20):
     a fact×fact join, never a broadcast); path rows reduce straight
     into a (p1,p2)-keyed aggregate (output is #preds²-sized) and only
     ``k_top`` survivor rows reach the driver via ``global_topk``."""
-    from ..sources.derived import corpus_for_sf, models_for_corpus
     from ..stages.aggregate import sorted_group_aggregate
-    from ..stages.canonical import canonical_graph
     from ..stages.join import sorted_merge_join
     from ..stages.topk import global_topk
-    from .kg import kg_dataset, page_files
 
-    corpus = corpus_for_sf(sf_dir)
-    model_dir = models_for_corpus(corpus, tagger="hmm")
-    graph = canonical_graph(
-        kg_dataset(page_files(corpus), corpus, model_dir,
-                   tagger="hmm")).materialize()
+    graph = graph_for_sf(sf_dir)
 
     left = graph.map_batches(lambda b: pa.table({
         "mid": b.column("obj"), "pred_a": b.column("pred")}),
@@ -1355,17 +1380,10 @@ def kg_functionality_violations(sf_dir: str, n_func: int = 3,
     fan-out count; the predicate-level functionality table is
     predicate-sized and broadcasts into the filter — violations never
     round-trip the driver."""
-    from ..sources.derived import corpus_for_sf, models_for_corpus
     from ..stages.aggregate import sorted_group_aggregate
-    from ..stages.canonical import canonical_graph
     from ..stages.topk import global_topk
-    from .kg import kg_dataset, page_files
 
-    corpus = corpus_for_sf(sf_dir)
-    model_dir = models_for_corpus(corpus, tagger="hmm")
-    graph = canonical_graph(
-        kg_dataset(page_files(corpus), corpus, model_dir,
-                   tagger="hmm")).materialize()
+    graph = graph_for_sf(sf_dir)
 
     dist = sorted_group_aggregate(
         graph.map_batches(lambda b: pa.table({
@@ -1483,15 +1501,7 @@ def kg_subgraph_export(sf_dir: str, n_seeds: int = 4, hops: int = 2):
     a semi-join).  Each hop is one streamed pass over the graph."""
     import hashlib
 
-    from ..sources.derived import corpus_for_sf, models_for_corpus
-    from ..stages.canonical import canonical_graph
-    from .kg import kg_dataset, page_files
-
-    corpus = corpus_for_sf(sf_dir)
-    model_dir = models_for_corpus(corpus, tagger="hmm")
-    graph = canonical_graph(
-        kg_dataset(page_files(corpus), corpus, model_dir,
-                   tagger="hmm")).materialize()
+    graph = graph_for_sf(sf_dir)
 
     # entity vocabulary: one distinct pass over subj ∪ obj
     from ..stages.aggregate import sorted_group_aggregate

@@ -48,7 +48,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -9918,3 +9918,99 @@ def purchase_markov_attribution(sf_dir: str):
         "removal_effect_micro": pa.array(
             [0 if full == 0 else 10**6 * (full - r) // full
              for r in out_rm], type=pa.int64())})
+
+
+def order_value_ntile(sf_dir: str, n_tiles: int = 4):
+    """SQL ``NTILE(n)`` quartile assignment over order value within
+    each priority (ORDER BY value, key — a total order, because NTILE
+    under ties is engine-arbitrary otherwise), reduced to the tile
+    summary (count, min/max cents per (priority, tile)).  Row numbers
+    come from the `grouped_ranks` carry exchange; the tile is the
+    closed form ``(rn−1) < rem·(sz+1) ? (rn−1)//(sz+1) : rem +
+    (rn−1−rem·(sz+1))//sz`` with sz = n//k, rem = n%k — exactly SQL's
+    first-``rem``-tiles-get-one-extra rule."""
+    from ..stages.scan import grouped_ranks
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": _cents(b.column("o_totalprice")),
+            "o_orderkey": b.column("o_orderkey")})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority",
+                                      "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = grouped_ranks(orders, "o_orderpriority",
+                           ["cents", "o_orderkey"])
+
+    sizes = {r["o_orderpriority"]: int(r["n"]) for r in
+             sorted_group_aggregate(
+                 orders.map_batches(lambda b: pa.table({
+                     "o_orderpriority": b.column("o_orderpriority"),
+                     "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+                     batch_format="pyarrow", zero_copy_batch=True),
+                 ["o_orderpriority"], [("n", "sum")]).take_all()}
+
+    def tile(b: pa.Table) -> pa.Table:
+        pr = b.column("o_orderpriority").to_pylist()
+        rn = b.column("row_number").to_numpy(zero_copy_only=False)
+        n = np.array([sizes[p] for p in pr], dtype=np.int64)
+        k = n_tiles
+        sz, rem = n // k, n % k
+        r0 = rn - 1
+        cut = rem * (sz + 1)
+        t = np.where(r0 < cut, r0 // np.maximum(sz + 1, 1),
+                     rem + (r0 - cut) // np.maximum(sz, 1)) + 1
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "tile": pa.array(t, type=pa.int64()),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "min_cents": b.column("cents"),
+            "max_cents": b.column("cents")})
+
+    return sorted_group_aggregate(
+        ranked.map_batches(tile, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority", "tile"],
+        [("n_orders", "sum"), ("min_cents", "min"), ("max_cents", "max")],
+        precombine=True).sort(["o_orderpriority", "tile"])
+
+
+def part_hierarchy_rollup(sf_dir: str):
+    """Hierarchical (BOM-style) subtree rollup: parts form a 4-ary
+    tree via the arithmetic parent rule ``parent(k) = k // 4`` (node 0
+    is the global root); for every node, the count and exact retail-cents sum
+    over its whole subtree (self included).  The plan is the general
+    one — explode each node to ALL its ancestors, then one
+    ancestor-keyed aggregate; with a STORED parent column the ancestor
+    list would come from pointer doubling (`doc_redirect_resolution`)
+    instead of arithmetic, the explode/aggregate tail is identical.
+    Explode size is n·depth = n·log₄(n) — the price of arbitrary-depth
+    rollup in one exchange.  Mirrored by a recursive-CTE oracle."""
+    def explode(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column("p_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = _cents(b.column("p_retailprice")).to_numpy(
+            zero_copy_only=False)
+        anc_all, cents_all = [], []
+        cur = k.copy()
+        while len(cur):
+            anc_all.append(cur)
+            cents_all.append(cents)
+            live = cur >= 1          # node 0 is the global root
+            cur = cur[live] // 4
+            cents = cents[live]
+        return pa.table({
+            "anc": pa.array(np.concatenate(anc_all)),
+            "n_nodes": pa.array(np.ones(
+                sum(len(a) for a in anc_all), dtype=np.int64)),
+            "subtree_cents": pa.array(np.concatenate(cents_all))})
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"]
+                         ).map_batches(explode, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    return sorted_group_aggregate(
+        ds, ["anc"], [("n_nodes", "sum"), ("subtree_cents", "sum")],
+        precombine=True).sort("anc")

@@ -3,6 +3,7 @@ law vs the full recompute), triple recency (support-consistency and
 span laws vs the canonical graph), and the lineage-report surface
 (conservation + resume idempotence)."""
 
+import numpy as np
 import pyarrow.parquet as pq
 
 SF = "/root/testdata/sf0.001"
@@ -85,3 +86,54 @@ def test_weighted_sample_favors_heavy_docs(ray_session):
     sample_mean = sum(r["n_chars"] for r in got) / len(got)
     # probability ∝ n_chars+1 ⇒ the sample skews heavy
     assert sample_mean > corpus_mean
+
+
+def test_ntile_laws(ray_session):
+    from kgray.pipelines.relational import order_value_ntile
+
+    rows = order_value_ntile(SF).to_pylist() if hasattr(
+        order_value_ntile(SF), "to_pylist") else \
+        order_value_ntile(SF).take_all()
+    by_pr = {}
+    for r in rows:
+        by_pr.setdefault(r["o_orderpriority"], []).append(r)
+    for pr, ts in by_pr.items():
+        ts.sort(key=lambda r: r["tile"])
+        assert [r["tile"] for r in ts] == [1, 2, 3, 4]
+        counts = [r["n_orders"] for r in ts]
+        # NTILE size law: first (n % 4) tiles get one extra row
+        assert max(counts) - min(counts) <= 1
+        assert sorted(counts, reverse=True) == counts
+        # tiles partition the value axis in order
+        for a, b in zip(ts, ts[1:]):
+            assert a["max_cents"] <= b["min_cents"]
+
+
+def test_hierarchy_rollup_conservation(ray_session):
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.relational import part_hierarchy_rollup
+
+    rows = {r["anc"]: r for r in part_hierarchy_rollup(SF).take_all()}
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    keys = part.column("p_partkey").to_pylist()
+    cents = {k: int(np.floor(p * 100.0 + 0.5)) for k, p in
+             zip(keys, part.column("p_retailprice").to_pylist())}
+    assert set(rows) == set(keys)          # every node is an ancestor
+    # root 0 covers the whole forest
+    assert rows[0]["n_nodes"] == len(keys)
+    assert rows[0]["subtree_cents"] == sum(cents.values())
+    # parent superset law: subtree(parent) ⊇ subtree(child)
+    for k in keys:
+        if k >= 1:
+            p = k // 4
+            assert rows[p]["n_nodes"] >= rows[k]["n_nodes"] + \
+                (1 if p != k else 0) - 1
+            assert rows[p]["subtree_cents"] >= rows[k]["subtree_cents"]
+    # leaf law: nodes with no children roll up to themselves
+    children = {k // 4 for k in keys if k >= 1}
+    for k in keys:
+        if k not in children:
+            assert rows[k]["n_nodes"] == 1
+            assert rows[k]["subtree_cents"] == cents[k]
