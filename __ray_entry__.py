@@ -515,6 +515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": text.doc_weighted_sample,
         "order_value_ntile": relational.order_value_ntile,
         "part_hierarchy_rollup": relational.part_hierarchy_rollup,
+        "events_hourly_autocorr": relational.events_hourly_autocorr,
+        "events_dow_hour_profile": relational.events_dow_hour_profile,
+        "kg_entity_cooccurrence": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
+        ).kg_entity_cooccurrence(sf),
         "kg_alias_ambiguity": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
         ).kg_alias_ambiguity(sf),
@@ -851,7 +856,7 @@ def oracle_sql() -> dict[str, str]:
                      "kg_predicate_stats", "kg_two_hop",
                      "kg_functionality_violations", "kg_alias_ambiguity",
                      "kg_subgraph_export", "kg_triple_recency",
-                     "kg_lineage_report")
+                     "kg_lineage_report", "kg_entity_cooccurrence")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 
@@ -2361,6 +2366,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c.cents) AS BIGINT) AS subtree_cents
             FROM anc a JOIN c ON c.node = a.node
             GROUP BY a.anc ORDER BY a.anc
+        """,
+        "events_hourly_autocorr": """
+            WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT)
+                              // 3600000000 AS hr FROM events),
+            c AS (SELECT hr, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM e GROUP BY hr),
+            bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM c),
+            spine AS (SELECT UNNEST(generate_series(lo, hi)) AS hr
+                      FROM bounds),
+            s AS (SELECT hr, COALESCE(c.n, 0) AS n
+                  FROM spine LEFT JOIN c USING (hr)),
+            lags AS (SELECT CAST(1 AS BIGINT) AS lag
+                     UNION ALL SELECT 24),
+            p AS (SELECT l.lag, a.n AS x, b2.n AS y
+                  FROM lags l CROSS JOIN s a
+                  JOIN s b2 ON b2.hr = a.hr + l.lag),
+            m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM p GROUP BY lag)
+            SELECT lag, n AS n_pairs,
+                   CASE WHEN n <= 1 OR n * sxx - sx * sx <= 0
+                             OR n * syy - sy * sy <= 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                             / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS acf
+            FROM m ORDER BY lag
+        """,
+        "events_dow_hour_profile": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

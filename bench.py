@@ -542,6 +542,12 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.order_value_ntile(sf_dir))
     timed("part_hierarchy_rollup",
           lambda: relational.part_hierarchy_rollup(sf_dir))
+    timed("events_hourly_autocorr",
+          lambda: relational.events_hourly_autocorr(sf_dir))
+    timed("events_dow_hour_profile",
+          lambda: relational.events_dow_hour_profile(sf_dir))
+    timed("kg_entity_cooccurrence",
+          lambda: _graph.kg_entity_cooccurrence(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

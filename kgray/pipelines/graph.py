@@ -1753,3 +1753,97 @@ def kg_lineage_report(sf_dir: str):
                                  type=pa.int64()),
         "status": pa.array([x["status"] for x in rows],
                            type=pa.string())})
+
+
+def kg_entity_cooccurrence(sf_dir: str, k_top: int = 40,
+                           min_support: int = 3):
+    """Sentence-level entity co-occurrence with PMI — the relation-
+    DISCOVERY signal that precedes pattern-based triple extraction
+    (pairs that co-occur far above chance are relation candidates the
+    extractor's rules may be missing).  For unordered surface pairs
+    within a sentence: co-occurrence sentence count, each side's
+    sentence marginal, and PMI in micro-nats via the `copurchase_pmi`
+    float discipline (``math.log(float(n_ab·N) / float(n_a·n_b))``).
+    Top ``k_top`` by (support desc, a, b), support ≥ ``min_support``.
+    Fixture oracle.
+
+    Plan: mentions of one sentence are contiguous within a decode
+    batch (one tagged row explodes inside one output batch), so pair
+    explode is in-block; the exchange carries only pair/marginal
+    partials (mention-vocabulary-bounded)."""
+    import math
+
+    from ..stages._runs import run_starts
+    from ..stages.aggregate import sorted_group_aggregate
+
+    import __ray_entry__ as entrymod
+    mentions = entrymod._kg_mentions(sf_dir)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"kind": pa.array([], type=pa.string()),
+                             "a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        key = pc.binary_join_element_wise(
+            b.column("url"), pc.cast(b.column("sent_id"), pa.string()),
+            "\x00")
+        starts = run_starts(key.combine_chunks())
+        ends = np.append(starts[1:], b.num_rows)
+        surf = b.column("surface").to_pylist()
+        ka, kb, kk, nn = [], [], [], []
+        for s, e in zip(starts, ends):
+            ents = sorted(set(surf[s:e]))
+            kk.append("N")
+            ka.append("")
+            kb.append("")
+            nn.append(1)
+            for x in ents:
+                kk.append("m")
+                ka.append(x)
+                kb.append("")
+                nn.append(1)
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    kk.append("p")
+                    ka.append(ents[i])
+                    kb.append(ents[j])
+                    nn.append(1)
+        return pa.table({"kind": pa.array(kk, type=pa.string()),
+                         "a": pa.array(ka, type=pa.string()),
+                         "b": pa.array(kb, type=pa.string()),
+                         "n": pa.array(nn, type=pa.int64())})
+
+    agg = sorted_group_aggregate(
+        mentions.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["kind", "a", "b"], [("n", "sum")], precombine=True).take_all()
+
+    N = 0
+    marg, pair = {}, {}
+    for r in agg:
+        if r["kind"] == "N":
+            N = int(r["n"])
+        elif r["kind"] == "m":
+            marg[r["a"]] = int(r["n"])
+        else:
+            pair[(r["a"], r["b"])] = int(r["n"])
+
+    ranked = sorted(((ab, n) for ab, n in pair.items()
+                     if n >= min_support),
+                    key=lambda kv: (-kv[1], kv[0]))[:k_top]
+    return pa.table({
+        "entity_a": pa.array([ab[0] for ab, _ in ranked],
+                             type=pa.string()),
+        "entity_b": pa.array([ab[1] for ab, _ in ranked],
+                             type=pa.string()),
+        "n_cooccur": pa.array([n for _, n in ranked], type=pa.int64()),
+        "n_a": pa.array([marg[ab[0]] for ab, _ in ranked],
+                        type=pa.int64()),
+        "n_b": pa.array([marg[ab[1]] for ab, _ in ranked],
+                        type=pa.int64()),
+        "pmi_micro": pa.array(
+            [int(math.floor(10**6 * math.log(
+                float(n * N) / float(marg[ab[0]] * marg[ab[1]]))
+                + 0.5))
+             for ab, n in ranked], type=pa.int64())})

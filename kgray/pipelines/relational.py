@@ -10,6 +10,8 @@ so Ray and DuckDB agree bit-for-bit regardless of summation order.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -48,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10014,3 +10016,72 @@ def part_hierarchy_rollup(sf_dir: str):
     return sorted_group_aggregate(
         ds, ["anc"], [("n_nodes", "sum"), ("subtree_cents", "sum")],
         precombine=True).sort("anc")
+
+
+def events_hourly_autocorr(sf_dir: str, lags=(1, 24)):
+    """Autocorrelation of the hourly event-count series at the given
+    lags — the seasonality detector a forecasting pipeline runs before
+    choosing a seasonal-naive model (cf. `events_forecast_backtest`):
+    Pearson r between the DENSE hourly series (missing hours are true
+    zeros) and its lag-k shift.  The hourly count table is
+    output-sized at any corpus scale (`events_markov_stationary`
+    discipline), so after one distributed hourly aggregate the lag
+    pairing and exact-integer moment sums fold on the driver; the
+    single finalize expression is operand-mirrored IEEE (the
+    `lineitem_qty_price_corr` discipline)."""
+    counts = {int(r["hr"]): int(r["n"]) for r in sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]
+                        ).map_batches(lambda b: pa.table({
+                            "hr": pc.divide(pc.cast(b.column("ts"),
+                                                    pa.int64()),
+                                            pa.scalar(3600_000_000)),
+                            "n": pa.array(np.ones(b.num_rows,
+                                                  dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["hr"], [("n", "sum")], precombine=True).take_all()}
+    lo, hi = min(counts), max(counts)
+    series = [counts.get(h, 0) for h in range(lo, hi + 1)]
+
+    out_lag, out_n, out_r = [], [], []
+    for k in sorted(lags):
+        xs, ys = series[:-k], series[k:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        r = (None if n <= 1 or vx <= 0 or vy <= 0 else
+             float(n * sxy - sx * sy)
+             / math.sqrt(float(vx)) / math.sqrt(float(vy)))
+        out_lag.append(k)
+        out_n.append(n)
+        out_r.append(r)
+    return pa.table({
+        "lag": pa.array(out_lag, type=pa.int64()),
+        "n_pairs": pa.array(out_n, type=pa.int64()),
+        "acf": pa.array(out_r, type=pa.float64())})
+
+
+def events_dow_hour_profile(sf_dir: str):
+    """Calendar-heatmap profile: event count and exact cents sum per
+    (ISO day-of-week, hour-of-day) cell — the seasonality surface a
+    traffic dashboard renders.  Arrow's ``day_of_week(count_from_zero=
+    False, week_start=1)`` equals DuckDB ``isodow`` (Mon=1..Sun=7) and
+    ``pc.hour`` equals ``EXTRACT(hour ...)`` (proleptic Gregorian both
+    sides, the `orders_monthly_seasonality` precedent)."""
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        return pa.table({
+            "dow": pc.cast(pc.day_of_week(ts, count_from_zero=False,
+                                          week_start=1), pa.int64()),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+            "n_events": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sum_cents": _cents(b.column("value"))})
+
+    return sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "value"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["dow", "hour"], [("n_events", "sum"), ("sum_cents", "sum")],
+        precombine=True).sort(["dow", "hour"])

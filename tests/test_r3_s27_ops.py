@@ -1,0 +1,91 @@
+"""Session-27 batch: hourly autocorrelation (planted-cycle sensitivity
++ serial replay), ISO dow/hour calendar profile (conservation), and
+sentence-level entity co-occurrence PMI (brute-force replay over the
+engine's own mentions)."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_autocorr_serial_replay_and_planted_cycle(ray_session):
+    from kgray.pipelines.relational import events_hourly_autocorr
+
+    got = {r["lag"]: r for r in
+           events_hourly_autocorr(SF).to_pylist()}
+    ts = pq.read_table(f"{SF}/events.parquet", columns=["ts"]
+                       ).column("ts").cast("int64").to_pylist()
+    hrs = [t // 3600_000_000 for t in ts]
+    lo, hi = min(hrs), max(hrs)
+    series = [0] * (hi - lo + 1)
+    for h in hrs:
+        series[h - lo] += 1
+    for k in (1, 24):
+        xs, ys = series[:-k], series[k:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+        vx = n * sum(v * v for v in xs) - sx * sx
+        vy = n * sum(v * v for v in ys) - sy * sy
+        exp = float(num) / math.sqrt(float(vx)) / math.sqrt(float(vy))
+        assert got[k]["n_pairs"] == n
+        assert got[k]["acf"] == exp
+    # sensitivity: a planted 24h cycle must read acf(24) >> acf(1)
+    cyc = [10 + (50 if i % 24 == 0 else 0) for i in range(240)]
+    def acf(s, k):
+        xs, ys = s[:-k], s[k:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+        vx = n * sum(v * v for v in xs) - sx * sx
+        vy = n * sum(v * v for v in ys) - sy * sy
+        return num / math.sqrt(vx) / math.sqrt(vy)
+    assert acf(cyc, 24) > 0.9 > abs(acf(cyc, 1))
+
+
+def test_dow_hour_profile_conservation(ray_session):
+    from kgray.pipelines.relational import events_dow_hour_profile
+
+    rows = events_dow_hour_profile(SF).take_all()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "value"])
+    assert sum(r["n_events"] for r in rows) == ev.num_rows
+    cents = sum(int(np.floor(v * 100.0 + 0.5))
+                for v in ev.column("value").to_pylist())
+    assert sum(r["sum_cents"] for r in rows) == cents
+    assert all(1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23
+               for r in rows)
+
+
+def test_entity_cooccurrence_brute_force(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_entity_cooccurrence
+
+    got = kg_entity_cooccurrence(SF, k_top=40, min_support=3
+                                 ).to_pylist()
+    men = entry._kg_mentions(SF).take_all()
+    sents = {}
+    for m in men:
+        sents.setdefault((m["url"], m["sent_id"]), set()).add(
+            m["surface"])
+    N = len(sents)
+    marg, pair = {}, {}
+    for ents in sents.values():
+        es = sorted(ents)
+        for x in es:
+            marg[x] = marg.get(x, 0) + 1
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pair[(es[i], es[j])] = pair.get((es[i], es[j]), 0) + 1
+    ranked = sorted(((ab, n) for ab, n in pair.items() if n >= 3),
+                    key=lambda kv: (-kv[1], kv[0]))[:40]
+    assert [(r["entity_a"], r["entity_b"], r["n_cooccur"])
+            for r in got] == [(a, b, n) for (a, b), n in ranked]
+    for r in got:
+        n, na, nb = r["n_cooccur"], r["n_a"], r["n_b"]
+        assert marg[r["entity_a"]] == na and marg[r["entity_b"]] == nb
+        exp = int(math.floor(
+            10**6 * math.log(float(n * N) / float(na * nb)) + 0.5))
+        assert r["pmi_micro"] == exp
