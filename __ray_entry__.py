@@ -278,7 +278,11 @@ _R3_WINDOW = [
     # keeps image/audio pairs + embedding_dbscan in-window — for the
     # incremental KG merge law, whose aliased kg_graph oracle proves
     # the checkpoint∪delta plan lossless in the driver's own gate)
-    "kg_incremental_merge", "kg_graph_compacted", "source_ngram_overlap",
+    # (r3-s28: source_ngram_overlap rotates OUT — locally green;
+    # contamination keeps decontaminate + the substring-mask rep in the
+    # registry — for kg_gold_eval, the north rule's P/R≥0.95 number as
+    # a driver-hash-checked row)
+    "kg_incremental_merge", "kg_graph_compacted", "kg_gold_eval",
     "mixture_token_budget",
     "part_clustering_coefficient",
     # (r3-s5 third rotation: order_priority_revenue, copurchase_kcore,
@@ -520,6 +524,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
+        "copurchase_mst": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["copurchase_mst"]
+        ).copurchase_mst(sf),
+        "kg_gold_eval": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_gold_eval"]
+        ).kg_gold_eval(sf),
         "kg_alias_ambiguity": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
         ).kg_alias_ambiguity(sf),
@@ -856,7 +866,8 @@ def oracle_sql() -> dict[str, str]:
                      "kg_predicate_stats", "kg_two_hop",
                      "kg_functionality_violations", "kg_alias_ambiguity",
                      "kg_subgraph_export", "kg_triple_recency",
-                     "kg_lineage_report", "kg_entity_cooccurrence")
+                     "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
+                     "kg_gold_eval")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

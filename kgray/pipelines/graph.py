@@ -1847,3 +1847,146 @@ def kg_entity_cooccurrence(sf_dir: str, k_top: int = 40,
                 float(n * N) / float(marg[ab[0]] * marg[ab[1]]))
                 + 0.5))
              for ab, n in ranked], type=pa.int64())})
+
+
+def copurchase_mst(sf_dir: str, min_count: int = 2):
+    """Maximum-support spanning forest of the co-purchase graph via
+    distributed Borůvka — the missing classic in the graph family
+    (CC/PageRank/HITS/k-core/LPA/BFS/Bellman-Ford exist): each round,
+    every component selects its best incident edge (most co-purchases,
+    ties → smallest (a, b) — a TOTAL order, so the forest is the
+    unique one Kruskal would pick), the selected edges union-fold on
+    the driver (component-sized), and labels contract.  O(log n)
+    rounds; each round is one in-block relabel + one label-keyed min
+    aggregate over the edge set.  Labels broadcast per round (the
+    `entity_pagerank` dense-plan threshold, ≤2M nodes; the shuffle
+    twin relabels via a join).  Edge order packs into one int64
+    ((MAXN−n)≪40 | a≪20 | b — part keys < 2²⁰ at every gate scale;
+    repack wider for bigger key spaces).  Fixture oracle +
+    serial-Kruskal equality test."""
+    import ray
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from .relational import _copurchase_pair_counts, _unpack_pair
+
+    edges = (_copurchase_pair_counts(sf_dir)
+             .map_batches(_unpack_pair, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .filter(expr=f"n_copurchase >= {int(min_count)}")
+             .materialize())
+
+    nodes = set()
+    for t in ray.get(edges.to_arrow_refs()):
+        if t.num_rows:
+            nodes.update(t.column("part_a").to_pylist())
+            nodes.update(t.column("part_b").to_pylist())
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    MAXN = 1 << 22
+    chosen = {}
+    for rnd in range(64):
+        labels = {v: find(v) for v in nodes}
+
+        def relabel(b: pa.Table, _lab=labels) -> pa.Table:
+            a = b.column("part_a").to_numpy(zero_copy_only=False)
+            c = b.column("part_b").to_numpy(zero_copy_only=False)
+            n = b.column("n_copurchase").to_numpy(zero_copy_only=False)
+            la = np.array([_lab[x] for x in a], dtype=np.int64)
+            lb = np.array([_lab[x] for x in c], dtype=np.int64)
+            keep = la != lb
+            a, c, n, la, lb = a[keep], c[keep], n[keep], la[keep], lb[keep]
+            pack = ((MAXN - n.astype(np.int64)) << 40) \
+                | (a.astype(np.int64) << 20) | c.astype(np.int64)
+            return pa.table({
+                "lbl": pa.array(np.concatenate([la, lb])),
+                "best": pa.array(np.concatenate([pack, pack]))})
+
+        sel = sorted_group_aggregate(
+            edges.map_batches(relabel, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["lbl"], [("best", "min")], precombine=True).take_all()
+        if not sel:
+            break
+        merged = 0
+        for r in sorted(sel, key=lambda x: x["lbl"]):
+            pack = int(r["best"])
+            a = (pack >> 20) & ((1 << 20) - 1)
+            b_ = pack & ((1 << 20) - 1)
+            n = MAXN - (pack >> 40)
+            ra, rb = find(a), find(b_)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                chosen[(a, b_)] = (n, rnd)
+                merged += 1
+        if merged == 0:
+            break
+
+    rows = sorted(chosen.items())
+    return pa.table({
+        "part_a": pa.array([ab[0] for ab, _ in rows], type=pa.int64()),
+        "part_b": pa.array([ab[1] for ab, _ in rows], type=pa.int64()),
+        "n_copurchase": pa.array([v[0] for _, v in rows],
+                                 type=pa.int64()),
+        "round_added": pa.array([v[1] for _, v in rows],
+                                type=pa.int64())})
+
+
+def kg_gold_eval(sf_dir: str):
+    """The north rule's quality gate as a QUERY: precision / recall /
+    F1 of the engine's canonical (subj, pred, obj) set against the
+    corpus generator's analytically-known gold triples, in exact
+    micro-units (set F1 = 2·|∩| / (|P| + |G|), integer-exact).  One
+    broadcast membership pass over the materialized graph checkpoint —
+    gold is output-sized by construction.  Fixture oracle; the e2e
+    tests pin P = R = 1.0 vs the serial reference-semantics oracle,
+    this surfaces the corpus-level number the north rule asks for."""
+    import pyarrow.parquet as pq
+
+    from ..sources.derived import corpus_for_sf
+    from ..stages.aggregate import sorted_group_aggregate
+
+    corpus = corpus_for_sf(sf_dir)
+    graph = graph_for_sf(sf_dir)
+    gt = pq.read_table(f"{corpus}/gold_triples.parquet",
+                       columns=["subj", "pred", "obj"])
+    gold = pa.array(sorted({
+        f"{s}\x00{p}\x00{o}" for s, p, o in
+        zip(gt.column("subj").to_pylist(), gt.column("pred").to_pylist(),
+            gt.column("obj").to_pylist())}), type=pa.string())
+
+    def probe(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b.column("subj"), b.column("pred"), b.column("obj"), "\x00")
+        hit = pc.fill_null(pc.is_in(key, value_set=gold), False)
+        return pa.table({
+            "k": pa.array(np.zeros(1, dtype=np.int64)),
+            "n_extracted": pa.array([b.num_rows], type=pa.int64()),
+            "n_matched": pa.array(
+                [int(pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)],
+                type=pa.int64())})
+
+    tot = sorted_group_aggregate(
+        graph.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k"], [("n_extracted", "sum"), ("n_matched", "sum")],
+        precombine=True).take_all()
+    n_ex = int(tot[0]["n_extracted"]) if tot else 0
+    n_m = int(tot[0]["n_matched"]) if tot else 0
+    n_g = len(gold)
+    return pa.table({
+        "n_gold": pa.array([n_g], type=pa.int64()),
+        "n_extracted": pa.array([n_ex], type=pa.int64()),
+        "n_matched": pa.array([n_m], type=pa.int64()),
+        "precision_micro": pa.array(
+            [10**6 * n_m // n_ex if n_ex else 0], type=pa.int64()),
+        "recall_micro": pa.array(
+            [10**6 * n_m // n_g if n_g else 0], type=pa.int64()),
+        "f1_micro": pa.array(
+            [2 * 10**6 * n_m // (n_ex + n_g) if n_ex + n_g else 0],
+            type=pa.int64())})

@@ -56,7 +56,8 @@ FIXTURE_QUERIES = [
     "entity_communities", "crawl_host_shards",
     "kg_predicate_stats", "kg_two_hop", "kg_functionality_violations",
     "kg_alias_ambiguity", "kg_subgraph_export", "kg_triple_recency",
-    "kg_lineage_report", "kg_entity_cooccurrence",
+    "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
+    "kg_gold_eval",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Session-28 batch: distributed Borůvka spanning forest (exact
+serial-Kruskal equality under the total edge order + forest laws) and
+the queryable gold-triple P/R/F1 surface (serial replay)."""
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(sf):
+    import ray
+
+    from kgray.pipelines.relational import (_copurchase_pair_counts,
+                                            _unpack_pair)
+    ds = (_copurchase_pair_counts(sf)
+          .map_batches(_unpack_pair, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .filter(expr="n_copurchase >= 2"))
+    out = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if t.num_rows:
+            out.extend(zip(t.column("part_a").to_pylist(),
+                           t.column("part_b").to_pylist(),
+                           t.column("n_copurchase").to_pylist()))
+    return out
+
+
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for a, b, n in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            chosen.append((a, b, n))
+    return sorted(chosen)
+
+
+def test_mst_equals_serial_kruskal(ray_session):
+    from kgray.pipelines.graph import copurchase_mst
+
+    got = copurchase_mst(SF).to_pylist()
+    edges = _edges(SF)
+    exp = _kruskal(edges)
+    assert [(r["part_a"], r["part_b"], r["n_copurchase"])
+            for r in got] == exp
+    # forest law: |F| = |V| − #components
+    nodes = {v for a, b, _ in edges for v in (a, b)}
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _n in exp:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    n_comp = len({find(v) for v in nodes})
+    assert len(got) == len(nodes) - n_comp
+    # Borůvka needs O(log n) rounds
+    assert max(r["round_added"] for r in got) <= 12
+
+
+def test_gold_eval_serial_replay(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_gold_eval
+    from kgray.sources.derived import corpus_for_sf
+
+    row = kg_gold_eval(SF).to_pylist()[0]
+    graph = {(r["subj"], r["pred"], r["obj"])
+             for r in entry.queries()["kg_graph"](SF).take_all()}
+    gt = pq.read_table(f"{corpus_for_sf(SF)}/gold_triples.parquet",
+                       columns=["subj", "pred", "obj"])
+    gold = set(zip(gt.column("subj").to_pylist(),
+                   gt.column("pred").to_pylist(),
+                   gt.column("obj").to_pylist()))
+    inter = len(graph & gold)
+    assert row["n_extracted"] == len(graph)
+    assert row["n_gold"] == len(gold)
+    assert row["n_matched"] == inter
+    assert row["precision_micro"] == 10**6 * inter // len(graph)
+    assert row["recall_micro"] == 10**6 * inter // len(gold)
+    assert row["f1_micro"] == \
+        2 * 10**6 * inter // (len(graph) + len(gold))
+    # the synthetic pipeline extracts only true facts
+    assert row["precision_micro"] == 10**6
