@@ -550,6 +550,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: _graph.kg_entity_cooccurrence(sf_dir))
     timed("copurchase_mst", lambda: _graph.copurchase_mst(sf_dir))
     timed("kg_gold_eval", lambda: _graph.kg_gold_eval(sf_dir))
+    timed("kg_schema_induction",
+          lambda: _graph.kg_schema_induction(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

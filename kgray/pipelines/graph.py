@@ -1990,3 +1990,91 @@ def kg_gold_eval(sf_dir: str):
         "f1_micro": pa.array(
             [2 * 10**6 * n_m // (n_ex + n_g) if n_ex + n_g else 0],
             type=pa.int64())})
+
+
+def kg_schema_induction(sf_dir: str):
+    """Ontology/schema induction over the extracted KG: the
+    type-signature table ``(pred, subj_type, obj_type) → count`` plus
+    each signature's share of its predicate in ppm — the relation-
+    typing signal (PARIS / AMIE-style) that tells a KG curator
+    ``works_for: PER→ORG`` and flags extraction noise as off-signature
+    rows.  Entity types come from the tagger's own mention etypes:
+    per-surface etype votes aggregate distributed, surfaces map to
+    canonical ids by the linker's own rules (unambiguous aliases +
+    the S: surrogate; ambiguous surfaces are excluded from typing —
+    their vote would need per-mention context), modal etype per id
+    (ties → lexicographic), and the id→type map broadcasts into one
+    typed pass over the graph checkpoint (UNK where no vote exists).
+    Fixture oracle."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.linking import slugify
+    from ..sources.derived import corpus_for_sf
+    from ..stages.aggregate import sorted_group_aggregate
+
+    import __ray_entry__ as entrymod
+
+    corpus = corpus_for_sf(sf_dir)
+    al = pq.read_table(f"{corpus}/aliases.parquet",
+                       columns=["surface", "canonical_id"])
+    alias_idx = {}
+    for s, c in zip(al.column("surface").to_pylist(),
+                    al.column("canonical_id").to_pylist()):
+        alias_idx.setdefault(s.lower(), []).append(c)
+
+    votes_rows = sorted_group_aggregate(
+        entrymod._kg_mentions(sf_dir).map_batches(
+            lambda b: pa.table({
+                "surface": b.column("surface"),
+                "etype": b.column("etype"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["surface", "etype"], [("n", "sum")], precombine=True).take_all()
+
+    votes = {}
+    for r in votes_rows:
+        cands = alias_idx.get(r["surface"].lower())
+        if cands is None:
+            cid = "S:" + slugify(r["surface"])
+        elif len(cands) == 1:
+            cid = cands[0]
+        else:
+            continue                     # ambiguous: context-dependent
+        d = votes.setdefault(cid, {})
+        d[r["etype"]] = d.get(r["etype"], 0) + int(r["n"])
+    etype = {cid: min((e for e, n in d.items()
+                       if n == max(d.values())))
+             for cid, d in votes.items()}
+
+    graph = graph_for_sf(sf_dir)
+
+    def typed(b: pa.Table, _t=etype) -> pa.Table:
+        st = [_t.get(x, "UNK") for x in b.column("subj").to_pylist()]
+        ot = [_t.get(x, "UNK") for x in b.column("obj").to_pylist()]
+        return pa.table({
+            "pred": b.column("pred"),
+            "subj_type": pa.array(st, type=pa.string()),
+            "obj_type": pa.array(ot, type=pa.string()),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    sig = sorted_group_aggregate(
+        graph.map_batches(typed, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["pred", "subj_type", "obj_type"], [("n", "sum")],
+        precombine=True).take_all()
+    per_pred = {}
+    for r in sig:
+        per_pred[r["pred"]] = per_pred.get(r["pred"], 0) + int(r["n"])
+    rows = sorted(sig, key=lambda r: (r["pred"], -int(r["n"]),
+                                      r["subj_type"], r["obj_type"]))
+    return pa.table({
+        "pred": pa.array([r["pred"] for r in rows], type=pa.string()),
+        "subj_type": pa.array([r["subj_type"] for r in rows],
+                              type=pa.string()),
+        "obj_type": pa.array([r["obj_type"] for r in rows],
+                             type=pa.string()),
+        "n_triples": pa.array([int(r["n"]) for r in rows],
+                              type=pa.int64()),
+        "share_ppm": pa.array(
+            [10**6 * int(r["n"]) // per_pred[r["pred"]] for r in rows],
+            type=pa.int64())})

@@ -95,3 +95,28 @@ def test_gold_eval_serial_replay(ray_session):
         2 * 10**6 * inter // (len(graph) + len(gold))
     # the synthetic pipeline extracts only true facts
     assert row["precision_micro"] == 10**6
+
+
+def test_schema_induction_laws(ray_session):
+    from kgray.pipelines.graph import kg_schema_induction
+
+    rows = kg_schema_induction(SF).to_pylist()
+    assert rows
+    per_pred = {}
+    for r in rows:
+        per_pred.setdefault(r["pred"], []).append(r)
+    for pred, rs in per_pred.items():
+        # shares are floors of a partition of the predicate's triples
+        tot = sum(r["n_triples"] for r in rs)
+        assert all(r["share_ppm"] == 10**6 * r["n_triples"] // tot
+                   for r in rs)
+        # dominant signature listed first per pred
+        assert rs[0]["n_triples"] == max(r["n_triples"] for r in rs)
+    by_sig = {(r["pred"], r["subj_type"], r["obj_type"]) for r in rows}
+    # the generator's core relation typings must be induced as dominant
+    dom = {p: max(rs, key=lambda r: r["n_triples"]) for p, rs in
+           per_pred.items()}
+    assert (dom["born_in"]["subj_type"], dom["born_in"]["obj_type"]) \
+        == ("PER", "LOC")
+    assert dom["works_for"]["obj_type"] == "ORG"
+    assert len(by_sig) == len(rows)
