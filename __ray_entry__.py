@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_schema_induction": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_schema_induction"]
         ).kg_schema_induction(sf),
+        "kg_graph_diff": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_graph_diff"]
+        ).kg_graph_diff(sf),
         "kg_alias_ambiguity": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
         ).kg_alias_ambiguity(sf),
@@ -870,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
                      "kg_functionality_violations", "kg_alias_ambiguity",
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
-                     "kg_gold_eval", "kg_schema_induction")
+                     "kg_gold_eval", "kg_schema_induction", "kg_graph_diff")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

@@ -552,6 +552,7 @@ def _run_all_queries(sf_dir: str, timed):
     timed("kg_gold_eval", lambda: _graph.kg_gold_eval(sf_dir))
     timed("kg_schema_induction",
           lambda: _graph.kg_schema_induction(sf_dir))
+    timed("kg_graph_diff", lambda: _graph.kg_graph_diff(sf_dir))
 
 
 def _run_query_slices(sf_dir: str, names: list,

@@ -1216,7 +1216,7 @@ def copurchase_robustness(sf_dir: str, min_count: int = 2,
         "largest_component": pa.array(out_c, type=pa.int64())})
 
 
-def graph_for_sf(sf_dir: str, tagger: str = "hmm"):
+def graph_for_sf(sf_dir: str, tagger: str = "hmm", files=None):
     """The canonical graph as a MATERIALIZED parquet checkpoint
     (atomic tmp+rename, content-fingerprinted — the /tmp cache
     discipline): KG-quality audits read the graph as a table instead
@@ -1235,7 +1235,9 @@ def graph_for_sf(sf_dir: str, tagger: str = "hmm"):
 
     corpus = corpus_for_sf(sf_dir)
     model_dir = models_for_corpus(corpus, tagger=tagger)
-    files = sorted(page_files(corpus))
+    if files is None:
+        files = sorted(page_files(corpus))
+    files = sorted(files)
     st = os.stat(files[0])
     tag = _hl.md5(f"{'|'.join(files)}|{st.st_size}|{st.st_mtime_ns}"
                   f"|{tagger}".encode()).hexdigest()[:10]
@@ -2078,3 +2080,56 @@ def kg_schema_induction(sf_dir: str):
         "share_ppm": pa.array(
             [10**6 * int(r["n"]) // per_pred[r["pred"]] for r in rows],
             type=pa.int64())})
+
+
+def kg_graph_diff(sf_dir: str, n_delta_files: int = 2):
+    """KG evolution report — what a new crawl batch DID to the graph:
+    compare the canonical graph over the old corpus (all but the last
+    ``n_delta_files`` page files) against the full graph, per
+    predicate: triples added, triples kept, and support gained on kept
+    triples.  The comparison is one composite-key full-outer
+    `sorted_merge_join` on (subj, pred, obj) — graph×graph is
+    fact-sized at crawl scale, never a broadcast — followed by a
+    predicate-sized aggregate.  (No triple is ever REMOVED by more
+    crawl data — monotone extraction — and the test pins that.)
+    Fixture oracle."""
+    from ..sources.derived import corpus_for_sf
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from .kg import page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    files = sorted(page_files(corpus))
+    old = graph_for_sf(sf_dir, files=files[:-n_delta_files])
+    full = graph_for_sf(sf_dir)
+
+    left = full.map_batches(lambda b: pa.table({
+        "subj": b.column("subj"), "pred": b.column("pred"),
+        "obj": b.column("obj"), "support_new": b.column("support")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = old.map_batches(lambda b: pa.table({
+        "subj": b.column("subj"), "pred": b.column("pred"),
+        "obj": b.column("obj"), "support_old": b.column("support")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = sorted_merge_join(left, right, on=["subj", "pred", "obj"],
+                          how="left")
+
+    def classify(b: pa.Table) -> pa.Table:
+        new = pc.fill_null(b.column("support_new"), 0)
+        oldc = pc.is_valid(b.column("support_old"))
+        olds = pc.fill_null(b.column("support_old"), 0)
+        kept = pc.cast(oldc, pa.int64())
+        added = pc.subtract(pa.scalar(1), kept)
+        return pa.table({
+            "pred": b.column("pred"),
+            "n_added": added,
+            "n_kept": kept,
+            "support_gained": pc.multiply(
+                pc.subtract(new, olds), kept)})
+
+    return sorted_group_aggregate(
+        j.map_batches(classify, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["pred"], [("n_added", "sum"), ("n_kept", "sum"),
+                   ("support_gained", "sum")],
+        precombine=True).sort("pred")

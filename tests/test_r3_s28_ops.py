@@ -120,3 +120,21 @@ def test_schema_induction_laws(ray_session):
         == ("PER", "LOC")
     assert dom["works_for"]["obj_type"] == "ORG"
     assert len(by_sig) == len(rows)
+
+
+def test_graph_diff_monotone_and_conserving(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_graph_diff
+
+    rows = kg_graph_diff(SF, n_delta_files=1).take_all()
+    full = entry.queries()["kg_graph"](SF).take_all()
+    per_pred = {}
+    for r in full:
+        per_pred[r["pred"]] = per_pred.get(r["pred"], 0) + 1
+    # added + kept partitions the FULL graph (extraction is monotone:
+    # more pages never remove a triple)
+    assert {r["pred"] for r in rows} == set(per_pred)
+    for r in rows:
+        assert r["n_added"] + r["n_kept"] == per_pred[r["pred"]]
+        assert r["n_added"] >= 0 and r["n_kept"] >= 0
+        assert r["support_gained"] >= 0
