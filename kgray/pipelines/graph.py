@@ -1769,33 +1769,46 @@ def kg_entity_cooccurrence(sf_dir: str, k_top: int = 40,
     Top ``k_top`` by (support desc, a, b), support ≥ ``min_support``.
     Fixture oracle.
 
-    Plan: mentions of one sentence are contiguous within a decode
-    batch (one tagged row explodes inside one output batch), so pair
-    explode is in-block; the exchange carries only pair/marginal
-    partials (mention-vocabulary-bounded)."""
+    Plan: mention decode and pair explode FUSE into the tagger's
+    per-sentence rows (one row = one sentence, and Ray never splits a
+    row — relying on mention contiguity across batch slices would
+    silently drop pairs when a block splits mid-sentence); the
+    exchange carries only pair/marginal partials
+    (mention-vocabulary-bounded)."""
     import math
 
-    from ..stages._runs import run_starts
+    from ..kernels.triples import sentence_mentions
     from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.kg import _scheme
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from .kg import _auto_concurrency, _model_paths, kg_dataset, page_files
+    from ..stages.extract import extract_text, split_sentences
+    from ..stages.tagger import HMMTagger
 
-    import __ray_entry__ as entrymod
-    mentions = entrymod._kg_mentions(sf_dir)
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    ds = rd.read_parquet(page_files(corpus),
+                         columns=["url", "html", "lang"])
+    ds = ds.map_batches(extract_text, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(split_sentences, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(
+        HMMTagger,
+        fn_constructor_kwargs={"model_paths": _model_paths(model_dir,
+                                                           "hmm")},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=_auto_concurrency()[0], num_cpus=1)
 
     def pairs(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"kind": pa.array([], type=pa.string()),
-                             "a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        key = pc.binary_join_element_wise(
-            b.column("url"), pc.cast(b.column("sent_id"), pa.string()),
-            "\x00")
-        starts = run_starts(key.combine_chunks())
-        ends = np.append(starts[1:], b.num_rows)
-        surf = b.column("surface").to_pylist()
-        ka, kb, kk, nn = [], [], [], []
-        for s, e in zip(starts, ends):
-            ents = sorted(set(surf[s:e]))
+        kk, ka, kb, nn = [], [], [], []
+        for toks, tags, lang in zip(b.column("tokens").to_pylist(),
+                                    b.column("tags").to_pylist(),
+                                    b.column("lang").to_pylist()):
+            ents = sorted({m[3] for m in
+                           sentence_mentions(toks, tags, _scheme(lang))})
+            if not ents:        # N counts sentences WITH ≥1 mention
+                continue
             kk.append("N")
             ka.append("")
             kb.append("")
@@ -1817,8 +1830,8 @@ def kg_entity_cooccurrence(sf_dir: str, k_top: int = 40,
                          "n": pa.array(nn, type=pa.int64())})
 
     agg = sorted_group_aggregate(
-        mentions.map_batches(pairs, batch_format="pyarrow",
-                             zero_copy_batch=True),
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       zero_copy_batch=True),
         ["kind", "a", "b"], [("n", "sum")], precombine=True).take_all()
 
     N = 0
