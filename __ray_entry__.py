@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_hierarchy_rollup": relational.part_hierarchy_rollup,
         "events_hourly_autocorr": relational.events_hourly_autocorr,
         "events_dow_hour_profile": relational.events_dow_hour_profile,
+        "events_srm_check": relational.events_srm_check,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2422,6 +2423,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_srm_check": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            a AS (SELECT user_id,
+                         CAST(('0x' || substr(md5(CAST(user_id
+                              AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm
+                  FROM u),
+            c AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users
+                  FROM a GROUP BY arm),
+            arms AS (SELECT UNNEST(generate_series(0, 1)) AS arm),
+            f AS (SELECT arms.arm, COALESCE(c.n_users, 0) AS n_users
+                  FROM arms LEFT JOIN c USING (arm)),
+            t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM f),
+            d AS (SELECT CAST(SUM((2 * n_users - total)
+                               * (2 * n_users - total)) AS BIGINT) AS dev
+                  FROM f CROSS JOIN t)
+            SELECT f.arm, f.n_users, t.total AS total_users,
+                   d.dev AS dev_sq_sum,
+                   CAST(3841 AS BIGINT) AS crit_milli,
+                   CAST(CASE WHEN 1000 * d.dev > 3841 * 2 * t.total
+                        THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+            FROM f CROSS JOIN t CROSS JOIN d ORDER BY f.arm
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

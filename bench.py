@@ -546,6 +546,8 @@ def _run_all_queries(sf_dir: str, timed):
           lambda: relational.events_hourly_autocorr(sf_dir))
     timed("events_dow_hour_profile",
           lambda: relational.events_dow_hour_profile(sf_dir))
+    timed("events_srm_check",
+          lambda: relational.events_srm_check(sf_dir))
     timed("kg_entity_cooccurrence",
           lambda: _graph.kg_entity_cooccurrence(sf_dir))
     timed("copurchase_mst", lambda: _graph.copurchase_mst(sf_dir))

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10085,3 +10085,61 @@ def events_dow_hour_profile(sf_dir: str):
             prep, batch_format="pyarrow", zero_copy_batch=True),
         ["dow", "hour"], [("n_events", "sum"), ("sum_cents", "sum")],
         precombine=True).sort(["dow", "hour"])
+
+
+def events_srm_check(sf_dir: str, arms: int = 2):
+    """Sample-ratio-mismatch (SRM) audit — the first sanity check an
+    experimentation platform runs on every A/B test: users hash to
+    ``arms`` equal-probability arms (the md5 discipline of
+    `events_hash_sample`), and the observed per-arm USER counts are
+    chi²-tested against the uniform expectation.  The chi² comparison
+    at the α=0.05 critical value is a pure integer cross-
+    multiplication (``arms·Σ(n_i·total − ... )`` form — zero floats,
+    the `events_hourly_bursts` discipline): with expected E = total/
+    arms per arm, χ² > crit ⟺ arms·Σ(arms·n_i − total)² >
+    crit_milli·arms·total·1000⁻¹ … kept exact as
+    ``1000·arms·Σ(arms·n_i − total)² > crit_milli·arms²·total``.
+    Output per arm: user count, expected-millis, plus the shared
+    integer verdict columns."""
+    from ..functions.sampling import _md5_bucket
+
+    # χ²(df=arms−1) upper-0.05 critical values ×1000 (exact table)
+    crit_milli = {1: 3841, 2: 5991, 3: 7815, 4: 9488}[arms - 1]
+
+    def assign(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("user_id"))
+        arm = _md5_bucket(u.to_pylist(), arms)
+        return pa.table({
+            "user_id": u,
+            "arm": pa.array(arm, type=pa.int64()),
+            "c": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    dist = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id"]).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "arm"], [("c", "min")], precombine=True)
+    per_arm = {int(r["arm"]): int(r["n"]) for r in sorted_group_aggregate(
+        dist.map_batches(lambda b: pa.table({
+            "arm": b.column("arm"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["arm"], [("n", "sum")]).take_all()}
+
+    total = sum(per_arm.values())
+    # χ² = Σ (n_i − E)²/E with E = total/arms
+    #    = arms/total · Σ (n_i − total/arms)²
+    #    = Σ (arms·n_i − total)² / (arms·total)
+    # verdict χ² > crit_milli/1000 cross-multiplies to exact ints:
+    dev_sq = sum((arms * per_arm.get(a, 0) - total) ** 2
+                 for a in range(arms))
+    mismatch = int(1000 * dev_sq > crit_milli * arms * total)
+    arms_sorted = sorted(range(arms))
+    return pa.table({
+        "arm": pa.array(arms_sorted, type=pa.int64()),
+        "n_users": pa.array([per_arm.get(a, 0) for a in arms_sorted],
+                            type=pa.int64()),
+        "total_users": pa.array([total] * arms, type=pa.int64()),
+        "dev_sq_sum": pa.array([dev_sq] * arms, type=pa.int64()),
+        "crit_milli": pa.array([crit_milli] * arms, type=pa.int64()),
+        "srm_flag": pa.array([mismatch] * arms, type=pa.int64())})

@@ -1,0 +1,100 @@
+"""Fault-injection: a WORKER PROCESS dying mid-stream must not change
+the pipeline's output — Ray re-executes the lost task from lineage and
+the stage UDFs are pure functions of (batch, frozen state), so the
+retry is safe (SURVEY §4: idempotent stage UDFs are the designed retry
+contract).  The injection SIGKILLs the worker (a system failure — the
+class Ray's lineage retry covers; a Python exception would surface as
+a user error by design) exactly once, via a marker file.  Both a
+stateless task stage and a stateful actor-pool stage are killed; each
+faulted run must equal the clean run bitwise."""
+
+import os
+import signal
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(ds):
+    return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+
+def _project(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "user_id": batch.column("user_id"),
+        "cents": pc.cast(pc.round(pc.multiply(
+            batch.column("value"), pa.scalar(100.0))), pa.int64()),
+        "one": pa.array([1] * batch.num_rows, type=pa.int64())})
+
+
+def _agg(ds):
+    from kgray.stages.aggregate import sorted_group_aggregate
+
+    return sorted_group_aggregate(
+        ds, ["user_id"], [("cents", "sum"), ("one", "sum")],
+        precombine=True)
+
+
+def test_task_worker_death_is_invisible(ray_session):
+    marker = os.path.join(tempfile.mkdtemp(prefix="kgray_fault_"),
+                          "die_once")
+
+    def killer(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+                f.flush()
+                os.fsync(f.fileno())
+            os.kill(os.getpid(), signal.SIGKILL)
+        return _project(batch)
+
+    def scan():
+        return rd.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "value"])
+
+    want = _rows(_agg(scan().map_batches(_project,
+                                         batch_format="pyarrow")))
+    got = _rows(_agg(scan().map_batches(killer,
+                                        batch_format="pyarrow")))
+    assert os.path.exists(marker), "injection never fired"
+    assert got == want
+
+
+class _KillOnceActor:
+    """Stateful stage whose first actor SIGKILLs itself once."""
+
+    def __init__(self, marker: str):
+        self.marker = marker
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not os.path.exists(self.marker):
+            with open(self.marker, "w") as f:
+                f.write("x")
+                f.flush()
+                os.fsync(f.fileno())
+            os.kill(os.getpid(), signal.SIGKILL)
+        return _project(batch)
+
+
+def test_actor_worker_death_is_invisible(ray_session):
+    marker = os.path.join(tempfile.mkdtemp(prefix="kgray_fault_"),
+                          "actor_die_once")
+
+    def scan():
+        return rd.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "value"])
+
+    want = _rows(_agg(scan().map_batches(_project,
+                                         batch_format="pyarrow")))
+    got = _rows(_agg(scan().map_batches(
+        _KillOnceActor,
+        fn_constructor_kwargs={"marker": marker},
+        batch_format="pyarrow", batch_size=512,
+        concurrency=2, num_cpus=1, max_restarts=4,
+        max_task_retries=-1)))
+    assert os.path.exists(marker), "injection never fired"
+    assert got == want

@@ -89,3 +89,44 @@ def test_entity_cooccurrence_brute_force(ray_session):
         exp = int(math.floor(
             10**6 * math.log(float(n * N) / float(na * nb)) + 0.5))
         assert r["pmi_micro"] == exp
+
+
+def test_srm_check_replay_and_planted_imbalance(ray_session, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    from kgray.pipelines.relational import events_srm_check
+
+    # replay on real data
+    rows = events_srm_check(SF).to_pylist()
+    users = set(pq.read_table(f"{SF}/events.parquet",
+                              columns=["user_id"]
+                              ).column("user_id").to_pylist())
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+    per = {0: 0, 1: 0}
+    for u in users:
+        per[arm(u)] += 1
+    total = len(users)
+    dev = sum((2 * per[a] - total) ** 2 for a in (0, 1))
+    assert {r["arm"]: r["n_users"] for r in rows} == per
+    assert all(r["dev_sq_sum"] == dev for r in rows)
+    assert all(r["srm_flag"] == int(1000 * dev > 3841 * 2 * total)
+               for r in rows)
+    # planted imbalance: users chosen all from arm 0 must flag
+    skew = [u for u in range(5000) if arm(u) == 0][:300]
+    df = pd.DataFrame({
+        "event_id": range(len(skew)),
+        "ts": pd.to_datetime("2024-01-01"),
+        "user_id": skew,
+        "event_type": "view",
+        "value": 1.0,
+        "props": "{}"})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path / "skew"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    flagged = events_srm_check(str(d)).to_pylist()
+    assert all(r["srm_flag"] == 1 for r in flagged)
+    assert {r["arm"]: r["n_users"] for r in flagged} == {0: 300, 1: 0}
