@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_autocorr": relational.events_hourly_autocorr,
         "events_dow_hour_profile": relational.events_dow_hour_profile,
         "events_srm_check": relational.events_srm_check,
+        "events_dp_median": relational.events_dp_median,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -874,7 +875,8 @@ def oracle_sql() -> dict[str, str]:
                      "kg_functionality_violations", "kg_alias_ambiguity",
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
-                     "kg_gold_eval", "kg_schema_induction", "kg_graph_diff")
+                     "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
+                     "events_dp_median")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10143,3 +10143,57 @@ def events_srm_check(sf_dir: str, arms: int = 2):
         "dev_sq_sum": pa.array([dev_sq] * arms, type=pa.int64()),
         "crit_milli": pa.array([crit_milli] * arms, type=pa.int64()),
         "srm_flag": pa.array([mismatch] * arms, type=pa.int64())})
+
+
+def events_dp_median(sf_dir: str):
+    """Differentially-private median of purchase values via the
+    EXPONENTIAL MECHANISM — the DP-release family's selection side
+    (`events_dp_counts` covers additive noise): candidates are the
+    distinct cent values, utility u(v) = −|cum_count(v) − n/2|, and
+    weights are EXACT integer powers of two ``w = 2^u`` (Python
+    bigints) — base 2 instead of e makes the mechanism run with zero
+    floats at privacy level ε = 2·ln 2 ≈ 1.386, and the selection draw
+    is the inverse-CDF lookup of an md5-derived 128-bit uniform scaled
+    onto Σw (``r = M·T >> 128``) — exactly replayable, because fresh
+    randomness per retry would burn privacy budget (the `_DLAP_TH`
+    discipline).  The value histogram is one exact mergeable
+    aggregate; the candidate walk is value-cardinality-sized on the
+    driver.  Fixture oracle + serial replay test."""
+    import hashlib
+
+    hist = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]).map_batches(
+            lambda b: (lambda t: pa.table({
+                "cents": _cents(t.column("value")),
+                "c": pa.array(np.ones(t.num_rows, dtype=np.int64))}))(
+                b.filter(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["cents"], [("c", "sum")], precombine=True).take_all()
+
+    vals = sorted((int(r["cents"]), int(r["c"])) for r in hist)
+    n = sum(c for _, c in vals)
+    half = n // 2
+    cum = 0
+    weights = []
+    for v, c in vals:
+        cum += c
+        u = -abs(cum - half)
+        weights.append(1 << (u + 1024) if u > -1024 else 0)
+    # (the +1024 shift cancels in the ratio r/T — pure scaling)
+    T = sum(weights)
+    M = int(hashlib.md5(b"kgray|dp_median|v1").hexdigest(), 16)
+    r = (M * T) >> 128
+    acc = 0
+    pick = vals[-1][0] if vals else 0
+    for (v, _c), w in zip(vals, weights):
+        acc += w
+        if r < acc:
+            pick = v
+            break
+    return pa.table({
+        "dp_median_cents": pa.array([pick], type=pa.int64()),
+        "n_purchases": pa.array([n], type=pa.int64()),
+        "n_candidates": pa.array([len(vals)], type=pa.int64()),
+        "epsilon_micro": pa.array([1386294], type=pa.int64())})

@@ -130,3 +130,41 @@ def test_srm_check_replay_and_planted_imbalance(ray_session, tmp_path):
     flagged = events_srm_check(str(d)).to_pylist()
     assert all(r["srm_flag"] == 1 for r in flagged)
     assert {r["arm"]: r["n_users"] for r in flagged} == {0: 300, 1: 0}
+
+
+def test_dp_median_serial_replay(ray_session):
+    import hashlib
+
+    from kgray.pipelines.relational import events_dp_median
+
+    row = events_dp_median(SF).to_pylist()[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    cents = sorted(
+        int(np.floor(v * 100.0 + 0.5))
+        for v in ev[ev.event_type == "purchase"]["value"])
+    from collections import Counter
+    hist = sorted(Counter(cents).items())
+    n = len(cents)
+    half = n // 2
+    cum, weights = 0, []
+    for v, c in hist:
+        cum += c
+        u = -abs(cum - half)
+        weights.append(1 << (u + 1024) if u > -1024 else 0)
+    T = sum(weights)
+    M = int(hashlib.md5(b"kgray|dp_median|v1").hexdigest(), 16)
+    r = (M * T) >> 128
+    acc, pick = 0, hist[-1][0]
+    for (v, _c), w in zip(hist, weights):
+        acc += w
+        if r < acc:
+            pick = v
+            break
+    assert row["dp_median_cents"] == pick
+    assert row["n_purchases"] == n
+    # utility concentration: the released value's rank error is tiny
+    # (weights decay 2x per rank step — mass concentrates at the median)
+    idx = [v for v, _ in hist].index(pick)
+    cum_to = sum(c for _, c in hist[:idx + 1])
+    assert abs(cum_to - half) <= 64
