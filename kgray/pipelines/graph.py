@@ -1243,16 +1243,19 @@ def graph_for_sf(sf_dir: str, tagger: str = "hmm", files=None):
                   f"|{tagger}".encode()).hexdigest()[:10]
     out = f"/tmp/kgray_graph/graph_{tag}"
     if not os.path.exists(os.path.join(out, "_DONE")):
-        tmp = out + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
+        import tempfile
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".",
+                               dir=os.path.dirname(out))
         canonical_graph(
             kg_dataset(files, corpus, model_dir, tagger=tagger)
         ).write_parquet(tmp)
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok\n")
-        shutil.rmtree(out, ignore_errors=True)
-        os.rename(tmp, out)
+        try:
+            os.rename(tmp, out)     # concurrent builder may have won
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return rd.read_parquet(
         sorted(glob.glob(os.path.join(out, "*.parquet"))))
 
@@ -1625,15 +1628,18 @@ def kg_incremental_merge(sf_dir: str, n_delta_files: int = 1):
         f"|{N_SALTS}|{K_URLS}".encode()).hexdigest()[:10]
     ckpt = f"/tmp/kgray_kg_ckpt/partials_{tag}"
     if not os.path.exists(os.path.join(ckpt, "_DONE")):
-        tmp = ckpt + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
+        import tempfile
+        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(ckpt) + ".",
+                               dir=os.path.dirname(ckpt))
         sorted_group_aggregate(partials(old_files), keys, stage1_aggs,
                                precombine=False).write_parquet(tmp)
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok\n")
-        shutil.rmtree(ckpt, ignore_errors=True)
-        os.rename(tmp, ckpt)
+        try:
+            os.rename(tmp, ckpt)    # concurrent builder may have won
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     import glob
 
