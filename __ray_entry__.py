@@ -523,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour_profile": relational.events_dow_hour_profile,
         "events_srm_check": relational.events_srm_check,
         "events_dp_median": relational.events_dp_median,
+        "orders_weekday_index": relational.orders_weekday_index,
+        "events_interarrival_cv": relational.events_interarrival_cv,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2447,6 +2449,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN 1000 * d.dev > 3841 * 2 * t.total
                         THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
             FROM f CROSS JOIN t CROSS JOIN d ORDER BY f.arm
+        """,
+        "orders_weekday_index": """
+            WITH d AS (SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            a AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                  FROM d GROUP BY dow),
+            t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total
+                  FROM a)
+            SELECT dow, n_orders, revenue_cents,
+                   CAST(1000000 * 7 * CAST(revenue_cents AS HUGEINT)
+                        // t.total AS BIGINT) AS index_micro
+            FROM a CROSS JOIN t ORDER BY dow
+        """,
+        "events_interarrival_cv": """
+            WITH e AS (SELECT event_type, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                       FROM events),
+            l AS (SELECT event_type,
+                         ts_us - LAG(ts_us) OVER (
+                             PARTITION BY event_type
+                             ORDER BY ts_us, event_id) AS g
+                  FROM e),
+            m AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(g) AS BIGINT) AS s1,
+                         SUM(CAST(g AS HUGEINT) * g) AS s2
+                  FROM l WHERE g IS NOT NULL GROUP BY event_type)
+            SELECT event_type, n AS n_gaps,
+                   s1 // n AS mean_gap_us,
+                   CASE WHEN n <= 1 OR s1 = 0 THEN NULL
+                        ELSE SQRT(CAST(CAST(n * s2 -
+                                 CAST(s1 AS HUGEINT) * s1 AS VARCHAR)
+                                 AS DOUBLE)
+                                 / CAST(n * (n - 1) AS DOUBLE))
+                             / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   END AS cv
+            FROM m ORDER BY event_type
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "orders_weekday_index", "events_interarrival_cv",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10197,3 +10197,101 @@ def events_dp_median(sf_dir: str):
         "n_purchases": pa.array([n], type=pa.int64()),
         "n_candidates": pa.array([len(vals)], type=pa.int64()),
         "epsilon_micro": pa.array([1386294], type=pa.int64())})
+
+
+def orders_weekday_index(sf_dir: str):
+    """Weekday revenue-seasonality index: each ISO day-of-week's share
+    of order revenue indexed to the uniform expectation
+    (``index_micro = 1e6·7·dow_cents // total_cents`` — 1e6 means an
+    average day).  The merchandising calendar-planning readout; one
+    aggregate plus a 7-row driver finalize, all integers."""
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": pc.cast(pc.day_of_week(b.column("o_orderdate"),
+                                          count_from_zero=False,
+                                          week_start=1), pa.int64()),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "cents": _cents(b.column("o_totalprice"))})
+
+    rows = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"]
+                        ).map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+        ["dow"], [("n_orders", "sum"), ("cents", "sum")],
+        precombine=True).take_all()
+    rows.sort(key=lambda r: r["dow"])
+    total = sum(int(r["cents"]) for r in rows)
+    return pa.table({
+        "dow": pa.array([int(r["dow"]) for r in rows], type=pa.int64()),
+        "n_orders": pa.array([int(r["n_orders"]) for r in rows],
+                             type=pa.int64()),
+        "revenue_cents": pa.array([int(r["cents"]) for r in rows],
+                                  type=pa.int64()),
+        "index_micro": pa.array(
+            [10**6 * 7 * int(r["cents"]) // total for r in rows],
+            type=pa.int64())})
+
+
+def events_interarrival_cv(sf_dir: str):
+    """Per-type inter-arrival burstiness of the event stream in TIME
+    (the time-domain twin of `token_burstiness`): gaps between
+    consecutive same-type events via the LAG carry exchange, then the
+    coefficient of variation CV = σ/μ per type from exact integer gap
+    moments (decimal128-free here: µs gaps ≤ 2⁴⁵ and Σgap² per type
+    stays < 2⁶³ through HUGEINT on the oracle side, mirrored) — CV ≈ 1
+    is Poisson, CV > 1 bursty.  Finalize is the `event_value_stats`
+    IEEE-mirrored expression."""
+    import math as _math
+
+    from ..stages.scan import grouped_lag
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "event_id", "ts"]
+                           ).map_batches(lambda b: pa.table({
+                               "event_type": b.column("event_type"),
+                               "event_id": b.column("event_id"),
+                               "ts_us": pc.cast(b.column("ts"),
+                                                pa.int64())}),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    lagged = grouped_lag(base, key="event_type",
+                         order_cols=["ts_us", "event_id"],
+                         value_col="ts_us", out_name="prev_us")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("prev_us")))
+        g = pc.subtract(t.column("ts_us"), t.column("prev_us"))
+        gn = g.to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "s1": g,
+            "s2": pa.array([int(x) * int(x) for x in gn],
+                           type=pa.decimal128(38, 0))})
+
+    rows = sorted_group_aggregate(
+        lagged.map_batches(gaps, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["event_type"], [("n", "sum"), ("s1", "sum"), ("s2", "sum")],
+        precombine=True).take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    out_t, out_n, out_mean, out_cv = [], [], [], []
+    for r in rows:
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        out_t.append(r["event_type"])
+        out_n.append(n)
+        out_mean.append(s1 // n if n else 0)
+        if n <= 1 or s1 == 0:
+            out_cv.append(None)
+        else:
+            var_num = n * s2 - s1 * s1            # n²·(pop var)·... exact
+            # CV = sqrt(n·Σg² − (Σg)²) · sqrt(n−1)⁻¹... mirrored as:
+            # sample σ = sqrt((n·s2 − s1²) / (n(n−1))), μ = s1/n
+            sigma = _math.sqrt(float(var_num) / float(n * (n - 1)))
+            out_cv.append(sigma / (s1 / n))
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "n_gaps": pa.array(out_n, type=pa.int64()),
+        "mean_gap_us": pa.array(out_mean, type=pa.int64()),
+        "cv": pa.array(out_cv, type=pa.float64())})

@@ -168,3 +168,32 @@ def test_dp_median_serial_replay(ray_session):
     idx = [v for v, _ in hist].index(pick)
     cum_to = sum(c for _, c in hist[:idx + 1])
     assert abs(cum_to - half) <= 64
+
+
+def test_weekday_index_and_interarrival_cv_laws(ray_session):
+    from kgray.pipelines.relational import (events_interarrival_cv,
+                                            orders_weekday_index)
+
+    wk = orders_weekday_index(SF).to_pylist()
+    assert [r["dow"] for r in wk] == sorted(r["dow"] for r in wk)
+    total = sum(r["revenue_cents"] for r in wk)
+    for r in wk:
+        assert r["index_micro"] == 10**6 * 7 * r["revenue_cents"] // total
+    # indices average to ~1e6 by construction (floor slack ≤ 7)
+    assert abs(sum(r["index_micro"] for r in wk) - 7 * 10**6) <= 7 * 7
+
+    cv = events_interarrival_cv(SF).to_pylist()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "event_id", "ts"]
+                       ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    for r in cv:
+        g = ev[ev.event_type == r["event_type"]].sort_values(
+            ["ts_us", "event_id"])["ts_us"].diff().dropna()
+        gaps = [int(x) for x in g]
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(x * x for x in gaps)
+        assert r["n_gaps"] == n
+        assert r["mean_gap_us"] == s1 // n
+        sigma = math.sqrt(float(n * s2 - s1 * s1) / float(n * (n - 1)))
+        assert r["cv"] == sigma / (s1 / n)
