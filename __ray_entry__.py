@@ -525,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dp_median": relational.events_dp_median,
         "orders_weekday_index": relational.orders_weekday_index,
         "events_interarrival_cv": relational.events_interarrival_cv,
+        "customer_segment_migration":
+            relational.customer_segment_migration,
+        "events_type_peak_hour": relational.events_type_peak_hour,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2489,6 +2492,32 @@ def oracle_sql() -> dict[str, str]:
                              / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
                    END AS cv
             FROM m ORDER BY event_type
+        """,
+        "customer_segment_migration": """
+            WITH h AS (SELECT c_mktsegment,
+                              CAST(('0x' || substr(md5(CAST(c_custkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM customer)
+            SELECT c_mktsegment AS from_segment,
+                   CASE WHEN hb < 100 THEN 'CHURNED'
+                        WHEN hb < 300 THEN 'MIGRATED'
+                        ELSE c_mktsegment END AS to_segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM h GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_type_peak_hour": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) AS BIGINT)
+                              // 3600000000 AS hr,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT event_type, MAX(n) AS mx FROM c
+                  GROUP BY event_type)
+            SELECT c.event_type, c.hr AS peak_hour, c.n AS n_events
+            FROM c JOIN m ON m.event_type = c.event_type
+                         AND c.n = m.mx
+            ORDER BY c.event_type, c.hr
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "orders_weekday_index", "events_interarrival_cv",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10295,3 +10295,79 @@ def events_interarrival_cv(sf_dir: str):
         "n_gaps": pa.array(out_n, type=pa.int64()),
         "mean_gap_us": pa.array(out_mean, type=pa.int64()),
         "cv": pa.array(out_cv, type=pa.float64())})
+
+
+def customer_segment_migration(sf_dir: str):
+    """Segment migration matrix for the SCD2 dimension
+    (`customer_scd2_orders`'s version log viewed start-to-end): how
+    many customers moved from each original mktsegment to each final
+    state (md5 bucket < 100 → CHURNED, < 300 → MIGRATED, else
+    unchanged) — the cohort-flow readout a CRM diff produces.  One
+    vectorized scan + a matrix-sized aggregate."""
+    from ..functions.sampling import _md5_bucket
+
+    def cells(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        h = _md5_bucket(keys, 1000)
+        orig = b.column("c_mktsegment").to_pylist()
+        final = [("CHURNED" if hb < 100 else
+                  "MIGRATED" if hb < 300 else s)
+                 for hb, s in zip(h, orig)]
+        return pa.table({
+            "from_segment": pa.array(orig, type=pa.string()),
+            "to_segment": pa.array(final, type=pa.string()),
+            "n_customers": pa.array(np.ones(len(keys), dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"]
+                        ).map_batches(cells, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+        ["from_segment", "to_segment"], [("n_customers", "sum")],
+        precombine=True).sort(["from_segment", "to_segment"])
+
+
+def events_type_peak_hour(sf_dir: str):
+    """Per-type peak hour with ties — the groupwise argmax-with-ties
+    shape (`top_supplier_revenue`'s Q15 discipline, per group): for
+    each event type, every epoch hour achieving that type's maximum
+    hourly count.  One (type, hour) aggregate, then a per-type max
+    broadcast join — both exchanges are output-sized."""
+    hourly = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"]).map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "hr": pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                                pa.scalar(3600_000_000)),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hr"], [("n", "sum")],
+        precombine=True).materialize()
+
+    mx: dict = {}
+    for r in hourly.take_all():          # (type, hour) table: output-sized
+        t, n = r["event_type"], int(r["n"])
+        if n > mx.get(t, 0):
+            mx[t] = n
+
+    def keep_peaks(b: pa.Table) -> pa.Table:
+        # empty blocks off a sorted/aggregated dataset can carry an
+        # EMPTY schema (NOTES #66) — typed-empty substitute
+        if b.num_rows == 0 or "n" not in b.schema.names:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "peak_hour": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64())})
+        m = pa.array([mx[t] for t in
+                      b.column("event_type").to_pylist()],
+                     type=pa.int64())
+        t = b.filter(pc.equal(b.column("n"), m))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "peak_hour": t.column("hr"),
+            "n_events": t.column("n")})
+
+    return hourly.map_batches(keep_peaks, batch_format="pyarrow",
+                              zero_copy_batch=True
+                              ).sort(["event_type", "peak_hour"])

@@ -197,3 +197,31 @@ def test_weekday_index_and_interarrival_cv_laws(ray_session):
         assert r["mean_gap_us"] == s1 // n
         sigma = math.sqrt(float(n * s2 - s1 * s1) / float(n * (n - 1)))
         assert r["cv"] == sigma / (s1 / n)
+
+
+def test_segment_migration_and_peak_hour_laws(ray_session):
+    from kgray.pipelines.relational import (customer_segment_migration,
+                                            events_type_peak_hour)
+
+    mig = customer_segment_migration(SF).take_all()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).num_rows
+    assert sum(r["n_customers"] for r in mig) == cust
+    # only the two planted destination states plus identity moves
+    for r in mig:
+        assert r["to_segment"] in ("CHURNED", "MIGRATED",
+                                   r["from_segment"])
+
+    peaks = events_type_peak_hour(SF).take_all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hr"] = ev["ts"].astype("int64") // 3600_000_000
+    hourly = ev.groupby(["event_type", "hr"]).size()
+    for t, grp in hourly.groupby(level=0):
+        m = grp.max()
+        exp_hours = sorted(h for (_t, h), n in grp.items() if n == m)
+        got = sorted(r["peak_hour"] for r in peaks
+                     if r["event_type"] == t)
+        assert got == exp_hours
+        assert all(r["n_events"] == m for r in peaks
+                   if r["event_type"] == t)
