@@ -1870,7 +1870,8 @@ def kg_entity_cooccurrence(sf_dir: str, k_top: int = 40,
              for ab, n in ranked], type=pa.int64())})
 
 
-def copurchase_mst(sf_dir: str, min_count: int = 2):
+def copurchase_mst(sf_dir: str, min_count: int = 2,
+                   plan: str = "dense"):
     """Maximum-support spanning forest of the co-purchase graph via
     distributed Borůvka — the missing classic in the graph family
     (CC/PageRank/HITS/k-core/LPA/BFS/Bellman-Ford exist): each round,
@@ -1879,9 +1880,13 @@ def copurchase_mst(sf_dir: str, min_count: int = 2):
     unique one Kruskal would pick), the selected edges union-fold on
     the driver (component-sized), and labels contract.  O(log n)
     rounds; each round is one in-block relabel + one label-keyed min
-    aggregate over the edge set.  Labels broadcast per round (the
-    `entity_pagerank` dense-plan threshold, ≤2M nodes; the shuffle
-    twin relabels via a join).  Edge order packs into one int64
+    aggregate over the edge set.  ``plan="dense"`` broadcasts the
+    label map per round (the `entity_pagerank` dense-plan threshold,
+    ≤2M nodes); ``plan="shuffle"`` relabels via two sorted-merge
+    joins against a label Dataset instead — node state never
+    broadcasts, the 100-TB path.  Both plans are pinned bit-equal by
+    test (the CC/k-core plan-equality discipline).  Edge order packs
+    into one int64
     ((MAXN−n)≪40 | a≪20 | b — part keys < 2²⁰ at every gate scale;
     repack wider for bigger key spaces).  Fixture oracle +
     serial-Kruskal equality test."""
@@ -1914,24 +1919,31 @@ def copurchase_mst(sf_dir: str, min_count: int = 2):
     for rnd in range(64):
         labels = {v: find(v) for v in nodes}
 
-        def relabel(b: pa.Table, _lab=labels) -> pa.Table:
-            a = b.column("part_a").to_numpy(zero_copy_only=False)
-            c = b.column("part_b").to_numpy(zero_copy_only=False)
-            n = b.column("n_copurchase").to_numpy(zero_copy_only=False)
-            la = np.array([_lab[x] for x in a], dtype=np.int64)
-            lb = np.array([_lab[x] for x in c], dtype=np.int64)
-            keep = la != lb
-            a, c, n, la, lb = a[keep], c[keep], n[keep], la[keep], lb[keep]
-            pack = ((MAXN - n.astype(np.int64)) << 40) \
-                | (a.astype(np.int64) << 20) | c.astype(np.int64)
-            return pa.table({
-                "lbl": pa.array(np.concatenate([la, lb])),
-                "best": pa.array(np.concatenate([pack, pack]))})
+        if plan == "dense":
+            def relabel(b: pa.Table, _lab=labels) -> pa.Table:
+                a = b.column("part_a").to_numpy(zero_copy_only=False)
+                c = b.column("part_b").to_numpy(zero_copy_only=False)
+                n = b.column("n_copurchase").to_numpy(
+                    zero_copy_only=False)
+                la = np.array([_lab[x] for x in a], dtype=np.int64)
+                lb = np.array([_lab[x] for x in c], dtype=np.int64)
+                keep = la != lb
+                a, c, n = a[keep], c[keep], n[keep]
+                la, lb = la[keep], lb[keep]
+                pack = ((MAXN - n.astype(np.int64)) << 40) \
+                    | (a.astype(np.int64) << 20) | c.astype(np.int64)
+                return pa.table({
+                    "lbl": pa.array(np.concatenate([la, lb])),
+                    "best": pa.array(np.concatenate([pack, pack]))})
+
+            cand = edges.map_batches(relabel, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        else:                       # shuffle twin: labels via joins
+            cand = _mst_relabel_shuffle(edges, labels, MAXN)
 
         sel = sorted_group_aggregate(
-            edges.map_batches(relabel, batch_format="pyarrow",
-                              zero_copy_batch=True),
-            ["lbl"], [("best", "min")], precombine=True).take_all()
+            cand, ["lbl"], [("best", "min")],
+            precombine=True).take_all()
         if not sel:
             break
         merged = 0
@@ -1956,6 +1968,49 @@ def copurchase_mst(sf_dir: str, min_count: int = 2):
                                  type=pa.int64()),
         "round_added": pa.array([v[1] for _, v in rows],
                                 type=pa.int64())})
+
+
+def _mst_relabel_shuffle(edges, labels: dict, MAXN: int):
+    """Borůvka relabel, shuffle plan: the (node → label) map is a
+    DATASET joined onto each endpoint via `sorted_merge_join` — node
+    state never broadcasts (the 100-TB twin of the dense closure
+    capture).  Emits the same (lbl, best) candidate rows as the dense
+    relabel, bit-for-bit."""
+    import ray.data as rd
+
+    from ..stages.join import sorted_merge_join
+
+    items = sorted(labels.items())
+    lab_a = rd.from_arrow(pa.table({
+        "part_a": pa.array([k for k, _ in items], type=pa.int64()),
+        "la": pa.array([v for _, v in items], type=pa.int64())}))
+    lab_b = rd.from_arrow(pa.table({
+        "part_b": pa.array([k for k, _ in items], type=pa.int64()),
+        "lb": pa.array([v for _, v in items], type=pa.int64())}))
+    j = sorted_merge_join(
+        sorted_merge_join(edges, lab_a, on="part_a"),
+        lab_b, on="part_b")
+
+    def pack_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "la" not in b.schema.names:
+            return pa.table({"lbl": pa.array([], type=pa.int64()),
+                             "best": pa.array([], type=pa.int64())})
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        c = b.column("part_b").to_numpy(zero_copy_only=False)
+        n = b.column("n_copurchase").to_numpy(zero_copy_only=False)
+        la = b.column("la").to_numpy(zero_copy_only=False)
+        lb = b.column("lb").to_numpy(zero_copy_only=False)
+        keep = la != lb
+        a, c, n = a[keep], c[keep], n[keep]
+        la, lb = la[keep], lb[keep]
+        pack = ((MAXN - n.astype(np.int64)) << 40) \
+            | (a.astype(np.int64) << 20) | c.astype(np.int64)
+        return pa.table({
+            "lbl": pa.array(np.concatenate([la, lb])),
+            "best": pa.array(np.concatenate([pack, pack]))})
+
+    return j.map_batches(pack_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def kg_gold_eval(sf_dir: str):

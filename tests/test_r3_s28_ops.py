@@ -138,3 +138,11 @@ def test_graph_diff_monotone_and_conserving(ray_session):
         assert r["n_added"] + r["n_kept"] == per_pred[r["pred"]]
         assert r["n_added"] >= 0 and r["n_kept"] >= 0
         assert r["support_gained"] >= 0
+
+
+def test_mst_shuffle_plan_equals_dense(ray_session):
+    from kgray.pipelines.graph import copurchase_mst
+
+    dense = copurchase_mst(SF, plan="dense").to_pylist()
+    shuffle = copurchase_mst(SF, plan="shuffle").to_pylist()
+    assert dense == shuffle
