@@ -543,6 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_diff": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_graph_diff"]
         ).kg_graph_diff(sf),
+        "kg_zh_mention_stats": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_zh_mention_stats"]
+        ).kg_zh_mention_stats(sf),
         "kg_alias_ambiguity": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_ambiguity"]
         ).kg_alias_ambiguity(sf),
@@ -881,7 +884,7 @@ def oracle_sql() -> dict[str, str]:
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
-                     "events_dp_median")
+                     "events_dp_median", "kg_zh_mention_stats")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

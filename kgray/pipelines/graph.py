@@ -1915,6 +1915,8 @@ def copurchase_mst(sf_dir: str, min_count: int = 2,
         return x
 
     MAXN = 1 << 22
+    assert all(v < (1 << 20) for v in nodes), \
+        "edge-order packing assumes part keys < 2^20 — repack wider"
     chosen = {}
     for rnd in range(64):
         labels = {v: find(v) for v in nodes}
@@ -2207,3 +2209,51 @@ def kg_graph_diff(sf_dir: str, n_delta_files: int = 2):
         ["pred"], [("n_added", "sum"), ("n_kept", "sum"),
                    ("support_gained", "sum")],
         precombine=True).sort("pred")
+
+
+def kg_zh_mention_stats(sf_dir: str):
+    """Chinese-language extraction surface, driver-checked explicitly:
+    per-entity-type mention counts and distinct-surface counts over
+    the zh pages only — the BMES span-decode path (`Chinese/tag.txt`'s
+    33-tag scheme, char-level tokens) isolated from the en BIO path it
+    normally blends with inside `kg_graph`.  Fixture oracle."""
+    from ..stages.aggregate import sorted_group_aggregate
+
+    import __ray_entry__ as entrymod
+
+    mentions = entrymod._kg_mentions(sf_dir)
+
+    def zh_rows(b: pa.Table) -> pa.Table:
+        # lang rides on the PAGE, not the mention row; zh surfaces are
+        # the non-ASCII ones (en surfaces are ASCII by construction in
+        # this corpus), which identifies the BMES-decoded mentions
+        # exactly
+        surf = b.column("surface").to_pylist()
+        mask = pa.array([any(ord(ch) > 127 for ch in s) for s in surf])
+        t = b.filter(mask)
+        return pa.table({
+            "etype": t.column("etype"),
+            "surface": t.column("surface"),
+            "c": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    per_surface = sorted_group_aggregate(
+        mentions.map_batches(zh_rows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["etype", "surface"], [("c", "sum")], precombine=True)
+
+    def ones(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "c" not in b.schema.names:
+            return pa.table({
+                "etype": pa.array([], type=pa.string()),
+                "n_mentions": pa.array([], type=pa.int64()),
+                "n_surfaces": pa.array([], type=pa.int64())})
+        return pa.table({
+            "etype": b.column("etype"),
+            "n_mentions": b.column("c"),
+            "n_surfaces": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        per_surface.map_batches(ones, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        ["etype"], [("n_mentions", "sum"), ("n_surfaces", "sum")],
+        precombine=True).sort("etype")

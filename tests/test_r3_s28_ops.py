@@ -146,3 +146,22 @@ def test_mst_shuffle_plan_equals_dense(ray_session):
     dense = copurchase_mst(SF, plan="dense").to_pylist()
     shuffle = copurchase_mst(SF, plan="shuffle").to_pylist()
     assert dense == shuffle
+
+
+def test_zh_mention_stats_replay(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_zh_mention_stats
+
+    got = {r["etype"]: r for r in kg_zh_mention_stats(SF).take_all()}
+    men = entry._kg_mentions(SF).take_all()
+    zh = [m for m in men
+          if any(ord(ch) > 127 for ch in m["surface"])]
+    assert zh, "zh path must be non-vacuous"
+    per = {}
+    for m in zh:
+        d = per.setdefault(m["etype"], {})
+        d[m["surface"]] = d.get(m["surface"], 0) + 1
+    assert set(got) == set(per)
+    for t, d in per.items():
+        assert got[t]["n_mentions"] == sum(d.values())
+        assert got[t]["n_surfaces"] == len(d)
