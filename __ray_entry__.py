@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour_profile": relational.events_dow_hour_profile,
         "events_srm_check": relational.events_srm_check,
         "events_dp_median": relational.events_dp_median,
+        "events_dp_p90": relational.events_dp_p90,
         "orders_weekday_index": relational.orders_weekday_index,
         "events_interarrival_cv": relational.events_interarrival_cv,
         "customer_segment_migration":
@@ -884,7 +885,7 @@ def oracle_sql() -> dict[str, str]:
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
-                     "events_dp_median", "kg_zh_mention_stats")
+                     "events_dp_median", "events_dp_p90", "kg_zh_mention_stats")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

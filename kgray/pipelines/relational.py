@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10159,6 +10159,20 @@ def events_dp_median(sf_dir: str):
     discipline).  The value histogram is one exact mergeable
     aggregate; the candidate walk is value-cardinality-sized on the
     driver.  Fixture oracle + serial replay test."""
+    pick, n, m = _dp_quantile_pick(sf_dir, 1, 2, b"kgray|dp_median|v1")
+    return pa.table({
+        "dp_median_cents": pa.array([pick], type=pa.int64()),
+        "n_purchases": pa.array([n], type=pa.int64()),
+        "n_candidates": pa.array([m], type=pa.int64()),
+        "epsilon_micro": pa.array([1386294], type=pa.int64())})
+
+
+def _dp_quantile_pick(sf_dir: str, q_num: int, q_den: int,
+                      salt: bytes):
+    """Shared exponential-mechanism quantile core: exact cents
+    histogram → utility −|cum − n·q_num//q_den| → exact 2^u bigint
+    weights → md5-128 inverse-CDF draw.  Returns (picked_cents, n,
+    n_candidates)."""
     import hashlib
 
     hist = sorted_group_aggregate(
@@ -10174,16 +10188,16 @@ def events_dp_median(sf_dir: str):
 
     vals = sorted((int(r["cents"]), int(r["c"])) for r in hist)
     n = sum(c for _, c in vals)
-    half = n // 2
+    target = n * q_num // q_den
     cum = 0
     weights = []
     for v, c in vals:
         cum += c
-        u = -abs(cum - half)
+        u = -abs(cum - target)
         weights.append(1 << (u + 1024) if u > -1024 else 0)
     # (the +1024 shift cancels in the ratio r/T — pure scaling)
     T = sum(weights)
-    M = int(hashlib.md5(b"kgray|dp_median|v1").hexdigest(), 16)
+    M = int(hashlib.md5(salt).hexdigest(), 16)
     r = (M * T) >> 128
     acc = 0
     pick = vals[-1][0] if vals else 0
@@ -10192,10 +10206,19 @@ def events_dp_median(sf_dir: str):
         if r < acc:
             pick = v
             break
+    return pick, n, len(vals)
+
+
+def events_dp_p90(sf_dir: str):
+    """The 90th-percentile sibling of `events_dp_median` — same
+    float-free exponential mechanism (exact 2^u weights, ε = 2·ln 2),
+    utility targeted at rank ``9n//10``, independent md5 draw salt.
+    Fixture oracle + serial replay test."""
+    pick, n, m = _dp_quantile_pick(sf_dir, 9, 10, b"kgray|dp_p90|v1")
     return pa.table({
-        "dp_median_cents": pa.array([pick], type=pa.int64()),
+        "dp_p90_cents": pa.array([pick], type=pa.int64()),
         "n_purchases": pa.array([n], type=pa.int64()),
-        "n_candidates": pa.array([len(vals)], type=pa.int64()),
+        "n_candidates": pa.array([m], type=pa.int64()),
         "epsilon_micro": pa.array([1386294], type=pa.int64())})
 
 

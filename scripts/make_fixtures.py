@@ -58,7 +58,7 @@ FIXTURE_QUERIES = [
     "kg_alias_ambiguity", "kg_subgraph_export", "kg_triple_recency",
     "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
     "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
-    "events_dp_median", "kg_zh_mention_stats",
+    "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
 ]
 
 

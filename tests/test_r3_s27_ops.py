@@ -225,3 +225,22 @@ def test_segment_migration_and_peak_hour_laws(ray_session):
         assert got == exp_hours
         assert all(r["n_events"] == m for r in peaks
                    if r["event_type"] == t)
+
+
+def test_dp_p90_targets_upper_rank(ray_session):
+    from kgray.pipelines.relational import (events_dp_median,
+                                            events_dp_p90)
+
+    med = events_dp_median(SF).to_pylist()[0]
+    p90 = events_dp_p90(SF).to_pylist()[0]
+    assert p90["n_purchases"] == med["n_purchases"]
+    # p90 must release a strictly higher value than the median here
+    assert p90["dp_p90_cents"] > med["dp_median_cents"]
+    # rank concentration near 9n/10
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    cents = sorted(int(np.floor(v * 100.0 + 0.5)) for v in
+                   ev[ev.event_type == "purchase"]["value"])
+    n = len(cents)
+    rank = sum(1 for c in cents if c <= p90["dp_p90_cents"])
+    assert abs(rank - 9 * n // 10) <= 64
