@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_migration":
             relational.customer_segment_migration,
         "events_type_peak_hour": relational.events_type_peak_hour,
+        "orders_bitemporal_state": relational.orders_bitemporal_state,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2522,6 +2523,59 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m ON m.event_type = c.event_type
                          AND c.n = m.mx
             ORDER BY c.event_type, c.hr
+        """,
+        "orders_bitemporal_state": """
+            WITH h AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                              o_totalprice,
+                              CAST(('0x' || substr(md5(CAST(o_orderkey
+                                   AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                                  AS hb
+                       FROM orders),
+            v0 AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                          0 AS version, 'U' AS op,
+                          o_totalprice AS price FROM orders),
+            v1 AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                          1 AS version,
+                          CASE WHEN hb < 100 THEN 'D' ELSE 'U' END AS op,
+                          o_totalprice + 10.0 AS price
+                   FROM h WHERE hb < 300),
+            allr AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+            latest AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY version DESC) AS rn
+                       FROM allr),
+            facts AS (SELECT o_custkey,
+                             CAST(epoch_us(o_orderdate) AS BIGINT)
+                                 AS ots,
+                             CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)
+                                 AS cents
+                      FROM latest WHERE rn = 1 AND op = 'U'),
+            ch AS (SELECT c_custkey, c_mktsegment,
+                          CAST(('0x' || substr(md5(CAST(c_custkey
+                               AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                              AS hb
+                   FROM customer),
+            dim AS (SELECT c_custkey,
+                           CAST(631152000000000 AS BIGINT) AS vts,
+                           c_mktsegment AS segment FROM ch
+                    UNION ALL
+                    SELECT c_custkey, 804556800000000, 'MIGRATED'
+                    FROM ch WHERE hb < 300
+                    UNION ALL
+                    SELECT c_custkey, 836179200000000, 'CHURNED'
+                    FROM ch WHERE hb < 100),
+            iv AS (SELECT c_custkey, segment, vts,
+                          LEAD(vts, 1,
+                               CAST(9223372036854775807 AS BIGINT))
+                              OVER (PARTITION BY c_custkey
+                                    ORDER BY vts) AS vend
+                   FROM dim)
+            SELECT iv.segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+            FROM facts f JOIN iv
+              ON f.o_custkey = iv.c_custkey
+             AND f.ots >= iv.vts AND f.ots < iv.vend
+            GROUP BY iv.segment ORDER BY iv.segment
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10394,3 +10394,108 @@ def events_type_peak_hour(sf_dir: str):
     return hourly.map_batches(keep_peaks, batch_format="pyarrow",
                               zero_copy_batch=True
                               ).sort(["event_type", "peak_hour"])
+
+
+def orders_bitemporal_state(sf_dir: str, as_of_version: int = 1):
+    """Bitemporal read — BOTH time dimensions at once, the lakehouse
+    capstone that composes `orders_time_travel` (SYSTEM time: the
+    table as the store knew it at changelog version ``as_of_version``)
+    with `customer_scd2_orders` (VALID time: the mktsegment version in
+    effect at each order's date): revenue by segment, as the system
+    state of version ``as_of_version`` would have reported it.  One
+    grouped top-1 exchange reconstructs the system snapshot, one as-of
+    join resolves valid time, one segment-sized aggregate reports."""
+    from ..functions.sampling import _md5_bucket
+    from ..stages.asof import asof_join
+    from ..stages.topk import grouped_topk
+
+    def version_rows(b: pa.Table, version: int) -> pa.Table:
+        keys = b.column("o_orderkey").to_pylist()
+        if version == 0:
+            n = b.num_rows
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "version": pa.array(np.zeros(n, dtype=np.int64)),
+                "op": pa.array(["U"] * n, type=pa.string()),
+                "price": b.column("o_totalprice"),
+                "odate_us": pc.cast(b.column("o_orderdate"),
+                                    pa.int64()),
+                "ckey": pc.cast(b.column("o_custkey"), pa.int64())})
+        h = _md5_bucket(keys, 1000)
+        mask, dmask = h < 300, h < 100
+        t = b.filter(pa.array(mask))
+        ops = np.where(dmask[mask], "D", "U")
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "version": pa.array(np.full(t.num_rows, version,
+                                        dtype=np.int64)),
+            "op": pa.array(ops.tolist(), type=pa.string()),
+            "price": pc.add(t.column("o_totalprice"),
+                            pa.scalar(10.0 * version)),
+            "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "ckey": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    scan = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/orders.parquet", columns=cols)
+    log = None
+    for v in range(min(as_of_version, 1) + 1):
+        part = scan().map_batches(lambda b, _v=v: version_rows(b, _v),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        log = part if log is None else log.union(part)
+    latest = grouped_topk(log, group="o_orderkey", order_col="version",
+                          tiebreak="op", k=1)
+
+    def surviving(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.equal(b.column("op"), pa.scalar("U")),
+                            False)
+        t = b.filter(keep)
+        return pa.table({
+            "ckey": t.column("ckey"),
+            "ots": t.column("odate_us"),
+            "cents": _cents(t.column("price"))})
+
+    facts = latest.map_batches(surviving, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    V0_US = 631152000000000
+    V1_US = 804556800000000
+    V2_US = 836179200000000
+
+    def dim_rows(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        h = _md5_bucket(keys, 1000)
+        segs = b.column("c_mktsegment").to_pylist()
+        ck, vt, sg = [], [], []
+        for k, hb, s in zip(keys, h, segs):
+            ck.append(k)
+            vt.append(V0_US)
+            sg.append(s)
+            if hb < 300:
+                ck.append(k)
+                vt.append(V1_US)
+                sg.append("MIGRATED")
+            if hb < 100:
+                ck.append(k)
+                vt.append(V2_US)
+                sg.append("CHURNED")
+        return pa.table({
+            "ckey": pa.array(ck, type=pa.int64()),
+            "vts": pa.array(vt, type=pa.int64()),
+            "segment": pa.array(sg, type=pa.string())})
+
+    dim = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]
+                          ).map_batches(dim_rows, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    joined = asof_join(facts, dim, key="ckey", left_t="ots",
+                       right_t="vts")
+    return sorted_group_aggregate(
+        joined.map_batches(lambda b: pa.table({
+            "segment": b.column("segment"),
+            "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "revenue_cents": b.column("cents")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["segment"], [("n_orders", "sum"), ("revenue_cents", "sum")],
+        precombine=True).sort("segment")

@@ -135,3 +135,40 @@ def test_markov_attribution_serial_replay(ray_session):
             (0 if full == 0 else 10**6 * (full - rem) // full)
         # removal can only lose conversion mass in this model
         assert rem <= full
+
+
+def test_bitemporal_composition_law(ray_session):
+    """The bitemporal read must equal composing the two single-
+    dimension ops by hand: system snapshot at v1, then per-order
+    valid-time segment."""
+    from kgray.pipelines.relational import orders_bitemporal_state
+
+    got = {r["segment"]: r
+           for r in orders_bitemporal_state(SF).take_all()}
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]
+                         ).to_pandas().set_index("c_custkey")
+    V1 = pd.Timestamp("1995-07-01")
+    V2 = pd.Timestamp("1996-07-01")
+    exp = {}
+    for _, r in orders.iterrows():
+        hb = _hb(r["o_orderkey"])
+        if hb < 100:
+            continue                      # deleted at system v1
+        price = r["o_totalprice"] + (10.0 if hb < 300 else 0.0)
+        chb = _hb(r["o_custkey"])
+        seg = cust.loc[r["o_custkey"], "c_mktsegment"]
+        if chb < 300 and r["o_orderdate"] >= V1:
+            seg = "MIGRATED"
+        if chb < 100 and r["o_orderdate"] >= V2:
+            seg = "CHURNED"
+        n, c = exp.get(seg, (0, 0))
+        exp[seg] = (n + 1, c + _cents(price))
+    assert set(got) == set(exp)
+    for seg, (n, c) in exp.items():
+        assert got[seg]["n_orders"] == n
+        assert got[seg]["revenue_cents"] == c
