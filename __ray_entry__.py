@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.customer_segment_migration,
         "events_type_peak_hour": relational.events_type_peak_hour,
         "orders_bitemporal_state": relational.orders_bitemporal_state,
+        "part_hierarchy_paths": relational.part_hierarchy_paths,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2576,6 +2577,19 @@ def oracle_sql() -> dict[str, str]:
               ON f.o_custkey = iv.c_custkey
              AND f.ots >= iv.vts AND f.ots < iv.vend
             GROUP BY iv.segment ORDER BY iv.segment
+        """,
+        "part_hierarchy_paths": """
+            WITH RECURSIVE p(node, cur, path) AS (
+                SELECT p_partkey, p_partkey,
+                       CAST(p_partkey AS VARCHAR) FROM part
+                UNION ALL
+                SELECT node, cur // 4,
+                       CAST(cur // 4 AS VARCHAR) || '/' || path
+                FROM p WHERE cur >= 1)
+            SELECT node, path,
+                   CAST(length(path) - length(replace(path, '/', ''))
+                        AS BIGINT) AS depth
+            FROM p WHERE cur = 0 ORDER BY node
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

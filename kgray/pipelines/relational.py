@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10499,3 +10499,33 @@ def orders_bitemporal_state(sf_dir: str, as_of_version: int = 1):
             batch_format="pyarrow", zero_copy_batch=True),
         ["segment"], [("n_orders", "sum"), ("revenue_cents", "sum")],
         precombine=True).sort("segment")
+
+
+def part_hierarchy_paths(sf_dir: str):
+    """Materialized path labels for the part hierarchy (the ltree /
+    catalog-breadcrumb shape): each node's root→node ancestor chain as a
+    '/'-joined string plus its depth — the read-optimized encoding
+    that turns subtree queries into prefix scans.  The chain is
+    arithmetic (`part_hierarchy_rollup`'s parent rule), so labels
+    build in-block; mirrored by a recursive-CTE oracle."""
+    def paths(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b.column("p_partkey"), pa.int64()).to_pylist()
+        out_p, out_d = [], []
+        for k in keys:
+            chain = [k]
+            cur = k
+            while cur >= 1:
+                cur //= 4
+                chain.append(cur)
+            chain.reverse()
+            out_p.append("/".join(str(x) for x in chain))
+            out_d.append(len(chain) - 1)
+        return pa.table({
+            "node": pa.array(keys, type=pa.int64()),
+            "path": pa.array(out_p, type=pa.string()),
+            "depth": pa.array(out_d, type=pa.int64())})
+
+    return rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey"]).map_batches(
+        paths, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("node")

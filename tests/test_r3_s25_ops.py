@@ -137,3 +137,17 @@ def test_hierarchy_rollup_conservation(ray_session):
         if k not in children:
             assert rows[k]["n_nodes"] == 1
             assert rows[k]["subtree_cents"] == cents[k]
+
+
+def test_hierarchy_paths_prefix_law(ray_session):
+    from kgray.pipelines.relational import part_hierarchy_paths
+
+    rows = {r["node"]: r for r in part_hierarchy_paths(SF).take_all()}
+    for k, r in rows.items():
+        parts = r["path"].split("/")
+        assert parts[-1] == str(k)
+        assert parts[0] == "0" or k == 0
+        assert r["depth"] == len(parts) - 1
+        # subtree-as-prefix law: a child's path extends its parent's
+        if k >= 1:
+            assert r["path"].startswith(rows[k // 4]["path"] + "/")
