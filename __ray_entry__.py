@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_peak_hour": relational.events_type_peak_hour,
         "orders_bitemporal_state": relational.orders_bitemporal_state,
         "part_hierarchy_paths": relational.part_hierarchy_paths,
+        "part_subtree_revenue": relational.part_subtree_revenue,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2590,6 +2591,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(path) - length(replace(path, '/', ''))
                         AS BIGINT) AS depth
             FROM p WHERE cur = 0 ORDER BY node
+        """,
+        "part_subtree_revenue": """
+            WITH RECURSIVE p(node, cur, path) AS (
+                SELECT p_partkey, p_partkey,
+                       CAST(p_partkey AS VARCHAR) FROM part
+                UNION ALL
+                SELECT node, cur // 4,
+                       CAST(cur // 4 AS VARCHAR) || '/' || path
+                FROM p WHERE cur >= 1),
+            lab AS (SELECT node, path FROM p WHERE cur = 0),
+            c AS (SELECT p_partkey AS node,
+                         CAST(FLOOR(p_retailprice * 100.0 + 0.5)
+                              AS BIGINT) AS cents
+                  FROM part),
+            s AS (SELECT c.cents FROM lab JOIN c USING (node)
+                  WHERE lab.path LIKE '0/1/%' OR lab.path = '0/1')
+            SELECT CAST(1 AS BIGINT) AS subtree_root,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(cents) AS BIGINT) AS subtree_cents
+            FROM s
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths", "part_subtree_revenue",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10529,3 +10529,60 @@ def part_hierarchy_paths(sf_dir: str):
                            columns=["p_partkey"]).map_batches(
         paths, batch_format="pyarrow", zero_copy_batch=True
     ).sort("node")
+
+
+def part_subtree_revenue(sf_dir: str, subtree_root: int = 1):
+    """Subtree aggregation by PREFIX SCAN over the materialized path
+    labels — the consumption side of `part_hierarchy_paths` (and the
+    point of maintaining them): "total retail value under node 1"
+    becomes one vectorized ``starts_with`` filter instead of a
+    recursive traversal.  The law ``part_subtree_revenue(k) ==
+    part_hierarchy_rollup[k]`` ties the two encodings together (pinned
+    by test).  SQL mirror is the same LIKE-prefix predicate."""
+    def rows(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b.column("p_partkey"), pa.int64()).to_pylist()
+        paths = []
+        for k in keys:
+            chain = [k]
+            cur = k
+            while cur >= 1:
+                cur //= 4
+                chain.append(cur)
+            chain.reverse()
+            paths.append("/".join(str(x) for x in chain))
+        t = pa.table({
+            "path": pa.array(paths, type=pa.string()),
+            "cents": _cents(b.column("p_retailprice"))})
+        pre = f"{_path_of(subtree_root)}/"
+        keep = pc.or_(
+            pc.starts_with(t.column("path"), pattern=pre),
+            pc.equal(t.column("path"), pa.scalar(pre[:-1])))
+        t = t.filter(keep)
+        return pa.table({
+            "k": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "n_nodes": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "subtree_cents": t.column("cents")})
+
+    agg = sorted_group_aggregate(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"]
+                        ).map_batches(rows, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+        ["k"], [("n_nodes", "sum"), ("subtree_cents", "sum")],
+        precombine=True).take_all()
+    n = int(agg[0]["n_nodes"]) if agg else 0
+    c = int(agg[0]["subtree_cents"]) if agg else 0
+    return pa.table({
+        "subtree_root": pa.array([subtree_root], type=pa.int64()),
+        "n_nodes": pa.array([n], type=pa.int64()),
+        "subtree_cents": pa.array([c], type=pa.int64())})
+
+
+def _path_of(k: int) -> str:
+    chain = [k]
+    cur = k
+    while cur >= 1:
+        cur //= 4
+        chain.append(cur)
+    chain.reverse()
+    return "/".join(str(x) for x in chain)

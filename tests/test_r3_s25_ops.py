@@ -151,3 +151,13 @@ def test_hierarchy_paths_prefix_law(ray_session):
         # subtree-as-prefix law: a child's path extends its parent's
         if k >= 1:
             assert r["path"].startswith(rows[k // 4]["path"] + "/")
+
+
+def test_subtree_revenue_equals_rollup(ray_session):
+    from kgray.pipelines.relational import (part_hierarchy_rollup,
+                                            part_subtree_revenue)
+
+    roll = {r["anc"]: r for r in part_hierarchy_rollup(SF).take_all()}
+    sub = part_subtree_revenue(SF, subtree_root=1).to_pylist()[0]
+    assert sub["n_nodes"] == roll[1]["n_nodes"]
+    assert sub["subtree_cents"] == roll[1]["subtree_cents"]
