@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bitemporal_state": relational.orders_bitemporal_state,
         "part_hierarchy_paths": relational.part_hierarchy_paths,
         "part_subtree_revenue": relational.part_subtree_revenue,
+        "events_weekly_hll_merge": relational.events_weekly_hll_merge,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -888,7 +889,8 @@ def oracle_sql() -> dict[str, str]:
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
-                     "events_dp_median", "events_dp_p90", "kg_zh_mention_stats")
+                     "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
+                     "events_weekly_hll_merge")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths", "part_subtree_revenue",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths", "part_subtree_revenue", "events_weekly_hll_merge",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10586,3 +10586,86 @@ def _path_of(k: int) -> str:
         chain.append(cur)
     chain.reverse()
     return "/".join(str(x) for x in chain)
+
+
+def events_weekly_hll_merge(sf_dir: str, p: int = 12):
+    """Sketch-merge algebra as an audited output (the `orders_join_ivm`
+    discipline): weekly distinct-user HLL estimates computed TWO ways —
+    (a) merging the seven constituent DAILY register arrays by
+    elementwise max, (b) direct weekly registers from the raw stream —
+    must agree register-for-register (max-merge associativity: the
+    property that lets a 100-TB pipeline keep per-partition sketches
+    and roll them up without re-scanning).  ``merge_law_ok`` lands in
+    the gated output, so the driver's value hash enforces the law.
+    Weeks are Monday-anchored (`weekly_retention`'s integer rule)."""
+    import ray
+
+    from ..stages.sketch import _hash_strings, _hll_registers, \
+        hll_estimate
+
+    m = 1 << p
+
+    def partials(b: pa.Table) -> pa.Table:
+        days = (pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                          pa.scalar(86_400_000_000))
+                .to_numpy(zero_copy_only=False))
+        weeks = days - ((days + 3) % 7)
+        users = b.column("user_id").to_pylist()
+        hashes = _hash_strings([str(u) for u in users])
+        out_k, out_key, out_r = [], [], []
+        for kind, keys in (("d", days), ("w", weeks)):
+            by = {}
+            for i, k in enumerate(keys):
+                by.setdefault(int(k), []).append(i)
+            for k, idxs in by.items():
+                regs = _hll_registers(
+                    hashes[np.array(idxs, dtype=np.int64)], p)
+                out_k.append(kind)
+                out_key.append(k)
+                out_r.append(regs.tobytes())
+        return pa.table({
+            "kind": pa.array(out_k, type=pa.string()),
+            "key": pa.array(out_key, type=pa.int64()),
+            "regs": pa.array(out_r, type=pa.binary())})
+
+    parts = [t for t in ray.get(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "user_id"]).map_batches(
+            partials, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    daily, weekly = {}, {}
+    for t in parts:
+        for kind, key, rb in zip(t.column("kind").to_pylist(),
+                                 t.column("key").to_pylist(),
+                                 t.column("regs").to_pylist()):
+            tgt = daily if kind == "d" else weekly
+            regs = np.frombuffer(rb, dtype=np.uint8)
+            if key in tgt:
+                tgt[key] = np.maximum(tgt[key], regs)
+            else:
+                tgt[key] = regs.copy()
+
+    out = []
+    for wk in sorted(weekly):
+        member_days = [d for d in daily if d - ((d + 3) % 7) == wk]
+        merged = np.zeros(m, dtype=np.uint8)
+        for d in member_days:
+            merged = np.maximum(merged, daily[d])
+        direct = weekly[wk]
+        ok = int(np.array_equal(merged, direct))
+        out.append({
+            "week_day": wk,
+            "n_days": len(member_days),
+            "est_direct": int(np.floor(hll_estimate(direct))),
+            "est_merged": int(np.floor(hll_estimate(merged))),
+            "merge_law_ok": ok})
+    return pa.table({
+        "week_day": pa.array([r["week_day"] for r in out],
+                             type=pa.int64()),
+        "n_days": pa.array([r["n_days"] for r in out], type=pa.int64()),
+        "est_direct": pa.array([r["est_direct"] for r in out],
+                               type=pa.int64()),
+        "est_merged": pa.array([r["est_merged"] for r in out],
+                               type=pa.int64()),
+        "merge_law_ok": pa.array([r["merge_law_ok"] for r in out],
+                                 type=pa.int64())})

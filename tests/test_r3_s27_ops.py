@@ -244,3 +244,21 @@ def test_dp_p90_targets_upper_rank(ray_session):
     n = len(cents)
     rank = sum(1 for c in cents if c <= p90["dp_p90_cents"])
     assert abs(rank - 9 * n // 10) <= 64
+
+
+def test_weekly_hll_merge_law_and_accuracy(ray_session):
+    from kgray.pipelines.relational import events_weekly_hll_merge
+
+    rows = events_weekly_hll_merge(SF).to_pylist()
+    assert rows and all(r["merge_law_ok"] == 1 for r in rows)
+    assert all(r["est_direct"] == r["est_merged"] for r in rows)
+    # accuracy sanity vs exact weekly distincts (HLL p=12 ⇒ ~1.6% rse;
+    # allow a generous band)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["week"] = ev["day"] - ((ev["day"] + 3) % 7)
+    exact = ev.groupby("week")["user_id"].nunique()
+    for r in rows:
+        e = exact[r["week_day"]]
+        assert abs(r["est_direct"] - e) <= max(3, int(0.1 * e))
