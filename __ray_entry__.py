@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_hierarchy_paths": relational.part_hierarchy_paths,
         "part_subtree_revenue": relational.part_subtree_revenue,
         "events_weekly_hll_merge": relational.events_weekly_hll_merge,
+        "supplier_late_wilson": relational.supplier_late_wilson,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -2613,6 +2614,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_nodes,
                    CAST(SUM(cents) AS BIGINT) AS subtree_cents
             FROM s
+        """,
+        "supplier_late_wilson": """
+            WITH j AS (SELECT l.l_suppkey,
+                              CASE WHEN CAST(epoch_us(l.l_shipdate)
+                                   AS BIGINT)
+                                   - CAST(epoch_us(o.o_orderdate)
+                                          AS BIGINT) > 6480000000000
+                                   THEN 1 ELSE 0 END AS late
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            a AS (SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(late) AS BIGINT) AS k
+                  FROM j GROUP BY 1),
+            w AS (SELECT l_suppkey, n, k,
+                         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+                  FROM a)
+            SELECT l_suppkey, n, k, p AS late_rate,
+                   ((p + 1.96e0 * 1.96e0 / (2.0e0 * n))
+                    + 1.96e0 * sqrt(p * (1.0e0 - p) / n
+                                    + 1.96e0 * 1.96e0
+                                      / (4.0e0 * n * n)))
+                   / (1.0e0 + 1.96e0 * 1.96e0 / n) AS wilson_hi
+            FROM w ORDER BY l_suppkey
         """,
         "top_supplier_revenue": """
             WITH r AS (SELECT l_suppkey AS s_suppkey,

@@ -50,7 +50,7 @@ __all__ = ["pricing_summary", "top_customers", "supplier_nation_counts",
            "orders_above_cust_avg", "fk_orphan_audit",
            "logline_stats", "orders_cdc_latest", "orders_time_travel",
            "user_credit_balance", "customer_scd2_orders",
-           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths", "part_subtree_revenue", "events_weekly_hll_merge",
+           "purchase_markov_attribution", "order_value_ntile", "part_hierarchy_rollup", "events_hourly_autocorr", "events_dow_hour_profile", "events_srm_check", "events_dp_median", "events_dp_p90", "orders_weekday_index", "events_interarrival_cv", "customer_segment_migration", "events_type_peak_hour", "orders_bitemporal_state", "part_hierarchy_paths", "part_subtree_revenue", "events_weekly_hll_merge", "supplier_late_wilson",
            "join_key_inference", "events_fd_audit", "url_canonical_dedup",
            "pareto_orders",
            "user_value_twap", "copurchase_degree_hist",
@@ -10669,3 +10669,69 @@ def events_weekly_hll_merge(sf_dir: str, p: int = 12):
                                type=pa.int64()),
         "merge_law_ok": pa.array([r["merge_law_ok"] for r in out],
                                  type=pa.int64())})
+
+
+def supplier_late_wilson(sf_dir: str, late_days: int = 75,
+                         z: float = 1.96):
+    """Supplier SLA scoring with uncertainty — the Wilson UPPER bound
+    of each supplier's late-shipment rate (ship > order date +
+    ``late_days``), the conservative score a procurement dashboard
+    ranks by so small-sample suppliers aren't over-trusted (the
+    `events_ctr_wilson` discipline, upper tail; sqrt is correctly-
+    rounded IEEE so the mirror is bitwise).  One fact×fact sorted
+    join + a supplier-sized aggregate."""
+    from ..stages.join import sorted_merge_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"]).map_batches(
+        lambda b: pa.table({
+            "okey": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "l_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "ship_us": pc.cast(b.column("l_shipdate"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"]
+                             ).map_batches(
+        lambda b: pa.table({
+            "okey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "odate_us": pc.cast(b.column("o_orderdate"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = sorted_merge_join(li, orders, on="okey")
+    cutoff = late_days * 86_400_000_000
+
+    def late_rows(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(b.column("ship_us"), b.column("odate_us"))
+        late = pc.cast(pc.greater(gap, pa.scalar(cutoff)), pa.int64())
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "k": late})
+
+    agg = sorted_group_aggregate(
+        j.map_batches(late_rows, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["l_suppkey"], [("n", "sum"), ("k", "sum")],
+        precombine=True).sort("l_suppkey")
+
+    def wilson(b: pa.Table) -> pa.Table:
+        import math
+        n = b.column("n").to_pylist()
+        k = b.column("k").to_pylist()
+        rate, hi = [], []
+        for ni, ki in zip(n, k):
+            p = ki / ni
+            denom = 1.0 + z * z / ni
+            center = p + z * z / (2.0 * ni)
+            rad = z * math.sqrt(p * (1.0 - p) / ni
+                                + z * z / (4.0 * ni * ni))
+            rate.append(p)
+            hi.append((center + rad) / denom)
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "n": b.column("n"), "k": b.column("k"),
+            "late_rate": pa.array(rate, type=pa.float64()),
+            "wilson_hi": pa.array(hi, type=pa.float64())})
+
+    return agg.map_batches(wilson, batch_format="pyarrow",
+                           zero_copy_batch=True)

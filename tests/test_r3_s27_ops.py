@@ -262,3 +262,18 @@ def test_weekly_hll_merge_law_and_accuracy(ray_session):
     for r in rows:
         e = exact[r["week_day"]]
         assert abs(r["est_direct"] - e) <= max(3, int(0.1 * e))
+
+
+def test_supplier_late_wilson_laws(ray_session):
+    from kgray.pipelines.relational import supplier_late_wilson
+
+    rows = supplier_late_wilson(SF).take_all()
+    assert rows
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey"]).num_rows
+    assert sum(r["n"] for r in rows) == li
+    for r in rows:
+        assert 0 <= r["k"] <= r["n"]
+        # upper bound dominates the point rate, within [0, ~1+eps]
+        assert r["wilson_hi"] >= r["late_rate"]
+        assert r["wilson_hi"] <= 1.2
