@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_subtree_revenue": relational.part_subtree_revenue,
         "events_weekly_hll_merge": relational.events_weekly_hll_merge,
         "supplier_late_wilson": relational.supplier_late_wilson,
+        "cross_source_dup_matrix": text.cross_source_dup_matrix,
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -891,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
                      "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
-                     "events_weekly_hll_merge")
+                     "events_weekly_hll_merge", "cross_source_dup_matrix")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

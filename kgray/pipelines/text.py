@@ -28,7 +28,7 @@ __all__ = ["read_documents", "token_stats", "quality_scores", "lang_id",
            "duplicate_ngram_fraction", "STOPWORDS", "source_mix_sample",
            "doc_splits", "unigram_logprob", "decontaminate", "pii_scrub",
            "token_fuzzy_pairs", "dedup_substring_mask", "token_postings",
-           "nb_lang_predictions", "token_skipgram_counts", "doc_weighted_sample"]
+           "nb_lang_predictions", "token_skipgram_counts", "doc_weighted_sample", "cross_source_dup_matrix"]
 
 _WS = re.compile(r"\s+")
 
@@ -2506,3 +2506,54 @@ def doc_weighted_sample(sf_dir: str, k: int = 100):
         "doc_id": top.column("doc_id"),
         "n_chars": top.column("n_chars"),
         "rank": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+
+
+def cross_source_dup_matrix(sf_dir: str):
+    """Cross-source duplication matrix — the crawl-quality readout
+    that tells a curation team WHERE near-duplicates come from
+    (mirrors within one source vs syndication across sources): the
+    MinHash-LSH near-dup pairs of `dedup.minhash_lsh_pairs`, each
+    endpoint joined to its document's source, counted per unordered
+    (source_a ≤ source_b) cell.  Pair endpoints resolve through a
+    broadcast doc→source map (document-count-sized metadata — at
+    crawl scale swap for two sorted joins, the `kg_graph_diff`
+    shape).  Fixture oracle."""
+    import ray
+
+    from ..pipelines import dedup as _dedup
+    from ..stages.aggregate import sorted_group_aggregate
+
+    src_map = {}
+    for t in ray.get(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"]
+                            ).to_arrow_refs()):
+        if t.num_rows:
+            for d, s in zip(t.column("doc_id").to_pylist(),
+                            t.column("source").to_pylist()):
+                src_map[d] = s
+
+    pairs = _dedup.minhash_lsh_pairs(sf_dir)
+    if isinstance(pairs, pa.Table):        # driver-verified plan
+        pairs = rd.from_arrow(pairs)
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_a" not in b.schema.names:
+            return pa.table({
+                "source_a": pa.array([], type=pa.string()),
+                "source_b": pa.array([], type=pa.string()),
+                "n_pairs": pa.array([], type=pa.int64())})
+        sa = [src_map[d] for d in b.column("doc_a").to_pylist()]
+        sb = [src_map[d] for d in b.column("doc_b").to_pylist()]
+        lo = [min(x, y) for x, y in zip(sa, sb)]
+        hi = [max(x, y) for x, y in zip(sa, sb)]
+        return pa.table({
+            "source_a": pa.array(lo, type=pa.string()),
+            "source_b": pa.array(hi, type=pa.string()),
+            "n_pairs": pa.array(np.ones(len(lo), dtype=np.int64))})
+
+    return sorted_group_aggregate(
+        pairs.map_batches(cells, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["source_a", "source_b"], [("n_pairs", "sum")],
+        precombine=True).sort(["source_a", "source_b"])

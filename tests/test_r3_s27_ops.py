@@ -277,3 +277,27 @@ def test_supplier_late_wilson_laws(ray_session):
         # upper bound dominates the point rate, within [0, ~1+eps]
         assert r["wilson_hi"] >= r["late_rate"]
         assert r["wilson_hi"] <= 1.2
+
+
+def test_cross_source_dup_matrix_conservation(ray_session):
+    from kgray.pipelines import dedup
+    from kgray.pipelines.text import cross_source_dup_matrix
+
+    rows = cross_source_dup_matrix(SF).take_all()
+    pairs = dedup.minhash_lsh_pairs(SF)
+    n_pairs = pairs.num_rows if hasattr(pairs, "num_rows") else \
+        pairs.count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"])
+    smap = dict(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("source").to_pylist()))
+    plist = pairs.to_pylist() if hasattr(pairs, "to_pylist") else \
+        pairs.take_all()
+    exp = {}
+    for p in plist:
+        a, b = smap[p["doc_a"]], smap[p["doc_b"]]
+        key = (min(a, b), max(a, b))
+        exp[key] = exp.get(key, 0) + 1
+    assert {(r["source_a"], r["source_b"]): r["n_pairs"]
+            for r in rows} == exp
