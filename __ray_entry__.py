@@ -535,6 +535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_hll_merge": relational.events_weekly_hll_merge,
         "supplier_late_wilson": relational.supplier_late_wilson,
         "cross_source_dup_matrix": text.cross_source_dup_matrix,
+        "kg_predicate_trend": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_predicate_trend"]
+        ).kg_predicate_trend(sf),
         "kg_entity_cooccurrence": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_entity_cooccurrence"]
         ).kg_entity_cooccurrence(sf),
@@ -892,7 +895,8 @@ def oracle_sql() -> dict[str, str]:
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
                      "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
-                     "events_weekly_hll_merge", "cross_source_dup_matrix")
+                     "events_weekly_hll_merge", "cross_source_dup_matrix",
+                     "kg_predicate_trend")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))
     }
 

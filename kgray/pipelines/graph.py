@@ -2257,3 +2257,43 @@ def kg_zh_mention_stats(sf_dir: str):
                                 zero_copy_batch=True),
         ["etype"], [("n_mentions", "sum"), ("n_surfaces", "sum")],
         precombine=True).sort("etype")
+
+
+def kg_predicate_trend(sf_dir: str):
+    """Temporal KG growth — per-predicate triple-occurrence counts by
+    crawl HOUR (the freshness/coverage trend a KG operations dashboard
+    plots; `kg_triple_recency`'s provenance join rolled up to the
+    crawl timeline — the synthetic crawl spans hours, so hour buckets
+    are the non-vacuous granularity; at Common-Crawl scale the same
+    rollup keys on month).  Fixture oracle."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    triples = kg_dataset(page_files(corpus), corpus, model_dir,
+                         tagger="hmm").map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"), "pred": b.column("pred")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pages = rd.read_parquet(page_files(corpus),
+                            columns=["url", "warc_ts"]).map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"),
+            "crawl_hour": pc.divide(
+                pc.cast(b.column("warc_ts"), pa.int64()),
+                pa.scalar(3600_000_000))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = sorted_merge_join(triples, pages, on="url")
+
+    return sorted_group_aggregate(
+        j.map_batches(lambda b: pa.table({
+            "pred": b.column("pred"),
+            "crawl_hour": b.column("crawl_hour"),
+            "n_occurrences": pa.array(np.ones(b.num_rows,
+                                              dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["pred", "crawl_hour"], [("n_occurrences", "sum")],
+        precombine=True).sort(["pred", "crawl_hour"])

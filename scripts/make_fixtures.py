@@ -60,6 +60,7 @@ FIXTURE_QUERIES = [
     "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
     "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
     "events_weekly_hll_merge", "cross_source_dup_matrix",
+    "kg_predicate_trend",
 ]
 
 

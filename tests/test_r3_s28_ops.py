@@ -165,3 +165,20 @@ def test_zh_mention_stats_replay(ray_session):
     for t, d in per.items():
         assert got[t]["n_mentions"] == sum(d.values())
         assert got[t]["n_surfaces"] == len(d)
+
+
+def test_predicate_trend_conservation(ray_session):
+    import __ray_entry__ as entry
+    from kgray.pipelines.graph import kg_predicate_trend
+
+    rows = kg_predicate_trend(SF).take_all()
+    assert len({r["crawl_hour"] for r in rows}) > 1, "trend non-vacuous"
+    # per-pred totals equal the canonical graph's support sums
+    graph = entry.queries()["kg_graph"](SF).take_all()
+    per_pred = {}
+    for g in graph:
+        per_pred[g["pred"]] = per_pred.get(g["pred"], 0) + g["support"]
+    got = {}
+    for r in rows:
+        got[r["pred"]] = got.get(r["pred"], 0) + r["n_occurrences"]
+    assert got == per_pred
