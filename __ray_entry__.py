@@ -247,7 +247,21 @@ def _binary_features(sf_dir: str):
 # now — into the window (r2 VERDICT next-round #5).  Everything outside
 # the window keeps its prior driver-green record plus the local gate
 # (scripts/check_queries.py runs ALL entries).
-_R3_WINDOW = [
+#
+# Round 4 (VERDICT r3 #1/#8): r3's CORRECTNESS artifact came back empty
+# — likely a driver-side timeout/crash on a ~250 s window — so the r4
+# window is budgeted: model caches seed from repo assets (~30 s CRF
+# cold-train eliminated), the TransE cache keys on corpus identity
+# instead of testdata mtime, kg pools cap by input size, and the five
+# most expensive locally-green entries rotate out (entity_ppr,
+# part_random_walks, phrase_search, embedding_dbscan,
+# doc_redirect_resolution — graph family keeps entity_hits +
+# entity_communities + part_copurchase_cheapest, IR keeps bm25_search,
+# clustering keeps part_clustering_coefficient) for the five r3
+# post-wrap queries that never saw a driver window
+# (part_hierarchy_paths, part_subtree_revenue, events_weekly_hll_merge,
+# supplier_late_wilson, cross_source_dup_matrix).
+_R4_WINDOW = [
     # KG core (flagship — always first)
     "kg_graph", "kg_mentions", "hmm_tags_valid", "crf_tags_valid",
     "transformer_tags_valid", "extract_invariant", "kg_entities",
@@ -297,7 +311,7 @@ _R3_WINDOW = [
     # events_cusum_peaks / part_clustering_coefficient /
     # events_quality_checks) — for the IVM delta-join law, survival,
     # conformal calibration and PSI drift)
-    "orders_join_ivm", "doc_redirect_resolution",
+    "orders_join_ivm",
     "user_conversion_survival", "events_conformal_coverage",
     "events_value_psi",
     # (r3-s22 rotation: token_cms_counts, part_negative_samples,
@@ -321,7 +335,7 @@ _R3_WINDOW = [
     # the positional-postings phrase query (composite-key join IR
     # shape), the IGNORE-NULLS LOCF monoid exchange, the bloom-sidecar
     # point-lookup layout and the HRW rendezvous shard router)
-    "phrase_search", "user_value_locf", "events_user_bloom_lookup",
+    "user_value_locf", "events_user_bloom_lookup",
     "user_shard_rendezvous",
     "user_day_purchase_views",
     # (r3-s6b/7/8/9 rotation: bucketed_order_revenue, nation_pair_volume,
@@ -332,8 +346,14 @@ _R3_WINDOW = [
     # MAD audit — for the session's new families: personalized graph
     # ranking, resampling UQ, deterministic walks, density clustering,
     # privacy, and the declarative quality-rule suite)
-    "entity_ppr", "events_bootstrap_ci", "part_random_walks",
-    "embedding_dbscan",
+    "events_bootstrap_ci",
+    # r4 rotation IN: the five r3 post-wrap queries (VERDICT #8) —
+    # packed-key hierarchy recursion, subtree rollup, the HLL
+    # sketch-merge law, Wilson-bound SLA scoring, and the MinHash
+    # cross-source duplication matrix
+    "part_hierarchy_paths", "part_subtree_revenue",
+    "events_weekly_hll_merge", "supplier_late_wilson",
+    "cross_source_dup_matrix",
     # as-of / interval / rolling windows (user_trailing_value rotated
     # out r3 — rolling family keeps user_rolling_value — for the
     # weighted-shortest-path exchange)
@@ -818,9 +838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": text.weighted_doc_sample,
         "events_out_of_order": relational.events_out_of_order,
     }
-    assert all(k in q for k in _R3_WINDOW), \
-        [k for k in _R3_WINDOW if k not in q]
-    window = {k: q[k] for k in _R3_WINDOW}
+    assert all(k in q for k in _R4_WINDOW), \
+        [k for k in _R4_WINDOW if k not in q]
+    window = {k: q[k] for k in _R4_WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 

@@ -1238,9 +1238,8 @@ def graph_for_sf(sf_dir: str, tagger: str = "hmm", files=None):
     if files is None:
         files = sorted(page_files(corpus))
     files = sorted(files)
-    st = os.stat(files[0])
-    tag = _hl.md5(f"{'|'.join(files)}|{st.st_size}|{st.st_mtime_ns}"
-                  f"|{tagger}".encode()).hexdigest()[:10]
+    from ..sources.derived import corpus_content_tag
+    tag = corpus_content_tag(corpus, files=files, extra=tagger)
     out = f"/tmp/kgray_graph/graph_{tag}"
     if not os.path.exists(os.path.join(out, "_DONE")):
         import tempfile
@@ -1622,10 +1621,9 @@ def kg_incremental_merge(sf_dir: str, n_delta_files: int = 1):
                    ("subj", "min"), ("pred", "min"), ("obj", "min")]
     keys = ["k_hash", "k_hash2", "salt"]
 
-    st = os.stat(old_files[0])
-    tag = _hl.md5(
-        f"{'|'.join(old_files)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|{N_SALTS}|{K_URLS}".encode()).hexdigest()[:10]
+    from ..sources.derived import corpus_content_tag
+    tag = corpus_content_tag(corpus, files=old_files,
+                             extra=f"{N_SALTS}|{K_URLS}")
     ckpt = f"/tmp/kgray_kg_ckpt/partials_{tag}"
     if not os.path.exists(os.path.join(ckpt, "_DONE")):
         import tempfile
@@ -1723,9 +1721,8 @@ def kg_lineage_report(sf_dir: str):
     corpus = corpus_for_sf(sf_dir)
     model_dir = models_for_corpus(corpus, tagger="hmm")
     files = sorted(page_files(corpus))
-    st = os.stat(files[0])
-    tag = _hl.md5(f"{'|'.join(files)}|{st.st_size}|{st.st_mtime_ns}"
-                  .encode()).hexdigest()[:10]
+    from ..sources.derived import corpus_content_tag
+    tag = corpus_content_tag(corpus, files=files)
     out_dir = f"/tmp/kgray_runkg/run_{tag}"
     run_kg(corpus, out_dir, model_dir=model_dir, tagger="hmm")
 

@@ -197,11 +197,8 @@ def kg_transe_embeddings(sf_dir: str, dim: int = 16, epochs: int = 60):
     from ..stages.canonical import canonical_graph
     from .kg import kg_dataset, page_files
 
-    corpus = corpus_for_sf(sf_dir)
-    model_dir = models_for_corpus(corpus, tagger="hmm")
-    graph = canonical_graph(
-        kg_dataset(page_files(corpus), corpus, model_dir, tagger="hmm"))
-    entities, ent_emb, _, _ = transe_train(graph, dim=dim, epochs=epochs)
+    entities, ent_emb, _, _ = _transe_model_for(sf_dir, dim=dim,
+                                                epochs=epochs)
     n, d = ent_emb.shape
     return pa.table({
         "entity": pa.array(np.repeat(entities, d)),
@@ -213,20 +210,27 @@ def _transe_model_for(sf_dir: str, dim: int = 16, epochs: int = 60):
     """Train-once cache of the TransE model per sf corpus (atomic
     rename + content fingerprint, the ``orders_price_band``
     discipline).  The training itself is bit-deterministic, so the
-    cache can never serve a value a fresh run wouldn't produce."""
+    cache can never serve a value a fresh run wouldn't produce.
+
+    The training input is the canonical graph of the DERIVED corpus,
+    which is a pure function of (corpus tag, GENERATOR_VERSION) — so
+    the cache key uses that identity, not the sf tables' mtime (round 3
+    keyed on documents.parquet mtime: every driver-side testdata
+    regeneration invalidated the cache and retrained cold inside the
+    correctness window)."""
     import hashlib
     import os
     import shutil
 
+    from ..sources.corpus import GENERATOR_VERSION
     from ..sources.derived import corpus_for_sf, models_for_corpus
     from ..stages.canonical import canonical_graph
     from .kg import kg_dataset, page_files
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
+    corpus_tag = os.path.basename(os.path.normpath(corpus_for_sf(sf_dir)))
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|{dim}|{epochs}".encode()).hexdigest()[:10]
+        f"{corpus_tag}|v{GENERATOR_VERSION}|{dim}|{epochs}"
+        .encode()).hexdigest()[:10]
     out = f"/tmp/kgray_transe/model_{tag}"
     npz = os.path.join(out, "model.npz")
     if not os.path.exists(os.path.join(out, "_DONE")):

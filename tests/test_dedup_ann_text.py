@@ -245,6 +245,35 @@ def test_bucket_pairs_cap_boundary(ray_session):
     assert got == full | star
 
 
+def test_bucket_pairs_joined_plan_matches_broadcast(ray_session):
+    """The >broadcast_max distributed-join plan (rows ⋈ sizes on the
+    mixed key, no driver bucket-key collection — r3 VERDICT #2) emits
+    exactly the broadcast plan's pairs: full pairing at or below
+    max_bucket, min-id star above it."""
+    import itertools
+    import pyarrow as pa
+    import ray.data as rd
+    from kgray.pipelines.dedup import _bucket_pairs, _collect_pairs
+
+    rows_b = [0] * 5 + [1] * 30 + [2] * 7 + list(range(3, 40))
+    rows_id = (list(range(100, 105)) + list(range(200, 230))
+               + list(range(400, 407)) + list(range(300, 337)))
+    ds = rd.from_arrow(pa.table({"band": pa.array([0] * len(rows_b), type=pa.int32()),
+                                 "val": pa.array(rows_b, type=pa.int64()),
+                                 "vec_id": pa.array(rows_id, type=pa.int64())})
+                       ).repartition(6)
+    broadcast = _collect_pairs(
+        _bucket_pairs(ds, ["band", "val"], "vec_id", max_bucket=8))
+    joined = _collect_pairs(
+        _bucket_pairs(ds, ["band", "val"], "vec_id", max_bucket=8,
+                      broadcast_max=0))           # force the join plan
+    expected = (set(itertools.combinations(range(100, 105), 2))
+                | set(itertools.combinations(range(400, 407), 2))
+                | {(200, i) for i in range(201, 230)})
+    assert broadcast == expected
+    assert joined == expected
+
+
 def test_ivf_partition_pruning(ray_session, tmp_path):
     """The IVF index is cluster-partitioned parquet; a probe's scan set
     is only its n_probe partition dirs — non-probed partitions are
