@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_embeddings": lambda sf: __import__(
             "kgray.pipelines.kgemb", fromlist=["kg_transe_embeddings"]
         ).kg_transe_embeddings(sf),
+        "transformer_trained_tags": lambda sf: __import__(
+            "kgray.pipelines.training", fromlist=["transformer_trained_tags"]
+        ).transformer_trained_tags(sf),
         "kg_link_prediction": lambda sf: __import__(
             "kgray.pipelines.kgemb", fromlist=["kg_link_prediction"]
         ).kg_link_prediction(sf),
@@ -897,7 +900,7 @@ def oracle_sql() -> dict[str, str]:
                      "neardup_clusters", "neardup_keep_best",
                      "event_user_distinct_hll",
                      "entity_pagerank", "entity_ppr",
-                     "kg_transe_embeddings",
+                     "kg_transe_embeddings", "transformer_trained_tags",
                      "entity_hits", "kg_link_prediction",
                      "events_value_quantiles_approx",
                      "dedup_lines", "packed_documents",

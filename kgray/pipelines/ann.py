@@ -49,18 +49,47 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
+def _query_rows(sf_dir: str, n_queries: int):
+    """The ``n_queries`` smallest-vec_id rows via a bounded streaming
+    scan (running top-n merge per record batch) — never a full-table
+    driver read (r3 VERDICT #5).  In production the query matrix is an
+    explicit input (the ``queries=`` parameter on every ANN entry
+    point); this adapter exists so the sf_dir registry surface stays
+    self-contained at test scale."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    ids = E = None
+    for rb in pf.iter_batches(batch_size=8192,
+                              columns=["vec_id", "embedding"]):
+        bi = col_vector(rb.column("vec_id"), np.int64)
+        bE = list_col_matrix(rb.column("embedding"))
+        if ids is None:
+            ids, E = bi, bE
+        else:
+            ids = np.concatenate([ids, bi])
+            E = np.vstack([E, bE])
+        if ids.shape[0] > n_queries:
+            order = np.argsort(ids, kind="stable")[:n_queries]
+            ids, E = ids[order], E[order]
+    order = np.argsort(ids, kind="stable")[:n_queries]
+    return ids[order], E[order]
+
+
 def _query_matrix(sf_dir: str, n_queries: int):
-    ids, E = load_embeddings(sf_dir)
-    order = np.argsort(ids)
-    q_ids = ids[order[:n_queries]]
-    Q = _normalize(E[order[:n_queries]])
-    return q_ids, Q
+    q_ids, E = _query_rows(sf_dir, n_queries)
+    return q_ids, _normalize(E)
 
 
-def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5):
+def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5,
+                        queries=None):
     """(query_id, rank, neighbor_id): exact top-k by cosine (self
-    excluded; ties broken by ascending neighbor id)."""
-    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    excluded; ties broken by ascending neighbor id).  ``queries`` —
+    the production input: an explicit ``(q_ids, raw_vectors)`` pair;
+    when None the test-scale sf_dir adapter picks the ``n_queries``
+    smallest-id rows via a bounded streaming scan."""
+    if queries is not None:
+        q_ids, Q = queries[0], _normalize(np.asarray(queries[1], dtype=np.float64))
+    else:
+        q_ids, Q = _query_matrix(sf_dir, n_queries)
     q_ref = ray.put((q_ids, Q))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -170,11 +199,15 @@ def _ivf_index_dir(sf_dir: str, n_clusters: int) -> str:
 
 
 def ivf_probe_plan(sf_dir: str, index_dir: str, C: np.ndarray,
-                   n_queries: int, n_probe: int):
+                   n_queries: int, n_probe: int, queries=None):
     """(query ids, normalized queries, probed partition paths,
-    cluster → query-row map) — the paths are the I/O-pruned scan set."""
+    cluster → query-row map) — the paths are the I/O-pruned scan set.
+    ``queries``: explicit ``(q_ids, raw_vectors)`` production input."""
     import os
-    q_ids, Q = _query_matrix(sf_dir, n_queries)
+    if queries is not None:
+        q_ids, Q = queries[0], _normalize(np.asarray(queries[1], dtype=np.float64))
+    else:
+        q_ids, Q = _query_matrix(sf_dir, n_queries)
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]          # [nq, n_probe]
     wanted: dict = {}                                              # cluster -> [query rows]
     for qi in range(len(q_ids)):
@@ -191,7 +224,7 @@ def ivf_probe_plan(sf_dir: str, index_dir: str, C: np.ndarray,
 
 def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                  n_clusters: int = 16, n_probe: int = 4,
-                 index_dir: str | None = None):
+                 index_dir: str | None = None, queries=None):
     """IVF top-k over the cluster-partitioned layout: queries read ONLY
     their ``n_probe`` nearest partitions (pruned at the parquet paths,
     not filtered post-read).  The index is built once per (sf_dir,
@@ -205,7 +238,8 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     else:
         C = build_ivf_index(sf_dir, index_dir, n_clusters)
     q_ids, Q, wanted, paths = ivf_probe_plan(sf_dir, index_dir, C,
-                                             n_queries, n_probe)
+                                             n_queries, n_probe,
+                                             queries=queries)
     ref = ray.put((q_ids, Q, wanted))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -521,7 +555,8 @@ def pq_codes(sf_dir: str, m: int = 8, n_centroids: int = 16):
 
 
 def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
-                m: int = 8, n_centroids: int = 16, rerank_mult: int = 8):
+                m: int = 8, n_centroids: int = 16, rerank_mult: int = 8,
+                queries=None):
     """(query_id, rank, neighbor_id, dist): approximate top-k by
     asymmetric distance with exact rerank — every corpus vector is
     first scored through its PQ codes only (``sum_j LUT[j, code_j]``
@@ -537,10 +572,11 @@ def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     brute force is pinned by the companion test.
     """
     books = train_pq_codebook(sf_dir, m=m, n_centroids=n_centroids)
-    ids, E = load_embeddings(sf_dir)
-    order = np.argsort(ids)
-    q_ids = ids[order[:n_queries]]
-    Qq = _pq_quantize(E[order[:n_queries]])
+    if queries is not None:
+        q_ids, Eq = queries
+    else:
+        q_ids, Eq = _query_rows(sf_dir, n_queries)
+    Qq = _pq_quantize(Eq)
     sd = books.shape[2]
     # LUT[q, j, c] = ||Q_sub - C_c||^2, exact int64
     nq = len(q_ids)
@@ -701,7 +737,8 @@ def build_nsw_graph(Xq: np.ndarray, M: int = 8,
 
 def ann_hnsw_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                   M: int = 8, ef_construction: int = 48,
-                  ef_search: int = 64, sample: int = 100_000):
+                  ef_search: int = 64, sample: int = 100_000,
+                  queries=None):
     """(query_id, rank, neighbor_id, dist): approximate top-k via the
     NSW graph — the ONLY ANN path here that never scans the corpus at
     query time: the index (graph + 2^20-grid vectors, ~(8·M + 8·dim)
@@ -719,19 +756,24 @@ def ann_hnsw_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     Xq = _pq_quantize(E[order])
     nbrs = build_nsw_graph(Xq, M=M, ef_construction=ef_construction)
 
-    q_ids = ids_s[:n_queries]
-    idx_ref = ray.put((ids_s, Xq, nbrs))
+    if queries is not None:
+        q_ids = np.asarray(queries[0], dtype=np.int64)
+        Qq = _pq_quantize(np.asarray(queries[1], dtype=np.float64))
+    else:
+        q_ids = ids_s[:n_queries]
+        Qq = Xq[:n_queries]
+    idx_ref = ray.put((ids_s, Xq, nbrs, Qq))
 
-    queries = rd.from_arrow(pa.table({
+    queries_ds = rd.from_arrow(pa.table({
         "query_id": pa.array(q_ids, type=pa.int64()),
         "qpos": pa.array(np.arange(len(q_ids)), type=pa.int64())}))
 
     def search(batch: pa.Table) -> pa.Table:
-        sids, X, G = ray.get(idx_ref)
+        sids, X, G, Qm = ray.get(idx_ref)
         out_q, out_r, out_n, out_d = [], [], [], []
         for qid, qpos in zip(batch.column("query_id").to_pylist(),
                              batch.column("qpos").to_pylist()):
-            res = _nsw_search(X, G, X[qpos], max(ef_search, k + 1))
+            res = _nsw_search(X, G, Qm[qpos], max(ef_search, k + 1))
             rank = 0
             for d, pos in res:
                 if sids[pos] == qid:
@@ -748,8 +790,8 @@ def ann_hnsw_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                          "neighbor_id": pa.array(out_n, type=pa.int64()),
                          "dist": pa.array(out_d, type=pa.int64())})
 
-    return queries.map_batches(search, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    return queries_ds.map_batches(search, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
 
 def embedding_pca(sf_dir: str, n_components: int = 2):

@@ -26,7 +26,8 @@ from ..kernels import hmm as hmm_kernel
 from ..kernels.evaluate import classification_report
 
 __all__ = ["train_hmm_distributed", "build_crf_features_distributed",
-           "evaluate_tagged", "max_seq_len", "train_crf_distributed"]
+           "evaluate_tagged", "max_seq_len", "train_crf_distributed",
+           "train_transformer_distributed"]
 
 
 def train_hmm_distributed(sentences_ds) -> hmm_kernel.HMMModel:
@@ -279,3 +280,223 @@ def train_crf_distributed(sents_w, sents_t, rules=None, epochs: int = 4,
                                 rules=rules)
     model._compiled = None
     return model
+
+
+# ----------------------------------------------------- Transformer-CRF (r4)
+
+
+class _TransformerGradWorker:
+    """Data-parallel gradient actor for the Transformer-CRF trainer
+    (closes reference T5, ``transformer_ner.py:375-543``): holds its
+    padded index/tag matrix shard in state, receives the weight dict
+    per step (``ray.put`` once per step, shared by every actor), and
+    returns ONE summed int64 fixed-point gradient dict — the
+    ``_CRFGradWorker`` discipline, so any worker count produces the
+    same integer gradients bitwise."""
+
+    def __init__(self, idx_shard, tags_shard, config: dict):
+        import numpy as np
+
+        from ..kernels.transformer import TransformerCRFModel
+
+        self.idx = idx_shard
+        self.tags = tags_shard
+        self.model = TransformerCRFModel(
+            config=config, weights={},
+            word_to_idx={"<PAD>": 0}, tag_to_idx={"<PAD>": 0})
+
+    def grad_sum(self, weights, rows, quant: int):
+        from ..kernels.transformer_train import quantized_grad_sum_tfm
+
+        self.model.weights = weights
+        return quantized_grad_sum_tfm(self.model, self.idx, self.tags,
+                                      rows, quant)
+
+
+def train_transformer_distributed(sents_w, sents_t, epochs: int = 5,
+                                  lr: float = 1e-3,
+                                  weight_decay: float = 1e-5,
+                                  clip: float = 5.0, minibatch: int = 32,
+                                  n_workers: int | None = None,
+                                  seed: int = 7, quant: int = 1 << 24,
+                                  embedding_dim: int = 128,
+                                  hidden_dim: int = 256,
+                                  num_layers: int = 2, num_heads: int = 4,
+                                  init_seed: int = 1234,
+                                  verbose: bool = False):
+    """NumPy Transformer-CRF training, distributed (closes r3 VERDICT
+    #4 / reference T5): the exact objective and optimizer settings of
+    ``transformer_ner.py:375-543`` — batched masked CRF NLL (mean per
+    mini-batch), Adam(lr=1e-3, weight_decay=1e-5), global-norm gradient
+    clip 5.0, PAD-to-power-of-2 sequence layout, mini-batch 32 with a
+    seeded shuffle — with the analytic NumPy backward of
+    ``kernels/transformer_train.py`` (gradient-checked) instead of
+    torch autograd, and per-sentence gradient contributions summed as
+    int64 fixed-point across an actor pool: bit-identical weights for
+    any worker count (``train_crf_distributed`` discipline).  Dropout
+    is 0 (documented deviation; the bar is validation F1 ≥ 0.93 —
+    ``tests/test_transformer_training.py``).
+    """
+    import numpy as np
+    import ray
+
+    from ..kernels import transformer as tfm
+    from ..kernels.transformer_train import (PARAM_ORDER, adam_step,
+                                             clip_global_norm,
+                                             dequantize_grads)
+
+    w2i, t2i = tfm.build_vocab(sents_w, sents_t)
+    msl = tfm.max_len_pow2(sents_w)
+    n = len(sents_w)
+    unk = w2i[tfm.UNK_TOKEN]
+    idx = np.zeros((n, msl), dtype=np.int64)
+    tgs = np.zeros((n, msl), dtype=np.int64)
+    for r, (s, ts) in enumerate(zip(sents_w, sents_t)):
+        for j, (word, t) in enumerate(zip(s[:msl], ts[:msl])):
+            idx[r, j] = w2i.get(word, unk)
+            tgs[r, j] = t2i[t]
+
+    model = tfm.init_random(w2i, t2i, embedding_dim=embedding_dim,
+                            hidden_dim=hidden_dim, num_layers=num_layers,
+                            num_heads=num_heads, max_seq_len=msl,
+                            seed=init_seed)
+    order = PARAM_ORDER(model.config)
+
+    if n_workers is None:
+        n_workers = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    n_workers = max(1, min(n_workers, n))
+    Worker = ray.remote(num_cpus=1)(_TransformerGradWorker)
+    workers = [Worker.remote(idx[w::n_workers], tgs[w::n_workers],
+                             model.config)
+               for w in range(n_workers)]
+
+    state: dict = {}
+    rng = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        perm = rng.permutation(n)
+        total_loss, total_n = 0.0, 0
+        for s in range(0, n, minibatch):
+            batch_idx = perm[s:s + minibatch]
+            wref = ray.put(model.weights)
+            futs = []
+            for w in range(n_workers):
+                local = batch_idx[batch_idx % n_workers == w] // n_workers
+                if local.size:
+                    futs.append(workers[w].grad_sum.remote(
+                        wref, local.tolist(), quant))
+            gsum: dict = {}
+            n_used = 0
+            for qg, loss, cnt in ray.get(futs):
+                for k, v in qg.items():
+                    if k in gsum:
+                        gsum[k] += v
+                    else:
+                        gsum[k] = v.copy()
+                total_loss += loss
+                n_used += cnt
+            if n_used:
+                grads = dequantize_grads(gsum, quant, float(n_used))
+                grads = clip_global_norm(grads, clip, order)
+                adam_step(model.weights, grads, state, order, lr=lr,
+                          weight_decay=weight_decay)
+            total_n += n_used
+        if verbose:
+            print(f"epoch {epoch + 1}: avg loss "
+                  f"{total_loss / max(1, total_n):.4f}")
+    for w in workers:
+        ray.kill(w)
+    return model
+
+
+def _trained_transformer_path(sf_dir: str, epochs: int = 3,
+                              minibatch: int = 32) -> str:
+    """Train-once cache of the distributed NumPy Transformer-CRF on
+    the corpus's English CoNLL train split (content-identity key +
+    atomic rename — the model-cache discipline).  Training is
+    bit-deterministic (seeded shuffle, int64 gradient sums), so the
+    cache can never serve weights a fresh run wouldn't produce."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.derived import corpus_for_sf, corpus_content_tag
+
+    corpus = corpus_for_sf(sf_dir)
+    tag = corpus_content_tag(corpus, files=[],
+                             extra=f"tfm_train|{epochs}|{minibatch}")
+    out = f"/tmp/kgray_tfm_trained/model_{tag}"
+    npz = os.path.join(out, "model.npz")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tbl = pq.read_table(os.path.join(corpus, "conll_train.parquet"))
+        model = train_transformer_distributed(
+            tbl["tokens"].to_pylist(), tbl["tags"].to_pylist(),
+            epochs=epochs, minibatch=minibatch, seed=7)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".",
+                               dir=os.path.dirname(out))
+        model.save(os.path.join(tmp, "model"))
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return npz
+
+
+def transformer_trained_tags(sf_dir: str, epochs: int = 3,
+                             minibatch: int = 32):
+    """Registry entry (closes reference T5 end-to-end): the NumPy
+    Transformer-CRF is TRAINED on-engine (distributed, bit-identical
+    across worker counts) on the corpus's CoNLL train split, then tags
+    the held-out validation split through the ``TransformerTagger``
+    actor pool.  Output per validation sentence: (sent_id, n_tokens,
+    n_correct vs gold, pred_tags) — deterministic, so the committed
+    fixture is a bitwise oracle AND encodes the model's quality."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..sources.derived import corpus_for_sf
+    from ..stages.tagger import TransformerTagger
+
+    import ray
+
+    model_path = _trained_transformer_path(sf_dir, epochs, minibatch)
+    corpus = corpus_for_sf(sf_dir)
+    valid = pq.read_table(os.path.join(corpus, "conll_valid.parquet"))
+    n = valid.num_rows
+    src = pa.table({
+        "url": pa.array([f"valid://{i}" for i in range(n)],
+                        type=pa.string()),
+        "sent_id": pa.array(np.arange(n, dtype=np.int64)),
+        "tokens": valid["tokens"],
+        "lang": pa.array(["en"] * n, type=pa.string())})
+    gold_ref = ray.put(valid["tags"].to_pylist())   # eval-table-sized
+
+    def score(batch: pa.Table) -> pa.Table:
+        gold_all = ray.get(gold_ref)
+        sids = batch.column("sent_id").to_pylist()
+        gold = [gold_all[s] for s in sids]
+        pred = batch.column("tags").to_pylist()
+        n_tok = [len(g) for g in gold]
+        n_ok = [sum(1 for g, p in zip(gs, ps) if g == p)
+                for gs, ps in zip(gold, pred)]
+        return pa.table({
+            "sent_id": batch.column("sent_id"),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_correct": pa.array(n_ok, type=pa.int64()),
+            "pred_tags": pa.array([" ".join(p) for p in pred],
+                                  type=pa.string())})
+
+    ds = rd.from_arrow(src).map_batches(
+        TransformerTagger, fn_constructor_kwargs={
+            "model_paths": {"en": model_path}},
+        batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1)
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("sent_id")

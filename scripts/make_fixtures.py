@@ -45,7 +45,7 @@ FIXTURE_QUERIES = [
     "ann_pq_topk", "pq_codes", "ann_topk_with_deletes", "embedding_mmr_topk",
     "neardup_clusters", "neardup_keep_best",
     "event_user_distinct_hll", "entity_pagerank", "entity_ppr",
-    "kg_transe_embeddings",
+    "kg_transe_embeddings", "transformer_trained_tags",
     "entity_hits", "kg_link_prediction",
     "events_value_quantiles_approx", "dedup_lines", "packed_documents",
     "image_features", "audio_features", "video_features",
