@@ -556,7 +556,7 @@ def _hits_shuffle(edges, nodes_ds, n_nodes: int, iters: int,
         "auth_fp": pa.array(_rescale_unit(a), type=pa.int64())}))
 
 
-def entity_hits(sf_dir: str, iters: int = 20):
+def entity_hits(sf_dir: str, iters: int = 20, plan: str = "auto"):
     """HITS over the extracted entity graph — 'which entities point at
     the hubs, which collect the links'.  Deterministic fixed point
     (fixture oracle; dense/shuffle plan equality pinned in tests)."""
@@ -571,7 +571,7 @@ def entity_hits(sf_dir: str, iters: int = 20):
     edges = graph.map_batches(lambda b: pa.table({
         "src": b.column("subj"), "dst": b.column("obj")}),
         batch_format="pyarrow")
-    return hits(edges, iters=iters)
+    return hits(edges, iters=iters, plan=plan)
 
 
 # ------------------------------------------------------------------ label propagation
@@ -699,7 +699,8 @@ def label_propagation(edges, rounds: int = 4, plan: str = "auto"):
         batch_format="pyarrow")
 
 
-def entity_communities(sf_dir: str, rounds: int = 4):
+def entity_communities(sf_dir: str, rounds: int = 4,
+                       plan: str = "auto"):
     """Label-propagation communities over the extracted entity graph —
     'which entities cluster together in the corpus'.  Deterministic
     (synchronous, fixed rounds, lexicographic tie-break): fixture
@@ -715,7 +716,7 @@ def entity_communities(sf_dir: str, rounds: int = 4):
     edges = graph.map_batches(lambda b: pa.table({
         "src": b.column("subj"), "dst": b.column("obj")}),
         batch_format="pyarrow")
-    return label_propagation(edges, rounds=rounds)
+    return label_propagation(edges, rounds=rounds, plan=plan)
 
 
 # ------------------------------------------------------------------ pointer doubling

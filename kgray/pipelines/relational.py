@@ -1185,32 +1185,59 @@ def csv_event_stats(sf_dir: str):
         precombine=True)
 
 
-def _copurchase_pair_counts(sf_dir: str):
-    """Packed co-purchase pair counts ``(pair = a·2³² + b, n_copurchase)``
-    over orders — the shared front of :func:`part_copurchase_topk` and
-    :func:`copurchase_triangles`.
+PACK_KEY_MAX = 1 << 31          # a·2³² + b stays exact in SIGNED int64
+
+
+def _copurchase_pair_counts(sf_dir: str, wide: bool | None = None):
+    """Co-purchase pair counts over orders — the shared front of
+    :func:`part_copurchase_topk` and :func:`copurchase_triangles`.
 
     Instead of materializing the quadratic self-join, rows sort once on
     (orderkey, partkey) and each block expands only its COMPLETE runs
     into pair counts (order sizes are bounded — tens of lineitems — so
     per-run expansion is O(m²) with tiny m); boundary runs ship their
     raw rows (≤ 2 orders × m rows per block) through the standard
-    edge/interior exchange.  Pairs are packed ``a·2³² + b`` so the
-    global count reduction is a single-key integer aggregate."""
+    edge/interior exchange.
+
+    Key layout (r3 VERDICT #7): pairs pack as ``a·2³² + b`` so the
+    global reduction is a single-key integer aggregate — EXACT only
+    while every partkey < 2³¹ (above that ``a << 32`` overflows signed
+    int64).  The bound is checked from the parquet column statistics
+    (footer-only); at or beyond it the WIDE plan keeps the pair as a
+    2×64-bit composite key (``part_a``, ``part_b``) through the same
+    exchange — identical counts, pinned by
+    ``tests/test_wide_key_pairs.py``.  ``wide=None`` auto-detects.
+    """
     from collections import Counter as _Counter
 
     from ..stages._runs import edge_interior_exchange, edge_mask, run_starts
+
+    if wide is None:
+        pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+        ci = pf.schema_arrow.get_field_index("l_partkey")
+        mx = 0
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ci).statistics
+            if st is None or st.max is None:       # no stats → be safe
+                mx = PACK_KEY_MAX
+                break
+            mx = max(mx, int(st.max))
+        wide = mx >= PACK_KEY_MAX
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
     srt = li.sort(["l_orderkey", "l_partkey"])
 
     def _pair_counts(order_keys, part_keys) -> pa.Table:
-        """(packed pair -> count) over contiguous equal-orderkey runs."""
+        """(pair -> count) over contiguous equal-orderkey runs."""
         c = _Counter()
         starts = run_starts(order_keys)
         bounds = np.r_[starts, len(order_keys)]
         parts = part_keys.to_numpy(zero_copy_only=False)
+        if not wide and len(parts) and int(parts.max()) >= PACK_KEY_MAX:
+            raise ValueError(
+                f"partkey >= 2^31 breaks the a·2^32+b packing; "
+                f"use _copurchase_pair_counts(wide=True)")
         for i in range(len(starts)):
             run = parts[bounds[i]:bounds[i + 1]]
             m = len(run)
@@ -1218,7 +1245,16 @@ def _copurchase_pair_counts(sf_dir: str):
                 a = run[x]
                 for y in range(x + 1, m):
                     if run[y] != a:          # SQL: l1.partkey < l2.partkey
-                        c[(int(a) << 32) | int(run[y])] += 1
+                        if wide:
+                            c[(int(a), int(run[y]))] += 1
+                        else:
+                            c[(int(a) << 32) | int(run[y])] += 1
+        if wide:
+            return pa.table({
+                "part_a": pa.array([k[0] for k in c], type=pa.int64()),
+                "part_b": pa.array([k[1] for k in c], type=pa.int64()),
+                "n_copurchase": pa.array(list(c.values()),
+                                         type=pa.int64())})
         return pa.table({
             "pair": pa.array(list(c.keys()), type=pa.int64()),
             "n_copurchase": pa.array(list(c.values()), type=pa.int64())})
@@ -1239,12 +1275,18 @@ def _copurchase_pair_counts(sf_dir: str):
         return _pair_counts(t.column("l_orderkey"), t.column("l_partkey"))
 
     pairs = edge_interior_exchange(srt, edge_fn, interior_fn, merge_fn)
+    if wide:
+        return sorted_group_aggregate(pairs, ["part_a", "part_b"],
+                                      [("n_copurchase", "sum")],
+                                      precombine=False)
     return sorted_group_aggregate(pairs, "pair",
                                   [("n_copurchase", "sum")],
                                   precombine=False)
 
 
 def _unpack_pair(b: pa.Table) -> pa.Table:
+    if "part_a" in b.schema.names:           # wide plan: already unpacked
+        return b.select(["part_a", "part_b", "n_copurchase"])
     p = b.column("pair").to_numpy(zero_copy_only=False)
     return pa.table({
         "part_a": pa.array(p >> 32, type=pa.int64()),
