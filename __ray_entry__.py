@@ -567,6 +567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_mst": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_mst"]
         ).copurchase_mst(sf),
+        "kg_gold_eval_transformer": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_gold_eval_transformer"]
+        ).kg_gold_eval_transformer(sf),
         "kg_gold_eval": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_gold_eval"]
         ).kg_gold_eval(sf),
@@ -916,7 +919,8 @@ def oracle_sql() -> dict[str, str]:
                      "kg_functionality_violations", "kg_alias_ambiguity",
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
-                     "kg_gold_eval", "kg_schema_induction", "kg_graph_diff",
+                     "kg_gold_eval", "kg_gold_eval_transformer",
+                     "kg_schema_induction", "kg_graph_diff",
                      "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
                      "events_weekly_hll_merge", "cross_source_dup_matrix",
                      "kg_predicate_trend")

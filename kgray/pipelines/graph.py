@@ -2068,6 +2068,79 @@ def kg_gold_eval(sf_dir: str):
             type=pa.int64())})
 
 
+def kg_gold_eval_transformer(sf_dir: str):
+    """:func:`kg_gold_eval` with the TRAINED Transformer-CRF as the
+    mention-extraction kernel (closes the T5 loop end-to-end): the
+    NumPy transformer trains on-engine per language
+    (``train_transformer_distributed``, bit-deterministic, cached),
+    the full KG pipeline runs with the TransformerTagger actor pool,
+    and the canonical triple set is scored against the generator's
+    gold — the north rule's P/R≥0.95 bar for the third reference
+    model family (asserted in tests, surfaced here as a
+    driver-checkable row).  Fixture oracle."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.derived import corpus_for_sf
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.canonical import canonical_graph
+    from .kg import kg_dataset, page_files
+    from .training import trained_transformer_model_paths
+
+    corpus = corpus_for_sf(sf_dir)
+    paths = trained_transformer_model_paths(sf_dir)
+    # kg_dataset resolves models via a models.json directory contract
+    model_dir = os.path.join(
+        os.path.dirname(os.path.dirname(list(paths.values())[0])),
+        "modeldir_" + "_".join(sorted(
+            os.path.basename(os.path.dirname(p)) for p in paths.values())))
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "models.json"), "w") as f:
+        _json.dump({"transformer": paths}, f)
+
+    graph = canonical_graph(kg_dataset(page_files(corpus), corpus,
+                                       model_dir, tagger="transformer"))
+    gt = pq.read_table(f"{corpus}/gold_triples.parquet",
+                       columns=["subj", "pred", "obj"])
+    gold = pa.array(sorted({
+        f"{s}\x00{p}\x00{o}" for s, p, o in
+        zip(gt.column("subj").to_pylist(), gt.column("pred").to_pylist(),
+            gt.column("obj").to_pylist())}), type=pa.string())
+
+    def probe(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b.column("subj"), b.column("pred"), b.column("obj"), "\x00")
+        hit = pc.fill_null(pc.is_in(key, value_set=gold), False)
+        return pa.table({
+            "k": pa.array(np.zeros(1, dtype=np.int64)),
+            "n_extracted": pa.array([b.num_rows], type=pa.int64()),
+            "n_matched": pa.array(
+                [int(pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)],
+                type=pa.int64())})
+
+    tot = sorted_group_aggregate(
+        graph.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k"], [("n_extracted", "sum"), ("n_matched", "sum")],
+        precombine=True).take_all()
+    n_ex = int(tot[0]["n_extracted"]) if tot else 0
+    n_m = int(tot[0]["n_matched"]) if tot else 0
+    n_g = len(gold)
+    return pa.table({
+        "n_gold": pa.array([n_g], type=pa.int64()),
+        "n_extracted": pa.array([n_ex], type=pa.int64()),
+        "n_matched": pa.array([n_m], type=pa.int64()),
+        "precision_micro": pa.array(
+            [10**6 * n_m // n_ex if n_ex else 0], type=pa.int64()),
+        "recall_micro": pa.array(
+            [10**6 * n_m // n_g if n_g else 0], type=pa.int64()),
+        "f1_micro": pa.array(
+            [2 * 10**6 * n_m // (n_ex + n_g) if n_ex + n_g else 0],
+            type=pa.int64())})
+
+
 def kg_schema_induction(sf_dir: str):
     """Ontology/schema induction over the extracted KG: the
     type-signature table ``(pred, subj_type, obj_type) → count`` plus

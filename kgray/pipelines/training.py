@@ -409,7 +409,8 @@ def train_transformer_distributed(sents_w, sents_t, epochs: int = 5,
 
 
 def _trained_transformer_path(sf_dir: str, epochs: int = 3,
-                              minibatch: int = 32) -> str:
+                              minibatch: int = 32,
+                              lang: str = "en") -> str:
     """Train-once cache of the distributed NumPy Transformer-CRF on
     the corpus's English CoNLL train split (content-identity key +
     atomic rename — the model-cache discipline).  Training is
@@ -424,12 +425,14 @@ def _trained_transformer_path(sf_dir: str, epochs: int = 3,
     from ..sources.derived import corpus_for_sf, corpus_content_tag
 
     corpus = corpus_for_sf(sf_dir)
+    suffix = "" if lang == "en" else f"_{lang}"
     tag = corpus_content_tag(corpus, files=[],
-                             extra=f"tfm_train|{epochs}|{minibatch}")
+                             extra=f"tfm_train|{epochs}|{minibatch}|{lang}")
     out = f"/tmp/kgray_tfm_trained/model_{tag}"
     npz = os.path.join(out, "model.npz")
     if not os.path.exists(os.path.join(out, "_DONE")):
-        tbl = pq.read_table(os.path.join(corpus, "conll_train.parquet"))
+        tbl = pq.read_table(
+            os.path.join(corpus, f"conll_train{suffix}.parquet"))
         model = train_transformer_distributed(
             tbl["tokens"].to_pylist(), tbl["tags"].to_pylist(),
             epochs=epochs, minibatch=minibatch, seed=7)
@@ -500,3 +503,21 @@ def transformer_trained_tags(sf_dir: str, epochs: int = 3,
         batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1)
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True).sort("sent_id")
+
+
+def trained_transformer_model_paths(sf_dir: str, epochs: int = 3,
+                                    minibatch: int = 32) -> dict:
+    """{lang: npz path} of TRAINED Transformer-CRF models for every
+    language with a CoNLL train split in the corpus (train-once
+    caches) — the model_paths dict the tagger actor pools load."""
+    import os
+
+    from ..sources.derived import corpus_for_sf
+
+    corpus = corpus_for_sf(sf_dir)
+    paths = {"en": _trained_transformer_path(sf_dir, epochs, minibatch,
+                                             lang="en")}
+    if os.path.exists(os.path.join(corpus, "conll_train_zh.parquet")):
+        paths["zh"] = _trained_transformer_path(sf_dir, epochs, minibatch,
+                                                lang="zh")
+    return paths

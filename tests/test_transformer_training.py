@@ -172,3 +172,15 @@ def test_trained_tags_query_deterministic(ray_session):
     b = transformer_trained_tags("/root/testdata/sf0.001").to_pandas()
     assert a.equals(b)
     assert a["n_correct"].sum() / a["n_tokens"].sum() >= 0.93
+
+
+def test_kg_gold_eval_transformer_meets_north_bar(ray_session):
+    """The trained transformer as the KG mention-extraction kernel:
+    canonical triples vs gold must clear the north rule's P/R >= 0.95
+    (measured 1.0/1.0 at sf0.001)."""
+    from kgray.pipelines.graph import kg_gold_eval_transformer
+
+    row = kg_gold_eval_transformer("/root/testdata/sf0.001") \
+        .to_pandas().iloc[0]
+    assert row["precision_micro"] >= 950_000
+    assert row["recall_micro"] >= 950_000
