@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_srm_check": relational.events_srm_check,
         "events_dp_median": relational.events_dp_median,
         "events_dp_p90": relational.events_dp_p90,
+        "events_dp_quantiles": relational.events_dp_quantiles,
         "orders_weekday_index": relational.orders_weekday_index,
         "events_interarrival_cv": relational.events_interarrival_cv,
         "customer_segment_migration":
@@ -567,6 +568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_mst": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_mst"]
         ).copurchase_mst(sf),
+        "kg_alias_patch": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_alias_patch"]
+        ).kg_alias_patch(sf),
         "kg_gold_eval_transformer": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_gold_eval_transformer"]
         ).kg_gold_eval_transformer(sf),
@@ -920,8 +924,10 @@ def oracle_sql() -> dict[str, str]:
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_gold_eval_transformer",
+                     "kg_alias_patch",
                      "kg_schema_induction", "kg_graph_diff",
-                     "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
+                     "events_dp_median", "events_dp_p90",
+                     "events_dp_quantiles", "kg_zh_mention_stats",
                      "events_weekly_hll_merge", "cross_source_dup_matrix",
                      "kg_predicate_trend")
         if os.path.exists(os.path.join(fixdir, f"{name}.parquet"))

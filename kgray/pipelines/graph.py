@@ -2068,6 +2068,182 @@ def kg_gold_eval(sf_dir: str):
             type=pa.int64())})
 
 
+def _surface_triples_for_sf(sf_dir: str, tagger: str = "hmm"):
+    """Materialized checkpoint of PRE-LINK surface triples (the stage
+    the alias-patch maintenance re-enters): pages → extract → split →
+    tagger pool → surface triples, written once per corpus content
+    identity.  This is the expensive 99% of the pipeline (decode) —
+    checkpointing it is what makes an alias-delta cheap."""
+    import glob
+    import os
+    import shutil
+
+    from ..sources.derived import (corpus_for_sf, corpus_content_tag,
+                                   models_for_corpus)
+    from ..stages.extract import extract_text, split_sentences
+    from ..stages.kg import extract_triples
+    from ..stages.tagger import HMMTagger, CRFTagger, TransformerTagger
+    from .kg import _auto_concurrency, _model_paths, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger=tagger)
+    tag = corpus_content_tag(corpus, extra=f"surface|{tagger}")
+    out = f"/tmp/kgray_surface/triples_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        import tempfile
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".",
+                               dir=os.path.dirname(out))
+        cls = {"hmm": HMMTagger, "crf": CRFTagger,
+               "transformer": TransformerTagger}[tagger]
+        files = page_files(corpus)
+        conc = _auto_concurrency()[0]
+        ds = (rd.read_parquet(files, columns=["url", "html", "lang"],
+                              ray_remote_args={"num_cpus": 0.25})
+              .map_batches(extract_text, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .map_batches(split_sentences, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .map_batches(cls, fn_constructor_kwargs={
+                  "model_paths": _model_paths(model_dir, tagger)},
+                  batch_format="pyarrow", batch_size=1024,
+                  concurrency=min(conc, max(2, len(files))), num_cpus=1)
+              .map_batches(extract_triples, batch_format="pyarrow",
+                           zero_copy_batch=True))
+        ds.write_parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "*.parquet"))))
+
+
+def _linked_triples_for_sf(sf_dir: str, tagger: str = "hmm"):
+    """Materialized checkpoint of the v1 LINKED triples (kg_dataset
+    output, pre-canonicalization) — the state an alias-delta
+    maintenance pass starts from."""
+    import glob
+    import os
+    import shutil
+
+    from ..sources.derived import (corpus_for_sf, corpus_content_tag,
+                                   models_for_corpus)
+    from .kg import kg_dataset, page_files
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger=tagger)
+    tag = corpus_content_tag(corpus, extra=f"linked|{tagger}")
+    out = f"/tmp/kgray_surface/linked_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        import tempfile
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".",
+                               dir=os.path.dirname(out))
+        kg_dataset(page_files(corpus), corpus, model_dir,
+                   tagger=tagger).write_parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "*.parquet"))))
+
+
+def kg_alias_patch(sf_dir: str, n_patch: int = 5, plan: str = "incremental"):
+    """Alias-dictionary DELTA maintenance (the curation loop's most
+    common KG edit: a disambiguation fix lands in the alias table and
+    the graph must follow without a full re-extract).
+
+    The deterministic synthetic delta pins the ``n_patch``
+    lexicographically-smallest ambiguous surfaces to their largest-id
+    candidate (an editorial disambiguation).  ``plan="incremental"``:
+    sentences CONTAINING a patched surface (delta-sized by assumption —
+    alias edits touch few surfaces; the affected (url, sent_id) set
+    broadcasts) re-link under the patched index; every other
+    sentence's triples come straight from the LINKED checkpoint —
+    tagging and linking are skipped for the unaffected 99.9%.  The one
+    canonicalization aggregate then runs over the union exactly as the
+    full pipeline would.  ``plan="full"`` re-links everything under
+    the patched index; both plans are bit-equal (the maintenance law,
+    pinned by test) and the fixture oracle gates the output."""
+    import ray
+
+    from ..kernels.linking import EMB_DIM
+    from ..sources.corpus import load_side_tables
+    from ..sources.derived import corpus_for_sf
+    from ..stages.canonical import canonical_graph
+    from ..stages.kg import LinkerActor
+
+    assert plan in ("incremental", "full")
+    corpus = corpus_for_sf(sf_dir)
+    alias_idx, emb_map = load_side_tables(corpus)
+    patched = sorted(s for s, c in alias_idx.items() if len(c) >= 2)[:n_patch]
+    patched_idx = dict(alias_idx)
+    for s in patched:
+        patched_idx[s] = [max(alias_idx[s])]
+    patched_set = frozenset(patched)
+
+    surface = _surface_triples_for_sf(sf_dir)
+    p_alias_ref = ray.put(patched_idx)
+    emb_ref = ray.put(emb_map)
+
+    def relink(ds):
+        return ds.map_batches(
+            LinkerActor,
+            fn_constructor_kwargs={"alias_ref": p_alias_ref,
+                                   "emb_ref": emb_ref},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=2, num_cpus=1)
+
+    if plan == "full":
+        linked = relink(surface)
+    else:
+        pset_ref = ray.put(patched_set)
+
+        def affected_mask(b: pa.Table) -> np.ndarray:
+            ps = ray.get(pset_ref)
+            sub = b.column("subj_surface").to_pylist()
+            obj = b.column("obj_surface").to_pylist()
+            return np.array([s.lower() in ps or o.lower() in ps
+                             for s, o in zip(sub, obj)], dtype=bool)
+
+        # delta-sized: the (url, sent_id) keys of affected sentences
+        hit_tables = [t for t in ray.get(
+            surface.map_batches(
+                lambda b: b.filter(pa.array(affected_mask(b)))
+                           .select(["url", "sent_id"]),
+                batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows and "url" in t.schema.names]
+        hit = (set(zip(pa.concat_tables(hit_tables).column("url").to_pylist(),
+                       pa.concat_tables(hit_tables).column("sent_id").to_pylist()))
+               if hit_tables else set())
+        hit_ref = ray.put(hit)
+
+        def split(keep: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                hs = ray.get(hit_ref)
+                m = np.array([(u, s) in hs for u, s in
+                              zip(b.column("url").to_pylist(),
+                                  b.column("sent_id").to_pylist())],
+                             dtype=bool)
+                return b.filter(pa.array(~m if keep else m))
+            return fn
+
+        # unaffected sentences: straight from the v1 LINKED checkpoint
+        keep_rows = _linked_triples_for_sf(sf_dir).map_batches(
+            split(keep=True), batch_format="pyarrow")
+        relinked = relink(surface.map_batches(split(keep=False),
+                                              batch_format="pyarrow"))
+        linked = keep_rows.union(relinked)
+
+    return canonical_graph(linked).drop_columns(["sample_urls"])         .sort("subj")
+
+
 def kg_gold_eval_transformer(sf_dir: str):
     """:func:`kg_gold_eval` with the TRAINED Transformer-CRF as the
     mention-extraction kernel (closes the T5 loop end-to-end): the

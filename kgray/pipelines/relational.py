@@ -10264,6 +10264,35 @@ def events_dp_p90(sf_dir: str):
         "epsilon_micro": pa.array([1386294], type=pa.int64())})
 
 
+def events_dp_quantiles(sf_dir: str, qs=((1, 4), (1, 2), (3, 4), (9, 10))):
+    """The generalized DP-quantile release (r3 NOTES round-4
+    candidate): one row per requested quantile from the SAME shared
+    float-free exponential-mechanism core as `events_dp_median` /
+    `events_dp_p90` — exact cents histogram, utility −|cum − n·q|,
+    exact 2^u bigint weights, independent md5 draw salt PER quantile
+    (parallel composition over disjoint randomness; the release's
+    total ε budget is per-quantile ε = 2·ln 2, surfaced in the row).
+    Deterministic → fixture oracle; median/p90 rows must equal the
+    dedicated queries' picks (pinned by test)."""
+    rows_q, rows_pick, rows_n, rows_m = [], [], [], []
+    for q_num, q_den in qs:
+        salt = (b"kgray|dp_median|v1" if (q_num, q_den) == (1, 2)
+                else b"kgray|dp_p90|v1" if (q_num, q_den) == (9, 10)
+                else f"kgray|dp_q{q_num}_{q_den}|v1".encode())
+        pick, n, m = _dp_quantile_pick(sf_dir, q_num, q_den, salt)
+        rows_q.append(1_000_000 * q_num // q_den)
+        rows_pick.append(pick)
+        rows_n.append(n)
+        rows_m.append(m)
+    return pa.table({
+        "q_micro": pa.array(rows_q, type=pa.int64()),
+        "dp_value_cents": pa.array(rows_pick, type=pa.int64()),
+        "n_purchases": pa.array(rows_n, type=pa.int64()),
+        "n_candidates": pa.array(rows_m, type=pa.int64()),
+        "epsilon_micro": pa.array([1386294] * len(rows_q),
+                                  type=pa.int64())})
+
+
 def orders_weekday_index(sf_dir: str):
     """Weekday revenue-seasonality index: each ISO day-of-week's share
     of order revenue indexed to the uniform expectation

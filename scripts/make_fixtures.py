@@ -57,9 +57,11 @@ FIXTURE_QUERIES = [
     "kg_predicate_stats", "kg_two_hop", "kg_functionality_violations",
     "kg_alias_ambiguity", "kg_subgraph_export", "kg_triple_recency",
     "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
-    "kg_gold_eval", "kg_gold_eval_transformer", "kg_schema_induction",
+    "kg_gold_eval", "kg_gold_eval_transformer", "kg_alias_patch",
+    "kg_schema_induction",
     "kg_graph_diff",
-    "events_dp_median", "events_dp_p90", "kg_zh_mention_stats",
+    "events_dp_median", "events_dp_p90", "events_dp_quantiles",
+    "kg_zh_mention_stats",
     "events_weekly_hll_merge", "cross_source_dup_matrix",
     "kg_predicate_trend",
 ]

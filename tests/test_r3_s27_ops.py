@@ -301,3 +301,20 @@ def test_cross_source_dup_matrix_conservation(ray_session):
         exp[key] = exp.get(key, 0) + 1
     assert {(r["source_a"], r["source_b"]): r["n_pairs"]
             for r in rows} == exp
+
+
+def test_dp_quantiles_generalization_consistent(ray_session):
+    """The generalized release reproduces the dedicated median/p90
+    picks (same salt, same mechanism) and is monotone in q over the
+    exact histogram's support."""
+    from kgray.pipelines.relational import (events_dp_median,
+                                            events_dp_p90,
+                                            events_dp_quantiles)
+
+    sf = "/root/testdata/sf0.001"
+    g = events_dp_quantiles(sf).to_pandas().set_index("q_micro")
+    med = events_dp_median(sf).to_pandas().iloc[0]
+    p90 = events_dp_p90(sf).to_pandas().iloc[0]
+    assert g.loc[500_000, "dp_value_cents"] == med["dp_median_cents"]
+    assert g.loc[900_000, "dp_value_cents"] == p90["dp_p90_cents"]
+    assert (g["n_purchases"] == med["n_purchases"]).all()
