@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": relational.events_value_histogram,
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
+        "softdedup_weights": dedup.softdedup_weights,
         "dedup_lines": dedup.dedup_lines,
         "incremental_dedup": dedup.incremental_dedup,
         "source_mix_sample": text.source_mix_sample,
@@ -4048,6 +4049,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY md5(text)
+        """,
+        "softdedup_weights": """
+            SELECT doc_id, cnt AS n_copies,
+                   1000000 // cnt AS weight_ppm
+            FROM (SELECT doc_id,
+                         count(*) OVER (PARTITION BY md5(text)) AS cnt
+                  FROM documents)
         """,
         "jaccard_pairs": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks

@@ -102,6 +102,48 @@ def exact_dedup(sf_dir: str):
                                   precombine=False)
 
 
+def softdedup_weights(sf_dir: str):
+    """Soft deduplication (keep every copy, downweight duplicates):
+    per-document sampling weight ``1e6 // n_copies`` ppm of a unique
+    document's weight, where ``n_copies`` counts exact text duplicates
+    corpus-wide — the reweight-instead-of-drop alternative to
+    :func:`exact_dedup` (common-crawl pipelines use it when removal
+    would bias topical coverage).  Plan: the exact-dedup count
+    aggregate on the md5 text hash, then ONE sorted-merge join back to
+    the doc stream on the hash — all hash-/doc-sized, no broadcast of
+    anything corpus-sized.  SQL-oracled (COUNT(*) OVER the text
+    partition)."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(h, type=pa.string())})
+
+    docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True)).materialize()
+    counts = sorted_group_aggregate(
+        docs.map_batches(lambda b: pa.table({
+            "text_hash": b.column("text_hash"),
+            "n_copies": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        "text_hash", [("n_copies", "sum")], precombine=True)
+    joined = sorted_merge_join(docs, counts, on="text_hash")
+    return joined.map_batches(lambda b: pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_copies": b.column("n_copies"),
+        "weight_ppm": pc.divide(pa.scalar(1_000_000, type=pa.int64()),
+                                b.column("n_copies"))}),
+        batch_format="pyarrow").sort("doc_id")
+
+
 # --------------------------------------------------------------------------- shingles / jaccard
 
 

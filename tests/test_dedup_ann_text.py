@@ -886,3 +886,21 @@ def test_ann_explicit_queries_match_adapter(ray_session):
         pd_a = a[cols].sort_values(cols).reset_index(drop=True)
         pd_b = b[cols].sort_values(cols).reset_index(drop=True)
         assert pd_a.equals(pd_b), fn.__name__
+
+
+def test_softdedup_weights_law(ray_session):
+    """Every copy kept, weight inversely proportional to its exact-dup
+    count; unique docs get full weight; per-hash weight·copies ≈ 1e6
+    (floor division)."""
+    from kgray.pipelines.dedup import exact_dedup, softdedup_weights
+
+    w = softdedup_weights(SF).to_pandas()
+    ex = exact_dedup(SF).to_pandas()
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(w) == n_docs                       # nothing dropped
+    assert (w["weight_ppm"] == 1_000_000 // w["n_copies"]).all()
+    # copy-count histogram must match exact_dedup's
+    from collections import Counter
+    assert (Counter(w["n_copies"] // 1)
+            == Counter(ex["n_copies"].repeat(ex["n_copies"])))
