@@ -568,6 +568,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_mst": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["copurchase_mst"]
         ).copurchase_mst(sf),
+        "kg_entity_distance": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_entity_distance"]
+        ).kg_entity_distance(sf),
+        "kg_graph_zh": lambda sf: __import__(
+            "kgray.pipelines.graph", fromlist=["kg_graph_zh"]
+        ).kg_graph_zh(sf),
         "kg_alias_patch": lambda sf: __import__(
             "kgray.pipelines.graph", fromlist=["kg_alias_patch"]
         ).kg_alias_patch(sf),
@@ -925,7 +931,8 @@ def oracle_sql() -> dict[str, str]:
                      "kg_subgraph_export", "kg_triple_recency",
                      "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
                      "kg_gold_eval", "kg_gold_eval_transformer",
-                     "kg_alias_patch",
+                     "kg_alias_patch", "kg_graph_zh",
+                     "kg_entity_distance",
                      "kg_schema_induction", "kg_graph_diff",
                      "events_dp_median", "events_dp_p90",
                      "events_dp_quantiles", "kg_zh_mention_stats",

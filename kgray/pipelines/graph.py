@@ -2068,6 +2068,149 @@ def kg_gold_eval(sf_dir: str):
             type=pa.int64())})
 
 
+def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
+                       max_depth: int = 6):
+    """Closeness/eccentricity of deterministic seed ENTITIES in the
+    undirected canonical entity graph — the KG twin of
+    ``copurchase_closeness`` ("how central is this entity in the
+    corpus's knowledge?").  Bounded-depth multi-source BFS: the
+    (seed, node, dist) frontier expands one sorted-merge join against
+    the symmetric edge list per level and re-reduces with a MIN-dist
+    aggregate — per level the shuffle is frontier×degree, never
+    nodes², nothing graph-sized on the driver.  Seeds = the
+    ``n_seeds`` entities with the smallest md5(name) (stable sample).
+    Fixture oracle."""
+    import hashlib as _hl
+
+    from ..stages.aggregate import sorted_group_aggregate
+    from ..stages.join import sorted_merge_join
+
+    graph = graph_for_sf(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b.column("subj").combine_chunks()
+        o = b.column("obj").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([s, o]),
+                         "dst": pa.concat_arrays([o, s])})
+
+    sym_ds = graph.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    nodes = sorted_group_aggregate(
+        sym_ds.map_batches(lambda b: pa.table({
+            "node": b.column("node"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], [("c", "sum")])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = [_hl.md5(n.encode()).hexdigest() for n in
+             b.column("node").to_pylist()]
+        return pa.table({"node": b.column("node"),
+                         "hv": pa.array(h, type=pa.string())})
+
+    seed_rows = (nodes.map_batches(add_hash, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .sort(["hv", "node"]).limit(n_seeds).take_all())
+    seeds = sorted(r["node"] for r in seed_rows)
+
+    dist = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, type=pa.string()),
+        "node": pa.array(seeds, type=pa.string()),
+        "dist": pa.array(np.zeros(len(seeds), dtype=np.int64))}))
+    for r in range(max_depth):
+        frontier = dist.filter(expr=f"dist == {r}")             .map_batches(lambda b: b.select(["seed", "node"]),
+                         batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+        nxt = sorted_merge_join(frontier, sym_ds, on="node").map_batches(
+            lambda b, d=r + 1: pa.table({
+                "seed": b.column("seed"),
+                "node": b.column("dst"),
+                "dist": pa.array(np.full(b.num_rows, d, dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        dist = sorted_group_aggregate(
+            dist.union(nxt), ["seed", "node"], [("dist", "min")],
+            precombine=True).materialize()
+
+    agg = sorted_group_aggregate(
+        dist.map_batches(lambda b: pa.table({
+            "seed": b.column("seed"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "s": b.column("dist"), "m": b.column("dist")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["seed"], [("n", "sum"), ("s", "sum"), ("m", "max")]).take_all()
+    by_seed = {r["seed"]: r for r in agg}
+    out = {"seed": [], "n_reached": [], "sum_dist": [],
+           "eccentricity": [], "closeness_micro": []}
+    for sid in seeds:
+        r = by_seed[sid]
+        n, s, m = int(r["n"]), int(r["s"]), int(r["m"])
+        out["seed"].append(sid)
+        out["n_reached"].append(n)
+        out["sum_dist"].append(s)
+        out["eccentricity"].append(m)
+        out["closeness_micro"].append(10**6 * (n - 1) // s if s else 0)
+    return pa.table({
+        "seed": pa.array(out["seed"], type=pa.string()),
+        "n_reached": pa.array(out["n_reached"], type=pa.int64()),
+        "sum_dist": pa.array(out["sum_dist"], type=pa.int64()),
+        "eccentricity": pa.array(out["eccentricity"], type=pa.int64()),
+        "closeness_micro": pa.array(out["closeness_micro"],
+                                    type=pa.int64())})
+
+
+def kg_graph_zh(sf_dir: str):
+    """The canonical graph restricted to CHINESE pages — the
+    zh-language path (BMES tagging scheme, zh tokenizer, zh HMM model)
+    isolated as a driver-checkable GRAPH query (NOTES round-4
+    candidate; `kg_zh_mention_stats` covers the mention level).  The
+    language filter pushes down to the page scan — at 100 TB the
+    filter prunes before any decode work — and everything downstream
+    is the standard pipeline.  Fixture oracle."""
+    from ..sources.derived import corpus_for_sf, models_for_corpus
+    from ..stages.canonical import canonical_graph
+    from ..stages.extract import extract_text, split_sentences
+    from ..stages.kg import extract_triples, LinkerActor
+    from ..stages.tagger import HMMTagger
+    from ..sources.corpus import load_side_tables
+    from .kg import _auto_concurrency, _model_paths, page_files
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    corpus = corpus_for_sf(sf_dir)
+    model_dir = models_for_corpus(corpus, tagger="hmm")
+    files = page_files(corpus)
+    # pool sized to the zh slice (~1/3 of pages), the kg_dataset rule
+    rows = (sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+            if len(files) <= 16 else None)
+    conc = (_auto_concurrency()[0] if rows is None
+            else max(2, min(_auto_concurrency()[0], rows // 3 // 128 + 1)))
+    alias_idx, emb_map = load_side_tables(corpus)
+    alias_ref = ray.put(alias_idx)
+    emb_ref = ray.put(emb_map)
+    ds = (rd.read_parquet(files,
+                          columns=["url", "html", "lang"],
+                          ray_remote_args={"num_cpus": 0.25})
+          .filter(expr="lang == 'zh'")
+          .map_batches(extract_text, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(split_sentences, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(HMMTagger, fn_constructor_kwargs={
+              "model_paths": _model_paths(model_dir, "hmm")},
+              batch_format="pyarrow", batch_size=1024,
+              concurrency=conc, num_cpus=1)
+          .map_batches(extract_triples, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(LinkerActor, fn_constructor_kwargs={
+              "alias_ref": alias_ref, "emb_ref": emb_ref},
+              batch_format="pyarrow", batch_size=4096,
+              concurrency=max(1, conc // 2), num_cpus=1))
+    return canonical_graph(ds).drop_columns(["sample_urls"]).sort("subj")
+
+
 def _surface_triples_for_sf(sf_dir: str, tagger: str = "hmm"):
     """Materialized checkpoint of PRE-LINK surface triples (the stage
     the alias-patch maintenance re-enters): pages → extract → split →

@@ -58,6 +58,7 @@ FIXTURE_QUERIES = [
     "kg_alias_ambiguity", "kg_subgraph_export", "kg_triple_recency",
     "kg_lineage_report", "kg_entity_cooccurrence", "copurchase_mst",
     "kg_gold_eval", "kg_gold_eval_transformer", "kg_alias_patch",
+    "kg_graph_zh", "kg_entity_distance",
     "kg_schema_induction",
     "kg_graph_diff",
     "events_dp_median", "events_dp_p90", "events_dp_quantiles",
