@@ -140,12 +140,16 @@ def _tags_valid(sf_dir: str, tagger: str):
     })
     cls = {"hmm": HMMTagger, "crf": CRFTagger,
            "transformer": TransformerTagger}[tagger]
-    # from_arrow yields ONE block; split it or the actor pool idles
+    # from_arrow yields ONE block; split it or the actor pool idles.
+    # Pool sized to the BLOCK COUNT, not the cluster: a 200-sentence
+    # validation split is 1 block, and 24 idle actors each paying the
+    # CRF table compile in __init__ were pure window spin-up (the
+    # kg_dataset input-size cap, NOTES #122).
     n_blocks = max(1, min(_auto_concurrency()[0], src.num_rows // 256))
     ds = rd.from_arrow(src).repartition(n_blocks).map_batches(
         cls, fn_constructor_kwargs={"model_paths": _model_paths(model_dir, tagger)},
         batch_format="pyarrow", batch_size=512,
-        concurrency=_auto_concurrency()[0], num_cpus=1)
+        concurrency=n_blocks, num_cpus=1)
 
     def explode(batch: pa.Table) -> pa.Table:
         sids, tidx, toks, tags = [], [], [], []
