@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family
         "dedup_exact": dedup.exact_dedup,
         "softdedup_weights": dedup.softdedup_weights,
+        "dup_count_histogram": dedup.dup_count_histogram,
         "dedup_lines": dedup.dedup_lines,
         "incremental_dedup": dedup.incremental_dedup,
         "source_mix_sample": text.source_mix_sample,
@@ -4067,6 +4068,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          count(*) OVER (PARTITION BY md5(text)) AS cnt
                   FROM documents)
+        """,
+        "dup_count_histogram": """
+            SELECT n_copies,
+                   count(*) AS n_texts,
+                   CAST(SUM(n_copies) AS BIGINT) AS n_docs
+            FROM (SELECT count(*) AS n_copies
+                  FROM documents GROUP BY md5(text))
+            GROUP BY n_copies
         """,
         "jaccard_pairs": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks

@@ -144,6 +144,27 @@ def softdedup_weights(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def dup_count_histogram(sf_dir: str):
+    """Corpus duplication profile: for each exact-duplicate multiplicity
+    ``n_copies``, how many distinct texts have it and how many document
+    rows they account for — the dedup audit chart (what fraction of the
+    corpus is boilerplate?) every curation run draws before choosing
+    drop-vs-downweight (:func:`exact_dedup` vs
+    :func:`softdedup_weights`).  Two integer aggregates (hash counts →
+    multiplicity histogram); SQL-oracled bitwise."""
+    from ..stages.aggregate import sorted_group_aggregate
+
+    counts = exact_dedup(sf_dir)
+    return sorted_group_aggregate(
+        counts.map_batches(lambda b: pa.table({
+            "n_copies": b.column("n_copies"),
+            "n_texts": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_docs": b.column("n_copies")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "n_copies", [("n_texts", "sum"), ("n_docs", "sum")],
+        precombine=True).sort("n_copies")
+
+
 # --------------------------------------------------------------------------- shingles / jaccard
 
 

@@ -904,3 +904,23 @@ def test_softdedup_weights_law(ray_session):
     from collections import Counter
     assert (Counter(w["n_copies"] // 1)
             == Counter(ex["n_copies"].repeat(ex["n_copies"])))
+
+
+def test_dup_count_histogram_planted(ray_session, tmp_path):
+    """Planted multiplicities 1/2/5: histogram rows and the two
+    conservation laws (Σ n_texts = distinct texts, Σ n_docs = rows)."""
+    import pyarrow.parquet as pq
+    from kgray.pipelines.dedup import dup_count_histogram
+
+    texts = (["unique %d" % i for i in range(10)]
+             + ["pair text"] * 2 + ["boiler"] * 5)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}), tmp_path / "documents.parquet")
+    h = dup_count_histogram(str(tmp_path)).to_pandas() \
+        .set_index("n_copies")
+    assert h.loc[1, "n_texts"] == 10 and h.loc[1, "n_docs"] == 10
+    assert h.loc[2, "n_texts"] == 1 and h.loc[2, "n_docs"] == 2
+    assert h.loc[5, "n_texts"] == 1 and h.loc[5, "n_docs"] == 5
+    assert h["n_docs"].sum() == len(texts)
+    assert h["n_texts"].sum() == 12
