@@ -244,151 +244,212 @@ def _binary_features(sf_dir: str):
 # --------------------------------------------------------------------------- queries
 
 
-# The driver's correctness gate checks the FIRST 50 queries() entries
-# (CORRECTNESS_r{N}.json window).  Round 2 verified the KG core + the
-# text/dedup/ANN families; round 3 keeps the KG core first and rotates
-# the windowed/join-heavy relational surface — driver-unchecked until
-# now — into the window (r2 VERDICT next-round #5).  Everything outside
-# the window keeps its prior driver-green record plus the local gate
-# (scripts/check_queries.py runs ALL entries).
-#
-# Round 4 (VERDICT r3 #1/#8): r3's CORRECTNESS artifact came back empty
-# — likely a driver-side timeout/crash on a ~250 s window — so the r4
-# window is budgeted: model caches seed from repo assets (~30 s CRF
-# cold-train eliminated), the TransE cache keys on corpus identity
-# instead of testdata mtime, kg pools cap by input size, and the five
-# most expensive locally-green entries rotate out (entity_ppr,
-# part_random_walks, phrase_search, embedding_dbscan,
-# doc_redirect_resolution — graph family keeps entity_hits +
-# entity_communities + part_copurchase_cheapest, IR keeps bm25_search,
-# clustering keeps part_clustering_coefficient) for the five r3
-# post-wrap queries that never saw a driver window
-# (part_hierarchy_paths, part_subtree_revenue, events_weekly_hll_merge,
-# supplier_late_wilson, cross_source_dup_matrix).
-_R4_WINDOW = [
-    # KG core (flagship — always first)
+# The driver's correctness gate checks the FIRST 50 ``queries()``
+# entries (the CORRECTNESS_r{N}.json window).  The window is DERIVED
+# from the structured spec below (r4 VERDICT #7): the flagship KG core
+# is always first, this round's rotate-ins follow, and the keep-list
+# holds one representative per operator family.  Rotation history lives
+# in NOTES.md (##122/#130), not here.  Everything outside the window
+# keeps its prior driver-green record plus the local full gate
+# (scripts/check_queries.py runs ALL entries at sf0.01).
+
+# flagship KG-construction core — always the head of the window
+_KG_CORE = [
     "kg_graph", "kg_mentions", "hmm_tags_valid", "crf_tags_valid",
     "transformer_tags_valid", "extract_invariant", "kg_entities",
-    # joins (incl. the new composite-key exchange and the resumed-
-    # session TPC-H Q7/Q8/Q13/Q17 + skew-join + k-core additions;
-    # rotated out for them — each family keeps a representative:
-    # events_recent_orders, customer_order_quartiles,
-    # user_first_last_event, type_value_mode,
-    # purchases_intersect_views_all, events_grouping_sets)
-    # (r3-s5 rotation: events_orders_daily, customer_order_dist,
-    # user_next_event_gap, event_value_moments, events_cube and
-    # user_type_value_share rotate OUT — all driver-green earlier, each
-    # family keeps a representative — for the hive-pruned source, the
-    # Q12 CASE-split join, the image dHash Hamming-LSH, Naive Bayes,
-    # BM25 and label-propagation communities)
-    "hive_event_stats", "shipmode_priority_counts", "image_phash_pairs",
-    "nb_lang_predictions", "bm25_search", "entity_communities",
-    # (r3-s5 second rotation: local_supplier_volume, large_orders,
-    # purchase_value_by_engagement, user_event_gaps, type_user_counts,
-    # lineitem_qty_price_corr, buyers_never_active, events_hopping and
-    # priority_status_unpivot rotate OUT — all driver- or gate-green,
-    # families keep representatives — for the audio fingerprint core,
-    # kNN labels, keep-best resolution, compaction parity, the n-gram
-    # contamination matrix, CUSUM, the mixture planner, clustering
-    # coefficients and the Q9 five-table join)
+]
+
+# round-5 rotate-ins: the eight r4 post-wrap queries that are local-
+# gate-green but have never seen a driver window (r4 VERDICT #2)
+_R5_ROTATE_IN = [
+    "transformer_trained_tags", "kg_gold_eval_transformer",
+    "kg_alias_patch", "events_dp_quantiles", "kg_graph_zh",
+    "kg_entity_distance", "softdedup_weights", "dup_count_histogram",
+]
+
+# rotated OUT for them this round (all r4-driver-green; each family
+# keeps a representative in _WINDOW_KEEP or the rotate-ins above):
+#   hive_event_stats (formats; csv/orc/xml reps stay in the registry),
+#   shipmode_priority_counts (joins keep user_day_purchase_views &c),
+#   entity_communities + part_clustering_coefficient (graph keeps
+#   entity_hits / kg_entity_distance / the kg audits),
+#   orders_join_ivm (IVM keeps priority_counts_ivm),
+#   events_bootstrap_ci (UQ keeps events_conformal_coverage),
+#   user_shard_rendezvous (layout keeps events_user_bloom_lookup),
+#   events_dp_counts (DP: events_dp_quantiles strictly generalizes it).
+
+# per-family representatives filling the window to 50
+_WINDOW_KEEP = [
+    "image_phash_pairs", "nb_lang_predictions", "bm25_search",
     "audio_fingerprint_pairs",
-    # (r3-s25: neardup_keep_best rotates OUT — locally green; near-dup
-    # keeps image/audio pairs + embedding_dbscan in-window — for the
-    # incremental KG merge law, whose aliased kg_graph oracle proves
-    # the checkpoint∪delta plan lossless in the driver's own gate)
-    # (r3-s28: source_ngram_overlap rotates OUT — locally green;
-    # contamination keeps decontaminate + the substring-mask rep in the
-    # registry — for kg_gold_eval, the north rule's P/R≥0.95 number as
-    # a driver-hash-checked row)
     "kg_incremental_merge", "kg_graph_compacted", "kg_gold_eval",
     "mixture_token_budget",
-    "part_clustering_coefficient",
-    # (r3-s5 third rotation: order_priority_revenue, copurchase_kcore,
-    # events_asof_orders, user_rolling_value, user_running_value,
-    # customer_order_ranks, events_ab_ztest, users_both_active,
-    # events_rollup and user_event_type_seq rotate OUT — every one
-    # driver-green in an earlier window, each family keeps at least one
-    # representative — for the second session-5 operator batch)
-    # (r3 final rotation: token_collocations, events_benford_audit,
-    # copurchase_triple_itemsets and gopher_rule_flags rotate OUT
-    # (locally gate-green; families keep source_ngram_overlap /
-    # events_cusum_peaks / part_clustering_coefficient /
-    # events_quality_checks) — for the IVM delta-join law, survival,
-    # conformal calibration and PSI drift)
-    "orders_join_ivm",
     "user_conversion_survival", "events_conformal_coverage",
     "events_value_psi",
-    # (r3-s22 rotation: token_cms_counts, part_negative_samples,
-    # knn_label_predictions and events_out_of_order rotate OUT — all
-    # locally gate-green; the sketch family keeps events_kmv_distinct /
-    # user_overlap_kmv in the registry, sampling keeps
-    # mixture_token_budget in-window, embeddings keep embedding_dbscan
-    # in-window, streaming keeps events_quality_checks in-window — for
-    # the KG-quality audit family (the tier's core: predicate
-    # functionality stats, two-hop path profile, functionality-
-    # violation mining) and the tagged presence-exchange FK-inference
-    # profiler)
     "kg_predicate_stats", "kg_two_hop", "kg_functionality_violations",
     "join_key_inference",
-    # (r3-s21 rotation: embedding_truncation_recall, video_scene_changes,
-    # events_orders_join_profile and events_cusum_peaks rotate OUT — all
-    # locally gate-green with fixture/SQL oracles; the embedding family
-    # keeps embedding_dbscan, multimodal keeps image_phash_pairs +
-    # audio_fingerprint_pairs, profiling keeps events_quality_checks,
-    # changepoint keeps events_hourly_changepoint in the registry — for
-    # the positional-postings phrase query (composite-key join IR
-    # shape), the IGNORE-NULLS LOCF monoid exchange, the bloom-sidecar
-    # point-lookup layout and the HRW rendezvous shard router)
     "user_value_locf", "events_user_bloom_lookup",
-    "user_shard_rendezvous",
     "user_day_purchase_views",
-    # (r3-s6b/7/8/9 rotation: bucketed_order_revenue, nation_pair_volume,
-    # market_share, nation_year_profit, priority_top_orders and
-    # events_value_quantiles_cont rotate OUT — the join family keeps
-    # user_day_purchase_views / part_copurchase_cheapest / the s5 reps,
-    # top-k keeps grouped reps, quantiles keep event_value_stats + the
-    # MAD audit — for the session's new families: personalized graph
-    # ranking, resampling UQ, deterministic walks, density clustering,
-    # privacy, and the declarative quality-rule suite)
-    "events_bootstrap_ci",
-    # r4 rotation IN: the five r3 post-wrap queries (VERDICT #8) —
-    # packed-key hierarchy recursion, subtree rollup, the HLL
-    # sketch-merge law, Wilson-bound SLA scoring, and the MinHash
-    # cross-source duplication matrix
     "part_hierarchy_paths", "part_subtree_revenue",
     "events_weekly_hll_merge", "supplier_late_wilson",
     "cross_source_dup_matrix",
-    # as-of / interval / rolling windows (user_trailing_value rotated
-    # out r3 — rolling family keeps user_rolling_value — for the
-    # weighted-shortest-path exchange)
-    # (events_recent_order_value and small_qty_part_revenue rotated out
-    # r3-s4 — both r2/r3-green, asof family keeps events_asof_orders and
-    # the join family keeps 11 others — for the TransE training law and
-    # the HITS dual-plan fixed point)
-    "part_copurchase_cheapest",
-    "kg_transe_embeddings", "entity_hits",
-    # scan windows (running/lag/lead/rank/first-last; user_latest_event
-    # and customer_order_seq rotated out r3-s3 — both r2-green, family
-    # kept by customer_order_ranks/user_running_value — for the Q9
-    # five-table join and the PERCENT_RANK/CUME_DIST distinct-level
-    # rank exchange)
-    "order_value_percent_rank",
-    # top-k / quantiles / stats (events_value_quantiles rotated out r3
-    # — quantile family keeps the _cont interpolation variant — for
-    # the Welch z-test)
-    "events_dp_counts",
-    "events_quality_checks", "event_value_stats",
-    # set ops (purchases_except_views_all rotated out r3 — EXCEPT ALL
-    # family keeps two representatives — for the retraction IVM)
-    "priority_counts_ivm",
-    # windows/rollups/pivots over the event stream (events_hourly
-    # rotated out r3 — driver-green r2 — for the new interval join)
-    "purchase_view_attribution",
+    "part_copurchase_cheapest", "kg_transe_embeddings", "entity_hits",
+    "order_value_percent_rank", "events_quality_checks",
+    "event_value_stats",
+    "priority_counts_ivm", "purchase_view_attribution",
     "priority_status_pivot",
-    # sessionization / ordered aggregation / funnel / retention
-    "user_sessions",
-    "user_funnel_counts", "weekly_retention",
+    "user_sessions", "user_funnel_counts", "weekly_retention",
 ]
+
+_WINDOW = _KG_CORE + _R5_ROTATE_IN + _WINDOW_KEEP
+assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
+
+
+# family assignment for entries whose callable is a local wrapper or
+# lambda (module-based default below covers plain kgray.* functions)
+_FAMILY_OVERRIDES = {
+    # flagship KG pipeline surface
+    "kg_graph": "kg", "kg_mentions": "kg", "hmm_tags_valid": "kg",
+    "crf_tags_valid": "kg", "transformer_tags_valid": "kg",
+    "extract_invariant": "kg", "kg_entities": "kg",
+    "kg_graph_compacted": "kg", "binary_features": "kg",
+    "crawl_host_shards": "kg", "page_site_counts": "kg",
+    # graph / KG-quality family
+    "entity_communities": "graph", "kg_incremental_merge": "graph",
+    "kg_gold_eval": "graph", "kg_predicate_stats": "graph",
+    "kg_two_hop": "graph", "kg_functionality_violations": "graph",
+    "entity_hits": "graph", "doc_redirect_resolution": "graph",
+    "entity_pagerank": "graph", "entity_ppr": "graph",
+    "part_components": "graph",
+    "copurchase_degree_assortativity": "graph",
+    "copurchase_robustness": "graph", "kg_predicate_trend": "graph",
+    "kg_entity_cooccurrence": "graph", "copurchase_mst": "graph",
+    "kg_entity_distance": "graph", "kg_graph_zh": "graph",
+    "kg_alias_patch": "graph", "kg_gold_eval_transformer": "graph",
+    "kg_schema_induction": "graph", "kg_graph_diff": "graph",
+    "kg_zh_mention_stats": "graph", "kg_alias_ambiguity": "graph",
+    "kg_subgraph_export": "graph", "kg_triple_recency": "graph",
+    "kg_lineage_report": "graph", "copurchase_kcore": "graph",
+    # embeddings / ANN / clustering
+    "kg_transe_embeddings": "kgemb", "kg_link_prediction": "kgemb",
+    "embedding_mmr_topk": "ann", "ann_topk_with_deletes": "ann",
+    "embedding_lsh_pairs": "ann",
+    "embedding_dbscan": "cluster", "neardup_keep_best": "cluster",
+    # dedup / ER / text-model
+    "shingle_containment_pairs": "dedup",
+    "customer_golden_records": "er",
+    "bpe_merges": "bpe", "bpe_token_counts": "bpe",
+    "corpus_curation": "curation", "corpus_curation_sem": "curation",
+    "doc_quality_scores": "quality_model", "dsir_selected": "dsir",
+    "transformer_trained_tags": "training",
+    # multimodal
+    "image_phash_pairs": "multimodal",
+    "audio_fingerprint_pairs": "multimodal",
+    "image_features": "multimodal", "audio_features": "multimodal",
+    "video_features": "multimodal", "video_scene_changes": "multimodal",
+}
+
+# cost classes from measured per-query bench timings at sf0.1/32 CPUs
+# (BENCH_r03 + the r4 builder run): heavy ≥5 s, medium 2.5–5 s.  Used
+# by bench.py to order the budgeted walk (cheap first within family) —
+# wrong tiers cost bench coverage, never correctness.
+_HEAVY = {
+    "kg_predicate_trend", "copurchase_closeness",
+    "kg_transe_embeddings", "doc_quality_scores",
+    "doc_redirect_resolution", "entity_pagerank", "kg_triple_recency",
+    "entity_hits", "embedding_dbscan", "part_random_walks",
+    "phrase_search", "kg_link_prediction", "entity_ppr",
+    "kg_incremental_merge", "jaccard_prefix_pairs",
+    "entity_communities", "image_phash_pairs", "corpus_curation_sem",
+    "bigram_kn_logprob", "kg_graph_compacted", "customer_part_recs",
+    "kg_schema_induction", "nb_confusion", "part_adamic_adar",
+    "part_copurchase_hops", "copurchase_mst", "part_negative_samples",
+    "purchase_position_attribution", "part_clustering_coefficient",
+    "part_copurchase_cheapest", "join_key_inference",
+    "copurchase_degree_assortativity", "copurchase_robustness",
+    "fk_orphan_audit", "kg_zh_mention_stats", "doc_novelty_scores",
+    "dedup_substring_mask", "part_similarity_topk",
+    "nb_lang_predictions", "bigram_logprob", "token_collocations",
+    "kg_entity_cooccurrence", "purchase_value_by_engagement",
+    "copurchase_edge_support", "incremental_dedup",
+    "user_type_value_share", "shingle_containment_pairs",
+    "events_orders_join_profile", "customer_golden_records",
+    "kg_alias_ambiguity", "kg_predicate_stats", "events_kmv_distinct",
+    "orders_lineitem_consistency", "neardup_keep_best",
+    "kg_subgraph_export", "audio_fingerprint_pairs",
+    "user_trailing_value", "token_fuzzy_pairs", "source_keyness_tokens",
+    "events_quality_checks", "large_orders", "token_fuzzy_pairs_d2",
+    "part_khop_sample", "events_hourly_incremental", "copurchase_pmi",
+    "waiting_suppliers", "user_conversion_survival",
+    "kg_lineage_report", "kg_graph_diff", "kg_gold_eval",
+    "kg_gold_eval_transformer", "transformer_trained_tags",
+    "kg_alias_patch", "kg_graph_zh", "kg_entity_distance",
+}
+_MEDIUM = {
+    "events_kanonymity", "weekly_retention", "small_qty_part_revenue",
+    "copurchase_triangles", "idle_rich_customers", "corpus_curation",
+    "user_value_twap", "nation_pair_volume", "order_value_percent_rank",
+    "purchase_last_touch", "brand_supplier_counts",
+    "shipping_priority_topk", "orders_bitemporal_state",
+    "copurchase_rules", "embedding_lsh_pairs", "user_day_purchase_views",
+    "order_value_ntile", "token_skipgram_counts", "returned_item_revenue",
+    "events_hourly_changepoint", "duplicate_ngram_fraction",
+    "market_share", "copurchase_degree_hist", "dedup_lines",
+    "source_ngram_overlap", "events_orders_daily",
+    "priority_status_unpivot", "dedup_exact", "local_supplier_volume",
+    "events_fd_audit", "orders_join_ivm", "tfidf_top_terms",
+    "lineitem_scd2_pit", "order_ship_lag_quantiles",
+    "customer_order_quartiles", "copurchase_triple_itemsets",
+    "late_order_priority_counts", "vocab_growth_curve",
+    "cross_source_dup_matrix", "customer_order_dist",
+    "orders_above_cust_avg", "events_cube",
+    "purchase_markov_attribution", "customer_rfm_segments",
+    "simhash_pairs", "part_substring_search", "semantic_dedup",
+    "unigram_logprob", "video_scene_changes", "neardup_clusters",
+    "kg_functionality_violations", "purchases_except_views_all",
+    "events_grouping_sets", "events_ks_test", "bm25_search",
+    "minhash_lsh", "order_price_global_rank", "orders_cohort_ltv",
+    "region_revenue_rollup", "orders_time_travel", "events_asof_orders",
+    "events_value_outliers", "ann_hnsw_topk", "priority_counts_ivm",
+    "part_price_stump", "event_sequence_patterns", "minhash_lsh_pairs",
+    "events_cuped_estimate", "dsir_selected",
+    "purchases_intersect_views_all", "events_cusum_peaks",
+    "part_revenue_abc", "part_components", "events_mannwhitney_u",
+    "users_both_active", "buyers_never_active", "events_value_psi",
+    "kg_two_hop", "nation_year_profit", "purchase_view_attribution",
+    "events_user_bloom_lookup", "video_features", "part_supplier_hhi",
+    "embedding_dim_stats", "token_burstiness", "order_priority_revenue",
+    "user_spend_gini", "supplier_late_wilson", "part_copurchase_topk",
+    "promo_revenue_share", "events_profile", "events_value_histogram",
+    "events_conformal_coverage", "softdedup_weights",
+    "dup_count_histogram", "events_dp_quantiles",
+}
+
+
+def queries_meta() -> dict[str, dict]:
+    """Family + cost class + oracle kind for every ``queries()`` entry
+    (r4 VERDICT #7).  ``family`` comes from the implementing kgray
+    module (override table for local wrappers/lambdas); ``cost`` from
+    measured sf0.1 bench timings; ``oracle`` distinguishes exact-SQL
+    DuckDB oracles from engine-output fixtures from rows-only checks.
+    bench.py derives its budgeted walk order from this; the driver
+    window head is ``_WINDOW`` above."""
+    q = queries()
+    oracles = oracle_sql()
+    meta: dict[str, dict] = {}
+    for name, fn in q.items():
+        fam = _FAMILY_OVERRIDES.get(name)
+        if fam is None:
+            mod = getattr(fn, "__module__", "") or ""
+            fam = mod.rsplit(".", 1)[-1] if mod.startswith("kgray.") else "kg"
+        o = oracles.get(name)
+        okind = ("none" if o is None
+                 else "fixture" if "tests/fixtures" in o else "sql")
+        cost = ("heavy" if name in _HEAVY
+                else "medium" if name in _MEDIUM else "cheap")
+        meta[name] = {"family": fam, "cost": cost, "oracle": okind,
+                      "window": name in _WINDOW}
+    return meta
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -860,9 +921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": text.weighted_doc_sample,
         "events_out_of_order": relational.events_out_of_order,
     }
-    assert all(k in q for k in _R4_WINDOW), \
-        [k for k in _R4_WINDOW if k not in q]
-    window = {k: q[k] for k in _R4_WINDOW}
+    assert all(k in q for k in _WINDOW), \
+        [k for k in _WINDOW if k not in q]
+    window = {k: q[k] for k in _WINDOW}
     window.update((k, v) for k, v in q.items() if k not in window)
     return window
 
