@@ -2187,9 +2187,6 @@ def kg_graph_zh(sf_dir: str):
             if len(files) <= 16 else None)
     conc = (_auto_concurrency()[0] if rows is None
             else max(2, min(_auto_concurrency()[0], rows // 3 // 128 + 1)))
-    alias_idx, emb_map = load_side_tables(corpus)
-    alias_ref = ray.put(alias_idx)
-    emb_ref = ray.put(emb_map)
     ds = (rd.read_parquet(files,
                           columns=["url", "html", "lang"],
                           ray_remote_args={"num_cpus": 0.25})
@@ -2205,7 +2202,7 @@ def kg_graph_zh(sf_dir: str):
           .map_batches(extract_triples, batch_format="pyarrow",
                        zero_copy_batch=True)
           .map_batches(LinkerActor, fn_constructor_kwargs={
-              "alias_ref": alias_ref, "emb_ref": emb_ref},
+              "corpus_dir": corpus},
               batch_format="pyarrow", batch_size=4096,
               concurrency=max(1, conc // 2), num_cpus=1))
     return canonical_graph(ds).drop_columns(["sample_urls"]).sort("subj")
@@ -2326,20 +2323,19 @@ def kg_alias_patch(sf_dir: str, n_patch: int = 5, plan: str = "incremental"):
     corpus = corpus_for_sf(sf_dir)
     alias_idx, emb_map = load_side_tables(corpus)
     patched = sorted(s for s, c in alias_idx.items() if len(c) >= 2)[:n_patch]
-    patched_idx = dict(alias_idx)
-    for s in patched:
-        patched_idx[s] = [max(alias_idx[s])]
+    # the delta is a SMALL plain-dict overlay passed by value — the
+    # actor loads the base index from the corpus path and applies it
+    # in __init__ (restart-safe, ray#53727; see LinkerActor docstring)
+    alias_patch = {s: [max(alias_idx[s])] for s in patched}
     patched_set = frozenset(patched)
 
     surface = _surface_triples_for_sf(sf_dir)
-    p_alias_ref = ray.put(patched_idx)
-    emb_ref = ray.put(emb_map)
 
     def relink(ds):
         return ds.map_batches(
             LinkerActor,
-            fn_constructor_kwargs={"alias_ref": p_alias_ref,
-                                   "emb_ref": emb_ref},
+            fn_constructor_kwargs={"corpus_dir": corpus,
+                                   "alias_patch": alias_patch},
             batch_format="pyarrow", batch_size=4096,
             concurrency=2, num_cpus=1)
 

@@ -171,9 +171,6 @@ def kg_dataset(files, corpus_dir: str, model_dir: str, tagger: str = "hmm",
         tagger_conc, linker_conc = concurrency, max(1, concurrency // 2)
     else:
         tagger_conc = linker_conc = concurrency
-    alias_idx, emb_map = load_side_tables(corpus_dir)
-    alias_ref = ray.put(alias_idx)      # broadcast once, not per task
-    emb_ref = ray.put(emb_map)
     tagger_cls = {"hmm": HMMTagger, "crf": CRFTagger,
                   "transformer": TransformerTagger}[tagger]
     model_paths = _model_paths(model_dir, tagger)
@@ -199,8 +196,11 @@ def kg_dataset(files, corpus_dir: str, model_dir: str, tagger: str = "hmm",
     if counter is not None:
         ds = ds.map_batches(counting_passthrough(counter, "triples_raw"),
                             batch_format="pyarrow", zero_copy_batch=True)
+    # side tables load per actor from the corpus path (restart-safe;
+    # see LinkerActor docstring re ray#53727) — never ray.put refs in
+    # actor constructor args
     ds = ds.map_batches(LinkerActor,
-                        fn_constructor_kwargs={"alias_ref": alias_ref, "emb_ref": emb_ref},
+                        fn_constructor_kwargs={"corpus_dir": corpus_dir},
                         batch_format="pyarrow", batch_size=4096,
                         concurrency=linker_conc, num_cpus=1)
     return ds

@@ -102,15 +102,31 @@ TRIPLES_LINKED_SCHEMA = pa.schema([
 class LinkerActor:
     """Actor: link surface triples to canonical ids.
 
-    The alias index and embedding map are shipped once via ``ray.put``
-    object refs and fetched in ``__init__`` (broadcast small side,
-    SURVEY.md §2.5 J1/J2 pattern), with per-batch memoization of
-    (surface, plain) → id for the head-entity-heavy workload.
+    The alias index and embedding map are the broadcast small side
+    (SURVEY.md §2.5 J1/J2 pattern), loaded once per actor in
+    ``__init__`` FROM THE CORPUS PATH — not shipped as ``ray.put``
+    object refs in the constructor args: with ``max_restarts > 0`` an
+    actor whose constructor args live in the object store cannot
+    restart once the owner of those refs dies (ray#53727), which on a
+    real multi-node cluster silently breaks the resume story.  Side
+    files live on the same shared storage as the page parquet, so a
+    restarted actor reloads them anywhere.  ``alias_patch`` is a small
+    plain-dict overlay (surface → [canonical_id]) applied after the
+    load — used by the alias-delta maintenance pipeline.  Per-batch
+    memoization of unambiguous surface → id serves the
+    head-entity-heavy workload.
     """
 
-    def __init__(self, alias_ref, emb_ref):
-        self.alias_idx = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
-        self.emb_map = ray.get(emb_ref) if isinstance(emb_ref, ray.ObjectRef) else emb_ref
+    def __init__(self, corpus_dir=None, alias_patch=None,
+                 alias_idx=None, emb_map=None):
+        if corpus_dir is not None:
+            from ..sources.corpus import load_side_tables
+            self.alias_idx, self.emb_map = load_side_tables(corpus_dir)
+        else:                     # direct injection (tests, small plans)
+            self.alias_idx = alias_idx
+            self.emb_map = emb_map
+        if alias_patch:
+            self.alias_idx = {**self.alias_idx, **alias_patch}
         self._unambiguous_cache: dict = {}
 
     def _link(self, surface: str, context) -> tuple:
