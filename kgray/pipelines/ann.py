@@ -70,6 +70,11 @@ def _query_rows(sf_dir: str, n_queries: int):
         if ids.shape[0] > n_queries:
             order = np.argsort(ids, kind="stable")[:n_queries]
             ids, E = ids[order], E[order]
+    if ids is None:
+        raise ValueError(
+            f"{sf_dir}/embeddings.parquet yielded no record batches — "
+            "cannot build an ANN query matrix from an empty table "
+            "(pass queries=(ids, vectors) explicitly)")
     order = np.argsort(ids, kind="stable")[:n_queries]
     return ids[order], E[order]
 

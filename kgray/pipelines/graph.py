@@ -2079,7 +2079,9 @@ def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
     aggregate — per level the shuffle is frontier×degree, never
     nodes², nothing graph-sized on the driver.  Seeds = the
     ``n_seeds`` entities with the smallest md5(name) (stable sample).
-    Fixture oracle."""
+    The BFS is depth-BOUNDED at ``max_depth``; the metric columns are
+    named ``*_bounded`` and a (max_depth, bfs_converged) pair marks
+    whether the bound actually bit.  Fixture oracle."""
     import hashlib as _hl
 
     from ..stages.aggregate import sorted_group_aggregate
@@ -2118,10 +2120,12 @@ def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
         "seed": pa.array(seeds, type=pa.string()),
         "node": pa.array(seeds, type=pa.string()),
         "dist": pa.array(np.zeros(len(seeds), dtype=np.int64))}))
+    converged = False
     for r in range(max_depth):
         frontier = dist.filter(expr=f"dist == {r}")             .map_batches(lambda b: b.select(["seed", "node"]),
                          batch_format="pyarrow")
         if frontier.count() == 0:
+            converged = True            # every BFS emptied under the cap
             break
         nxt = sorted_merge_join(frontier, sym_ds, on="node").map_batches(
             lambda b, d=r + 1: pa.table({
@@ -2142,22 +2146,32 @@ def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
         ["seed"], [("n", "sum"), ("s", "sum"), ("m", "max")]).take_all()
     by_seed = {r["seed"]: r for r in agg}
     out = {"seed": [], "n_reached": [], "sum_dist": [],
-           "eccentricity": [], "closeness_micro": []}
+           "eccentricity_bounded": [], "closeness_bounded_micro": []}
     for sid in seeds:
         r = by_seed[sid]
         n, s, m = int(r["n"]), int(r["s"]), int(r["m"])
         out["seed"].append(sid)
         out["n_reached"].append(n)
         out["sum_dist"].append(s)
-        out["eccentricity"].append(m)
-        out["closeness_micro"].append(10**6 * (n - 1) // s if s else 0)
+        out["eccentricity_bounded"].append(m)
+        out["closeness_bounded_micro"].append(
+            10**6 * (n - 1) // s if s else 0)
+    # Both metrics are depth-BOUNDED: on a graph whose diameter
+    # exceeds ``max_depth`` the eccentricity is understated and the
+    # closeness is computed over only the reached subset — the column
+    # names say so, and (max_depth, bfs_converged) let a consumer tell
+    # exact values (converged=1) from truncated ones (converged=0).
+    k = len(seeds)
     return pa.table({
         "seed": pa.array(out["seed"], type=pa.string()),
         "n_reached": pa.array(out["n_reached"], type=pa.int64()),
         "sum_dist": pa.array(out["sum_dist"], type=pa.int64()),
-        "eccentricity": pa.array(out["eccentricity"], type=pa.int64()),
-        "closeness_micro": pa.array(out["closeness_micro"],
-                                    type=pa.int64())})
+        "eccentricity_bounded": pa.array(out["eccentricity_bounded"],
+                                         type=pa.int64()),
+        "closeness_bounded_micro": pa.array(out["closeness_bounded_micro"],
+                                            type=pa.int64()),
+        "max_depth": pa.array([max_depth] * k, type=pa.int64()),
+        "bfs_converged": pa.array([int(converged)] * k, type=pa.int64())})
 
 
 def kg_graph_zh(sf_dir: str):

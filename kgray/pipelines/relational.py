@@ -8707,7 +8707,11 @@ def copurchase_closeness(sf_dir: str, n_seeds: int = 8,
     frontier r expands, so the MIN reduce is exact.  Output is
     seed-sized: reached-set size, distance sum, eccentricity (max
     dist within the cap) and closeness ``(n_reached−1)/Σdist`` as one
-    mirrored IEEE division."""
+    mirrored IEEE division.  NOTE both metrics are depth-bounded: on a
+    graph with diameter > ``max_depth`` the eccentricity is understated
+    and the closeness covers only the reached subset (n_reached tells
+    a consumer how much was reached; the KG twin ``kg_entity_distance``
+    additionally stamps max_depth/bfs_converged columns)."""
     from ..functions.sampling import _md5_bucket
     from ..stages.join import auto_join
 
@@ -10269,9 +10273,13 @@ def events_dp_quantiles(sf_dir: str, qs=((1, 4), (1, 2), (3, 4), (9, 10))):
     candidate): one row per requested quantile from the SAME shared
     float-free exponential-mechanism core as `events_dp_median` /
     `events_dp_p90` — exact cents histogram, utility −|cum − n·q|,
-    exact 2^u bigint weights, independent md5 draw salt PER quantile
-    (parallel composition over disjoint randomness; the release's
-    total ε budget is per-quantile ε = 2·ln 2, surfaced in the row).
+    exact 2^u bigint weights, independent md5 draw salt PER quantile.
+    Composition is SEQUENTIAL, not parallel: all four releases read
+    the same events table (parallel composition requires disjoint
+    DATA, not merely independent randomness), so the release's total
+    budget is Σ per-quantile ε = len(qs)·2·ln 2.  ``epsilon_micro``
+    is the PER-QUANTILE ε; ``total_epsilon_micro`` carries the
+    sequential-composition total for the whole release.
     Deterministic → fixture oracle; median/p90 rows must equal the
     dedicated queries' picks (pinned by test)."""
     rows_q, rows_pick, rows_n, rows_m = [], [], [], []
@@ -10290,7 +10298,9 @@ def events_dp_quantiles(sf_dir: str, qs=((1, 4), (1, 2), (3, 4), (9, 10))):
         "n_purchases": pa.array(rows_n, type=pa.int64()),
         "n_candidates": pa.array(rows_m, type=pa.int64()),
         "epsilon_micro": pa.array([1386294] * len(rows_q),
-                                  type=pa.int64())})
+                                  type=pa.int64()),
+        "total_epsilon_micro": pa.array([1386294 * len(rows_q)] * len(rows_q),
+                                        type=pa.int64())})
 
 
 def orders_weekday_index(sf_dir: str):

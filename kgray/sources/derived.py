@@ -137,12 +137,24 @@ def corpus_content_tag(corpus_dir: str, files=None, extra: str = "") -> str:
         files = sorted(glob.glob(os.path.join(corpus_dir, "pages",
                                               "*.parquet")))
     names = "|".join(os.path.basename(f) for f in sorted(files))
-    key = (f"v{meta.get('version')}|s{meta.get('seed')}"
-           f"|n{meta.get('n_pages')}|{names}|{extra}")
+    if meta:
+        key = (f"v{meta.get('version')}|s{meta.get('seed')}"
+               f"|n{meta.get('n_pages')}|{names}|{extra}")
+    else:
+        # no meta.json: content identity is unknowable from generator
+        # inputs, and shard basenames alone (standard pages_*.parquet
+        # names) would let two distinct meta-less corpora collide on
+        # one cache tag — fall back to a size/mtime fingerprint (the
+        # pre-r4 keying) instead of hashing None placeholders
+        stats = "|".join(
+            f"{os.path.basename(f)}:{os.path.getsize(f)}:"
+            f"{int(os.path.getmtime(f))}" for f in sorted(files))
+        key = f"nometa|{stats}|{extra}"
     return hashlib.md5(key.encode()).hexdigest()[:10]
 
 
-def _seed_models_from_assets(model_dir: str, tag: str, tagger: str) -> dict | None:
+def _seed_models_from_assets(model_dir: str, tag: str, tagger: str,
+                             corpus_dir: str | None = None) -> dict | None:
     """Restore pre-trained model artifacts shipped with the repo.
 
     ``build_models`` is a deterministic function of the corpus's CoNLL
@@ -169,6 +181,22 @@ def _seed_models_from_assets(model_dir: str, tag: str, tagger: str) -> dict | No
         meta = json.load(f)
     if meta.get("version") != GENERATOR_VERSION:
         return None
+    # The asset was trained on the corpus generate_corpus() produces
+    # for (tag, _SEED, _N_PAGES[tag], GENERATOR_VERSION).  Validate the
+    # actual corpus's meta.json against those generator inputs: a
+    # corpus regenerated under the same name with an edited seed or
+    # n_pages (without a version bump) must fall back to training, not
+    # silently receive models trained on different data.
+    if corpus_dir is not None:
+        cmeta_path = os.path.join(corpus_dir, "meta.json")
+        if not os.path.exists(cmeta_path):
+            return None
+        with open(cmeta_path) as f:
+            cmeta = json.load(f)
+        if (cmeta.get("seed") != _SEED
+                or cmeta.get("n_pages") != _N_PAGES.get(tag)
+                or cmeta.get("version") != GENERATOR_VERSION):
+            return None
     want = ["hmm", "crf"] if tagger == "both" else [tagger]
     if not all(t in meta.get("paths", {}) for t in want):
         return None
@@ -202,7 +230,8 @@ def models_for_corpus(corpus_dir: str, tagger: str = "hmm") -> str:
         need = tagger not in m or m.get("_version") != GENERATOR_VERSION
     if need:
         base = os.path.basename(os.path.normpath(corpus_dir))
-        paths = (_seed_models_from_assets(model_dir, base, tagger)
+        paths = (_seed_models_from_assets(model_dir, base, tagger,
+                                          corpus_dir=corpus_dir)
                  if base in _N_PAGES else None)
         if paths is None:
             paths = build_models(corpus_dir, model_dir,

@@ -64,6 +64,7 @@ def test_kg_entity_distance_matches_serial_bfs(ray_session):
                     dq.append(v)
         n, s, m = len(dist), sum(dist.values()), max(dist.values())
         row = got.loc[seed]
-        assert (row["n_reached"], row["sum_dist"], row["eccentricity"]) \
-            == (n, s, m), seed
-        assert row["closeness_micro"] == 10**6 * (n - 1) // s
+        assert (row["n_reached"], row["sum_dist"],
+                row["eccentricity_bounded"]) == (n, s, m), seed
+        assert row["closeness_bounded_micro"] == 10**6 * (n - 1) // s
+        assert row["max_depth"] == 6
