@@ -151,3 +151,51 @@ def test_resume_after_midgroup_crash(ray_session, tiny_corpus_dir, tmp_path):
     kg.run_kg(tiny_corpus_dir, out2, model_dir=os.path.join(out2, "models"),
               concurrency=1)
     assert graph == _read_graph(out2)
+
+
+def test_resume_from_foreign_process_manifest(ray_session, tiny_corpus_dir,
+                                              tmp_path):
+    """The manifest is write-through to the OUTPUT directory, so a run
+    killed on one driver resumes from a DIFFERENT process with a
+    different cwd — the multi-node ``ray job submit`` retry shape,
+    where the retry driver is a fresh process, possibly on another
+    node.  Phase 1 runs in a subprocess (own Ray session, cwd=/tmp);
+    phase 2 resumes here and must skip the foreign-recorded group."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    out = str(tmp_path / "kg_foreign")
+    model_dir = os.path.join(out, "models")
+    kg.build_models(tiny_corpus_dir, model_dir, tagger="hmm")
+    script = textwrap.dedent(f"""
+        import json, ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from kgray.pipelines import kg
+        s = kg.run_kg({tiny_corpus_dir!r}, {out!r}, model_dir={model_dir!r},
+                      concurrency=1, stop_after_groups=1)
+        print(json.dumps({{"run": s["groups_run"],
+                           "remaining": s["groups_remaining"]}}))
+        ray.shutdown()
+    """)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, "-c", script], cwd="/tmp",
+                       env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    first = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(first["run"]) == 1 and first["remaining"]
+    # resume in THIS process (different cwd), same out_dir
+    s2 = kg.run_kg(tiny_corpus_dir, out, model_dir=model_dir, concurrency=1)
+    assert set(first["run"]).isdisjoint(s2["groups_run"])
+    assert not s2["groups_remaining"]
+    # final graph identical to a fresh uninterrupted run
+    out2 = str(tmp_path / "kg_foreign_fresh")
+    kg.build_models(tiny_corpus_dir, os.path.join(out2, "models"),
+                    tagger="hmm")
+    kg.run_kg(tiny_corpus_dir, out2,
+              model_dir=os.path.join(out2, "models"), concurrency=1)
+    assert _read_graph(out) == _read_graph(out2)
