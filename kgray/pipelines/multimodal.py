@@ -134,11 +134,15 @@ class ImageFeaturizer:
     Exactly the shape a real vision featurizer takes — decode once per
     payload, all per-pixel math vectorized in NumPy, integer outputs so
     results are bitwise-stable.  ``__init__`` is where a model would
-    load (once per actor)."""
+    load (once per actor).  ``decoder`` injects a real codec (e.g. a
+    Pillow-backed ``bytes → HxWx3 uint8 RGB``) in place of the
+    from-scratch BMP decoder; the conditional parity test in
+    ``tests/test_multimodal.py`` proves both paths emit identical
+    feature columns whenever Pillow is present."""
 
-    def __init__(self, thumb: int = 8):
+    def __init__(self, thumb: int = 8, decoder=None):
         from ..kernels.codec import decode_bmp, resize_nearest
-        self._decode = decode_bmp
+        self._decode = decoder or decode_bmp
         self._resize = resize_nearest
         self.thumb = thumb
 

@@ -281,3 +281,38 @@ def test_video_scene_changes_planted(ray_session):
         else:
             assert cuts == [-1], (d, cuts)
     assert hits / n_pos >= 0.99, (hits, n_pos)
+
+
+def test_pil_decoder_injection_parity(ray_session):
+    """When a real image codec (Pillow) is present, injecting it as
+    ``ImageFeaturizer(decoder=...)`` must produce feature columns
+    identical to the from-scratch BMP decoder on the synthetic BMP
+    twin — keeping the injectable stub honest the day the environment
+    gains a codec.  Skips cleanly where Pillow is absent (this
+    sandbox ships no image libraries)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import ray.data as rd
+
+    from kgray.pipelines.multimodal import ImageFeaturizer, synth_bmp_payload
+
+    def pil_decode(payload: bytes) -> np.ndarray:
+        img = PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+    src = pa.table({
+        "doc_id": pa.array(range(24), type=pa.int64()),
+        "payload": pa.array([synth_bmp_payload(i) for i in range(24)],
+                            type=pa.binary()),
+    })
+
+    def run(decoder):
+        ds = rd.from_arrow(src).map_batches(
+            ImageFeaturizer, fn_constructor_kwargs={"decoder": decoder},
+            batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1)
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    scratch = run(None)                 # from-scratch decode_bmp
+    pil = run(pil_decode)               # real codec, injected
+    pd.testing.assert_frame_equal(scratch, pil)
