@@ -121,6 +121,11 @@ def run_bench(full: bool = False) -> None:
     for f in page_files(corpus):
         with open(f, "rb") as fh:
             fh.read()
+    # warmup execution (Ray worker + actor spin-up, not measured) — the
+    # same steady-state methodology as run_scaling_worker
+    from kgray.pipelines.kg import kg_dataset
+    kg_dataset(page_files(corpus)[:2], corpus, model_dir,
+               tagger="hmm").count()
 
     queries: dict = {}
 

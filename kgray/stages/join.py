@@ -32,7 +32,7 @@ canonicalization).
 
 For dimension-sized sides prefer the broadcast pattern
 (``ray.put`` + dict lookup in ``map_batches``) used throughout
-``pipelines/relational.py`` — this operator is for the fact×fact case.
+``pipelines/relational/`` — this operator is for the fact×fact case.
 """
 
 from __future__ import annotations

@@ -4,7 +4,7 @@ deviation / covariance / correlation) per group.
 Floating-point summation is order-dependent, so a distributed engine
 can never bitwise-match a sequential engine's ``VAR_SAMP`` by summing
 doubles.  This stage takes the same route as the repo's money handling
-(`pipelines/relational.py:_cents`): values are integer units (cents),
+(`pipelines/relational/_shared.py:_cents`): values are integer units (cents),
 all moments are EXACT integer sums, and floating point enters only in
 the final scalar expression — which the DuckDB oracles mirror
 operand-for-operand (HUGEINT moment arithmetic, one CAST to DOUBLE per
