@@ -197,9 +197,15 @@ def _run_query_slices(sf_dir: str, names: list, slice_size: int = 24,
     slices, it is recorded as null and skipped.  ``deadline`` (a
     time.monotonic() stamp) stops the walk cleanly: no new slice starts
     within 30 s of it, and a running slice is killed at it — its
-    completed timings are kept.  Returns (timings, skipped_names)."""
+    completed timings are kept.  A per-slice INACTIVITY watchdog
+    (``GRAFT_BENCH_STALL_S``, default 300 s with no completed query)
+    kills a hung slice so one pathological query can never stall the
+    whole walk; the respawn logic then resumes past it.  Slice stderr
+    goes to /tmp/kgray_bench_slice.err for post-mortem.  Returns
+    (timings, skipped_names)."""
     import threading
 
+    stall_s = float(os.environ.get("GRAFT_BENCH_STALL_S", "300"))
     out: dict = {}
     pending = list(names)
     respawns = 0
@@ -209,17 +215,29 @@ def _run_query_slices(sf_dir: str, names: list, slice_size: int = 24,
         if deadline is not None and time.monotonic() > deadline - 30:
             break                            # not enough left for a Ray spin-up
         batch = pending[:slice_size]
+        errf = open("/tmp/kgray_bench_slice.err", "w")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--bench-slice", ",".join(batch)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            stdout=subprocess.PIPE, stderr=errf,
             text=True, cwd=here)
         killer = None
         if deadline is not None:
             killer = threading.Timer(max(1.0, deadline - time.monotonic()),
                                      proc.kill)
             killer.start()
+        last_line = [time.monotonic()]
+
+        def _watchdog():
+            while proc.poll() is None:
+                if time.monotonic() - last_line[0] > stall_s:
+                    proc.kill()
+                    return
+                time.sleep(5)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
         for line in proc.stdout:
+            last_line[0] = time.monotonic()
             line = line.strip()
             if not line.startswith('{"q":'):
                 continue
@@ -229,6 +247,7 @@ def _run_query_slices(sf_dir: str, names: list, slice_size: int = 24,
                 continue
             out[rec["q"]] = rec["sec"]
         rc = proc.wait()
+        errf.close()
         if killer is not None:
             killer.cancel()
         pending = [n for n in pending if n not in out]
