@@ -2068,20 +2068,84 @@ def kg_gold_eval(sf_dir: str):
             type=pa.int64())})
 
 
+def _entity_distance_dense(sym_ds, n_seeds: int, max_depth: int) -> pa.Table:
+    """Dense twin of the kg_entity_distance shuffle plan: identical
+    semantics (seed pick, bounded per-seed BFS, converged flag — the
+    flag mirrors the distributed loop's first-empty-union-frontier
+    rule, i.e. converged ⟺ max eccentricity ≤ max_depth − 2) over the
+    collected symmetric edge list.  Bounded by the caller's
+    ``_DENSE_MAX_NODES`` row check."""
+    import hashlib as _hl
+    from collections import deque
+
+    import ray as _ray
+
+    tbls = [t for t in _ray.get(sym_ds.to_arrow_refs()) if t.num_rows]
+    adj: dict = {}
+    for t in tbls:
+        for u, v in zip(t.column("node").to_pylist(),
+                        t.column("dst").to_pylist()):
+            adj.setdefault(u, set()).add(v)
+    seeds = sorted(sorted(adj, key=lambda n: (
+        _hl.md5(n.encode()).hexdigest(), n))[:n_seeds])
+
+    out = {"seed": [], "n_reached": [], "sum_dist": [],
+           "eccentricity_bounded": [], "closeness_bounded_micro": []}
+    max_ecc = 0
+    for sid in seeds:
+        dist = {sid: 0}
+        dq = deque([sid])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_depth:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        n, s, m = len(dist), sum(dist.values()), max(dist.values())
+        max_ecc = max(max_ecc, m)
+        out["seed"].append(sid)
+        out["n_reached"].append(n)
+        out["sum_dist"].append(s)
+        out["eccentricity_bounded"].append(m)
+        out["closeness_bounded_micro"].append(
+            10**6 * (n - 1) // s if s else 0)
+    converged = max_ecc <= max_depth - 2
+    k = len(seeds)
+    return pa.table({
+        "seed": pa.array(out["seed"], type=pa.string()),
+        "n_reached": pa.array(out["n_reached"], type=pa.int64()),
+        "sum_dist": pa.array(out["sum_dist"], type=pa.int64()),
+        "eccentricity_bounded": pa.array(out["eccentricity_bounded"],
+                                         type=pa.int64()),
+        "closeness_bounded_micro": pa.array(out["closeness_bounded_micro"],
+                                            type=pa.int64()),
+        "max_depth": pa.array([max_depth] * k, type=pa.int64()),
+        "bfs_converged": pa.array([int(converged)] * k, type=pa.int64())})
+
+
 def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
-                       max_depth: int = 6):
+                       max_depth: int = 6, plan: str = "auto"):
     """Closeness/eccentricity of deterministic seed ENTITIES in the
     undirected canonical entity graph — the KG twin of
     ``copurchase_closeness`` ("how central is this entity in the
-    corpus's knowledge?").  Bounded-depth multi-source BFS: the
-    (seed, node, dist) frontier expands one sorted-merge join against
-    the symmetric edge list per level and re-reduces with a MIN-dist
-    aggregate — per level the shuffle is frontier×degree, never
-    nodes², nothing graph-sized on the driver.  Seeds = the
-    ``n_seeds`` entities with the smallest md5(name) (stable sample).
-    The BFS is depth-BOUNDED at ``max_depth``; the metric columns are
-    named ``*_bounded`` and a (max_depth, bfs_converged) pair marks
-    whether the bound actually bit.  Fixture oracle."""
+    corpus's knowledge?").  Seeds = the ``n_seeds`` entities with the
+    smallest md5(name) (stable sample).  The BFS is depth-BOUNDED at
+    ``max_depth``; the metric columns are named ``*_bounded`` and a
+    (max_depth, bfs_converged) pair marks whether the bound actually
+    bit.  Fixture oracle; dense==shuffle plan equality pinned in
+    tests.
+
+    ``plan="shuffle"`` (the scale path): the (seed, node, dist)
+    frontier expands one sorted-merge join against the symmetric edge
+    list per level and re-reduces with a MIN-dist aggregate — per
+    level the shuffle is frontier×degree, never nodes², nothing
+    graph-sized on the driver.  ``plan="dense"`` (auto at or below
+    ``_DENSE_MAX_NODES`` symmetric edge rows): collect the edge list
+    once and run the identical bounded BFS in-process — the per-level
+    join/aggregate orchestration dominates wall time on small graphs
+    (it was the correctness window's most expensive entry)."""
     import hashlib as _hl
 
     from ..stages.aggregate import sorted_group_aggregate
@@ -2097,6 +2161,10 @@ def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
 
     sym_ds = graph.map_batches(sym, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
+
+    if plan == "dense" or (plan == "auto"
+                           and sym_ds.count() <= _DENSE_MAX_NODES):
+        return _entity_distance_dense(sym_ds, n_seeds, max_depth)
 
     nodes = sorted_group_aggregate(
         sym_ds.map_batches(lambda b: pa.table({

@@ -37,15 +37,16 @@ def test_kg_graph_zh_is_the_zh_subgraph(ray_session):
 
 
 def test_kg_entity_distance_matches_serial_bfs(ray_session):
-    """The distributed bounded-depth BFS equals a serial BFS over the
-    collected graph, seed for seed."""
+    """The distributed (shuffle-plan) bounded-depth BFS equals a serial
+    BFS over the collected graph, seed for seed."""
     from collections import deque
 
     import __ray_entry__ as entry
     from kgray.pipelines.graph import kg_entity_distance
 
     sf = "/root/testdata/sf0.001"
-    got = kg_entity_distance(sf).to_pandas().set_index("seed")
+    got = kg_entity_distance(sf, plan="shuffle").to_pandas() \
+        .set_index("seed")
     g = entry._kg_graph(sf).to_pandas()
     adj: dict = {}
     for r in g.itertuples():
@@ -68,3 +69,18 @@ def test_kg_entity_distance_matches_serial_bfs(ray_session):
                 row["eccentricity_bounded"]) == (n, s, m), seed
         assert row["closeness_bounded_micro"] == 10**6 * (n - 1) // s
         assert row["max_depth"] == 6
+
+
+def test_kg_entity_distance_dense_equals_shuffle(ray_session):
+    """Plan twins: the collected-adjacency dense BFS and the
+    sorted-merge-join shuffle BFS must emit identical tables, including
+    the bfs_converged flag's first-empty-union-frontier rule."""
+    from kgray.pipelines.graph import kg_entity_distance
+
+    sf = "/root/testdata/sf0.001"
+    dense = kg_entity_distance(sf, plan="dense").to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    shuffle = kg_entity_distance(sf, plan="shuffle").to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(dense, shuffle)
