@@ -2264,11 +2264,21 @@ def kg_graph_zh(sf_dir: str):
     corpus = corpus_for_sf(sf_dir)
     model_dir = models_for_corpus(corpus, tagger="hmm")
     files = page_files(corpus)
-    # pool sized to the zh slice (~1/3 of pages), the kg_dataset rule
+    # pool sized to the zh slice (~1/3 of pages), the kg_dataset rule.
+    # CRITICAL: tagger + linker pools must fit the CPU budget TOGETHER
+    # — the auto pair (tagger, linker) is sized to leave a CPU free,
+    # and the linker cap comes from auto[1], NOT conc//2: sizing the
+    # linker off the tagger count alone requested 24+12=36 actors on a
+    # 32-CPU cluster at sf0.1, and two fixed-size pools that cannot
+    # all start deadlock the streaming executor (found by the bench
+    # slice watchdog: kg_graph_zh hung only at sf0.1, where the
+    # row-count cap stops biting).
     rows = (sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
             if len(files) <= 16 else None)
-    conc = (_auto_concurrency()[0] if rows is None
-            else max(2, min(_auto_concurrency()[0], rows // 3 // 128 + 1)))
+    auto_t, auto_l = _auto_concurrency()
+    conc = (auto_t if rows is None
+            else max(2, min(auto_t, rows // 3 // 128 + 1)))
+    linker_conc = max(1, min(auto_l, (conc + 1) // 2))
     ds = (rd.read_parquet(files,
                           columns=["url", "html", "lang"],
                           ray_remote_args={"num_cpus": 0.25})
@@ -2286,7 +2296,7 @@ def kg_graph_zh(sf_dir: str):
           .map_batches(LinkerActor, fn_constructor_kwargs={
               "corpus_dir": corpus},
               batch_format="pyarrow", batch_size=4096,
-              concurrency=max(1, conc // 2), num_cpus=1))
+              concurrency=linker_conc, num_cpus=1))
     return canonical_graph(ds).drop_columns(["sample_urls"]).sort("subj")
 
 
