@@ -383,7 +383,7 @@ _HEAVY = {
     "waiting_suppliers", "user_conversion_survival",
     "kg_lineage_report", "kg_graph_diff", "kg_gold_eval",
     "kg_gold_eval_transformer", "transformer_trained_tags",
-    "kg_alias_patch", "kg_graph_zh", "kg_entity_distance",
+    "kg_alias_patch", "kg_graph_zh",
 }
 _MEDIUM = {
     "events_kanonymity", "weekly_retention", "small_qty_part_revenue",
