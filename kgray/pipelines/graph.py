@@ -2242,6 +2242,22 @@ def kg_entity_distance(sf_dir: str, n_seeds: int = 8,
         "bfs_converged": pa.array([int(converged)] * k, type=pa.int64())})
 
 
+def _zh_pool_sizes(rows):
+    """(tagger, linker) pool sizes for the zh path: tagger capped by
+    the zh slice's row count, linker by the _auto_concurrency pair —
+    which is sized to fit the CPU budget together with a CPU left free
+    for the read tasks.  The invariant tagger + linker < cluster CPUs
+    is pinned by tests: two fixed-size pools that cannot all start
+    deadlock the streaming executor (NOTES #139)."""
+    from .kg import _auto_concurrency
+
+    auto_t, auto_l = _auto_concurrency()
+    conc = (auto_t if rows is None
+            else max(2, min(auto_t, rows // 3 // 128 + 1)))
+    linker = max(1, min(auto_l, (conc + 1) // 2))
+    return conc, linker
+
+
 def kg_graph_zh(sf_dir: str):
     """The canonical graph restricted to CHINESE pages — the
     zh-language path (BMES tagging scheme, zh tokenizer, zh HMM model)
@@ -2275,10 +2291,7 @@ def kg_graph_zh(sf_dir: str):
     # row-count cap stops biting).
     rows = (sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
             if len(files) <= 16 else None)
-    auto_t, auto_l = _auto_concurrency()
-    conc = (auto_t if rows is None
-            else max(2, min(auto_t, rows // 3 // 128 + 1)))
-    linker_conc = max(1, min(auto_l, (conc + 1) // 2))
+    conc, linker_conc = _zh_pool_sizes(rows)
     ds = (rd.read_parquet(files,
                           columns=["url", "html", "lang"],
                           ray_remote_args={"num_cpus": 0.25})
